@@ -1,0 +1,73 @@
+"""Benchmark runner — the driver's per-round feedback loop.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed twice: a warm-up pass is NOT taken (we report the
+first measured run after a session-wide warm-up query) because the driver
+measures cold-ish performance; we do warm the JVM/codegen once.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from milvus_cdc_spark import suite  # noqa: E402
+from milvus_cdc_spark.session import get_spark  # noqa: E402
+
+#: Queries timed for the headline metric (a representative mix: scan-agg,
+#: joins, windows, CDC replay, text/vector ops as they land).
+HEADLINE = [
+    "q1_pricing_summary",
+    "cdc_replay_summary",
+    "dim_join_enrich",
+    "rank_zip_join",
+    "latest_version_dedupe",
+    "tumbling_window",
+    "topk_orders",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM / codegen warm-up on an unrelated tiny query.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = suite.QUERIES.get(name)
+        if spec is None:
+            continue
+        t0 = time.time()
+        df = spec.fn(spark, sf_dir)
+        n = df.count() if hasattr(df, "count") else len(df.collect())
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Catalog: table loading + metadata registry.
+
+Replaces the reference's etcd-backed metadata plane
+(core/reader/etcd_op.go:562-628 GetAllCollection snapshot;
+etcd_op.go:187-303 watch) with plain Spark tables: at scale each
+"collection" is a parquet/Delta table; metadata lives in small dimension
+tables that get broadcast-joined against streams.
+
+For the test harness the catalog simply loads the driver-generated
+TPC-H-ish parquet tables for a given scale-factor directory.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@lru_cache(maxsize=None)
+def _nanos_columns(path: str) -> tuple[str, ...]:
+    """Column names stored as parquet TIMESTAMP(NANOS) — Spark reads them as
+    raw int64 (nanosAsLong) and we convert to microsecond timestamps, the
+    same truncation DuckDB applies. Footer-only read, driver-side, cached."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    return tuple(f.name for f in schema if str(f.type) == "timestamp[ns]")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table. Parquet scan → Catalyst gets column pruning +
+    predicate pushdown for free; callers should select/filter early so the
+    pushdown reaches the scan.
+
+    Normalizations (UTC session timezone makes these lossless):
+    - TIMESTAMP(NANOS) parquet → int64 → microsecond TIMESTAMP;
+    - TIMESTAMP_NTZ → TIMESTAMP so epoch functions (unix_millis, window)
+      apply directly.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    for col in _nanos_columns(path):
+        # integer division: ns epoch values overflow double's exact range
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register all tables as temp views so spark.sql() queries can run
+    against the same names the DuckDB oracle uses."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

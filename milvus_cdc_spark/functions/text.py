@@ -1,0 +1,110 @@
+"""Text-analysis functions for the LLM-data-pipeline surface.
+
+All built-in column expressions (split / regexp / aggregate higher-order
+functions) so they run JVM-side inside codegen over 100 TB of documents —
+no Python in the hot path. Each function is mirrored by an ANSI-SQL oracle
+in the suite.
+
+- tokenization + token counting (whitespace + word-regex)
+- quality scoring: length / punctuation ratio / stopword ratio
+- language ID: stopword-hit heuristic over small per-language lexicons
+- fingerprinting: md5 of normalized text (portable across engines)
+- shingling: n-gram sets for Jaccard / MinHash dedup
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lexicons for the heuristic language ID.
+#: (Real pipelines use fastText et al.; the container has no model assets, so
+#: the heuristic is the deterministic, testable stand-in.)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty strings removed."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_token_count(text: Column) -> Column:
+    """BPE-ish: count word-character runs (letters/digits), ignoring punctuation."""
+    return F.size(F.filter(F.split(text, r"[^\w]+"), lambda t: t != ""))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not word chars or spaces."""
+    stripped = F.regexp_replace(text, r"[\w\s]", "")
+    return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = LANG_STOPWORDS["en"]) -> Column:
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, low punctuation,
+    some stopwords. Deterministic; mirrored in SQL by the oracle."""
+    length_ok = F.when(F.length(text) >= 100, F.lit(1.0)).otherwise(F.length(text) / F.lit(100.0))
+    return F.round(
+        F.lit(0.5) * length_ok
+        + F.lit(0.25) * (F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0)))
+        + F.lit(0.25) * F.least(stopword_ratio(text) * 5, F.lit(1.0)),
+        6,
+    )
+
+
+def lang_hits(text: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    sw = LANG_STOPWORDS[lang]
+    return F.size(F.filter(tokens(F.lower(text)), lambda t: t.isin(*sw)))
+
+
+def detect_lang(text: Column) -> Column:
+    """argmax over per-language stopword hit counts; 'und' if no hits.
+
+    Built as a chain of greatest/when expressions — fully JVM-side.
+    Tie-break: language order en, es, fr, de, zh (first wins).
+    """
+    langs = list(LANG_STOPWORDS)
+    hit_cols = [lang_hits(text, lang) for lang in langs]
+    best = F.greatest(*hit_cols)
+    expr = F.lit("und")
+    for lang, hits in zip(reversed(langs), reversed(hit_cols)):
+        expr = F.when((hits == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of lowercase, whitespace-normalized text.
+    md5 hex is identical across engines → oracle-checkable."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(normalized.cast("binary"))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle *set* (distinct, sorted) for Jaccard/MinHash.
+
+    Uses transform over a token-index sequence — built-in higher-order
+    functions, no UDF.
+    """
+    toks = tokens(F.lower(text))
+    k = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_sort(F.array_distinct(F.when(k > 0, grams).otherwise(F.array())))

@@ -1,0 +1,59 @@
+"""CDC replay / apply — "what rows exist downstream after this op-log?"
+
+Reference semantics: the offline data-diff tool decides a PK is alive iff
+``max(insert_ts) >= max(delete_ts)`` (server/tool/data_diff/main.go:160-174);
+the live path applies inserts/deletes per channel in ts order with
+delete-before-insert on ties (core/reader/replicate_channel_manager.go:
+1450-1454) — for last-writer-wins-by-ts, both reduce to the same conditional
+aggregate.
+
+Spark-first design: one hash aggregation over the op-log
+(``groupBy(pk).agg(max(when(...)))``). Catalyst plans partial (map-side) +
+final aggregation, so the shuffle carries one row per (partition, pk) —
+this is the scalable MERGE equivalent: at 100 TB the op-log aggregation
+shuffles only distinct pks, and the result joins back to payload storage by
+pk. No collect, no driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def replay_alive(ops: DataFrame) -> DataFrame:
+    """Per-pk conditional aggregate → alive rows after full replay.
+
+    Returns (collection, pk, last_insert_ts) for alive pks, i.e. pks whose
+    latest insert is not superseded by a later delete.
+    """
+    agg = ops.groupBy("collection", "pk").agg(
+        F.max(F.when(F.col("op_type") == "insert", F.col("ts"))).alias("last_insert_ts"),
+        F.max(F.when(F.col("op_type") == "delete", F.col("ts"))).alias("last_delete_ts"),
+        F.sum(F.when(F.col("op_type") == "insert", F.col("num_rows")).otherwise(F.lit(0))).alias(
+            "n_inserts"
+        ),
+    )
+    return agg.filter(
+        F.col("last_insert_ts").isNotNull()
+        & (
+            F.col("last_delete_ts").isNull()
+            | (F.col("last_insert_ts") >= F.col("last_delete_ts"))
+        )
+    ).select("collection", "pk", "last_insert_ts", "n_inserts")
+
+
+def replay_summary(ops: DataFrame) -> DataFrame:
+    """Aggregate replay result per collection — the e2e check the reference's
+    tests run (downstream num_entities == upstream, tests/testcases/
+    test_cdc_sync_requests.py:111-124)."""
+    alive = replay_alive(ops)
+    return (
+        alive.groupBy("collection")
+        .agg(
+            F.count("*").alias("alive_pks"),
+            F.sum("n_inserts").alias("total_inserts"),
+            F.max("last_insert_ts").alias("max_ts"),
+        )
+        .orderBy("collection")
+    )

@@ -1,0 +1,61 @@
+"""Stateless predicates / projections (SURVEY §2.3 P1-P9).
+
+Every one of these is a Catalyst-native filter or projection — they push
+down to the parquet/Kafka scan and stay inside whole-stage codegen. The
+interesting part is faithfully reproducing the reference's *semantics*:
+
+- P1 msg-type whitelist (replicate_channel_manager.go:1442-1448)
+- P2 collection/db name-pattern filter with '*' wildcard + exclusions
+     (server/cdc_impl.go:1591-1663)
+- P3 RBAC gate (core/util/msgpack.go:63-79)
+- P7 system-field projection: FieldID < 100 hidden (etcd_op.go:658-661)
+- P8 tombstone predicate (core/util/msgpack.go:30-34)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: P1: DML msg types forwarded inside the data stream.
+DML_WHITELIST = ("insert", "delete", "drop_collection", "drop_partition", "import")
+
+#: P8: etcd tombstone magic bytes 0xE2 0x9B 0xBC ("⛼").
+TOMBSTONE = b"\xe2\x9b\xbc"
+
+
+def msg_type_whitelist(df: DataFrame, types: tuple[str, ...] = DML_WHITELIST) -> DataFrame:
+    return df.filter(F.col("op_type").isin(*types))
+
+
+def collection_filter_predicate(
+    include: list[str] | None,
+    exclude: list[str] | None = None,
+    col: str = "collection",
+) -> Column:
+    """P2: build the task's collection predicate. ``include`` of ``["*"]`` (or
+    None) means all; exclusions subtract (cdc_impl.go:320-326 MatchCollection,
+    1421-1422 lo.Without)."""
+    if not include or "*" in include:
+        pred = F.lit(True)
+    else:
+        pred = F.col(col).isin(*include)
+    if exclude:
+        pred = pred & ~F.col(col).isin(*exclude)
+    return pred
+
+
+def rbac_gate(df: DataFrame, enable_user_role: bool, op_col: str = "op_type") -> DataFrame:
+    """P3: user/role ops pass only when the task opted in."""
+    is_rbac = F.col(op_col).isin("create_user", "delete_user", "create_role", "drop_role", "operate_privilege")
+    return df.filter(~is_rbac | F.lit(enable_user_role))
+
+
+def drop_system_fields(fields: DataFrame, field_id_col: str = "field_id") -> DataFrame:
+    """P7: system fields have FieldID < 100."""
+    return fields.filter(F.col(field_id_col) >= 100)
+
+
+def not_tombstone(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """P8: skip tombstoned metadata values."""
+    return df.filter(F.col(value_col) != F.lit(TOMBSTONE))

@@ -1,0 +1,95 @@
+"""Join operators — Spark-first re-expressions of the reference's lookup joins.
+
+The reference has no join machinery; all its joins are map probes + RPC
+fallbacks (SURVEY §2.4). Here each becomes a declarative DataFrame join so
+Catalyst picks broadcast vs sort-merge physically:
+
+- J1-J4  dimension joins (stream × catalog)     → broadcast equi-join
+- J5     channel zip-by-rank                     → row_number + equi-join
+- J7     as-of lifetime join                     → range join
+- J8     data-diff reconciliation                → full-outer + null flags
+
+Scale notes: dimension tables (catalog metadata) are tiny → ``broadcast()``
+hint keeps them shuffle-free. Rank-zip shuffles both sides once on the
+partition key. The range join is the one to watch at 100 TB: Spark executes
+inequality joins as broadcast-nested-loop when one side is small — keep the
+interval side (object lifetimes, i.e. the catalog) small and broadcast it,
+which is exactly the reference's shape (lifetimes = per-collection metadata,
+events = the big stream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dim_enrich(
+    fact: DataFrame, dims: list[tuple[DataFrame, str]], how: str = "left"
+) -> DataFrame:
+    """J1-J4: enrich a fact/stream table with small dimension tables via
+    broadcast equi-joins (reference: collectionRecords / dbID→name map probes,
+    replicate_channel_manager.go:1327-1363, etcd_op.go:706-733)."""
+    out = fact
+    for dim, key in dims:
+        out = out.join(F.broadcast(dim), key, how)
+    return out
+
+
+def rank_zip_join(
+    left: DataFrame,
+    right: DataFrame,
+    partition_key: str,
+    left_order: str,
+    right_order: str,
+) -> DataFrame:
+    """J5/W4: the reference aligns source and target vchannel lists by sorting
+    both and zipping positionally (replicate_channel_manager.go:460-477).
+    DataFrame form: row_number() per side over the partition key, equi-join on
+    (partition_key, rank)."""
+    lw = Window.partitionBy(partition_key).orderBy(left_order)
+    rw = Window.partitionBy(partition_key).orderBy(right_order)
+    lr = left.withColumn("rank", F.row_number().over(lw))
+    rr = right.withColumn("rank", F.row_number().over(rw))
+    return lr.join(rr, [partition_key, "rank"], "inner")
+
+
+def lifetime_asof_join(
+    events: DataFrame,
+    lifetimes: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    create_col: str = "create_ts",
+    drop_col: str = "drop_ts",
+) -> DataFrame:
+    """J7/P9: op applies only if the object was alive at the op's timestamp
+    (channel_writer.go:1238-1288 getObjState). Expressed as an interval join:
+    ts ∈ [create_ts, drop_ts). ``lifetimes`` is catalog-sized → broadcast, so
+    the physical plan is a broadcast join with a range predicate, not a
+    cartesian blowup."""
+    cond = (
+        (events[key] == lifetimes[key])
+        & (events[ts_col] >= lifetimes[create_col])
+        & (events[ts_col] < F.coalesce(lifetimes[drop_col], F.lit(2**62)))
+    )
+    return events.alias("e").join(F.broadcast(lifetimes).alias("l"), cond, "inner")
+
+
+def diff_reconcile(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
+    """J8: offline reconciliation of two stores — full outer join on PK with
+    presence flags (server/tool/data_diff/main.go:104-158 computes A∖B, B∖A).
+
+    Returns one row per key present in either side, with ``in_left``/
+    ``in_right`` flags. At scale this is a sort-merge join on the pk —
+    unavoidable big-big shuffle, but each side is pre-aggregated to distinct
+    keys first so the shuffle is minimal."""
+    lk = left.select(F.col(key)).distinct().withColumn("in_left", F.lit(True))
+    rk = right.select(F.col(key)).distinct().withColumn("in_right", F.lit(True))
+    return (
+        lk.join(rk, key, "full_outer")
+        .select(
+            key,
+            F.coalesce("in_left", F.lit(False)).alias("in_left"),
+            F.coalesce("in_right", F.lit(False)).alias("in_right"),
+        )
+    )

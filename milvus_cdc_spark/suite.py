@@ -1,0 +1,580 @@
+"""The oracle-checked query suite.
+
+One entry per operator from SURVEY.md §2 (plus the LLM-pipeline
+extensions). Each entry pairs
+
+- a Spark callable ``(spark, sf_dir) -> DataFrame`` built from the package's
+  operator modules, and
+- an equivalent ANSI-SQL string the DuckDB oracle runs over the same parquet
+  tables,
+
+with identical output column names (the driver's comparator sorts columns by
+name and hash-compares values). Floating-point aggregates are rounded on
+BOTH sides so double summation-order noise can't flip the hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from milvus_cdc_spark import catalog, oplog
+from milvus_cdc_spark.functions import serde, text, ts as tsf, vector
+from milvus_cdc_spark.operators import apply as apply_op
+from milvus_cdc_spark.operators import barriers, filters, joins, windows
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver records rows-only check
+    tags: tuple[str, ...] = field(default=())
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def q(name: str, oracle: str | None, *tags: str):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, tags=tags)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog.load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary (scan → filter → agg → sort).
+# Exercises pushdown (shipdate filter + column pruning reach the parquet
+# scan), partial+final hash aggregation, and stable ordering.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                       AS sum_qty,
+           round(sum(l_extendedprice), 2)                                  AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                       AS avg_qty,
+           round(avg(l_extendedprice), 4)                                  AS avg_price,
+           round(avg(l_discount), 6)                                       AS avg_disc,
+           count(*)                                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    "agg",
+    "flagship",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M1: CDC replay — the reference's core question ("what rows exist downstream
+# after this op-log?"), data_diff semantics max(ins_ts) >= max(del_ts)
+# (server/tool/data_diff/main.go:160-174).
+# ---------------------------------------------------------------------------
+
+_ORACLE_REPLAY = f"""
+    WITH ops AS ({oplog.ORACLE_OPLOG_SQL}),
+    agg AS (
+      SELECT collection, pk,
+             max(CASE WHEN op_type = 'insert' THEN ts END) AS last_insert_ts,
+             max(CASE WHEN op_type = 'delete' THEN ts END) AS last_delete_ts,
+             sum(CASE WHEN op_type = 'insert' THEN num_rows ELSE 0 END) AS n_inserts
+      FROM ops GROUP BY collection, pk
+    )
+    SELECT collection,
+           count(*)            AS alive_pks,
+           sum(n_inserts)      AS total_inserts,
+           max(last_insert_ts) AS max_ts
+    FROM agg
+    WHERE last_insert_ts IS NOT NULL
+      AND (last_delete_ts IS NULL OR last_insert_ts >= last_delete_ts)
+    GROUP BY collection
+    ORDER BY collection
+"""
+
+
+@q("cdc_replay_summary", _ORACLE_REPLAY, "cdc", "agg", "conditional-agg")
+def cdc_replay_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"))
+    return apply_op.replay_summary(ops)
+
+
+@q(
+    "cdc_alive_rows",
+    f"""
+    WITH ops AS ({oplog.ORACLE_OPLOG_SQL})
+    SELECT collection, pk,
+           max(CASE WHEN op_type = 'insert' THEN ts END) AS last_insert_ts,
+           sum(CASE WHEN op_type = 'insert' THEN num_rows ELSE 0 END) AS n_inserts
+    FROM ops GROUP BY collection, pk
+    HAVING max(CASE WHEN op_type = 'insert' THEN ts END) IS NOT NULL
+       AND (max(CASE WHEN op_type = 'delete' THEN ts END) IS NULL
+            OR max(CASE WHEN op_type = 'insert' THEN ts END)
+               >= max(CASE WHEN op_type = 'delete' THEN ts END))
+    """,
+    "cdc",
+    "agg",
+)
+def cdc_alive_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"))
+    return apply_op.replay_alive(ops)
+
+
+# ---------------------------------------------------------------------------
+# J1-J4: dimension enrichment via broadcast equi-joins.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dim_join_enrich",
+    """
+    SELECT r.r_name,
+           count(*)                    AS n_customers,
+           round(sum(c.c_acctbal), 2)  AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+    "join",
+    "broadcast",
+)
+def dim_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    enriched = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        enriched.groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J8: anti-join + full-outer reconciliation (data_diff tool).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "anti_join_customers",
+    """
+    SELECT c.c_mktsegment, count(*) AS n_no_orders
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 30000)
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    "join",
+    "anti",
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 30000)
+    no_orders = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        no_orders.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_no_orders"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@q(
+    "diff_reconcile",
+    """
+    WITH lk AS (SELECT DISTINCT s_suppkey AS suppkey FROM supplier WHERE s_acctbal > 0),
+         rk AS (SELECT DISTINCT l_suppkey AS suppkey FROM lineitem WHERE l_quantity > 45)
+    SELECT
+      sum(CASE WHEN l.suppkey IS NOT NULL AND r.suppkey IS NULL THEN 1 ELSE 0 END) AS n_left_only,
+      sum(CASE WHEN l.suppkey IS NULL AND r.suppkey IS NOT NULL THEN 1 ELSE 0 END) AS n_right_only,
+      sum(CASE WHEN l.suppkey IS NOT NULL AND r.suppkey IS NOT NULL THEN 1 ELSE 0 END) AS n_both
+    FROM lk l FULL OUTER JOIN rk r ON l.suppkey = r.suppkey
+    """,
+    "join",
+    "full-outer",
+    "set-op",
+)
+def diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 0)
+        .select(F.col("s_suppkey").alias("suppkey"))
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select(F.col("l_suppkey").alias("suppkey"))
+    )
+    d = joins.diff_reconcile(sup, li, "suppkey")
+    return d.agg(
+        F.sum(F.when(F.col("in_left") & ~F.col("in_right"), 1).otherwise(0)).alias(
+            "n_left_only"
+        ),
+        F.sum(F.when(~F.col("in_left") & F.col("in_right"), 1).otherwise(0)).alias(
+            "n_right_only"
+        ),
+        F.sum(F.when(F.col("in_left") & F.col("in_right"), 1).otherwise(0)).alias(
+            "n_both"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5/W4: rank-zip join (channel alignment by sorted position).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "rank_zip_join",
+    """
+    WITH c AS (
+      SELECT c_nationkey AS nationkey, c_custkey,
+             row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rank
+      FROM customer
+    ),
+    s AS (
+      SELECT s_nationkey AS nationkey, s_suppkey,
+             row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rank
+      FROM supplier
+    )
+    SELECT c.nationkey, c.rank, c.c_custkey, s.s_suppkey
+    FROM c JOIN s ON c.nationkey = s.nationkey AND c.rank = s.rank
+    ORDER BY c.nationkey, c.rank
+    """,
+    "join",
+    "window",
+    "rank-zip",
+)
+def rank_zip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"),
+        "c_custkey",
+        F.col("c_acctbal").alias("_ord"),
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"),
+        "s_suppkey",
+        F.col("s_acctbal").alias("_ord"),
+    )
+    cw = Window.partitionBy("nationkey").orderBy(F.col("_ord").desc(), F.col("c_custkey"))
+    sw = Window.partitionBy("nationkey").orderBy(F.col("_ord").desc(), F.col("s_suppkey"))
+    cr = cust.withColumn("rank", F.row_number().over(cw)).drop("_ord")
+    sr = sup.withColumn("rank", F.row_number().over(sw)).drop("_ord")
+    return (
+        cr.join(sr, ["nationkey", "rank"], "inner")
+        .select("nationkey", "rank", "c_custkey", "s_suppkey")
+        .orderBy("nationkey", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2: latest-version dedupe (repeated names keep max create-time).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "latest_version_dedupe",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) t WHERE rn = 1
+    """,
+    "window",
+    "dedupe",
+)
+def latest_version_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3/T2: monotonic timestamp rebase via dense_rank.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "monotonic_rebase",
+    """
+    SELECT user_id, event_id,
+           1000000 + dense_rank() OVER (PARTITION BY user_id ORDER BY ts) AS rebased_ts
+    FROM events
+    """,
+    "window",
+    "cdc",
+)
+def monotonic_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    rebased = windows.monotonic_rebase(
+        ev.withColumn("base", F.lit(1000000)), ["user_id"], "ts", "base"
+    )
+    return rebased.select("user_id", "event_id", "rebased_ts")
+
+
+# ---------------------------------------------------------------------------
+# W5: lag-based gap tracking (last-sent ts).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "lag_gap_tracking",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           round(avg(gap_s), 4) AS avg_gap_s,
+           max(gap_s)           AS max_gap_s
+    FROM (
+      SELECT event_type,
+             epoch_ms(ts) - epoch_ms(coalesce(lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id), ts)) AS gap_ms,
+             (epoch_ms(ts) - epoch_ms(coalesce(lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id), ts))) / 1000.0 AS gap_s
+      FROM events
+    ) t
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "window",
+    "lag",
+)
+def lag_gap_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.unix_millis("ts").alias("ts_ms"), "ts"
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("ts"), F.col("event_id"))
+    gaps = ev.withColumn(
+        "gap_ms", F.col("ts_ms") - F.coalesce(F.lag("ts_ms").over(w), F.col("ts_ms"))
+    ).withColumn("gap_s", F.col("gap_ms") / 1000.0)
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/A2: drop-barrier readiness (count-to-N across vchannels).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "barrier_ready",
+    f"""
+    WITH ops AS ({oplog.ORACLE_OPLOG_SQL}),
+    signals AS (
+      SELECT DISTINCT pk % 53 AS object_id, vchannel
+      FROM ops WHERE op_type = 'delete'
+    )
+    SELECT object_id,
+           count(*) AS n_ready,
+           count(*) = 4 AS is_ready
+    FROM signals
+    GROUP BY object_id
+    ORDER BY object_id
+    """,
+    "agg",
+    "barrier",
+    "cdc",
+)
+def barrier_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"))
+    drops = ops.filter(F.col("op_type") == "delete").withColumn(
+        "object_id", F.col("pk") % 53
+    )
+    status = barriers.barrier_status(
+        drops.select("object_id", "vchannel").distinct(),
+        ["object_id"],
+        expected=oplog.N_VCHANNELS,
+    )
+    return status.select("object_id", "n_ready", "is_ready").orderBy("object_id")
+
+
+# ---------------------------------------------------------------------------
+# T11: tumbling event-time window aggregation.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tumbling_window",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    "window-agg",
+    "streaming-analog",
+)
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k (TakeOrderedAndProject) — absent in reference, free in Spark.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    "sort",
+    "limit",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar functions: hybrid-TSO math, base64 positions, string splitting.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "scalar_funcs",
+    """
+    SELECT event_id,
+           (epoch_ms(ts) << 18) + (event_id % 262144)                    AS hybrid_ts,
+           ((epoch_ms(ts) << 18) + (event_id % 262144)) >> 18            AS physical_ms,
+           to_base64(('ch_' || CAST(user_id % 4 AS VARCHAR) || ':' ||
+                      CAST(event_id AS VARCHAR))::BLOB)                  AS position,
+           split_part('dml_' || CAST(user_id AS VARCHAR) || '_v' ||
+                      CAST(event_id % 2 AS VARCHAR), '_', 1)             AS channel_prefix
+    FROM events
+    WHERE event_id < 100
+    ORDER BY event_id
+    """,
+    "scalar",
+    "serde",
+)
+def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    hybrid = tsf.compose_ts(F.unix_millis("ts"), F.col("event_id") % 262144)
+    channel = F.concat(F.lit("ch_"), (F.col("user_id") % 4).cast("string"))
+    return ev.select(
+        "event_id",
+        hybrid.alias("hybrid_ts"),
+        tsf.physical_ms(hybrid).alias("physical_ms"),
+        serde.encode_position(channel, F.col("event_id")).alias("position"),
+        F.substring_index(
+            F.concat(
+                F.lit("dml_"),
+                F.col("user_id").cast("string"),
+                F.lit("_v"),
+                (F.col("event_id") % 2).cast("string"),
+            ),
+            "_",
+            1,
+        ).alias("channel_prefix"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# P1/P2: msg-type whitelist + collection name filter with exclusions.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "filtered_oplog_counts",
+    f"""
+    WITH ops AS ({oplog.ORACLE_OPLOG_SQL})
+    SELECT collection, op_type, count(*) AS n
+    FROM ops
+    WHERE op_type IN ('insert','delete','drop_collection','drop_partition','import')
+      AND collection IN ('coll_0','coll_1')
+      AND collection NOT IN ('coll_1')
+    GROUP BY collection, op_type
+    ORDER BY collection, op_type
+    """,
+    "filter",
+    "cdc",
+)
+def filtered_oplog_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"))
+    filtered = filters.msg_type_whitelist(ops).filter(
+        filters.collection_filter_predicate(["coll_0", "coll_1"], ["coll_1"])
+    )
+    return (
+        filtered.groupBy("collection", "op_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("collection", "op_type")
+    )
+
+
+def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in QUERIES.items()}
+
+
+def get_oracles() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle}

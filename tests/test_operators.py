@@ -1,0 +1,99 @@
+"""Unit tests for operator modules on tiny in-memory frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from milvus_cdc_spark.operators import apply as apply_op
+from milvus_cdc_spark.operators import barriers, filters, joins, windows
+
+
+def _ops(spark, rows):
+    return spark.createDataFrame(
+        rows, "ts bigint, op_type string, collection string, pk bigint, num_rows bigint"
+    )
+
+
+def test_replay_alive_insert_then_delete(spark):
+    ops = _ops(
+        spark,
+        [
+            (1, "insert", "c", 1, 1),
+            (2, "delete", "c", 1, 1),  # delete after insert → dead
+            (3, "insert", "c", 2, 1),
+            (2, "delete", "c", 2, 1),  # delete before insert → alive
+            (5, "insert", "c", 3, 1),  # never deleted → alive
+            (6, "delete", "c", 4, 1),  # delete without insert → not alive
+        ],
+    )
+    alive = {r.pk for r in apply_op.replay_alive(ops).collect()}
+    assert alive == {2, 3}
+
+
+def test_replay_tie_insert_wins(spark):
+    # data_diff semantics: max(ins) >= max(del) → alive on equal ts
+    ops = _ops(spark, [(5, "insert", "c", 1, 1), (5, "delete", "c", 1, 1)])
+    assert {r.pk for r in apply_op.replay_alive(ops).collect()} == {1}
+
+
+def test_barrier_fires_only_on_all_channels(spark):
+    drops = spark.createDataFrame(
+        [(1, "ch_0"), (1, "ch_1"), (2, "ch_0"), (1, "ch_0")],
+        "object_id bigint, vchannel string",
+    )
+    res = {
+        r.object_id: (r.n_ready, r.is_ready)
+        for r in barriers.barrier_status(drops, ["object_id"], expected=2).collect()
+    }
+    assert res[1] == (2, True)
+    assert res[2] == (1, False)
+
+
+def test_collection_filter_wildcard_and_exclude(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], "collection string")
+    all_pred = filters.collection_filter_predicate(["*"], ["b"])
+    assert {r.collection for r in df.filter(all_pred).collect()} == {"a", "c"}
+    inc_pred = filters.collection_filter_predicate(["a", "b"])
+    assert {r.collection for r in df.filter(inc_pred).collect()} == {"a", "b"}
+
+
+def test_latest_version_dedupe(spark):
+    df = spark.createDataFrame(
+        [("db", "coll", 1, 10), ("db", "coll", 2, 20), ("db", "other", 3, 5)],
+        "db string, name string, id bigint, create_time bigint",
+    )
+    out = windows.latest_version_dedupe(df, ["db", "name"], "create_time")
+    assert {r.id for r in out.collect()} == {2, 3}
+
+
+def test_monotonic_rebase_preserves_order(spark):
+    df = spark.createDataFrame(
+        [("ch", 100, 1000), ("ch", 50, 1000), ("ch", 75, 1000), ("ch", 50, 1000)],
+        "vchannel string, ts bigint, base bigint",
+    )
+    out = windows.monotonic_rebase(df, ["vchannel"], "ts", "base").collect()
+    by_ts = {r.ts: r.rebased_ts for r in out}
+    assert by_ts[50] == 1001  # dense_rank 1
+    assert by_ts[75] == 1002
+    assert by_ts[100] == 1003
+    assert all(r.rebased_ts > r.base for r in out)
+
+
+def test_rank_zip_join_aligns_by_rank(spark):
+    left = spark.createDataFrame([("k", "l1"), ("k", "l2")], "part string, lval string")
+    right = spark.createDataFrame([("k", "r1"), ("k", "r2")], "part string, rval string")
+    out = joins.rank_zip_join(left, right, "part", "lval", "rval").collect()
+    pairs = {(r.lval, r.rval) for r in out}
+    assert pairs == {("l1", "r1"), ("l2", "r2")}
+
+
+def test_lifetime_asof_join(spark):
+    events = spark.createDataFrame(
+        [(1, 5), (1, 15), (2, 5)], "obj bigint, ts bigint"
+    ).withColumnRenamed("obj", "key")
+    lifetimes = spark.createDataFrame(
+        [(1, 0, 10), (2, 0, None)], "key bigint, create_ts bigint, drop_ts bigint"
+    )
+    out = joins.lifetime_asof_join(events, lifetimes, "key")
+    kept = {(r["e.key"] if "e.key" in r else r.key, r.ts) for r in out.select("e.key", "ts").collect()}
+    assert kept == {(1, 5), (2, 5)}  # (1,15) dropped: after drop_ts

@@ -1,0 +1,46 @@
+"""Every suite query with an oracle must hash-match DuckDB at sf0.001.
+
+This mirrors the driver's t2 gate (which runs at sf0.01) so regressions
+surface in the fast local loop.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from milvus_cdc_spark import suite
+from milvus_cdc_spark.catalog import TABLES
+
+import sys
+
+sys.path.insert(0, "/root/repo/scripts")
+from verify_local import result_hash  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def oracle_con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", [n for n, s in suite.QUERIES.items() if s.oracle])
+def test_oracle_match(name, spark, sf_dir, oracle_con):
+    spec = suite.QUERIES[name]
+    sdf = spec.fn(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = oracle_con.execute(spec.oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert len(srows) == len(orows), f"rowcount {len(srows)} != {len(orows)}"
+    assert sorted(c.lower() for c in sdf.columns) == sorted(c.lower() for c in ocols)
+    assert result_hash(sdf.columns, srows) == result_hash(ocols, orows)
+
+
+@pytest.mark.parametrize("name", [n for n, s in suite.QUERIES.items() if not s.oracle])
+def test_rows_only_queries_run(name, spark, sf_dir):
+    spec = suite.QUERIES[name]
+    sdf = spec.fn(spark, sf_dir)
+    assert sdf.collect() is not None
