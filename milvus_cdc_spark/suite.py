@@ -198,7 +198,7 @@ def dim_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_mktsegment, count(*) AS n_no_orders
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 30000)
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
     GROUP BY c.c_mktsegment
     ORDER BY c.c_mktsegment
     """,
@@ -207,7 +207,7 @@ def dim_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 30000)
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
     no_orders = cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     )
@@ -569,6 +569,415 @@ def filtered_oplog_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         filtered.groupBy("collection", "op_type")
         .agg(F.count("*").alias("n"))
         .orderBy("collection", "op_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T11: session windows (30-min inactivity gap per user).
+# Spark: session_window(); oracle: classic gaps-and-islands SQL. Spark's
+# session end = last event + gap, mirrored in the oracle.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "session_window_agg",
+    """
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - coalesce(lag(ts) OVER w, ts) > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id,
+           min(ts)                         AS session_start,
+           max(ts) + INTERVAL 30 MINUTE    AS session_end,
+           count(*)                        AS n_events,
+           round(sum(value), 2)            AS total_value
+    FROM s
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    "window-agg",
+    "session",
+    "streaming-analog",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup / grouping sets (absent in reference; Catalyst freebie, SURVEY §2.5).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "rollup_region_nation",
+    """
+    SELECT r.r_name, n.n_name,
+           count(*) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY r.r_name NULLS FIRST, n.n_name NULLS FIRST
+    """,
+    "agg",
+    "rollup",
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.7): except / intersect / union over key sets.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "set_ops_nations",
+    """
+    WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+    SELECT 'customer_only' AS side, count(*) AS n FROM (SELECT * FROM cn EXCEPT SELECT * FROM sn)
+    UNION ALL
+    SELECT 'both' AS side, count(*) AS n FROM (SELECT * FROM cn INTERSECT SELECT * FROM sn)
+    UNION ALL
+    SELECT 'union' AS side, count(*) AS n FROM (SELECT * FROM cn UNION SELECT * FROM sn)
+    ORDER BY side
+    """,
+    "set-op",
+)
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    sn = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    rows = [
+        cn.exceptAll(sn).agg(F.count("*").alias("n")).withColumn("side", F.lit("customer_only")),
+        cn.intersect(sn).agg(F.count("*").alias("n")).withColumn("side", F.lit("both")),
+        cn.union(sn).distinct().agg(F.count("*").alias("n")).withColumn("side", F.lit("union")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.union(r)
+    return out.select("side", "n").orderBy("side")
+
+
+# ---------------------------------------------------------------------------
+# Semi join (exists) — P2 exclusion lists are anti/semi joins at heart.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "semi_join_active_customers",
+    """
+    SELECT n.n_name, count(*) AS n_active
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 40000)
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    "join",
+    "semi",
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 40000)
+    active = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    return (
+        active.join(F.broadcast(nation), active.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_active"))
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7/P9: as-of lifetime join — ops apply only while the object is alive.
+# Lifetimes are a small derived dimension (broadcast); events is the big side.
+# ---------------------------------------------------------------------------
+
+_ORACLE_LIFETIME = f"""
+    WITH ops AS ({oplog.ORACLE_OPLOG_SQL}),
+    lifetimes AS (
+      SELECT collection,
+             min(ts) AS create_ts,
+             CASE WHEN collection = 'coll_1'
+                  THEN min(ts) + (max(ts) - min(ts)) // 2
+                  ELSE NULL END AS drop_ts
+      FROM ops GROUP BY collection
+    )
+    SELECT o.collection, o.op_type, count(*) AS n_applied
+    FROM ops o JOIN lifetimes l
+      ON o.collection = l.collection
+     AND o.ts >= l.create_ts
+     AND o.ts < coalesce(l.drop_ts, 4611686018427387904)
+    GROUP BY o.collection, o.op_type
+    ORDER BY o.collection, o.op_type
+"""
+
+
+@q("lifetime_asof_apply", _ORACLE_LIFETIME, "join", "range", "cdc")
+def lifetime_asof_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"))
+    lifetimes = ops.groupBy("collection").agg(
+        F.min("ts").alias("create_ts"),
+        F.when(
+            F.col("collection") == "coll_1",
+            (F.min("ts") + F.floor((F.max("ts") - F.min("ts")) / 2)).cast("bigint"),
+        ).alias("drop_ts"),
+    )
+    joined = joins.lifetime_asof_join(ops, lifetimes, "collection")
+    return (
+        joined.groupBy(F.col("e.collection").alias("collection"), "op_type")
+        .agg(F.count("*").alias("n_applied"))
+        .orderBy("collection", "op_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4/P5: db/collection name + ID remapping via a mapping dimension
+# (channel_writer.go:1208-1226 mapDBAndCollectionName; coalesce(mapped,
+# original) keeps unmapped names).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "name_remap",
+    f"""
+    WITH ops AS ({oplog.ORACLE_OPLOG_SQL}),
+    mapping(src, dst) AS (VALUES ('coll_0', 'coll_zero'), ('coll_2', 'coll_two'))
+    SELECT coalesce(m.dst, o.collection) AS target_collection,
+           count(*) AS n_ops,
+           sum(num_rows) AS n_rows
+    FROM ops o LEFT JOIN mapping m ON o.collection = m.src
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    "projection",
+    "remap",
+    "cdc",
+)
+def name_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"))
+    mapping = spark.createDataFrame(
+        [("coll_0", "coll_zero"), ("coll_2", "coll_two")], "src string, dst string"
+    )
+    remapped = ops.join(F.broadcast(mapping), ops.collection == mapping.src, "left")
+    return (
+        remapped.withColumn("target_collection", F.coalesce("dst", "collection"))
+        .groupBy("target_collection")
+        .agg(F.count("*").alias("n_ops"), F.sum("num_rows").alias("n_rows"))
+        .orderBy("target_collection")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3/A4: per-channel max-ts (watermark currency) + global min across channels.
+# ---------------------------------------------------------------------------
+
+_ORACLE_WATERMARK = f"""
+    WITH ops AS ({oplog.ORACLE_OPLOG_SQL}),
+    per_channel AS (
+      SELECT vchannel, max(ts) AS channel_max_ts, count(*) AS n_msgs
+      FROM ops GROUP BY vchannel
+    )
+    SELECT vchannel, channel_max_ts, n_msgs,
+           min(channel_max_ts) OVER () AS global_min_ts
+    FROM per_channel
+    ORDER BY vchannel
+"""
+
+
+@q("watermark_ts", _ORACLE_WATERMARK, "agg", "watermark", "cdc")
+def watermark_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"))
+    per_channel = ops.groupBy("vchannel").agg(
+        F.max("ts").alias("channel_max_ts"), F.count("*").alias("n_msgs")
+    )
+    return per_channel.withColumn(
+        "global_min_ts", F.min("channel_max_ts").over(Window.partitionBy())
+    ).orderBy("vchannel")
+
+
+# ---------------------------------------------------------------------------
+# A5/A6: metrics counters — rows/bytes per (collection, op_type)
+# (server/metrics/metrics.go:119-128 ReplicateDataCntVec/SizeVec).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "metrics_counters",
+    f"""
+    WITH ops AS ({oplog.ORACLE_OPLOG_SQL})
+    SELECT collection, op_type,
+           count(*)       AS n_msgs,
+           sum(num_rows)  AS n_rows,
+           sum(pk % 1000) AS approx_bytes
+    FROM ops
+    GROUP BY collection, op_type
+    ORDER BY collection, op_type
+    """,
+    "agg",
+    "metrics",
+)
+def metrics_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"))
+    return (
+        ops.groupBy("collection", "op_type")
+        .agg(
+            F.count("*").alias("n_msgs"),
+            F.sum("num_rows").alias("n_rows"),
+            F.sum(F.col("pk") % 1000).alias("approx_bytes"),
+        )
+        .orderBy("collection", "op_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2: ready-set equality — sorted channel arrays compared to the full set
+# (task_msg.go:44-56 IsReady = TargetChannels == ReadyChannels as sets).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ready_set_equality",
+    f"""
+    WITH ops AS ({oplog.ORACLE_OPLOG_SQL}),
+    ready AS (
+      SELECT collection, list_sort(list(DISTINCT vchannel)) AS ready_channels
+      FROM ops WHERE op_type = 'delete'
+      GROUP BY collection
+    ),
+    target AS (
+      SELECT collection, list_sort(list(DISTINCT vchannel)) AS target_channels
+      FROM ops GROUP BY collection
+    )
+    SELECT r.collection, r.ready_channels, t.target_channels,
+           r.ready_channels = t.target_channels AS is_ready
+    FROM ready r JOIN target t ON r.collection = t.collection
+    ORDER BY r.collection
+    """,
+    "agg",
+    "barrier",
+    "array",
+)
+def ready_set_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"))
+    ready = (
+        ops.filter(F.col("op_type") == "delete")
+        .groupBy("collection")
+        .agg(F.array_sort(F.collect_set("vchannel")).alias("ready_channels"))
+    )
+    target = ops.groupBy("collection").agg(
+        F.array_sort(F.collect_set("vchannel")).alias("target_channels")
+    )
+    return (
+        ready.join(target, "collection")
+        .withColumn("is_ready", F.col("ready_channels") == F.col("target_channels"))
+        .orderBy("collection")
+    )
+
+
+# ---------------------------------------------------------------------------
+# K3/K4: Kafka JSON envelope — every op rendered as {"data":…,"info":…}
+# (kafka_handler.go:282-324, kafka_formatter.go:40-87).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "kafka_envelope",
+    f"""
+    WITH ops AS ({oplog.ORACLE_OPLOG_SQL})
+    SELECT to_json({{'data': {{'collection': collection, 'pk': pk}},
+                    'info': {{'op_type': op_type, 'ts': ts}}}}) AS value
+    FROM ops WHERE pk % 997 = 0
+    ORDER BY value
+    """,
+    "serde",
+    "sink",
+)
+def kafka_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem")).filter(
+        F.col("pk") % 997 == 0
+    )
+    payload = F.to_json(
+        F.struct(
+            F.struct(F.col("collection"), F.col("pk")).alias("data"),
+            F.struct(F.col("op_type"), F.col("ts")).alias("info"),
+        )
+    )
+    return ops.select(payload.alias("value")).orderBy("value")
+
+
+# ---------------------------------------------------------------------------
+# W1: in-pack stable sort with delete-before-insert tie-break, verified by
+# reconstructing the per-channel apply order (first 200 ops per channel).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "pack_sort_order",
+    f"""
+    WITH ops AS ({oplog.ORACLE_OPLOG_SQL})
+    SELECT vchannel, apply_rank, ts, op_type, pk
+    FROM (
+      SELECT vchannel, ts, op_type, pk,
+             row_number() OVER (
+               PARTITION BY vchannel
+               ORDER BY ts, CASE WHEN op_type = 'delete' THEN 0 ELSE 1 END, pk
+             ) AS apply_rank
+      FROM ops
+    ) t
+    WHERE apply_rank <= 200
+    ORDER BY vchannel, apply_rank
+    """,
+    "window",
+    "sort",
+    "cdc",
+)
+def pack_sort_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"))
+    w = Window.partitionBy("vchannel").orderBy(*windows.pack_sort_keys(), F.col("pk"))
+    return (
+        ops.withColumn("apply_rank", F.row_number().over(w))
+        .filter(F.col("apply_rank") <= 200)
+        .select("vchannel", "apply_rank", "ts", "op_type", "pk")
+        .orderBy("vchannel", "apply_rank")
     )
 
 
