@@ -107,4 +107,5 @@ def shingles(text: Column, n: int = 3) -> Column:
         F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    return F.array_sort(F.array_distinct(F.when(k > 0, grams).otherwise(F.array())))
+    empty = F.array().cast("array<string>")
+    return F.array_sort(F.array_distinct(F.when(k > 0, grams).otherwise(empty)))

@@ -981,6 +981,356 @@ def pack_sort_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# LLM-data-pipeline operators (north star): dedup, similarity, text analysis,
+# multimodal plumbing. All portable-hash based (md5) so DuckDB oracles verify
+# them exactly.
+# ===========================================================================
+
+#: DuckDB shingle-set expression (word 3-grams, distinct, sorted) — mirrors
+#: functions.text.shingles.
+_SQL_SHINGLES = """
+      list_sort(list_distinct(
+        CASE WHEN len(toks) - 2 > 0
+             THEN list_transform(generate_series(1, len(toks) - 2),
+                                 i -> array_to_string(toks[i:i+2], ' '))
+             ELSE [] END))
+"""
+
+_SQL_TOKS = """
+      list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '')
+"""
+
+
+@q(
+    "dedup_exact",
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           min(doc_id) AS canonical_id,
+           count(*)    AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+    "dedup",
+    "llm",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milvus_cdc_spark.analytics import dedup
+
+    return dedup.fingerprint_dedup(_t(spark, sf_dir, "documents"))
+
+
+_ORACLE_MINHASH_BANDS = f"""
+    WITH base AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM base
+    ),
+    sig AS (
+      SELECT doc_id, [
+        list_min(list_transform(shingles, s -> md5('0:' || s))),
+        list_min(list_transform(shingles, s -> md5('1:' || s))),
+        list_min(list_transform(shingles, s -> md5('2:' || s))),
+        list_min(list_transform(shingles, s -> md5('3:' || s))),
+        list_min(list_transform(shingles, s -> md5('4:' || s))),
+        list_min(list_transform(shingles, s -> md5('5:' || s))),
+        list_min(list_transform(shingles, s -> md5('6:' || s))),
+        list_min(list_transform(shingles, s -> md5('7:' || s)))
+      ] AS sig FROM sh
+    )
+    SELECT doc_id, band_id,
+           md5(array_to_string(sig[band_id*2+1:band_id*2+2], '|')) AS band_key
+    FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id)
+    ORDER BY doc_id, band_id
+"""
+
+
+@q("minhash_bands", _ORACLE_MINHASH_BANDS, "dedup", "minhash", "llm")
+def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milvus_cdc_spark.analytics import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_bands(docs, k=8, bands=4).orderBy("doc_id", "band_id")
+
+
+_ORACLE_NEAR_DUP = f"""
+    WITH base AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM base
+    ),
+    sig AS (
+      SELECT doc_id, shingles, [
+        list_min(list_transform(shingles, s -> md5('0:' || s))),
+        list_min(list_transform(shingles, s -> md5('1:' || s))),
+        list_min(list_transform(shingles, s -> md5('2:' || s))),
+        list_min(list_transform(shingles, s -> md5('3:' || s))),
+        list_min(list_transform(shingles, s -> md5('4:' || s))),
+        list_min(list_transform(shingles, s -> md5('5:' || s))),
+        list_min(list_transform(shingles, s -> md5('6:' || s))),
+        list_min(list_transform(shingles, s -> md5('7:' || s)))
+      ] AS sig FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, shingles, band_id,
+             md5(array_to_string(sig[band_id*2+1:band_id*2+2], '|')) AS band_key
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id)
+    ),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key
+       AND x.doc_id < y.doc_id
+    )
+    SELECT p.a, p.b,
+           round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                 / greatest(len(list_distinct(list_concat(sa.shingles, sb.shingles))), 1),
+                 6) AS jaccard
+    FROM pairs p
+    JOIN sh sa ON p.a = sa.doc_id
+    JOIN sh sb ON p.b = sb.doc_id
+    ORDER BY p.a, p.b
+"""
+
+
+@q("near_dup_pairs", _ORACLE_NEAR_DUP, "dedup", "minhash", "jaccard", "llm")
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milvus_cdc_spark.analytics import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    bands = dedup.minhash_bands(docs, k=8, bands=4)
+    pairs = dedup.candidate_pairs(bands)
+    return dedup.jaccard_pairs(docs, pairs).orderBy("a", "b")
+
+
+@q(
+    "text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS toks,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '') AS ltoks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_filter(string_split_regex(text, '[^0-9A-Za-z_]+'), x -> x != '')) AS n_words,
+           round(length(regexp_replace(text, '[0-9A-Za-z_ \\t\\n\\r]', '', 'g'))::DOUBLE
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           round(len(list_filter(ltoks, x -> list_contains(['the','a','of','and','to'], x)))::DOUBLE
+                 / greatest(len(ltoks), 1), 6) AS stopword_ratio
+    FROM t
+    ORDER BY doc_id
+    """,
+    "text",
+    "llm",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.token_count(t).alias("n_tokens"),
+        text.word_token_count(t).alias("n_words"),
+        F.round(text.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(text.stopword_ratio(t), 6).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "lang_detect",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '') AS toks
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS h_en,
+             len(list_filter(toks, x -> list_contains(['el','la','de','y','que'], x)))  AS h_es,
+             len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS h_fr,
+             len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS h_de,
+             len(list_filter(toks, x -> list_contains(['的','是','了','在','和'], x))) AS h_zh
+      FROM t
+    ),
+    pred AS (
+      SELECT doc_id, lang,
+             CASE WHEN greatest(h_en,h_es,h_fr,h_de,h_zh) = 0 THEN 'und'
+                  WHEN h_en = greatest(h_en,h_es,h_fr,h_de,h_zh) THEN 'en'
+                  WHEN h_es = greatest(h_en,h_es,h_fr,h_de,h_zh) THEN 'es'
+                  WHEN h_fr = greatest(h_en,h_es,h_fr,h_de,h_zh) THEN 'fr'
+                  WHEN h_de = greatest(h_en,h_es,h_fr,h_de,h_zh) THEN 'de'
+                  ELSE 'zh' END AS predicted
+      FROM hits
+    )
+    SELECT lang, predicted, count(*) AS n
+    FROM pred GROUP BY lang, predicted
+    ORDER BY lang, predicted
+    """,
+    "text",
+    "llm",
+)
+def lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", text.detect_lang(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: exact brute-force cosine top-k + IVF-style sign-bucket
+# approximate variant (both exactly oracle-checkable because the bucketing
+# rule is deterministic and portable).
+# ---------------------------------------------------------------------------
+
+_SQL_COSINE = """
+  round(
+    list_sum(list_transform(list_zip(c.embedding::DOUBLE[], q.embedding::DOUBLE[]),
+                            p -> p[1] * p[2]))
+    / (sqrt(list_sum(list_transform(c.embedding::DOUBLE[], x -> x * x)))
+       * sqrt(list_sum(list_transform(q.embedding::DOUBLE[], x -> x * x)))),
+    6)
+"""
+
+
+@q(
+    "cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_SQL_COSINE} AS sim
+      FROM embeddings c, q
+      WHERE c.vec_id != q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, sim
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+    "vector",
+    "similarity",
+    "llm",
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milvus_cdc_spark.analytics import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(emb, queries, k=3).orderBy("query_id", "rank")
+
+
+@q(
+    "ann_bucketed_topk",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM b WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_SQL_COSINE} AS sim
+      FROM b c JOIN q ON c.bucket = q.bucket
+      WHERE c.vec_id != q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, sim
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+    "vector",
+    "similarity",
+    "ann",
+    "llm",
+)
+def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milvus_cdc_spark.analytics import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.bucketed_topk(emb, queries, k=3, n_bits=4).orderBy(
+        "query_id", "rank"
+    )
+
+
+@q(
+    "embedding_stats",
+    """
+    SELECT label,
+           count(*) AS n_vectors,
+           round(avg(round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6)), 4) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+    "vector",
+    "agg",
+    "llm",
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg(F.round(vector.norm(F.col("embedding")), 6)), 4).alias(
+                "avg_norm"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: binary payload → mapInPandas feature extraction
+# (Arrow batches). The "decoder" is a deterministic stub; the schema /
+# batch-shape / partition plumbing is real and oracle-checked.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           'image/fake' AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_hash
+    FROM documents
+    ORDER BY doc_id
+    """,
+    "multimodal",
+    "pandas-udf",
+    "llm",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milvus_cdc_spark.analytics import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.as_media_table(docs)
+    return multimodal.extract_features(media).orderBy("doc_id")
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
