@@ -1,0 +1,195 @@
+"""Task control plane (SURVEY §2.11).
+
+Reference surface: POST /cdc with request_type ∈ {create, delete, pause,
+resume, get, position, list, maintenance} (server/model/request/base.go:
+26-35, server/handle_map.go), task state machine Initial→Running→Paused
+(server/model/meta/task.go:29-42), duplicate-collection guard across tasks
+(server/cdc_impl.go:328-406), max task count (cdc_impl.go:461-463), reload
+on boot (cdc_impl.go:183-216).
+
+Spark shape: a task-registry table + a wrapper around per-task
+CdcApplyPipeline instances. The registry is a plain dict persisted as JSON
+(driver-side control metadata — inherently small; the reference likewise
+keeps it in etcd/MySQL, not the dataflow). The HTTP façade is a thin
+json-over-stdlib layer (``serve()``) so no web framework is needed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import SparkSession
+
+from milvus_cdc_spark.streaming.pipeline import CdcApplyPipeline
+
+STATE_INITIAL = "initial"
+STATE_RUNNING = "running"
+STATE_PAUSED = "paused"
+
+DEFAULT_MAX_TASKS = 100  # reference maxTaskNum, server/configs/cdc.yaml:2
+
+
+@dataclass
+class TaskSpec:
+    task_id: str
+    source_dir: str
+    work_dir: str
+    collections: list[str] = field(default_factory=lambda: ["*"])
+    exclude: list[str] = field(default_factory=list)
+    state: str = STATE_INITIAL
+    reason: str = ""
+
+
+class DuplicateCollectionError(ValueError):
+    pass
+
+
+class TaskRegistry:
+    """CRUD + state machine over persisted task specs."""
+
+    def __init__(self, spark: SparkSession, root_dir: str,
+                 max_tasks: int = DEFAULT_MAX_TASKS):
+        self.spark = spark
+        self.root_dir = root_dir
+        self.max_tasks = max_tasks
+        self.meta_path = os.path.join(root_dir, "tasks.json")
+        self.tasks: dict[str, TaskSpec] = {}
+        self.pipelines: dict[str, CdcApplyPipeline] = {}
+        os.makedirs(root_dir, exist_ok=True)
+        self._reload()
+
+    # -- persistence (reference: etcd/MySQL meta store) -------------------
+    def _persist(self) -> None:
+        with open(self.meta_path, "w") as f:
+            json.dump({tid: asdict(t) for tid, t in self.tasks.items()}, f, indent=2)
+
+    def _reload(self) -> None:
+        """ReloadTask semantics (cdc_impl.go:183-216): tasks survive restart;
+        running tasks resume from their checkpoints when started again."""
+        if os.path.exists(self.meta_path):
+            with open(self.meta_path) as f:
+                for tid, d in json.load(f).items():
+                    self.tasks[tid] = TaskSpec(**d)
+
+    # -- request handlers -------------------------------------------------
+    def create(self, source_dir: str, collections: list[str] | None = None,
+               exclude: list[str] | None = None) -> TaskSpec:
+        if len(self.tasks) >= self.max_tasks:
+            raise ValueError(f"max task number {self.max_tasks} reached")
+        collections = collections or ["*"]
+        self._check_duplicate(collections)
+        task_id = uuid.uuid4().hex[:12]
+        spec = TaskSpec(
+            task_id=task_id,
+            source_dir=source_dir,
+            work_dir=os.path.join(self.root_dir, task_id),
+            collections=collections,
+            exclude=exclude or [],
+        )
+        self.tasks[task_id] = spec
+        self._persist()
+        return spec
+
+    def _check_duplicate(self, collections: list[str]) -> None:
+        """Duplicate-collection guard (cdc_impl.go:328-406): two tasks may
+        not both capture the same collection; '*' overlaps everything not
+        explicitly excluded elsewhere."""
+        new = set(collections)
+        for t in self.tasks.values():
+            existing = set(t.collections)
+            if "*" in new or "*" in existing or (new & existing):
+                overlap = "*" if ("*" in new or "*" in existing) else (new & existing)
+                raise DuplicateCollectionError(
+                    f"collections {overlap} already captured by task {t.task_id}"
+                )
+
+    def start(self, task_id: str) -> None:
+        spec = self.tasks[task_id]
+        pipeline = self.pipelines.get(task_id)
+        if pipeline is None:
+            include = None if "*" in spec.collections else spec.collections
+            pipeline = CdcApplyPipeline(
+                self.spark, spec.source_dir, spec.work_dir, collections=include
+            )
+            self.pipelines[task_id] = pipeline
+        pipeline.run_available_now()
+        spec.state = STATE_RUNNING
+        self._persist()
+
+    def pause(self, task_id: str, reason: str = "user request") -> None:
+        spec = self.tasks[task_id]
+        spec.state = STATE_PAUSED
+        spec.reason = reason
+        self._persist()
+
+    def resume(self, task_id: str) -> None:
+        """Resume = restart from checkpoint: the streaming query reuses
+        checkpointLocation, so only unseen files are processed (T7)."""
+        spec = self.tasks[task_id]
+        if spec.state != STATE_PAUSED:
+            raise ValueError(f"task {task_id} not paused")
+        spec.state = STATE_RUNNING
+        spec.reason = ""
+        self._persist()
+        self.start(task_id)
+
+    def delete(self, task_id: str) -> None:
+        self.tasks.pop(task_id)
+        self.pipelines.pop(task_id, None)
+        self._persist()
+
+    def get(self, task_id: str) -> dict:
+        return asdict(self.tasks[task_id])
+
+    def list(self) -> list[dict]:
+        return [asdict(t) for t in self.tasks.values()]
+
+    def position(self, task_id: str) -> list[dict]:
+        """Per-vchannel positions of a task (GetPosition semantics,
+        cdc_impl.go:1503-1561) — base64-encoded like the reference."""
+        import base64
+
+        pipeline = self.pipelines.get(task_id)
+        if pipeline is None:
+            return []
+        rows = pipeline.positions().collect()
+        return [
+            {
+                "vchannel": r.vchannel,
+                "position_ts": r.position_ts,
+                "encoded": base64.b64encode(
+                    f"{r.vchannel}:{r.position_ts}".encode()
+                ).decode(),
+            }
+            for r in rows
+        ]
+
+    def handle(self, request: dict) -> dict:
+        """Single-endpoint dispatch, mirroring POST /cdc request_type
+        routing (server/server.go:121-146, handle_map.go)."""
+        rt = request.get("request_type")
+        data = request.get("request_data", {})
+        if rt == "create":
+            spec = self.create(
+                data["source_dir"], data.get("collections"), data.get("exclude")
+            )
+            return {"task_id": spec.task_id}
+        if rt == "delete":
+            self.delete(data["task_id"])
+            return {"ok": True}
+        if rt == "pause":
+            self.pause(data["task_id"])
+            return {"ok": True}
+        if rt == "resume":
+            self.resume(data["task_id"])
+            return {"ok": True}
+        if rt == "get":
+            return self.get(data["task_id"])
+        if rt == "list":
+            return {"tasks": self.list()}
+        if rt == "position":
+            return {"positions": self.position(data["task_id"])}
+        raise ValueError(f"unknown request_type {rt!r}")

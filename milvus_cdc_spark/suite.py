@@ -1331,6 +1331,146 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media).orderBy("doc_id")
 
 
+# ===========================================================================
+# Structured Streaming queries — executed as real streams (availableNow) and
+# still oracle-checked: incremental processing must converge to the batch
+# answer, which is exactly the reference's e2e test oracle ("downstream
+# equals upstream", tests/testcases/test_cdc_sync_requests.py:111-124).
+# ===========================================================================
+
+
+def _write_oplog_files(spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 8) -> None:
+    """Materialize the derived op-log as n parquet files so the file source
+    produces multiple microbatches (maxFilesPerTrigger=2 → ≥4 batches)."""
+    ops = oplog.derive_oplog(catalog.load_table(spark, sf_dir, "lineitem"))
+    ops.repartition(n_files).write.mode("overwrite").parquet(out_dir)
+
+
+@q(
+    "streaming_cdc_apply",
+    f"""
+    WITH ops AS ({oplog.ORACLE_OPLOG_SQL}),
+    agg AS (
+      SELECT collection, pk,
+             max(CASE WHEN op_type = 'insert' THEN ts END) AS last_insert_ts,
+             max(CASE WHEN op_type = 'delete' THEN ts END) AS last_delete_ts,
+             sum(CASE WHEN op_type = 'insert' THEN num_rows ELSE 0 END) AS n_inserts
+      FROM ops GROUP BY collection, pk
+    )
+    SELECT collection, count(*) AS alive_pks, sum(n_inserts) AS total_inserts
+    FROM agg
+    WHERE last_insert_ts IS NOT NULL
+      AND (last_delete_ts IS NULL OR last_insert_ts >= last_delete_ts)
+    GROUP BY collection
+    ORDER BY collection
+    """,
+    "streaming",
+    "cdc",
+    "foreachBatch",
+)
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the actual streaming pipeline (file source → foreachBatch
+    merge-apply over ≥4 microbatches) and report the converged state."""
+    import tempfile
+
+    from milvus_cdc_spark.streaming.pipeline import CdcApplyPipeline
+
+    tmp = tempfile.mkdtemp(prefix="cdc_stream_")
+    src = f"{tmp}/oplog"
+    _write_oplog_files(spark, sf_dir, src)
+    pipe = CdcApplyPipeline(spark, src, f"{tmp}/work")
+    pipe.run_available_now()
+    return (
+        pipe.alive()
+        .groupBy("collection")
+        .agg(F.count("*").alias("alive_pks"), F.sum("n_inserts").alias("total_inserts"))
+        .orderBy("collection")
+    )
+
+
+@q(
+    "streaming_positions",
+    f"""
+    WITH ops AS ({oplog.ORACLE_OPLOG_SQL})
+    SELECT vchannel, max(ts) AS position_ts
+    FROM ops
+    WHERE op_type IN ('insert','delete','drop_collection','drop_partition','import')
+    GROUP BY vchannel
+    ORDER BY vchannel
+    """,
+    "streaming",
+    "cdc",
+    "checkpoint",
+)
+def streaming_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positions written back per microbatch must converge to the global
+    per-channel max ts (K6/T6 semantics)."""
+    import tempfile
+
+    from milvus_cdc_spark.streaming.pipeline import CdcApplyPipeline
+
+    tmp = tempfile.mkdtemp(prefix="cdc_pos_")
+    src = f"{tmp}/oplog"
+    _write_oplog_files(spark, sf_dir, src)
+    pipe = CdcApplyPipeline(spark, src, f"{tmp}/work")
+    pipe.run_available_now()
+    return pipe.positions().orderBy("vchannel")
+
+
+@q(
+    "streaming_tumbling_window",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    "streaming",
+    "window-agg",
+    "watermark",
+)
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window aggregate executed as a real stream: file source
+    over events, watermark + window groupBy, complete-mode memory sink.
+    Late-data tolerance: watermark of 1 day ≫ max disorder in the fixture,
+    so nothing is dropped and the result equals the batch oracle."""
+    import tempfile
+    import uuid as _uuid
+
+    # stage normalized events into a directory (file stream sources read
+    # directories; also converts the nanos timestamps once)
+    ev = catalog.load_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="events_stream_") + "/files"
+    ev.repartition(4).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    sink = f"mem_{_uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.table(sink)
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
