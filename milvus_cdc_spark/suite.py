@@ -1471,6 +1471,397 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# JSON handling: the dynamic `$meta` field pattern (etcd_op.go:654-657) —
+# JSON payload columns queried with path extraction (events.props).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "json_extract_props",
+    """
+    SELECT coalesce(json_extract_string(props, '$.k'), '') AS k_value,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    "json",
+    "scalar",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k_value", F.coalesce(F.get_json_object("props", "$.k"), F.lit(""))
+        )
+        .groupBy("k_value")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("k_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date/time functions: calendar rollup on order dates.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "calendar_agg",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(extract(year FROM o_orderdate) AS INT)    AS order_year,
+           CAST(extract(dow FROM o_orderdate) = 0 OR extract(dow FROM o_orderdate) = 6 AS BOOLEAN) AS is_weekend,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    "scalar",
+    "date",
+)
+def calendar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_month", F.date_trunc("month", "o_orderdate").cast("date"))
+        .withColumn("order_year", F.year("o_orderdate"))
+        .withColumn("is_weekend", F.dayofweek("o_orderdate").isin(1, 7))
+        .groupBy("order_month", "order_year", "is_weekend")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy("order_month", "order_year", "is_weekend")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 as argmax: max_by / arg_max — the reference's per-PK latest-op compare.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "argmax_latest_op",
+    f"""
+    WITH ops AS ({oplog.ORACLE_OPLOG_SQL})
+    SELECT collection,
+           arg_max(op_type, ts || lpad(CAST(pk AS VARCHAR), 12, '0')) AS latest_op,
+           max(ts) AS latest_ts
+    FROM ops
+    GROUP BY collection
+    ORDER BY collection
+    """,
+    "agg",
+    "argmax",
+)
+def argmax_latest_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"))
+    # deterministic argmax: break ts ties by pk via a composed sort key
+    key = F.concat(F.col("ts").cast("string"), F.lpad(F.col("pk").cast("string"), 12, "0"))
+    return (
+        ops.groupBy("collection")
+        .agg(
+            F.max_by("op_type", key).alias("latest_op"),
+            F.max("ts").alias("latest_ts"),
+        )
+        .orderBy("collection")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cube (multi-dimensional totals) + exact distinct counts.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "cube_order_status",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           count(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    "agg",
+    "cube",
+    "distinct",
+)
+def cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# T4: begin-ts repair — zero/invalid timestamps coalesced from fallbacks
+# (replicate_channel_manager.go:1469-1507).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "begin_ts_repair",
+    f"""
+    WITH ops AS ({oplog.ORACLE_OPLOG_SQL}),
+    damaged AS (
+      SELECT vchannel, pk,
+             CASE WHEN pk % 11 = 0 THEN 0 ELSE ts END AS begin_ts,
+             ts AS end_ts
+      FROM ops
+    )
+    SELECT vchannel,
+           count(*) AS n_msgs,
+           sum(CASE WHEN begin_ts = 0 THEN 1 ELSE 0 END) AS n_damaged,
+           min(CASE WHEN begin_ts != 0 THEN begin_ts
+                    ELSE coalesce(nullif(end_ts, 0), 1) END) AS min_repaired_ts
+    FROM damaged
+    GROUP BY vchannel
+    ORDER BY vchannel
+    """,
+    "cdc",
+    "repair",
+    "scalar",
+)
+def begin_ts_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"))
+    damaged = ops.select(
+        "vchannel",
+        "pk",
+        F.when(F.col("pk") % 11 == 0, F.lit(0)).otherwise(F.col("ts")).alias("begin_ts"),
+        F.col("ts").alias("end_ts"),
+    )
+    repaired = F.when(F.col("begin_ts") != 0, F.col("begin_ts")).otherwise(
+        F.coalesce(F.nullif(F.col("end_ts"), F.lit(0)), F.lit(1))
+    )
+    return (
+        damaged.groupBy("vchannel")
+        .agg(
+            F.count("*").alias("n_msgs"),
+            F.sum(F.when(F.col("begin_ts") == 0, 1).otherwise(0)).alias("n_damaged"),
+            F.min(repaired).alias("min_repaired_ts"),
+        )
+        .orderBy("vchannel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# String functions: regexp extraction + formatting (key-parsing family,
+# etcd_op.go:437-463, util/string.go GetCollectionNameFromFull).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "string_key_parsing",
+    """
+    SELECT source,
+           regexp_extract(source, '([a-z]+)([0-9]+)', 2)            AS src_num,
+           'root-coord/collection/' || source                       AS meta_key,
+           split_part('db1.' || source, '.', 2)                     AS short_name,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    "scalar",
+    "string",
+)
+def string_key_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            F.regexp_extract("source", r"([a-z]+)([0-9]+)", 2).alias("src_num"),
+            F.concat(F.lit("root-coord/collection/"), F.col("source")).alias("meta_key"),
+            F.substring_index(F.concat(F.lit("db1."), F.col("source")), ".", -1).alias(
+                "short_name"
+            ),
+        )
+        .groupBy("source", "src_num", "meta_key", "short_name")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct (HLL) — rows-only: sketches differ across engines by
+# construction, so the driver records the weaker check; the unit tests bound
+# the error vs exact.
+# ---------------------------------------------------------------------------
+
+
+@q("approx_distinct_parts", None, "agg", "approx")
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ===========================================================================
+# Catalog metadata plane (S1-S4): snapshot read, schema hydration, DB
+# resolution, watch-diff. The metadata fixture is derived deterministically
+# from `part` (coll dimension) + literal field/db dimensions, mirroring
+# FIXTURES.md F3.
+# ===========================================================================
+
+_SQL_META_COLLECTIONS = """
+      SELECT p_partkey AS coll_id,
+             p_name    AS coll_name,
+             p_partkey % 3 AS db_id,
+             CASE WHEN substr(md5(CAST(p_partkey AS VARCHAR)), 1, 1) IN ('0','1')
+                  THEN 'dropped' ELSE 'created' END AS state
+      FROM part WHERE p_partkey < 500
+"""
+
+
+def _meta_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return part.select(
+        F.col("p_partkey").alias("coll_id"),
+        F.col("p_name").alias("coll_name"),
+        (F.col("p_partkey") % 3).alias("db_id"),
+        F.when(
+            F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 1).isin("0", "1"),
+            F.lit("dropped"),
+        )
+        .otherwise(F.lit("created"))
+        .alias("state"),
+    )
+
+
+_FIELD_DEFS = [
+    (0, "row_id"), (1, "timestamp"),  # system fields: FieldID < 100 → hidden
+    (100, "pk"), (101, "embedding"), (102, "$meta"),
+]
+
+_DB_NAMES = [(0, "db_a"), (1, "db_b"), (2, "db_c")]
+
+
+@q(
+    "schema_hydration",
+    f"""
+    WITH colls AS ({_SQL_META_COLLECTIONS}),
+    fields(field_id, field_name) AS (VALUES (0,'row_id'),(1,'timestamp'),
+                                            (100,'pk'),(101,'embedding'),(102,'$meta')),
+    dbs(db_id, db_name) AS (VALUES (0,'db_a'),(1,'db_b'),(2,'db_c')),
+    hydrated AS (
+      SELECT c.coll_id, c.coll_name, d.db_name,
+             list_sort(list(f.field_name) FILTER (f.field_id >= 100 AND f.field_name != '$meta')) AS user_fields,
+             bool_or(f.field_name = '$meta') AS enable_dynamic
+      FROM colls c
+      CROSS JOIN fields f
+      JOIN dbs d ON c.db_id = d.db_id
+      WHERE c.state != 'dropped'
+      GROUP BY c.coll_id, c.coll_name, d.db_name
+    )
+    SELECT coll_id, coll_name, db_name,
+           to_json(user_fields) AS fields_json,
+           enable_dynamic
+    FROM hydrated
+    ORDER BY coll_id
+    """,
+    "metadata",
+    "join",
+    "broadcast",
+)
+def schema_hydration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 fillCollectionField (etcd_op.go:630-693): join collections with
+    fields + dbs, hide system fields (P7), detect `$meta` dynamic field —
+    as broadcast joins + collect_list."""
+    colls = _meta_collections(spark, sf_dir).filter(F.col("state") != "dropped")
+    fields = spark.createDataFrame(_FIELD_DEFS, "field_id int, field_name string")
+    dbs = spark.createDataFrame(_DB_NAMES, "db_id int, db_name string")
+    hydrated = (
+        colls.crossJoin(F.broadcast(fields))
+        .join(F.broadcast(dbs), "db_id")
+        .groupBy("coll_id", "coll_name", "db_name")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        (F.col("field_id") >= 100) & (F.col("field_name") != "$meta"),
+                        F.col("field_name"),
+                    )
+                )
+            ).alias("user_fields"),
+            F.max(F.col("field_name") == "$meta").alias("enable_dynamic"),
+        )
+    )
+    return hydrated.select(
+        "coll_id",
+        "coll_name",
+        "db_name",
+        F.to_json("user_fields").alias("fields_json"),
+        "enable_dynamic",
+    ).orderBy("coll_id")
+
+
+@q(
+    "metadata_watch_diff",
+    f"""
+    WITH v1 AS ({_SQL_META_COLLECTIONS}),
+    v2 AS (
+      SELECT coll_id, coll_name, db_id,
+             CASE WHEN substr(md5('v2:' || CAST(coll_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2') AND state = 'created'
+                  THEN 'dropped' ELSE state END AS state
+      FROM v1
+    )
+    SELECT CASE WHEN v1.state = 'created' AND v2.state = 'dropped'
+                THEN 'collection_dropped' ELSE 'unchanged' END AS event_type,
+           count(*) AS n
+    FROM v1 JOIN v2 ON v1.coll_id = v2.coll_id
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    "metadata",
+    "watch",
+    "diff",
+)
+def metadata_watch_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 watch semantics re-expressed as snapshot diff: compare two catalog
+    versions, emit change events (the Delta-CDF/readChangeFeed pattern —
+    here with two derived snapshot versions)."""
+    v1 = _meta_collections(spark, sf_dir)
+    v2 = v1.withColumn(
+        "state",
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("v2:"), F.col("coll_id").cast("string"))), 1, 1
+            ).isin("0", "1", "2")
+            & (F.col("state") == "created"),
+            F.lit("dropped"),
+        ).otherwise(F.col("state")),
+    )
+    joined = v1.alias("v1").join(v2.alias("v2"), F.col("v1.coll_id") == F.col("v2.coll_id"))
+    return (
+        joined.select(
+            F.when(
+                (F.col("v1.state") == "created") & (F.col("v2.state") == "dropped"),
+                F.lit("collection_dropped"),
+            )
+            .otherwise(F.lit("unchanged"))
+            .alias("event_type")
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
