@@ -30,7 +30,16 @@ HEADLINE = [
     "rank_zip_join",
     "latest_version_dedupe",
     "tumbling_window",
+    "session_window_agg",
     "topk_orders",
+    "lifetime_asof_apply",
+    "dedup_exact",
+    "minhash_bands",
+    "near_dup_pairs",
+    "cosine_topk",
+    "ann_bucketed_topk",
+    "text_quality",
+    "multimodal_features",
 ]
 
 

@@ -20,10 +20,36 @@ good as numeric min.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from milvus_cdc_spark.functions import text as textf
+
+
+def shingle_rows(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows — may contain duplicate shingles per doc.
+
+    Row-based plan: posexplode tokens, build n-grams with window lead().
+    This keeps everything in codegen; the array-expression form
+    (``functions.text.shingles``) re-evaluates the tokenization per sequence
+    element inside the interpreted higher-order lambda — O(tokens²) per doc,
+    measured ~10× slower on real documents. Use this for bulk pipelines and
+    the array form only for small/interactive use.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(textf.tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    last = F.lead("tok", n - 1).over(w)
+    return (
+        toks.select(F.col(id_col), F.concat_ws(" ", *parts).alias("s"), last.alias("_t"))
+        .filter(F.col("_t").isNotNull())
+        .drop("_t")
+    )
 
 
 def fingerprint_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -72,9 +98,8 @@ def minhash_signature_df(
     (``minhash_signature``) nests higher-order functions k× deep, which
     Catalyst neither CSEs nor compiles — measured 10× slower.
     """
-    sh_rows = df.select(
-        F.col(id_col), F.explode_outer(textf.shingles(F.col(text_col), shingle_n)).alias("s")
-    )
+    # duplicates don't affect min() → no distinct needed before the agg
+    sh_rows = shingle_rows(df, id_col, text_col, shingle_n)
     agg = sh_rows.groupBy(id_col).agg(
         *[F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"_h{i}") for i in range(k)]
     )
@@ -130,19 +155,36 @@ def jaccard_pairs(
     df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| on shingle
-    sets. Shingle arrays are broadcast-joined in twice (docs side is
-    re-read, not collected)."""
-    sh = df.select(
-        F.col(id_col), textf.shingles(F.col(text_col), shingle_n).alias("sh")
+    """Exact n-gram Jaccard for candidate pairs, join-based:
+    |A∩B| = matching-shingle count, |A∪B| = |A| + |B| - |A∩B|.
+
+    All equi-joins + aggregates — no array intersections per pair, no
+    arrays shipped through the shuffle. Scales with Σ|A| over candidate
+    pairs, not with corpus size."""
+    sh = shingle_rows(df, id_col, text_col, shingle_n).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sh_a = sh.select(F.col(id_col).alias("a"), F.col("s"))
+    sh_b = sh.select(F.col(id_col).alias("b"), F.col("s"))
+    inter = (
+        pairs.join(sh_a, "a")
+        .join(sh_b, ["b", "s"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
     )
-    a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
-    joined = pairs.join(a, "a").join(b, "b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return joined.select(
-        "a",
-        "b",
-        F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+    sz_a = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        pairs.join(inter, ["a", "b"], "left")
+        .join(sz_a, "a")
+        .join(sz_b, "b")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("n_inter")
+                / F.greatest(F.col("sz_a") + F.col("sz_b") - F.col("n_inter"), F.lit(1)),
+                6,
+            ).alias("jaccard"),
+        )
     )

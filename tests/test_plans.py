@@ -1,0 +1,52 @@
+"""Physical-plan audits: the 100 TB contract, checked in CI.
+
+Every query's plan must show the properties that make it survive scale-up:
+pushdown to the scan, column pruning, broadcast joins for dims, codegen.
+"""
+
+from __future__ import annotations
+
+from milvus_cdc_spark import suite
+from milvus_cdc_spark.plans import audit
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    df = suite.QUERIES["q1_pricing_summary"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert any("l_shipdate" in p for p in audit.pushed_filters(plan))
+    cols = audit.read_schema_columns(plan)[0]
+    assert "l_orderkey" not in cols  # pruned: not referenced by q1
+    assert "l_quantity" in cols
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    df = suite.QUERIES["dim_join_enrich"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert audit.count_broadcast_joins(plan) >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_anti_join_pushdown(spark, sf_dir):
+    df = suite.QUERIES["anti_join_customers"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert any("o_totalprice" in p for p in audit.pushed_filters(plan))
+
+
+def test_replay_prunes_payload_columns(spark, sf_dir):
+    """The CDC replay only needs key/ts-deriving columns; the scan must not
+    read the full lineitem width."""
+    df = suite.QUERIES["cdc_replay_summary"].fn(spark, sf_dir)
+    cols = audit.read_schema_columns(audit.formatted_plan(df))[0]
+    assert "l_extendedprice" not in cols
+    assert "l_comment" not in cols
+
+
+def test_codegen_present(spark, sf_dir):
+    # AQE prints `AdaptiveSparkPlan isFinalPlan=false` pre-execution, hiding
+    # the codegen stars — turn it off just for the plan inspection
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = suite.QUERIES["q1_pricing_summary"].fn(spark, sf_dir)
+        assert audit.codegen_span_count(df) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
