@@ -23,6 +23,7 @@ from dataclasses import asdict, dataclass, field
 
 from pyspark.sql import SparkSession
 
+from milvus_cdc_spark.control.quarantine import ErrorQuarantine
 from milvus_cdc_spark.streaming.pipeline import CdcApplyPipeline
 
 STATE_INITIAL = "initial"
@@ -58,6 +59,7 @@ class TaskRegistry:
         self.meta_path = os.path.join(root_dir, "tasks.json")
         self.tasks: dict[str, TaskSpec] = {}
         self.pipelines: dict[str, CdcApplyPipeline] = {}
+        self.quarantines: dict[str, ErrorQuarantine] = {}
         os.makedirs(root_dir, exist_ok=True)
         self._reload()
 
@@ -115,7 +117,14 @@ class TaskRegistry:
                 self.spark, spec.source_dir, spec.work_dir, collections=include
             )
             self.pipelines[task_id] = pipeline
-        pipeline.run_available_now()
+        quarantine = self.quarantines.setdefault(task_id, ErrorQuarantine())
+        try:
+            pipeline.run_available_now()
+        except Exception as e:  # T10 fail_protect: count, auto-pause on trip
+            quarantine.record(str(e))
+            if quarantine.tripped():
+                self.pause(task_id, reason=f"error quarantine: {e}")
+            raise
         spec.state = STATE_RUNNING
         self._persist()
 

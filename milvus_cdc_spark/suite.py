@@ -1862,6 +1862,265 @@ def metadata_watch_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Multi-join TPC-H-style queries: big-big joins where Catalyst must mix
+# broadcast (dims) and shuffle joins (facts).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tpch_q3_shipping",
+    """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1996-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 20
+    """,
+    "join",
+    "agg",
+    "topk",
+)
+def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "tpch_q5_local_volume",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+    "join",
+    "agg",
+)
+def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    joined = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(sup),
+            (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey),
+        )
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: same sign-bucket pairs above a cosine threshold
+# (the embedding-space analog of MinHash dedup).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "embedding_near_dup",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings
+    )
+    SELECT q.vec_id AS a, c.vec_id AS b, {_SQL_COSINE} AS sim
+    FROM b c JOIN b q ON c.bucket = q.bucket AND q.vec_id < c.vec_id
+    WHERE {_SQL_COSINE} >= 0.35
+    ORDER BY a, b
+    """,
+    "vector",
+    "dedup",
+    "llm",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milvus_cdc_spark.analytics import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    b = emb.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        similarity.sign_bucket(F.col("embedding"), 4).alias("bucket"),
+    )
+    left = b.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("va"), "bucket"
+    )
+    right = b.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("vb"), "bucket"
+    )
+    pairs = left.join(right, "bucket").filter(F.col("a") < F.col("b"))
+    sim = F.round(vector.cosine(F.col("vb"), F.col("va")), 6)
+    return (
+        pairs.select("a", "b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.35)
+        .orderBy("a", "b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints: 16-bit sign-sum over per-token md5 bits. Portable
+# (pure md5 + integer math); the oracle builds identical bit expressions.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+def _sql_simhash_oracle() -> str:
+    digit = "(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+    v = " + ".join(
+        f"{digit.format(pos=i+1)} * {16 ** (3 - i)}" for i in range(4)
+    )
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (v // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(_SIMHASH_BITS)
+    )
+    bits_concat = " || ".join(
+        f"CASE WHEN s{j} >= 0 THEN '1' ELSE '0' END"
+        for j in range(_SIMHASH_BITS - 1, -1, -1)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                        t -> t != '')) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, md5(tok) AS h FROM toks
+    ),
+    vals AS (
+      SELECT doc_id, {v} AS v FROM hashed
+    ),
+    sums AS (
+      SELECT doc_id, {bit_sums} FROM vals GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT doc_id, {bits_concat} AS simhash FROM sums
+    )
+    SELECT f.doc_id, f.simhash, c.cluster_size
+    FROM fp f
+    JOIN (SELECT simhash, count(*) AS cluster_size FROM fp GROUP BY simhash) c
+      ON f.simhash = c.simhash
+    ORDER BY f.doc_id
+    """
+
+
+@q("simhash_fingerprints", _sql_simhash_oracle(), "dedup", "simhash", "llm")
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document + cluster sizes, as the row-based plan:
+    explode tokens → md5 → 16 conditional sums → bit string. One shuffle
+    (groupBy doc), one broadcast-ish self-join for cluster sizes."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    v = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("int")
+    vals = toks.select("doc_id", v.alias("v"))
+    sums = vals.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.floor(F.col("v") / (1 << j)) % 2) == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(_SIMHASH_BITS)
+        ]
+    )
+    bits = F.concat(
+        *[
+            F.when(F.col(f"s{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(_SIMHASH_BITS - 1, -1, -1)
+        ]
+    )
+    fp = sums.select("doc_id", bits.alias("simhash"))
+    clusters = fp.groupBy("simhash").agg(F.count("*").alias("cluster_size"))
+    return fp.join(clusters, "simhash").select(
+        "doc_id", "simhash", "cluster_size"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Map/array construction (ConvertKVPairToMap, milvus_handler.go:248):
+# KV structs → map, element extraction. Output is scalars so the comparison
+# stays engine-portable.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "map_kv_extract",
+    """
+    SELECT event_id,
+           event_type          AS m_type,
+           CAST(user_id AS VARCHAR) AS m_user
+    FROM events
+    WHERE event_id < 200
+    ORDER BY event_id
+    """,
+    "scalar",
+    "map",
+)
+def map_kv_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    kv = F.map_from_entries(
+        F.array(
+            F.struct(F.lit("type").alias("k"), F.col("event_type").cast("string").alias("v")),
+            F.struct(F.lit("user").alias("k"), F.col("user_id").cast("string").alias("v")),
+        )
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(kv, "type").alias("m_type"),
+        F.element_at(kv, "user").alias("m_user"),
+    ).orderBy("event_id")
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
