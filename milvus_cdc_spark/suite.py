@@ -2121,6 +2121,47 @@ def map_kv_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+# ---------------------------------------------------------------------------
+# S6: dispatcher fan-out — route one pchannel's stream to its vchannel
+# targets (msgdispatcher/dispatcher.go:262-368 groupAndParseMsgs). vchannel →
+# pchannel via suffix strip (funcutil.ToPhysicalChannel analog).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dispatcher_routing",
+    f"""
+    WITH ops AS ({oplog.ORACLE_OPLOG_SQL})
+    SELECT split_part(vchannel, '_', 1) || '_' ||
+           CAST(seq % 2 AS VARCHAR)                    AS pchannel,
+           vchannel,
+           count(*)                                    AS n_routed,
+           sum(CASE WHEN op_type = 'insert' THEN 1 ELSE 0 END) AS n_parsed
+    FROM ops
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    "source",
+    "dispatcher",
+    "cdc",
+)
+def dispatcher_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"))
+    pchannel = F.concat(
+        F.substring_index("vchannel", "_", 1), F.lit("_"), (F.col("seq") % 2).cast("string")
+    )
+    return (
+        ops.withColumn("pchannel", pchannel)
+        .groupBy("pchannel", "vchannel")
+        .agg(
+            F.count("*").alias("n_routed"),
+            # lazy-unmarshal analog: only insert payloads get parsed
+            F.sum(F.when(F.col("op_type") == "insert", 1).otherwise(0)).alias("n_parsed"),
+        )
+        .orderBy("pchannel", "vchannel")
+    )
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
