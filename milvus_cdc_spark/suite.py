@@ -2162,6 +2162,10 @@ def dispatcher_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Extended relational inventory (registers additional QUERIES entries).
+from milvus_cdc_spark import suite_relational  # noqa: E402,F401  (import-for-effect)
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

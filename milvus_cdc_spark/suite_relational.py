@@ -1,0 +1,699 @@
+"""Extended relational surface: subquery, outer-join, frame, and
+grouping shapes the reference never needed but a user of the rebuilt
+engine gets from Catalyst for free (SURVEY.md §2.5 note, §2.7).
+
+Each query is registered into ``suite.QUERIES`` via the same decorator,
+so it participates in the driver's DuckDB-oracle correctness gate.
+
+Scale notes (100 TB design point) are attached per query: every shape
+here is a declarative DataFrame plan — Catalyst picks broadcast vs
+sort-merge, pushes filters into the parquet scan, and AQE coalesces /
+skew-splits shuffles. Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from milvus_cdc_spark.suite import _t, q
+
+# ---------------------------------------------------------------------------
+# Correlated EXISTS (TPC-H Q4 shape): orders that have at least one late
+# line item. Catalyst plans the EXISTS as a left-semi join — at scale a
+# shuffled semi join on l_orderkey, with the date filter pushed into both
+# parquet scans.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "exists_late_orders",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "join",
+    "subquery",
+)
+def exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Outer-join histogram (TPC-H Q13 shape): distribution of customers by
+# order count, including zero-order customers. Two-level aggregation; the
+# left outer join keeps the full customer set. At 100 TB both sides are
+# large → sort-merge join on custkey; the second groupBy is tiny.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "cust_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    "join",
+    "outer-join",
+    "agg",
+)
+def cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    joined = c.join(
+        o,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "1-URGENT"),
+        "left_outer",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (TPC-H Q17 shape): revenue from line items
+# whose quantity is below 0.5× the per-part average. Decorrelated to an
+# aggregate + equi-join (what Catalyst does internally); the per-part agg
+# is map-side-combined before the shuffle.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "scalar_subquery_small_qty",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    WHERE l_quantity < (
+      SELECT 0.5 * avg(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey
+    )
+    """,
+    "subquery",
+    "agg",
+)
+def scalar_subquery_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# HAVING + IN-subquery (TPC-H Q18 shape): big orders by total quantity,
+# joined back to customer. The IN becomes a left-semi join against the
+# having-filtered aggregate.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "having_in_large_orders",
+    """
+    SELECT c_name, o.o_orderkey, o_orderdate, o_totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 210
+    )
+    GROUP BY c_name, o.o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    "join",
+    "subquery",
+    "having",
+)
+def having_in_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > 210)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional two-way counts (TPC-H Q12 shape, adapted: no shipmode
+# column in the fixture — bucket by return flag instead). Pure map-side
+# conditional aggregation after an equi-join.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "conditional_priority_counts",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "agg",
+    "conditional-agg",
+)
+def conditional_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Promo revenue ratio (TPC-H Q14 shape): single-pass conditional ratio
+# over a part join. part is the small side → broadcast.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "promo_revenue_ratio",
+    """
+    SELECT round(
+      100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+      / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+    """,
+    "agg",
+    "join",
+    "conditional-agg",
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Disjunctive multi-clause predicate (TPC-H Q19 shape): OR-of-ANDs across
+# join keys. Catalyst extracts the common l_partkey=p_partkey conjunct so
+# the join stays an equi-join and pushes the residual disjunction into the
+# join condition — the pattern that keeps Q19 off a cartesian product.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "disjunctive_filter_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+    """,
+    "join",
+    "predicate",
+)
+def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 21)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-subquery threshold + NOT EXISTS (TPC-H Q22 shape): customers with
+# above-average balance and no orders. The global avg is a one-row
+# broadcast; the NOT EXISTS is a left-anti join (SURVEY J8 semantics).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "anti_exists_idle_customers",
+    """
+    SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    "join",
+    "anti-join",
+    "subquery",
+)
+def anti_exists_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Min-per-group join-back (TPC-H Q2 shape): the cheapest supplier per
+# nation. Same aggregate-then-rejoin decorrelation as Q17 but keyed on a
+# dimension; ties broken by suppkey for determinism.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "min_cost_supplier",
+    """
+    SELECT n_name, s_name, s_acctbal
+    FROM (
+      SELECT n_name, s_name, s_acctbal,
+             row_number() OVER (PARTITION BY n_name ORDER BY s_acctbal, s_suppkey) AS rn
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    )
+    WHERE rn = 1
+    ORDER BY n_name
+    """,
+    "join",
+    "window",
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    w = Window.partitionBy("n_name").orderBy("s_acctbal", "s_suppkey")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("n_name", "s_name", "s_acctbal")
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Returned-items revenue top-k (TPC-H Q10 shape): customer revenue from
+# returned lineitems over a quarter. Fact-fact join on orderkey then a
+# broadcast dim join; TakeOrderedAndProject caps driver transfer at k rows.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "returned_items_topk",
+    """
+    SELECT c.c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c.c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    "join",
+    "topk",
+)
+def returned_items_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window frames: per-customer moving average over the last 3 orders
+# (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) + lead/lag gaps. Frame specs
+# are SURVEY §2.6's "validated even though the reference only needs W1-W5".
+# Deterministic: ordering key includes the unique o_orderkey.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "window_moving_avg",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(avg(o_totalprice) OVER w3, 2) AS moving_avg_3,
+           round(o_totalprice - lag(o_totalprice, 1, o_totalprice)
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta_prev,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    WHERE o_custkey % 100 = 7
+    WINDOW w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    "window",
+    "frame",
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 7)
+    wbase = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w3 = wbase.rowsBetween(-2, 0)
+    wrun = wbase.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.avg("o_totalprice").over(w3), 2).alias("moving_avg_3"),
+            F.round(
+                F.col("o_totalprice")
+                - F.lag("o_totalprice", 1, None).over(wbase),
+                2,
+            ).alias("delta_prev"),
+            F.round(F.sum("o_totalprice").over(wrun), 2).alias("running_total"),
+        )
+        .withColumn("delta_prev", F.coalesce(F.col("delta_prev"), F.lit(0.0)))
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution analytics: ntile quartiles + percent_rank/cume_dist over
+# order value. Single global window at test scale; at 100 TB the same
+# query would pre-bucket by range partition (percentile via approx).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ntile_quartiles",
+    """
+    SELECT quartile, count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM (
+      SELECT o_totalprice,
+             ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    GROUP BY quartile
+    ORDER BY quartile
+    """,
+    "window",
+    "ranking",
+)
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("quartile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (beyond rollup/cube already covered): revenue by
+# (region, nation), (region), and grand total in one pass. Expressed via
+# SQL on temp views — the engine exposes both surfaces.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "grouping_sets_revenue",
+    """
+    SELECT coalesce(r_name, 'ALL') AS region,
+           coalesce(n_name, 'ALL') AS nation,
+           count(*) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+    ORDER BY region, nation
+    """,
+    "agg",
+    "grouping-sets",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    joined.createOrReplaceTempView("_gs_supplier_geo")
+    return spark.sql(
+        """
+        SELECT coalesce(r_name, 'ALL') AS region,
+               coalesce(n_name, 'ALL') AS nation,
+               count(*) AS n_suppliers,
+               round(sum(s_acctbal), 2) AS total_bal
+        FROM _gs_supplier_geo
+        GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        ORDER BY region, nation
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (linear interpolation) per market segment — matches
+# DuckDB quantile_cont. At 100 TB this becomes approx_percentile (sketch
+# merge, no global sort); the exact form is the correctness anchor.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "percentile_acctbal",
+    """
+    SELECT c_mktsegment,
+           round(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+           round(quantile_cont(c_acctbal, 0.50), 4) AS p50,
+           round(quantile_cont(c_acctbal, 0.75), 4) AS p75,
+           round(quantile_cont(c_acctbal, 0.95), 4) AS p95
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    "agg",
+    "percentile",
+)
+def percentile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.expr("percentile(c_acctbal, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(c_acctbal, 0.50)"), 4).alias("p50"),
+            F.round(F.expr("percentile(c_acctbal, 0.75)"), 4).alias("p75"),
+            F.round(F.expr("percentile(c_acctbal, 0.95)"), 4).alias("p95"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot: order counts by priority × status. Spark's pivot() compiles to
+# the same conditional aggregation the oracle spells out — one shuffle.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "pivot_priority_status",
+    """
+    SELECT o_orderpriority,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "agg",
+    "pivot",
+)
+def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash document fingerprint (north-star text analysis): a
+# position-weighted polynomial hash over whitespace tokens, computed with
+# the same integer formula on both engines (posexplode ↔ generate_subscripts).
+# Scales linearly: explode + keyed agg, no driver involvement.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "rolling_hash_fingerprint",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    hashed AS (
+      SELECT doc_id, pos,
+             (length(tok) * 131 + coalesce(ascii(tok), 0) * 31
+              + coalesce(ascii(reverse(tok)), 0)) AS tok_h
+      FROM toks WHERE tok <> '' AND regexp_matches(tok, '^[ -~]+$')
+    )
+    SELECT doc_id,
+           sum(tok_h * (((pos - 1) % 64) + 1)) % 2147483647 AS fingerprint,
+           count(*) AS n_tokens
+    FROM hashed
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    "text",
+    "fingerprint",
+)
+def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    toks = (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok"))
+        .filter(F.col("tok") != "")
+        # ASCII-only tokens: keeps the portable hash identical across
+        # engines regardless of how each indexes multibyte characters
+        .filter(F.col("tok").rlike("^[ -~]+$"))
+    )
+    tok_h = (
+        F.length("tok") * 131
+        + F.coalesce(F.ascii("tok"), F.lit(0)) * 31
+        + F.coalesce(F.ascii(F.reverse(F.col("tok"))), F.lit(0))
+    )
+    return (
+        toks.withColumn("tok_h", tok_h.cast("long"))
+        .groupBy("doc_id")
+        .agg(
+            (F.sum(F.col("tok_h") * ((F.col("pos0") % 64) + 1)) % 2147483647).alias(
+                "fingerprint"
+            ),
+            F.count("*").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
