@@ -18,6 +18,59 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def channel_ts_tracker(ops: DataFrame) -> DataFrame:
+    """Per-vchannel TS-manager state as a custom stateful operator
+    (SURVEY §2.9 T1/W5: ts_manager.go:129-148 CollectTS keeps per-channel
+    max; :338-366 tracks last-sent).
+
+    Implemented with ``applyInPandasWithState`` — the Arrow-batched
+    custom-state extension point (SURVEY §2.10) — to exercise the path
+    the built-in aggregates can't express (arbitrary per-key Python
+    state transitions). Each trigger emits the running (max_ts, n_packs,
+    n_regressions) per vchannel; n_regressions counts arrivals whose
+    batch-max fell below the stored high-water mark (the condition that
+    triggers the reference's monotonic rebase, T2).
+
+    State is one tiny tuple per vchannel in the checkpointed state
+    store — bounded by channel cardinality, not data volume.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        max_ts, n_packs, n_regr = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            batch_max = int(pdf["ts"].max())
+            if batch_max < max_ts:
+                n_regr += 1
+            max_ts = max(max_ts, batch_max)
+            n_packs += len(pdf)
+        state.update((max_ts, n_packs, n_regr))
+        yield pd.DataFrame(
+            {
+                "vchannel": [key[0]],
+                "max_ts": [max_ts],
+                "n_packs": [n_packs],
+                "n_regressions": [n_regr],
+            }
+        )
+
+    return (
+        ops.select("vchannel", "ts")
+        .groupBy("vchannel")
+        .applyInPandasWithState(
+            update,
+            outputStructType="vchannel string, max_ts long, n_packs long, n_regressions long",
+            stateStructType="max_ts long, n_packs long, n_regressions long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def barrier_stream(drops: DataFrame, expected: int) -> DataFrame:
     """Streaming barrier aggregate over a stream of drop signals.
 

@@ -2162,8 +2162,9 @@ def dispatcher_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Extended relational inventory (registers additional QUERIES entries).
+# Extended inventories (register additional QUERIES entries).
 from milvus_cdc_spark import suite_relational  # noqa: E402,F401  (import-for-effect)
+from milvus_cdc_spark import suite_streaming_ext  # noqa: E402,F401  (import-for-effect)
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,164 @@
+"""Streaming-extension queries: stream-stream join, streaming dedupe,
+and the applyInPandasWithState channel tracker — each executed as a real
+Structured Streaming query (file source, availableNow) whose converged
+result is oracle-checkable because the final state is order-independent.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid as _uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from milvus_cdc_spark import catalog, oplog
+from milvus_cdc_spark.suite import q
+
+
+def _stage_events(spark: SparkSession, sf_dir: str, n_files: int = 4) -> tuple[str, DataFrame]:
+    """Write normalized events to a temp dir for the file-stream source."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="events_sstream_") + "/files"
+    ev.repartition(n_files).write.mode("overwrite").parquet(stage)
+    return stage, ev
+
+
+def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
+    sink = f"mem_{_uuid.uuid4().hex[:8]}"
+    query = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return df.sparkSession.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream join: click → purchase attribution within 1 hour per user.
+# Both sides are the same live stream; watermark + time-range condition
+# bound the join state. The converged pair set is exactly the batch
+# interval join, so DuckDB can oracle it.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "streaming_stream_join",
+    """
+    SELECT CAST(date_trunc('day', a.ts) AS DATE) AS click_day,
+           count(*) AS n_attributed,
+           round(sum(b.value), 2) AS attributed_value
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    "streaming",
+    "stream-stream-join",
+    "watermark",
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milvus_cdc_spark.streaming.joins import interval_attribution_join
+
+    stage, ev = _stage_events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select("user_id", "ts")
+    buys = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    pairs = interval_attribution_join(
+        clicks, buys, key="user_id", max_gap="1 hour", watermark="31 days"
+    )
+    out = _run_to_memory(pairs, "append")
+    return (
+        out.groupBy(F.to_date(F.date_trunc("day", "l_ts")).alias("click_day"))
+        .agg(
+            F.count("*").alias("n_attributed"),
+            F.round(F.sum("r_value"), 2).alias("attributed_value"),
+        )
+        .orderBy("click_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedupe: first occurrence of each (user_id, event_type) pair.
+# The surviving key set is order-independent → equals batch DISTINCT.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "streaming_dedupe",
+    """
+    SELECT event_type, count(*) AS n_unique_users
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "streaming",
+    "dedupe",
+    "watermark",
+)
+def streaming_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milvus_cdc_spark.streaming.joins import streaming_dedupe as dedupe
+
+    stage, ev = _stage_events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    uniq = dedupe(stream, ["user_id", "event_type"], watermark="31 days")
+    out = _run_to_memory(uniq.select("user_id", "event_type"), "append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count("*").alias("n_unique_users"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# applyInPandasWithState channel tracker: running per-vchannel high-water
+# mark. Update mode emits the running state each trigger; the row with the
+# final pack count per channel is the converged state — max_ts/n_packs are
+# order-independent (oracle-checkable); n_regressions is arrival-order
+# dependent so it is excluded from the checked output.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "streaming_state_tracker",
+    f"""
+    WITH ops AS ({oplog.ORACLE_OPLOG_SQL})
+    SELECT vchannel, max(ts) AS max_ts, count(*) AS n_packs
+    FROM ops
+    GROUP BY vchannel
+    ORDER BY vchannel
+    """,
+    "streaming",
+    "stateful",
+    "applyInPandasWithState",
+)
+def streaming_state_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milvus_cdc_spark.streaming.pipeline import OPLOG_SCHEMA
+    from milvus_cdc_spark.streaming.state import channel_ts_tracker
+
+    ops = oplog.derive_oplog(catalog.load_table(spark, sf_dir, "lineitem"))
+    src = tempfile.mkdtemp(prefix="oplog_state_") + "/files"
+    ops.repartition(6).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(OPLOG_SCHEMA).option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    tracked = channel_ts_tracker(stream)
+    out = _run_to_memory(tracked, "update")
+    # the tracker's max_ts and n_packs are monotonic across emissions, so
+    # the converged state per channel is simply the per-key max
+    return (
+        out.groupBy("vchannel")
+        .agg(F.max("max_ts").alias("max_ts"), F.max("n_packs").alias("n_packs"))
+        .orderBy("vchannel")
+    )
