@@ -50,3 +50,43 @@ def test_codegen_present(spark, sf_dir):
         assert audit.codegen_span_count(df) >= 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_disjunctive_predicate_pushed_to_both_scans(spark, sf_dir):
+    """Q19 shape: Catalyst must decompose the OR-of-ANDs into per-side
+    residuals pushed into BOTH parquet scans (not a post-join filter only)."""
+    df = suite.QUERIES["disjunctive_filter_revenue"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    pushed = audit.pushed_filters(plan)
+    assert any("l_quantity" in p and "Or(" in p for p in pushed)
+    assert any("p_brand" in p and "Or(" in p for p in pushed)
+
+
+def test_exists_plans_as_semi_join(spark, sf_dir):
+    """EXISTS must become a (broadcast/shuffled) left-semi join, and the
+    date range must reach the orders scan."""
+    df = suite.QUERIES["exists_late_orders"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert any("o_orderdate" in p for p in audit.pushed_filters(plan))
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """orderBy().limit(k) must compile to TakeOrderedAndProject — per-
+    partition top-k then driver merge of k rows, never a global sort."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = suite.QUERIES["returned_items_topk"].fn(spark, sf_dir)
+        plan = audit.formatted_plan(df)
+        assert "TakeOrderedAndProject" in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_scalar_subquery_single_fact_pass_exchanges(spark, sf_dir):
+    """Q17 shape: the decorrelated per-part aggregate + join should stay
+    within a bounded shuffle budget (agg exchange + join exchanges), not
+    multiply scans of the fact table through the plan."""
+    df = suite.QUERIES["scalar_subquery_small_qty"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert audit.count_exchanges(plan) <= 5
