@@ -201,4 +201,57 @@ class TaskRegistry:
             return {"tasks": self.list()}
         if rt == "position":
             return {"positions": self.position(data["task_id"])}
+        if rt == "maintenance":
+            return self.maintenance(data)
         raise ValueError(f"unknown request_type {rt!r}")
+
+    def maintenance(self, data: dict) -> dict:
+        """Maintenance ops (server/maintenance/maintenance.go:27-35):
+        set log level / force a log message. Spark mapping: JVM log4j
+        level via sparkContext plus the driver-side Python logger."""
+        import logging
+
+        log = logging.getLogger("milvus_cdc_spark")
+        op = data.get("operation")
+        if op == "set_log_level":
+            level = data["level"].upper()
+            self.spark.sparkContext.setLogLevel(level)
+            log.setLevel(getattr(logging, level, logging.INFO))
+            return {"ok": True, "level": level}
+        if op == "force_log":
+            log.warning("forced log message: %s", data.get("message", ""))
+            return {"ok": True}
+        raise ValueError(f"unknown maintenance operation {op!r}")
+
+
+def serve(registry: TaskRegistry, port: int = 8444):
+    """Thin HTTP façade: POST /cdc with the reference's request envelope
+    (doc/cdc-usage.md:102-117 — single endpoint, request_type dispatch).
+    Returns the live ``HTTPServer``; call ``.serve_forever()`` to block or
+    drive it from a thread in tests."""
+    import http.server
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802 (stdlib naming)
+            if self.path != "/cdc":
+                self.send_error(404)
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                request = json.loads(self.rfile.read(length) or b"{}")
+                body = json.dumps({"code": 200, "data": registry.handle(request)})
+                status = 200
+            except Exception as e:  # reference returns error envelope
+                body = json.dumps({"code": 500, "error": str(e)})
+                status = 500
+            payload = body.encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *args):  # quiet in tests
+            pass
+
+    return http.server.HTTPServer(("127.0.0.1", port), Handler)

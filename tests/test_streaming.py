@@ -198,3 +198,44 @@ def test_interval_attribution_join_batch_equiv(spark):
     out = interval_attribution_join(left, right, key="user_id", max_gap="1 hour")
     rows = out.collect()
     assert len(rows) == 1 and rows[0].l_key == 1 and rows[0].r_value == 5.0
+
+
+def test_maintenance_and_http_facade(spark, oplog_dir):
+    """§2.11 maintenance op + the single-endpoint HTTP façade."""
+    import json
+    import threading
+    import urllib.request
+
+    from milvus_cdc_spark.control.tasks import serve
+
+    root = tempfile.mkdtemp(prefix="http_tasks_")
+    reg = TaskRegistry(spark, root)
+    assert reg.handle(
+        {"request_type": "maintenance",
+         "request_data": {"operation": "set_log_level", "level": "warn"}}
+    )["level"] == "WARN"
+    spark.sparkContext.setLogLevel("ERROR")  # restore test quiet
+
+    server = serve(reg, port=0)  # ephemeral port
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}/cdc"
+
+        def post(payload):
+            req = urllib.request.Request(
+                url, data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as resp:
+                return json.loads(resp.read())
+
+        created = post({"request_type": "create",
+                        "request_data": {"source_dir": oplog_dir,
+                                         "collections": ["coll_1"]}})
+        tid = created["data"]["task_id"]
+        listed = post({"request_type": "list", "request_data": {}})
+        assert [t["task_id"] for t in listed["data"]["tasks"]] == [tid]
+        post({"request_type": "delete", "request_data": {"task_id": tid}})
+        assert post({"request_type": "list", "request_data": {}})["data"]["tasks"] == []
+    finally:
+        server.shutdown()
