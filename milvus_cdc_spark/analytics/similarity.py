@@ -79,6 +79,30 @@ def sign_bucket(vec_col, n_bits: int = 4):
     return F.concat(*bits)
 
 
+def recall_at_k(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall of an ANN result against the exact top-k:
+    |approx ∩ exact| / |exact|. Both inputs are (query_id, rank,
+    neighbor_id, ...) as produced by the *_topk operators.
+
+    A left-semi join keyed on (query_id, neighbor_id) counts the hits —
+    no arrays collected, scales with k × n_queries.
+    """
+    hits = approx.join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+    )
+    n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    n_hit = hits.groupBy("query_id").agg(F.count("*").alias("n_hit"))
+    return (
+        n_exact.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )
+
+
 def bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

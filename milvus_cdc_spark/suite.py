@@ -1275,6 +1275,100 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ann_recall",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM b WHERE vec_id < 10),
+    exact_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_SQL_COSINE} AS sim
+      FROM b c, q WHERE c.vec_id != q.vec_id
+    ),
+    exact_ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM exact_scored
+    ),
+    exact_k AS (SELECT query_id, neighbor_id FROM exact_ranked WHERE rank <= 3),
+    approx_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_SQL_COSINE} AS sim
+      FROM b c JOIN q ON c.bucket = q.bucket
+      WHERE c.vec_id != q.vec_id
+    ),
+    approx_ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM approx_scored
+    ),
+    approx_k AS (SELECT query_id, neighbor_id FROM approx_ranked WHERE rank <= 3)
+    SELECT e.query_id,
+           round(count(a.neighbor_id) / count(*), 6) AS recall
+    FROM exact_k e LEFT JOIN approx_k a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+    "vector",
+    "similarity",
+    "ann",
+    "recall",
+    "llm",
+)
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the sign-bucketed ANN against exact brute force — the
+    accuracy/cost dial every ANN deployment must report."""
+    from milvus_cdc_spark.analytics import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, queries, k=3)
+    approx = similarity.bucketed_topk(emb, queries, k=3, n_bits=4)
+    return similarity.recall_at_k(exact, approx).orderBy("query_id")
+
+
+@q(
+    "sliding_window_agg",
+    """
+    WITH expanded AS (
+      SELECT event_type, value,
+             unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+               AS window_start
+      FROM events
+    )
+    SELECT window_start, event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM expanded
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    "streaming",
+    "window-agg",
+    "sliding",
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h length, 30 min slide) — each event lands in two
+    overlapping windows (T11). The oracle expands each row into its two
+    window starts; Spark's window() does the same expansion internally."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@q(
     "embedding_stats",
     """
     SELECT label,
