@@ -93,3 +93,32 @@ def diff_reconcile(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
             F.coalesce("in_right", F.lit(False)).alias("in_right"),
         )
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi-join: spread a hot key over ``n_salts`` shuffle
+    partitions.
+
+    The big (skewed) side gets a deterministic salt derived from a
+    non-key column hash; the small side is exploded n_salts× so every
+    (key, salt) combination exists. Result equals a plain equi-join on
+    ``key`` — the salt only changes the shuffle distribution, letting a
+    key that holds 30% of the rows use 8 reducers instead of 1.
+
+    AQE's skew-join handles sort-merge skew automatically at runtime;
+    explicit salting remains the tool for aggregations-after-join and
+    for engines/settings where AQE splitting can't kick in (e.g.
+    broadcast-ineligible stream-static joins).
+    """
+    salt_expr = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    b = big.withColumn("_salt", salt_expr.cast("int"))
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return b.join(s, [key, "_salt"], how).drop("_salt")

@@ -697,3 +697,45 @@ def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted join: l_returnflag has 3 values across all of lineitem — the
+# canonical hot-key shape. salted_join spreads each key over n_salts
+# reducers; the result is provably identical to the plain equi-join the
+# oracle runs.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "salted_skew_join",
+    """
+    SELECT flag_desc, count(*) AS n_items, round(sum(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    JOIN (VALUES ('R', 'returned'), ('A', 'acknowledged'), ('N', 'none'))
+         AS d(l_returnflag, flag_desc)
+      USING (l_returnflag)
+    GROUP BY flag_desc
+    ORDER BY flag_desc
+    """,
+    "join",
+    "skew",
+    "salting",
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milvus_cdc_spark.operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    dim = spark.createDataFrame(
+        [("R", "returned"), ("A", "acknowledged"), ("N", "none")],
+        "l_returnflag string, flag_desc string",
+    )
+    return (
+        salted_join(li, dim, key="l_returnflag", n_salts=8)
+        .groupBy("flag_desc")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy("flag_desc")
+    )

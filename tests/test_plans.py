@@ -6,6 +6,8 @@ pushdown to the scan, column pruning, broadcast joins for dims, codegen.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from milvus_cdc_spark import suite
 from milvus_cdc_spark.plans import audit
 
@@ -90,3 +92,66 @@ def test_scalar_subquery_single_fact_pass_exchanges(spark, sf_dir):
     df = suite.QUERIES["scalar_subquery_small_qty"].fn(spark, sf_dir)
     plan = audit.formatted_plan(df)
     assert audit.count_exchanges(plan) <= 5
+
+
+def test_salted_join_distributes_hot_keys(spark, sf_dir):
+    """With broadcast disabled (forcing a shuffle join), the salted join
+    must shuffle on (key, salt) — >1 partition receives rows of the same
+    hot key — while still producing the plain-join result."""
+    from pyspark.sql import functions as F
+
+    from milvus_cdc_spark.catalog import load_table
+    from milvus_cdc_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    dim = spark.createDataFrame(
+        [("R", "r"), ("A", "a"), ("N", "n")], "l_returnflag string, d string"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = salted_join(li, dim, key="l_returnflag", n_salts=8)
+        plan = audit.formatted_plan(joined)
+        assert "_salt" in plan  # salt participates in the join keys
+        got = {
+            (r.l_returnflag, r.n)
+            for r in joined.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
+        }
+        want = {
+            (r.l_returnflag, r.n)
+            for r in li.join(dim, "l_returnflag")
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    """Bucketing both fact tables on the join key pre-partitions the data
+    so the sort-merge join needs NO Exchange — the co-located join that
+    saves the dominant shuffle at 100 TB."""
+    from milvus_cdc_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("b_orders"))
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("b_lineitem"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = audit.formatted_plan(joined)
+        assert audit.count_exchanges(plan) == 0
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
