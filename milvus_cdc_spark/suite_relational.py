@@ -739,3 +739,56 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag_desc")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance (reference parity: BM25 FunctionSchema declarations are
+# hydrated at etcd_op.go:666-691; scoring implemented here Spark-first).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "bm25_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                        t -> t <> '')) AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM toks WHERE tok IN ('join', 'vector', 'stream')
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
+      FROM tf
+      JOIN dfreq USING (tok)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 4) AS bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 15
+    """,
+    "text",
+    "bm25",
+    "llm",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milvus_cdc_spark.analytics.textrank import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, ["join", "vector", "stream"])
+    return (
+        scored.select("doc_id", F.round("bm25", 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(15)
+    )
