@@ -88,7 +88,7 @@ def minhash_signature(text_col, k: int = 8, shingle_n: int = 3):
 
 def minhash_signature_df(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    k: int = 8, shingle_n: int = 3,
+    k: int = 8, shingle_n: int = 3, shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig array<string>) via the aggregation plan: explode shingles to
     rows, then k min() aggregates.
@@ -98,8 +98,11 @@ def minhash_signature_df(
     (``minhash_signature``) nests higher-order functions k× deep, which
     Catalyst neither CSEs nor compiles — measured 10× slower.
     """
-    # duplicates don't affect min() → no distinct needed before the agg
-    sh_rows = shingle_rows(df, id_col, text_col, shingle_n)
+    # duplicates don't affect min() → no distinct needed before the agg.
+    # ``shingles``: pass a precomputed (persisted) shingle_rows frame when
+    # the same shingles feed several stages (bands + verification) — the
+    # explode/window pipeline is the dominant cost and shouldn't run twice.
+    sh_rows = shingles if shingles is not None else shingle_rows(df, id_col, text_col, shingle_n)
     agg = sh_rows.groupBy(id_col).agg(
         *[F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"_h{i}") for i in range(k)]
     )
@@ -109,11 +112,12 @@ def minhash_signature_df(
 
 
 def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  k: int = 8, bands: int = 4, shingle_n: int = 3) -> DataFrame:
+                  k: int = 8, bands: int = 4, shingle_n: int = 3,
+                  shingles: DataFrame | None = None) -> DataFrame:
     """Doc → (band_id, band_key) rows. Docs sharing any band key are
     near-duplicate candidates. k/bands hashes per band."""
     rows_per_band = k // bands
-    with_sig = minhash_signature_df(df, id_col, text_col, k, shingle_n)
+    with_sig = minhash_signature_df(df, id_col, text_col, k, shingle_n, shingles=shingles)
     # signature computed once (agg plan), bands exploded from it
     band_structs = F.array(
         *[
@@ -153,7 +157,7 @@ def candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def jaccard_pairs(
     df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    shingle_n: int = 3,
+    shingle_n: int = 3, shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs, join-based:
     |A∩B| = matching-shingle count, |A∪B| = |A| + |B| - |A∩B|.
@@ -161,7 +165,8 @@ def jaccard_pairs(
     All equi-joins + aggregates — no array intersections per pair, no
     arrays shipped through the shuffle. Scales with Σ|A| over candidate
     pairs, not with corpus size."""
-    sh = shingle_rows(df, id_col, text_col, shingle_n).distinct()
+    sh_rows = shingles if shingles is not None else shingle_rows(df, id_col, text_col, shingle_n)
+    sh = sh_rows.distinct()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     sh_a = sh.select(F.col(id_col).alias("a"), F.col("s"))
     sh_b = sh.select(F.col(id_col).alias("b"), F.col("s"))
@@ -188,3 +193,20 @@ def jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def near_dup_pipeline(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 8, bands: int = 4, shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end near-dup detection: shingle once (persisted), LSH-band
+    for candidates, verify with exact Jaccard.
+
+    The shingle frame feeds both the signature aggregate and the
+    verification joins; persisting it halves the pipeline's dominant
+    cost (tokenize + window n-gram assembly). At 100 TB the persist
+    becomes a staged table (write once, read by both stages)."""
+    sh = shingle_rows(df, id_col, text_col, shingle_n).persist()
+    band_rows = minhash_bands(df, id_col, text_col, k, bands, shingle_n, shingles=sh)
+    pairs = candidate_pairs(band_rows, id_col)
+    return jaccard_pairs(df, pairs, id_col, text_col, shingle_n, shingles=sh)

@@ -1100,9 +1100,7 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from milvus_cdc_spark.analytics import dedup
 
     docs = _t(spark, sf_dir, "documents")
-    bands = dedup.minhash_bands(docs, k=8, bands=4)
-    pairs = dedup.candidate_pairs(bands)
-    return dedup.jaccard_pairs(docs, pairs).orderBy("a", "b")
+    return dedup.near_dup_pipeline(docs, k=8, bands=4).orderBy("a", "b")
 
 
 @q(
