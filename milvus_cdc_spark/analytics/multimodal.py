@@ -70,3 +70,63 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, media_type string, width int, height int, payload binary"
+)
+
+FRAME_SCHEMA = "doc_id bigint, frame_no bigint, n_bytes bigint, frame_hash string"
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: Arrow batches in/out, one row per input row, new
+    payload + target dims. The "resampler" is a deterministic stub
+    (byte stride-sampling to width*height bytes); a real implementation
+    swaps in PIL's Image.resize. Partition-preserving — no shuffle."""
+    target = width * height
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def sample(payload: bytes) -> bytes:
+                if len(payload) == 0:
+                    return b""
+                stride = max(len(payload) // target, 1)
+                return payload[::stride][:target]
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": width,
+                    "height": height,
+                    "payload": pdf["payload"].map(sample),
+                }
+            )
+
+    return media.mapInPandas(resize, RESIZE_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 64, every_n: int = 3
+) -> DataFrame:
+    """Frame sampling: treat the payload as fixed-size frames and emit
+    every ``every_n``-th frame as its own row (1 input row → N output
+    rows — the mapInPandas row-exploding shape). Deterministic: frame
+    hash = md5 of the frame's bytes, so the whole pipeline is
+    oracle-checkable. At 100 TB the expansion stays partition-local."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in ("doc_id", "frame_no", "n_bytes", "frame_hash")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
+                for fno in range(0, n_frames, every_n):
+                    chunk = payload[fno * frame_bytes : (fno + 1) * frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(fno)
+                    out["n_bytes"].append(len(chunk))
+                    out["frame_hash"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(frames, FRAME_SCHEMA)

@@ -162,3 +162,44 @@ def streaming_state_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("max_ts").alias("max_ts"), F.max("n_packs").alias("n_packs"))
         .orderBy("vchannel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal frame sampling: payload → every-3rd 64-byte frame, one row
+# per frame (mapInPandas row-exploding shape). English-only docs keep the
+# byte/char slicing identical across engines.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "frame_sample",
+    """
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0 AND lang = 'en'
+    ),
+    idx AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, (length(text) - 1) // 64)) AS frame_no
+      FROM docs
+    )
+    SELECT doc_id, frame_no,
+           length(substr(text, frame_no * 64 + 1, 64)) AS n_bytes,
+           md5(substr(text, frame_no * 64 + 1, 64)) AS frame_hash
+    FROM idx
+    WHERE frame_no % 3 = 0
+    ORDER BY doc_id, frame_no
+    """,
+    "multimodal",
+    "pandas-udf",
+    "llm",
+)
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milvus_cdc_spark.analytics import multimodal
+
+    docs = catalog.load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 10 == 0) & (F.col("lang") == "en")
+    )
+    media = multimodal.as_media_table(docs)
+    return multimodal.sample_frames(media, frame_bytes=64, every_n=3).orderBy(
+        "doc_id", "frame_no"
+    )

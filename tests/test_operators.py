@@ -97,3 +97,19 @@ def test_lifetime_asof_join(spark):
     out = joins.lifetime_asof_join(events, lifetimes, "key")
     kept = {(r["e.key"] if "e.key" in r else r.key, r.ts) for r in out.select("e.key", "ts").collect()}
     assert kept == {(1, 5), (2, 5)}  # (1,15) dropped: after drop_ts
+
+
+def test_resize_media_plumbing(spark):
+    """Resize stub: deterministic stride-sampling to width*height bytes,
+    schema and row-per-row contract."""
+    from milvus_cdc_spark.analytics import multimodal
+
+    df = spark.createDataFrame(
+        [(1, "image/fake", bytes(range(200))), (2, "image/fake", b"xy")],
+        "doc_id bigint, media_type string, payload binary",
+    )
+    out = {r.doc_id: r for r in multimodal.resize_media(df, 8, 8).collect()}
+    assert out[1].width == 8 and out[1].height == 8
+    assert len(out[1].payload) == 64  # 200 bytes, stride 3 -> 67, capped 64
+    assert len(out[2].payload) == 2   # smaller than target: kept whole
+    assert bytes(out[1].payload)[:3] == bytes([0, 3, 6])  # stride sampling
