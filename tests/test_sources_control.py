@@ -42,3 +42,55 @@ def test_error_quarantine_trips_in_window():
     # outside the window the counter decays
     assert not q.tripped(now=100.0)
     assert q.last_reason == "e3"
+
+
+def test_pipeline_listener_metrics_and_quarantine(spark):
+    """Listener observes real streaming progress (rows/batches) and feeds
+    failures into the quarantine with the auto-pause hook."""
+    import tempfile
+    import time
+    import uuid
+
+    from milvus_cdc_spark.control.listener import PipelineListener
+
+    tripped = []
+    listener = PipelineListener(on_trip=lambda name, why: tripped.append((name, why)),
+                                max_errors=1)
+    spark.streams.addListener(listener)
+    try:
+        tmp = tempfile.mkdtemp(prefix="listen_")
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(20)], "k bigint, v bigint"
+        ).repartition(2).write.mode("overwrite").parquet(tmp + "/src")
+        name = f"ok_{uuid.uuid4().hex[:6]}"
+        q = (
+            spark.readStream.schema("k bigint, v bigint")
+            .option("maxFilesPerTrigger", 1).parquet(tmp + "/src")
+            .writeStream.format("memory").queryName(name)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+        def fail_batch(batch, batch_id):
+            raise RuntimeError("sink exploded")
+
+        q2 = (
+            spark.readStream.schema("k bigint, v bigint")
+            .option("maxFilesPerTrigger", 1).parquet(tmp + "/src")
+            .writeStream.foreachBatch(fail_batch)
+            .option("checkpointLocation", tmp + "/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        try:
+            q2.awaitTermination()
+        except Exception:
+            pass
+        # listener events are delivered asynchronously
+        deadline = time.time() + 30
+        while time.time() < deadline and not tripped:
+            time.sleep(0.5)
+        assert listener.metrics[name]["num_input_rows"] == 20
+        assert listener.metrics[name]["num_batches"] >= 2
+        assert tripped and "sink exploded" in tripped[0][1]
+    finally:
+        spark.streams.removeListener(listener)
