@@ -155,3 +155,31 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir):
+    """Hive-style partitioned layout + partition pruning: a filter on the
+    partition column must appear as PartitionFilters on the scan (pruned
+    at planning, zero IO for other partitions) — the layout that turns a
+    100 TB scan into a single-partition read."""
+    import tempfile
+
+    from milvus_cdc_spark.catalog import load_table
+
+    tmp = tempfile.mkdtemp(prefix="part_")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    orders.write.partitionBy("o_year").mode("overwrite").parquet(tmp + "/orders")
+    df = (
+        spark.read.parquet(tmp + "/orders")
+        .filter(F.col("o_year") == 1997)
+        .select("o_orderkey", "o_totalprice")
+    )
+    plan = audit.formatted_plan(df)
+    assert "PartitionFilters" in plan
+    assert any(
+        "o_year" in line and "1997" in line
+        for line in plan.splitlines()
+        if "PartitionFilters" in line
+    )

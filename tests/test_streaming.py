@@ -239,3 +239,67 @@ def test_maintenance_and_http_facade(spark, oplog_dir):
         assert post({"request_type": "list", "request_data": {}})["data"]["tasks"] == []
     finally:
         server.shutdown()
+
+
+def test_watermark_drops_late_data(spark):
+    """Real watermark semantics: once the watermark has closed a window
+    (its state evicted and result emitted), late rows for it are dropped
+    (append mode). This is the T1 guarantee that bounds state at 100 TB.
+
+    Spark applies the late filter with the watermark in effect at batch
+    start, so the drop is observable from the batch *after* the one that
+    advanced the watermark — hence three batches: advance → finalize →
+    late arrival."""
+    import uuid
+
+    tmp = tempfile.mkdtemp(prefix="late_")
+
+    def write(rows, sub):
+        spark.createDataFrame(rows, "ts string, v double").selectExpr(
+            "cast(ts as timestamp) ts", "v"
+        ).coalesce(1).write.parquet(tmp + "/src/" + sub)
+
+    # batch 1: on-time rows advance the watermark to 05:50
+    write([("2024-01-01 00:05:00", 1.0), ("2024-01-01 06:00:00", 1.0)], "b1")
+    # batch 2: another on-time row; the 00:00 window is finalized here
+    write([("2024-01-01 06:10:00", 2.0)], "b2")
+    # batch 3: a row 6 h late for the closed first window
+    write([("2024-01-01 00:06:00", 100.0)], "b3")
+    # the file source orders batches by modification time; same-second
+    # writes tie — force strictly increasing mtimes for batch order
+    import os
+    import time as _time
+
+    now = _time.time()
+    for i, sub in enumerate(("b1", "b2", "b3")):
+        d = os.path.join(tmp, "src", sub)
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (now - 120 + i * 60,) * 2)
+
+    name = f"late_{uuid.uuid4().hex[:6]}"
+    q = (
+        spark.readStream.schema("ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(tmp + "/src/*")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.sum("v").alias("total"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tmp + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r.w.start.isoformat(): r.total for r in spark.table(name).collect()}
+    # first window closed by the watermark with only the on-time row;
+    # the late v=100 row must NOT appear in it
+    assert rows.get("2024-01-01T00:00:00") == 1.0
+    # and the drop is visible in the state-operator telemetry
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    )
+    assert dropped == 1
