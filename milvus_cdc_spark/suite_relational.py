@@ -792,3 +792,134 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite training-data ingest pipeline: language filter → quality gate
+# → exact dedup (keep canonical doc) → per-source corpus stats. The chain
+# a 100 TB ingest run executes nightly; every stage is one of the
+# engine's tested operators composed declaratively.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "corpus_pipeline",
+    """
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')) AS n_tokens,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+      WHERE lang = 'en'
+    ),
+    quality AS (
+      SELECT * FROM scored WHERE n_tokens BETWEEN 20 AND 5000
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(n_tokens), 4) AS avg_tokens,
+           sum(n_tokens) AS total_tokens
+    FROM deduped
+    GROUP BY source
+    ORDER BY source
+    """,
+    "llm",
+    "pipeline",
+    "text",
+)
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milvus_cdc_spark.functions import text as textf
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        textf.token_count(F.col("text")).alias("n_tokens"),
+        textf.fingerprint(F.col("text")).alias("fp"),
+    )
+    quality = scored.filter(F.col("n_tokens").between(20, 5000))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = quality.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        deduped.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide → long): part metrics melted to (metric, value) rows.
+# Spark's unpivot compiles to the same expand the UNION ALL oracle writes.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "unpivot_part_metrics",
+    """
+    SELECT metric, count(*) AS n, round(avg(value), 4) AS avg_value
+    FROM (
+      SELECT 'p_size' AS metric, p_size::DOUBLE AS value FROM part
+      UNION ALL
+      SELECT 'p_retailprice' AS metric, p_retailprice AS value FROM part
+    )
+    GROUP BY metric
+    ORDER BY metric
+    """,
+    "reshape",
+    "unpivot",
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice"),
+    )
+    melted = p.unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+    return (
+        melted.groupBy("metric")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .orderBy("metric")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bag-semantics set ops: exceptAll / intersectAll keep duplicates —
+# SURVEY §2.7's diff-tool semantics at multiplicity level.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "bag_set_ops",
+    """
+    WITH hi AS (SELECT c_nationkey FROM customer WHERE c_acctbal > 5000),
+         auto AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+    SELECT 'except_all' AS op, count(*) AS n
+    FROM (SELECT * FROM hi EXCEPT ALL SELECT * FROM auto)
+    UNION ALL
+    SELECT 'intersect_all' AS op, count(*) AS n
+    FROM (SELECT * FROM hi INTERSECT ALL SELECT * FROM auto)
+    ORDER BY op
+    """,
+    "set-ops",
+)
+def bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    hi = c.filter(F.col("c_acctbal") > 5000).select("c_nationkey")
+    auto = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    ex = hi.exceptAll(auto).agg(F.count("*").alias("n")).select(
+        F.lit("except_all").alias("op"), "n"
+    )
+    inter = hi.intersectAll(auto).agg(F.count("*").alias("n")).select(
+        F.lit("intersect_all").alias("op"), "n"
+    )
+    return ex.unionByName(inter).orderBy("op")
