@@ -51,11 +51,18 @@ def brute_force_topk(
     sim is rounded to 6 decimals *before* ranking so ordering is stable
     across engines.
     """
+    # norms precomputed per side (rows ∝ corpus + queries), so the
+    # per-pair work is a single dot pass. sim = dot/(nc*nq) is the same
+    # expression tree as cosine() — bit-identical result, 3× less work.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        vecf.norm(F.col(vec_col)).alias("qnorm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        vecf.norm(F.col(vec_col)).alias("cnorm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -63,7 +70,11 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(vecf.cosine(F.col("cvec"), F.col("qvec")), 6).alias("sim"),
+            F.round(
+                vecf.dot(F.col("cvec"), F.col("qvec"))
+                / (F.col("cnorm") * F.col("qnorm")),
+                6,
+            ).alias("sim"),
         )
     )
     return _ranked_topk(scored, k)
@@ -120,11 +131,13 @@ def bucketed_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        vecf.norm(F.col(vec_col)).alias("qnorm"),
         sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        vecf.norm(F.col(vec_col)).alias("cnorm"),
         sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
     scored = (
@@ -133,7 +146,11 @@ def bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(vecf.cosine(F.col("cvec"), F.col("qvec")), 6).alias("sim"),
+            F.round(
+                vecf.dot(F.col("cvec"), F.col("qvec"))
+                / (F.col("cnorm") * F.col("qnorm")),
+                6,
+            ).alias("sim"),
         )
     )
     return _ranked_topk(scored, k)

@@ -33,5 +33,14 @@ def get_spark(app_name: str = "milvus_cdc_spark", shuffle_partitions: int | None
         # Parquet TIMESTAMP(NANOS) is unreadable by Spark natively; read the
         # raw int64 and let the catalog convert (truncate) to microseconds.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Input-split sizing must match the data scale (SURVEY §6 / the
+        # 100 TB brief): the default 128 MB leaves the ≤11 MB single-file
+        # test tables as one-split scans that serialize 32 cores. 4 MB
+        # spreads the local fixtures across the machine; a cluster run at
+        # real scale overrides via SPARK_GRAFT_MAX_PARTITION_BYTES (128 MB+).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
+        )
     )
     return builder.getOrCreate()
