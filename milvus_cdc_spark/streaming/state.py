@@ -71,6 +71,91 @@ def channel_ts_tracker(ops: DataFrame) -> DataFrame:
     )
 
 
+def timetick_stream(ops: DataFrame, tt_interval_ms: int = 500) -> DataFrame:
+    """Time-tick heartbeat as a timer-driven stateful operator
+    (SURVEY §2.9 T1: emit a TT msg when a pack has data OR the TTInterval
+    elapsed — replicate_channel_manager.go:1764-1843, default 500 ms
+    core/model/reader.go:63).
+
+    Uses Spark 4's ``transformWithStateInPandas`` because the heartbeat
+    needs *processing-time timers* — something neither built-in aggregates
+    nor applyInPandasWithState can express. Per vchannel: data arrival
+    updates the high-water mark and emits a data tick; an expired timer
+    emits a heartbeat tick carrying the last mark and re-arms itself.
+
+    State per key: one (max_ts) value + one armed timer — bounded by
+    channel cardinality.
+
+    Environment note: Spark's transformWithState Python workers require
+    ``google.protobuf`` (the state-server wire protocol). Where that
+    package is unavailable the query fails at schema validation — use
+    ``channel_ts_tracker`` (applyInPandasWithState) plus
+    ``repair.timetick_due`` as the executed fallback.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TimeTickProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._mark = handle.getValueState("mark", "max_ts long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            max_ts = self._mark.get()[0] if self._mark.exists() else 0
+            n = 0
+            for pdf in rows:
+                if len(pdf):
+                    max_ts = max(max_ts, int(pdf["ts"].max()))
+                    n += len(pdf)
+            self._mark.update((max_ts,))
+            self._handle.registerTimer(
+                timerValues.getCurrentProcessingTimeInMs() + tt_interval_ms
+            )
+            yield pd.DataFrame(
+                {
+                    "vchannel": [key[0]],
+                    "tick_ts": [max_ts],
+                    "n_msgs": [n],
+                    "is_heartbeat": [False],
+                }
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            import pandas as pd
+
+            max_ts = self._mark.get()[0] if self._mark.exists() else 0
+            # re-arm: heartbeats continue while the channel is idle
+            self._handle.registerTimer(
+                timerValues.getCurrentProcessingTimeInMs() + tt_interval_ms
+            )
+            yield pd.DataFrame(
+                {
+                    "vchannel": [key[0]],
+                    "tick_ts": [max_ts],
+                    "n_msgs": [0],
+                    "is_heartbeat": [True],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        ops.select("vchannel", "ts")
+        .groupBy("vchannel")
+        .transformWithStateInPandas(
+            TimeTickProcessor(),
+            outputStructType="vchannel string, tick_ts long, n_msgs long, is_heartbeat boolean",
+            outputMode="Append",
+            timeMode="ProcessingTime",
+        )
+    )
+
+
 def barrier_stream(drops: DataFrame, expected: int) -> DataFrame:
     """Streaming barrier aggregate over a stream of drop signals.
 

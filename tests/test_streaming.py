@@ -303,3 +303,51 @@ def test_watermark_drops_late_data(spark):
         if p.get("stateOperators")
     )
     assert dropped == 1
+
+
+def test_timetick_stream_emits_heartbeats(spark):
+    """transformWithStateInPandas TT operator: data arrival emits a data
+    tick; an idle channel keeps emitting timer-driven heartbeats carrying
+    the last high-water mark (T1)."""
+    import uuid
+
+    # Spark's transformWithState Python workers speak protobuf to the JVM
+    # state server; this container ships no google.protobuf, so the
+    # timer-driven path can't execute here (applyInPandasWithState is the
+    # executed fallback — see channel_ts_tracker). Gate, don't fail.
+    pytest.importorskip("google.protobuf")
+
+    from milvus_cdc_spark.streaming.state import timetick_stream
+
+    tmp = tempfile.mkdtemp(prefix="tt_")
+    spark.createDataFrame(
+        [("ch_0", 100), ("ch_0", 500)], "vchannel string, ts bigint"
+    ).coalesce(1).write.parquet(tmp + "/src")
+    stream = spark.readStream.schema("vchannel string, ts bigint").parquet(tmp + "/src")
+    name = f"tt_{uuid.uuid4().hex[:6]}"
+    q = (
+        timetick_stream(stream, tt_interval_ms=500)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tmp + "/ckpt")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        import time as _time
+
+        deadline = _time.time() + 45
+        while _time.time() < deadline:
+            rows = spark.table(name).collect()
+            if any(r.is_heartbeat for r in rows) and any(not r.is_heartbeat for r in rows):
+                break
+            _time.sleep(1.0)
+        rows = spark.table(name).collect()
+    finally:
+        q.stop()
+    data_ticks = [r for r in rows if not r.is_heartbeat]
+    heartbeats = [r for r in rows if r.is_heartbeat]
+    assert data_ticks and data_ticks[0].tick_ts == 500 and data_ticks[0].n_msgs == 2
+    assert heartbeats, "idle channel must emit timer-driven heartbeats"
+    assert all(h.tick_ts == 500 and h.n_msgs == 0 for h in heartbeats)
