@@ -453,7 +453,7 @@ def returned_items_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_moving_avg",
     """
     SELECT o_custkey, o_orderkey,
-           round(avg(o_totalprice) OVER w3, 2) AS moving_avg_3,
+           round(avg(o_totalprice) OVER w3, 3) AS moving_avg_3,
            round(o_totalprice - lag(o_totalprice, 1, o_totalprice)
                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta_prev,
            round(sum(o_totalprice) OVER (
@@ -477,7 +477,11 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(
             "o_custkey",
             "o_orderkey",
-            F.round(F.avg("o_totalprice").over(w3), 2).alias("moving_avg_3"),
+            # round(3), not 2: prices are exact 2-decimal values, so a
+            # 2-row frame average lands EXACTLY on a half-cent (x.465) —
+            # engines' doubles straddle the round(2) boundary. 3 decimals
+            # is past the last meaningful digit, so no boundary exists.
+            F.round(F.avg("o_totalprice").over(w3), 3).alias("moving_avg_3"),
             F.round(
                 F.col("o_totalprice")
                 - F.lag("o_totalprice", 1, None).over(wbase),
