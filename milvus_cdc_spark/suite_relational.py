@@ -927,3 +927,39 @@ def bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("intersect_all").alias("op"), "n"
     )
     return ex.unionByName(inter).orderBy("op")
+
+
+# ---------------------------------------------------------------------------
+# Pure scan-filter-agg (TPC-H Q6): the pushdown benchmark — every
+# predicate reaches the parquet scan, no joins, one partial+final agg.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "forecast_revenue_change",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 25
+    """,
+    "agg",
+    "pushdown",
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
