@@ -52,3 +52,84 @@ def test_replay_matches_python_interpreter(spark, ops):
     )
     got = {r.pk for r in apply_op.replay_alive(df).collect()}
     assert got == python_replay(ops)
+
+
+jaccard_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),  # doc_id
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]),
+            min_size=3,
+            max_size=12,
+        ),
+    ),
+    min_size=2,
+    max_size=6,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(jaccard_docs)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_join_based_jaccard_matches_set_math(spark, docs):
+    """The join-based Jaccard (no arrays through the shuffle) must equal
+    plain Python set arithmetic over the same 3-gram shingles."""
+    from milvus_cdc_spark.analytics.dedup import jaccard_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in docs]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    ids = sorted(i for i, _ in docs)
+    pair_rows = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+    pairs = spark.createDataFrame(pair_rows, "a bigint, b bigint")
+    got = {(r.a, r.b): r.jaccard for r in jaccard_pairs(df, pairs).collect()}
+
+    def sh(toks):
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    txt = {i: toks for i, toks in docs}
+    for (a, b), j in got.items():
+        sa, sb = sh(txt[a]), sh(txt[b])
+        want = len(sa & sb) / max(len(sa | sb), 1)
+        assert abs(j - want) < 1e-6, (a, b, j, want)
+    assert set(got) == set(pair_rows)
+
+
+salt_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2", "k3"]),
+        st.integers(min_value=-100, max_value=100),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(salt_rows)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_salted_join_equals_plain_join(spark, rows):
+    """salted_join must be result-identical to the plain equi-join for
+    arbitrary inputs (multiplicities included)."""
+    from milvus_cdc_spark.operators.joins import salted_join
+
+    schema = "k string, v bigint"
+    big = (
+        spark.createDataFrame(rows, schema)
+        if rows
+        else spark.createDataFrame([], schema)
+    )
+    dim = spark.createDataFrame(
+        [("k1", "one"), ("k2", "two")], "k string, d string"
+    )
+    got = sorted(
+        (r.k, r.v, r.d) for r in salted_join(big, dim, key="k", n_salts=4).collect()
+    )
+    want = sorted((r.k, r.v, r.d) for r in big.join(dim, "k").collect())
+    assert got == want
