@@ -33,6 +33,11 @@ STATE_PAUSED = "paused"
 DEFAULT_MAX_TASKS = 100  # reference maxTaskNum, server/configs/cdc.yaml:2
 
 
+#: Credential keys scrubbed from get/list responses
+#: (server/model/request/base.go:59-74 masks password/token on read).
+_SECRET_KEYS = ("password", "token", "secret")
+
+
 @dataclass
 class TaskSpec:
     task_id: str
@@ -42,6 +47,18 @@ class TaskSpec:
     exclude: list[str] = field(default_factory=list)
     state: str = STATE_INITIAL
     reason: str = ""
+    # connection parameters for remote sources/sinks (kafka bootstrap,
+    # auth, ...); persisted verbatim, scrubbed on read-out
+    connect_params: dict = field(default_factory=dict)
+
+
+def _scrub(spec_dict: dict) -> dict:
+    params = dict(spec_dict.get("connect_params") or {})
+    for k in list(params):
+        if any(s in k.lower() for s in _SECRET_KEYS):
+            params[k] = "******"
+    spec_dict["connect_params"] = params
+    return spec_dict
 
 
 class DuplicateCollectionError(ValueError):
@@ -78,7 +95,8 @@ class TaskRegistry:
 
     # -- request handlers -------------------------------------------------
     def create(self, source_dir: str, collections: list[str] | None = None,
-               exclude: list[str] | None = None) -> TaskSpec:
+               exclude: list[str] | None = None,
+               connect_params: dict | None = None) -> TaskSpec:
         if len(self.tasks) >= self.max_tasks:
             raise ValueError(f"max task number {self.max_tasks} reached")
         collections = collections or ["*"]
@@ -90,6 +108,7 @@ class TaskRegistry:
             work_dir=os.path.join(self.root_dir, task_id),
             collections=collections,
             exclude=exclude or [],
+            connect_params=connect_params or {},
         )
         self.tasks[task_id] = spec
         self._persist()
@@ -151,10 +170,10 @@ class TaskRegistry:
         self._persist()
 
     def get(self, task_id: str) -> dict:
-        return asdict(self.tasks[task_id])
+        return _scrub(asdict(self.tasks[task_id]))
 
     def list(self) -> list[dict]:
-        return [asdict(t) for t in self.tasks.values()]
+        return [_scrub(asdict(t)) for t in self.tasks.values()]
 
     def position(self, task_id: str) -> list[dict]:
         """Per-vchannel positions of a task (GetPosition semantics,
@@ -183,7 +202,8 @@ class TaskRegistry:
         data = request.get("request_data", {})
         if rt == "create":
             spec = self.create(
-                data["source_dir"], data.get("collections"), data.get("exclude")
+                data["source_dir"], data.get("collections"), data.get("exclude"),
+                data.get("connect_params"),
             )
             return {"task_id": spec.task_id}
         if rt == "delete":

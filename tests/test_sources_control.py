@@ -94,3 +94,24 @@ def test_pipeline_listener_metrics_and_quarantine(spark):
         assert tripped and "sink exploded" in tripped[0][1]
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_credentials_scrubbed_on_read(spark, tmp_path):
+    """get/list mask secret-bearing connect params (base.go:59-74) while
+    the persisted spec keeps them for restart."""
+    import json
+
+    from milvus_cdc_spark.control.tasks import TaskRegistry
+
+    reg = TaskRegistry(spark, str(tmp_path))
+    spec = reg.create(
+        "/dev/null", ["c_scrub"],
+        connect_params={"bootstrap": "k:9092", "sasl.password": "hunter2"},
+    )
+    got = reg.get(spec.task_id)
+    assert got["connect_params"]["sasl.password"] == "******"
+    assert got["connect_params"]["bootstrap"] == "k:9092"
+    assert reg.list()[0]["connect_params"]["sasl.password"] == "******"
+    # persisted meta retains the real value for resume
+    with open(reg.meta_path) as f:
+        assert json.load(f)[spec.task_id]["connect_params"]["sasl.password"] == "hunter2"
