@@ -40,6 +40,14 @@ HEADLINE = [
     "ann_bucketed_topk",
     "text_quality",
     "multimodal_features",
+    # relational-extension + LLM-pipeline additions (locked in round 1 so
+    # later rounds stay comparable)
+    "exists_late_orders",
+    "returned_items_topk",
+    "window_moving_avg",
+    "bm25_topk",
+    "corpus_pipeline",
+    "salted_skew_join",
 ]
 
 
