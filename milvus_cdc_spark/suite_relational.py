@@ -963,3 +963,125 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Max-of-aggregate join-back (TPC-H Q15 shape): supplier(s) achieving the
+# maximum quarterly revenue. The scalar max over an aggregate becomes a
+# one-row broadcast against the same aggregate.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "top_supplier_revenue",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    "join",
+    "subquery",
+    "agg",
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_rev"
+        )
+    )
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(top))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Share-of-total HAVING (TPC-H Q11 shape): nations whose suppliers hold
+# more than 3% of global account balance. HAVING against a scalar
+# aggregate → broadcast one-row threshold.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "nation_balance_share",
+    """
+    SELECT n_name, round(sum(s_acctbal), 2) AS nation_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    HAVING sum(s_acctbal) > (SELECT sum(s_acctbal) * 0.03 FROM supplier)
+    ORDER BY nation_bal DESC, n_name
+    """,
+    "agg",
+    "subquery",
+    "having",
+)
+def nation_balance_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_nation = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("s_acctbal").alias("raw_bal"))
+    )
+    threshold = s.agg((F.sum("s_acctbal") * 0.03).alias("cutoff"))
+    return (
+        per_nation.join(F.broadcast(threshold))
+        .filter(F.col("raw_bal") > F.col("cutoff"))
+        .select("n_name", F.round("raw_bal", 2).alias("nation_bal"))
+        .orderBy(F.desc("nation_bal"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nested semi-join (TPC-H Q20 shape): suppliers that shipped any PROMO
+# part — a semi-join whose inner side is itself a semi-join.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "nested_semi_promo_suppliers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        AND l_shipdate >= TIMESTAMP '1998-01-01'
+    )
+    ORDER BY s_suppkey
+    """,
+    "join",
+    "semi-join",
+    "subquery",
+)
+def nested_semi_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    promo_li = li.join(
+        F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi"
+    ).select("l_suppkey")
+    return (
+        s.join(
+            promo_li.withColumnRenamed("l_suppkey", "s_suppkey"), "s_suppkey", "left_semi"
+        )
+        .orderBy("s_suppkey")
+    )
