@@ -154,3 +154,99 @@ def bucketed_topk(
         )
     )
     return _ranked_topk(scored, k)
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroids by cosine
+    (ties → lower centroid id). The corpus uses n_probe=1 (the IVF list a
+    vector lives in); queries probe several lists.
+
+    Plan: broadcast the (tiny) centroid set, per-vector argmin via
+    row_number — one pass over the corpus, no shuffle except the window's
+    per-vector partition (narrow: centroid count per vector).
+    """
+    cen = centroids.select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cvec"),
+        vecf.norm(F.col(vec_col)).alias("cn"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_vvec"),
+        vecf.norm(F.col(vec_col)).alias("_vn"),
+    )
+    scored = v.join(F.broadcast(cen)).select(
+        "_vid",
+        "centroid_id",
+        F.round(
+            vecf.dot(F.col("_vvec"), F.col("cvec")) / (F.col("_vn") * F.col("cn")), 6
+        ).alias("_csim"),
+    )
+    w = Window.partitionBy("_vid").orderBy(F.col("_csim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_probe)
+        .select(F.col("_vid").alias(id_col), "centroid_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest-centroid
+    list; each query scans only its ``n_probe`` nearest lists.
+
+    At 100 TB the corpus assignment is computed once and the corpus is
+    hash-partitioned (or bucketed) by centroid_id — per-query work is
+    the probed lists' sizes, and the centroid set stays broadcastable
+    (kMeans-trained offline; here the centroid *selection* is an input so
+    the whole operator stays deterministic and oracle-checkable).
+    """
+    corpus_lists = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1)
+    query_probes = ivf_assign(queries, centroids, id_col, vec_col, n_probe=n_probe)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        vecf.norm(F.col(vec_col)).alias("cnorm"),
+    ).join(
+        corpus_lists.select(
+            F.col(id_col).alias("neighbor_id"), "centroid_id"
+        ),
+        "neighbor_id",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        vecf.norm(F.col(vec_col)).alias("qnorm"),
+    ).join(
+        query_probes.select(F.col(id_col).alias("query_id"), "centroid_id"),
+        "query_id",
+    )
+    scored = (
+        c.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                vecf.dot(F.col("cvec"), F.col("qvec"))
+                / (F.col("cnorm") * F.col("qnorm")),
+                6,
+            ).alias("sim"),
+        )
+        # a query probing n lists can see a neighbor at most once (corpus
+        # vectors live in exactly one list) — no distinct needed
+    )
+    return _ranked_topk(scored, k)

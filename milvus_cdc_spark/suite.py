@@ -1335,6 +1335,74 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ivf_topk",
+    f"""
+    WITH cen AS (
+      SELECT vec_id AS centroid_id, embedding FROM embeddings
+      WHERE vec_id BETWEEN 100 AND 115
+    ),
+    corpus_assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT c.vec_id, q.centroid_id,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {_SQL_COSINE} DESC, q.centroid_id
+               ) AS r
+        FROM embeddings c, (SELECT centroid_id, embedding FROM cen) q
+      ) WHERE r = 1
+    ),
+    query_assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT c.vec_id, q.centroid_id,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {_SQL_COSINE} DESC, q.centroid_id
+               ) AS r
+        FROM (SELECT * FROM embeddings WHERE vec_id < 10) c,
+             (SELECT centroid_id, embedding FROM cen) q
+      ) WHERE r <= 2
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_SQL_COSINE} AS sim
+      FROM embeddings c
+      JOIN corpus_assign ca ON c.vec_id = ca.vec_id
+      JOIN query_assign qa ON ca.centroid_id = qa.centroid_id
+      JOIN embeddings q ON q.vec_id = qa.vec_id
+      WHERE c.vec_id != q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, sim
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+    "vector",
+    "similarity",
+    "ann",
+    "ivf",
+    "llm",
+)
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based IVF: corpus vectors live in nearest-centroid lists,
+    queries probe their 2 nearest lists. Centroids are a fixed slice of
+    the corpus (stand-in for offline kMeans) so the operator stays
+    deterministic and exactly oracle-checkable."""
+    from milvus_cdc_spark.analytics import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    centroids = emb.filter(F.col("vec_id").between(100, 115))
+    return similarity.ivf_topk(emb, queries, centroids, k=3, n_probe=2).orderBy(
+        "query_id", "rank"
+    )
+
+
+@q(
     "sliding_window_agg",
     """
     WITH expanded AS (
