@@ -1085,3 +1085,50 @@ def nested_semi_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytic-function completeness: rank / percent_rank / cume_dist /
+# first_value / last_value / lead in one pass (SURVEY §2.6 note).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "rank_analytics",
+    """
+    SELECT o_custkey, o_orderkey,
+           rank() OVER w AS rnk,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_key,
+           lead(o_orderkey, 1, -1) OVER w AS next_key
+    FROM orders
+    WHERE o_custkey % 200 = 11
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_custkey, rnk
+    """,
+    "window",
+    "ranking",
+    "analytic",
+)
+def rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 200 == 11)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.first("o_orderkey").over(w).alias("first_key"),
+            F.last("o_orderkey").over(wfull).alias("last_key"),
+            F.lead("o_orderkey", 1, -1).over(w).alias("next_key"),
+        )
+        .orderBy("o_custkey", "rnk")
+    )
