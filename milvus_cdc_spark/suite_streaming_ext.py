@@ -203,3 +203,64 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(media, frame_bytes=64, every_n=3).orderBy(
         "doc_id", "frame_no"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming session windows: the same 30-min-gap sessionization as the
+# batch session_window_agg, executed as a watermarked stream (complete
+# mode). Session merging across microbatches is the stateful part Spark
+# handles in the session-window state store.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "streaming_session_window",
+    """
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - coalesce(lag(ts) OVER w, ts) > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id,
+           min(ts)                         AS session_start,
+           count(*)                        AS n_events,
+           round(sum(value), 2)            AS total_value
+    FROM s
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    "streaming",
+    "session",
+    "watermark",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage, ev = _stage_events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    agg = (
+        stream.withWatermark("ts", "31 days")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return (
+        out.select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
