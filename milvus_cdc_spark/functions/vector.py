@@ -52,3 +52,116 @@ def l2_squared(a: Column, b: Column) -> Column:
 
 def l2(a: Column, b: Column) -> Column:
     return F.sqrt(l2_squared(a, b))
+
+
+def sign_bits_i64(a: Column, n_bits: int = 63) -> Column:
+    """Pack the sign bits of the first ``n_bits`` dimensions into a BIGINT
+    (BinaryVector surrogate, SURVEY §1.3). 63 bits keeps the value positive
+    in a signed 64-bit integer on every engine.
+
+    Engine-portable: shift/add arithmetic only.
+    """
+    acc = F.lit(0).cast("bigint")
+    for i in range(n_bits):
+        bit = F.when(F.element_at(a, i + 1) >= 0, F.lit(1)).otherwise(F.lit(0))
+        acc = acc + (bit.cast("bigint") * F.lit(2 ** i).cast("bigint"))
+    return acc
+
+
+def hamming_i64(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed-bit BIGINTs: bit_count(a XOR b).
+    The BinaryVector distance metric — one CPU instruction per pair at
+    scale, the cheapest possible pre-filter for vector search."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def fp16_encode(vec_col: Column) -> Column:
+    """array<float> → binary of IEEE float16 (Milvus Float16Vector storage,
+    SURVEY §1.3). Arrow-batched pandas UDF over numpy's float16 cast.
+
+    Precision contract: round-to-nearest-even to 10 mantissa bits;
+    |x| > 65504 saturates to ±inf. Decode(encode(x)) == float32(float16(x)),
+    max relative error 2^-11 in the normal range.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def enc(s):
+        import numpy as np
+        import pandas as pd
+
+        return pd.Series(
+            [
+                None if v is None else np.asarray(v, dtype=np.float16).tobytes()
+                for v in s
+            ]
+        )
+
+    return enc(vec_col)
+
+
+def fp16_decode(bin_col: Column) -> Column:
+    """binary (packed float16) → array<float>; inverse of fp16_encode."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<float>")
+    def dec(s):
+        import numpy as np
+        import pandas as pd
+
+        return pd.Series(
+            [
+                None
+                if b is None
+                else np.frombuffer(b, dtype=np.float16).astype(np.float32).tolist()
+                for b in s
+            ]
+        )
+
+    return dec(bin_col)
+
+
+def bf16_encode(vec_col: Column) -> Column:
+    """array<float> → binary of bfloat16 (truncated float32 high bytes).
+    numpy has no native bfloat16: encode = round-to-nearest float32 then
+    keep the top 16 bits (truncation — documents the precision contract:
+    8 mantissa bits, same exponent range as float32)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def enc(s):
+        import numpy as np
+        import pandas as pd
+
+        def one(v):
+            if v is None:
+                return None
+            u32 = np.asarray(v, dtype=np.float32).view(np.uint32)
+            # round-to-nearest: add half of the dropped ulp before truncating
+            u16 = ((u32 + 0x8000) >> 16).astype(np.uint16)
+            return u16.tobytes()
+
+        return pd.Series([one(v) for v in s])
+
+    return enc(vec_col)
+
+
+def bf16_decode(bin_col: Column) -> Column:
+    """binary (packed bfloat16) → array<float>: shift back into the high
+    half of a float32."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<float>")
+    def dec(s):
+        import numpy as np
+        import pandas as pd
+
+        def one(b):
+            if b is None:
+                return None
+            u16 = np.frombuffer(b, dtype=np.uint16).astype(np.uint32)
+            return (u16 << 16).view(np.float32).tolist()
+
+        return pd.Series([one(b) for b in s])
+
+    return dec(bin_col)

@@ -1132,3 +1132,76 @@ def rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# BinaryVector surrogate + Hamming top-k (SURVEY §1.3: BinaryVector →
+# packed bits; Milvus HAMMING metric). Sign bits of the embedding packed
+# into one BIGINT; distance = bit_count(xor) — a single instruction per
+# pair, the cheapest vector pre-filter at 100 TB.
+# ---------------------------------------------------------------------------
+
+_SQL_SIGNBITS = (
+    "("
+    + " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN CAST({2 ** i} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for i in range(63)
+    )
+    + ")"
+)
+
+
+@q(
+    "hamming_topk",
+    f"""
+    WITH sig AS (
+      SELECT vec_id, {_SQL_SIGNBITS} AS bits FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, bits AS qbits FROM sig WHERE vec_id < 5),
+    scored AS (
+      SELECT query_id, s.vec_id AS neighbor_id,
+             bit_count(xor(s.bits, q.qbits)) AS hamming
+      FROM sig s, q WHERE s.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, hamming
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+    "vector",
+    "binary-vector",
+    "hamming",
+    "llm",
+)
+def hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milvus_cdc_spark.functions import vector as vecf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id", vecf.sign_bits_i64(F.col("embedding"), 63).alias("bits")
+    )
+    qsig = sig.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("bits").alias("qbits")
+    )
+    scored = (
+        sig.crossJoin(F.broadcast(qsig))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            vecf.hamming_i64(F.col("bits"), F.col("qbits")).alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "rank", "neighbor_id", "hamming")
+        .orderBy("query_id", "rank")
+    )

@@ -113,3 +113,25 @@ def test_resize_media_plumbing(spark):
     assert len(out[1].payload) == 64  # 200 bytes, stride 3 -> 67, capped 64
     assert len(out[2].payload) == 2   # smaller than target: kept whole
     assert bytes(out[1].payload)[:3] == bytes([0, 3, 6])  # stride sampling
+
+
+def test_fp16_bf16_codec_roundtrip(spark):
+    """Float16/BFloat16 stored as binary + codec UDFs (SURVEY §1.3):
+    roundtrip honors each format's documented precision contract."""
+    import numpy as np
+
+    from milvus_cdc_spark.functions import vector as vecf
+    from pyspark.sql import functions as F
+
+    vals = [[0.5, -1.25, 3.14159, 65504.0, 1e-4]]
+    df = spark.createDataFrame([(1, vals[0])], "id bigint, v array<float>")
+    out = df.select(
+        "id",
+        vecf.fp16_decode(vecf.fp16_encode(F.col("v"))).alias("h"),
+        vecf.bf16_decode(vecf.bf16_encode(F.col("v"))).alias("b"),
+    ).collect()[0]
+    want_h = np.asarray(vals[0], dtype=np.float16).astype(np.float32)
+    assert np.allclose(out.h, want_h, rtol=0, atol=0)  # exact: same cast
+    # bfloat16 keeps 8 mantissa bits -> rel error <= 2^-8
+    got_b = np.asarray(out.b)
+    assert np.allclose(got_b, np.asarray(vals[0]), rtol=2 ** -8)
