@@ -250,3 +250,44 @@ def ivf_topk(
         # vectors live in exactly one list) — no distinct needed
     )
     return _ranked_topk(scored, k)
+
+
+def sparse_rows(
+    vectors: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dense → sparse: one (id, dim, val) row per above-threshold
+    component (SparseFloatVector surrogate, SURVEY §1.3). This row form
+    IS the inverted index: partitioned by dim, each dimension's posting
+    list lives together."""
+    return vectors.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "val")
+    ).filter(F.abs(F.col("val")) >= threshold)
+
+
+def sparse_topk(
+    corpus_rows: DataFrame,
+    query_rows: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """Sparse dot-product top-k over (id, dim, val) rows: join posting
+    lists on dim, accumulate val products per (query, neighbor) pair.
+
+    The classic inverted-index retrieval plan: work ∝ Σ posting-list
+    sizes of the query's nonzero dims — independent of corpus
+    dimensionality, shuffles keyed on dim then (query, neighbor)."""
+    c = corpus_rows.select(
+        F.col(corpus_rows.columns[0]).alias("neighbor_id"), "dim", F.col("val").alias("cval")
+    )
+    q = query_rows.select(
+        F.col(query_rows.columns[0]).alias("query_id"), "dim", F.col("val").alias("qval")
+    )
+    scored = (
+        c.join(F.broadcast(q), "dim")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum(F.col("cval") * F.col("qval")), 6).alias("sim"))
+    )
+    return _ranked_topk(scored, k)

@@ -1205,3 +1205,52 @@ def hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "neighbor_id", "hamming")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# SparseFloatVector dot-product retrieval (SURVEY §1.3): above-threshold
+# components as (id, dim, val) posting rows; top-k = inverted-index join.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "sparse_topk",
+    """
+    WITH comp AS (
+      SELECT vec_id,
+             unnest(embedding::DOUBLE[]) AS val,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    ),
+    sparse AS (SELECT vec_id, dim, val FROM comp WHERE abs(val) >= 0.2),
+    q AS (SELECT vec_id AS query_id, dim, val AS qval FROM sparse WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, s.vec_id AS neighbor_id,
+             round(sum(s.val * q.qval), 6) AS sim
+      FROM sparse s JOIN q USING (dim)
+      WHERE s.vec_id != q.query_id
+      GROUP BY q.query_id, s.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, sim
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+    "vector",
+    "sparse",
+    "llm",
+)
+def sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milvus_cdc_spark.analytics import similarity
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    rows = similarity.sparse_rows(emb, threshold=0.2)
+    qrows = rows.filter(F.col("vec_id") < 5)
+    return similarity.sparse_topk(rows, qrows, k=3).orderBy("query_id", "rank")
