@@ -44,12 +44,13 @@ STATE_COLS = ["collection", "pk", "last_insert_ts", "last_delete_ts", "n_inserts
 
 def batch_to_state(batch: DataFrame) -> DataFrame:
     """Collapse one microbatch to per-pk partial state."""
+    # 'import' (bulk load, reference ImportMsg) carries rows exactly like
+    # an insert for liveness purposes — both advance last_insert_ts
+    is_ins = F.col("op_type").isin("insert", "import")
     return batch.groupBy("collection", "pk").agg(
-        F.max(F.when(F.col("op_type") == "insert", F.col("ts"))).alias("last_insert_ts"),
+        F.max(F.when(is_ins, F.col("ts"))).alias("last_insert_ts"),
         F.max(F.when(F.col("op_type") == "delete", F.col("ts"))).alias("last_delete_ts"),
-        F.sum(
-            F.when(F.col("op_type") == "insert", F.col("num_rows")).otherwise(F.lit(0))
-        ).alias("n_inserts"),
+        F.sum(F.when(is_ins, F.col("num_rows")).otherwise(F.lit(0))).alias("n_inserts"),
     )
 
 

@@ -397,3 +397,56 @@ def test_rocksdb_state_store_provider(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_import_op_counts_as_insert(spark):
+    """ImportMsg semantics: a bulk import advances liveness exactly like
+    an insert (P1 whitelist admits it; apply treats it as row-bearing)."""
+    from milvus_cdc_spark.streaming.pipeline import batch_to_state
+
+    batch = spark.createDataFrame(
+        [
+            (100, "import", "c", 1, 500),
+            (200, "delete", "c", 1, 1),
+            (300, "import", "c", 2, 50),
+        ],
+        "ts bigint, op_type string, collection string, pk bigint, num_rows bigint",
+    )
+    state = {r.pk: r for r in batch_to_state(batch).collect()}
+    assert state[1].last_insert_ts == 100 and state[1].last_delete_ts == 200
+    assert state[2].last_insert_ts == 300 and state[2].n_inserts == 50
+
+
+def test_concurrent_tasks_run_in_parallel(spark, sf_dir):
+    """Reference envelope: up to 100 concurrent tasks (maxTaskNum).
+    Several pipelines with disjoint collection filters must run
+    simultaneously in one session and each converge independently."""
+    import threading
+
+    from milvus_cdc_spark.control.tasks import TaskRegistry
+
+    root = tempfile.mkdtemp(prefix="conc_")
+    src = tempfile.mkdtemp(prefix="conc_ops_")
+    ops = oplog.derive_oplog(catalog.load_table(spark, sf_dir, "lineitem"))
+    ops.repartition(4).write.mode("overwrite").parquet(src + "/files")
+    reg = TaskRegistry(spark, root)
+    tids = [
+        reg.create(src + "/files", [f"coll_{i}"]).task_id for i in range(3)
+    ]
+    errors = []
+
+    def run(tid):
+        try:
+            reg.start(tid)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(t,)) for t in tids]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors
+    for i, tid in enumerate(tids):
+        colls = {r.collection for r in reg.pipelines[tid].alive().collect()}
+        assert colls == {f"coll_{i}"}
