@@ -450,3 +450,78 @@ def test_concurrent_tasks_run_in_parallel(spark, sf_dir):
     for i, tid in enumerate(tids):
         colls = {r.collection for r in reg.pipelines[tid].alive().collect()}
         assert colls == {f"coll_{i}"}
+
+
+def test_chaos_replay_order_invariance(spark, sf_dir):
+    """SURVEY hard-part (1): the merge must converge to the same state no
+    matter how ops are scattered across files/batches. Three adversarial
+    layouts — sorted, reverse-sorted, hash-scattered — one result."""
+    ops = oplog.derive_oplog(catalog.load_table(spark, sf_dir, "lineitem"))
+
+    def run(layout_df, tag):
+        tmp = tempfile.mkdtemp(prefix=f"chaos_{tag}_")
+        layout_df.write.mode("overwrite").parquet(tmp + "/src")
+        pipe = CdcApplyPipeline(spark, tmp + "/src", tmp + "/work")
+        pipe.run_available_now()
+        return sorted(
+            (r.collection, r.pk, r.last_insert_ts) for r in pipe.alive().collect()
+        )
+
+    results = [
+        run(ops.orderBy("ts").repartition(5), "sorted"),
+        run(ops.orderBy(F.desc("ts")).repartition(3), "reversed"),
+        run(ops.repartition(7, "pk"), "scattered"),
+    ]
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) > 0
+
+
+def test_restart_picks_up_new_files_only(spark, sf_dir):
+    """Pause/resume with data arriving in between (T7): the restarted
+    query processes only unseen files, and the final state equals the
+    full batch replay."""
+    import shutil
+
+    ops = oplog.derive_oplog(catalog.load_table(spark, sf_dir, "lineitem"))
+    tmp = tempfile.mkdtemp(prefix="restart_")
+    stage = tmp + "/stage"
+    src = tmp + "/src"
+    ops.repartition(6).write.mode("overwrite").parquet(stage)
+    import os
+
+    os.makedirs(src)
+    parts = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    for f in parts[:3]:
+        shutil.copy(os.path.join(stage, f), os.path.join(src, f))
+    pipe = CdcApplyPipeline(spark, src, tmp + "/work")
+    pipe.run_available_now()
+    partial = pipe.alive().count()
+    # "new data arrives while paused"
+    for f in parts[3:]:
+        shutil.copy(os.path.join(stage, f), os.path.join(src, f))
+    pipe.run_available_now()  # resume from checkpoint
+    got = {
+        (r.collection, r.pk): r.last_insert_ts for r in pipe.alive().collect()
+    }
+    want = {
+        (r.collection, r.pk): r.last_insert_ts
+        for r in apply_op.replay_alive(ops).collect()
+    }
+    assert got == want
+    assert partial <= len(want)
+
+
+def test_schema_evolution_merge(spark):
+    """Dynamic-field story (SURVEY §1.2 $meta): a newer file adds a
+    column; mergeSchema reads the union with nulls for old rows."""
+    tmp = tempfile.mkdtemp(prefix="evolve_")
+    spark.createDataFrame([(1, "a")], "pk bigint, v string").write.parquet(
+        tmp + "/t/batch1"
+    )
+    spark.createDataFrame(
+        [(2, "b", '{"k": 1}')], "pk bigint, v string, meta string"
+    ).write.parquet(tmp + "/t/batch2")
+    df = spark.read.option("mergeSchema", "true").parquet(tmp + "/t/*")
+    rows = {r.pk: r for r in df.collect()}
+    assert set(df.columns) == {"pk", "v", "meta"}
+    assert rows[1].meta is None and rows[2].meta == '{"k": 1}'
