@@ -525,3 +525,27 @@ def test_schema_evolution_merge(spark):
     rows = {r.pk: r for r in df.collect()}
     assert set(df.columns) == {"pk", "v", "meta"}
     assert rows[1].meta is None and rows[2].meta == '{"k": 1}'
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SPARK_GRAFT_SCALE_TEST"),
+    reason="10x scale replay; set SPARK_GRAFT_SCALE_TEST=1 to run",
+)
+def test_scale_apply_6m(spark, sf_dir):
+    """~6M-op replay (sf0.1 oplog x10 with shifted pks): the streaming
+    apply must converge and match the batch replay at 10x the bench
+    volume. Gated: minutes of runtime."""
+    ops = oplog.derive_oplog(
+        catalog.load_table(spark, "/root/testdata/sf0.1", "lineitem")
+    )
+    replicas = None
+    for i in range(10):
+        shifted = ops.withColumn("pk", F.col("pk") + F.lit(i * 10_000_000))
+        replicas = shifted if replicas is None else replicas.unionByName(shifted)
+    tmp = tempfile.mkdtemp(prefix="scale6m_")
+    replicas.repartition(32).write.parquet(tmp + "/src")
+    pipe = CdcApplyPipeline(spark, tmp + "/src", tmp + "/work")
+    pipe.run_available_now()
+    got = pipe.alive().count()
+    want = apply_op.replay_alive(replicas).count()
+    assert got == want
