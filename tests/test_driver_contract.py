@@ -1,0 +1,55 @@
+"""Guards for the driver-facing contract: __spark_entry__ and bench.py.
+
+The driver smoke-checks entry(), runs queries()/oracle_sql() through its
+DuckDB comparator, and parses bench.py's single JSON line — breaking any
+of these surfaces invalidates a whole round, so they get their own tests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod
+
+
+def test_queries_and_oracles_align():
+    qs = entry_mod.queries()
+    osql = entry_mod.oracle_sql()
+    assert len(qs) >= 80
+    # every oracle belongs to a declared query
+    assert set(osql) <= set(qs)
+    # every callable has the (spark, sf_dir) arity
+    for fn in qs.values():
+        assert fn.__code__.co_argcount == 2
+    # names are stable identifiers (driver uses them as keys)
+    assert all(n.replace("_", "").isalnum() for n in qs)
+
+
+def test_entry_runs_and_returns_rows(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert set(df.columns) >= {"l_returnflag", "l_linestatus", "sum_qty"}
+
+
+def test_bench_prints_single_json_line():
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    out = subprocess.run(
+        [sys.executable, "/root/repo/bench.py"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [line for line in out.stdout.splitlines() if line.strip()]
+    assert len(lines) == 1, f"expected ONE json line, got: {lines}"
+    payload = json.loads(lines[0])
+    assert payload["unit"] == "sec" and payload["queries"]
+    assert payload["value"] > 0
