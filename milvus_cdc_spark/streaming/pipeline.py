@@ -94,7 +94,8 @@ class CdcApplyPipeline:
     """
 
     def __init__(self, spark: SparkSession, source_dir: str, work_dir: str,
-                 collections: list[str] | None = None):
+                 collections: list[str] | None = None,
+                 mirror: bool = False):
         self.spark = spark
         self.source_dir = source_dir
         self.state_dir = os.path.join(work_dir, "state")
@@ -102,6 +103,15 @@ class CdcApplyPipeline:
         self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
         self.collections = collections
         self._state_version = 0
+        # optional downstream mirror (the Kafka-sink analog, K3): ops are
+        # monotonic-ts-repaired (T2) before emission, exactly the
+        # reference's handlePack → sink ordering
+        self.mirror_dir = os.path.join(work_dir, "mirror") if mirror else None
+        self._repair = None
+        if mirror:
+            from milvus_cdc_spark.streaming.repair import MonotonicRepairStage
+
+            self._repair = MonotonicRepairStage(spark, work_dir)
 
     # -- state table ------------------------------------------------------
     def _state_path(self, version: int) -> str:
@@ -131,6 +141,11 @@ class CdcApplyPipeline:
         update = batch_to_state(ops)
         merged = merge_state(self.read_state(), update)
         self._write_state(merged)
+        if self._repair is not None:
+            repaired = self._repair.process(ops).withColumn(
+                "batch_id", F.lit(batch_id)
+            )
+            repaired.write.mode("append").parquet(self.mirror_dir)
         # position write-back AFTER successful apply (reference ordering)
         positions = ops.groupBy("vchannel").agg(
             F.max("ts").alias("position_ts"), F.count("*").alias("n_msgs")

@@ -549,3 +549,41 @@ def test_scale_apply_6m(spark, sf_dir):
     got = pipe.alive().count()
     want = apply_op.replay_alive(replicas).count()
     assert got == want
+
+
+def test_mirror_emits_monotonic_repaired_ops(spark):
+    """K3+T2 chain: with mirror=True the pipeline repairs regressive
+    timestamps before emitting — per channel, batch-order emission times
+    never decrease even when source file order regresses."""
+    import os
+
+    tmp = tempfile.mkdtemp(prefix="mirror_")
+    base = spark.createDataFrame(
+        [(500, "insert", "default", "c", "_p", "ch_0", 1, 1, 1)],
+        "ts bigint, op_type string, db string, collection string, partition string, "
+        "vchannel string, pk bigint, num_rows bigint, seq bigint",
+    )
+    # the pipeline reads 2 files per trigger: f1+f2 form batch 0 (max 550),
+    # f3 forms batch 1 and regresses to ts=100
+    variants = [(500, 1, "f1"), (550, 2, "f2"), (100, 3, "f3")]
+    for ts, pk, sub in variants:
+        base.withColumn("ts", F.lit(ts).cast("bigint")).withColumn(
+            "pk", F.lit(pk).cast("bigint")
+        ).coalesce(1).write.parquet(tmp + f"/src/{sub}")
+    import time as _time
+
+    now = _time.time()
+    for i, (_, _, sub) in enumerate(variants):
+        d = os.path.join(tmp, "src", sub)
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (now - 90 + i * 30,) * 2)
+
+    pipe = CdcApplyPipeline(spark, tmp + "/src/*", tmp + "/work", mirror=True)
+    pipe.run_available_now()
+    mirror = spark.read.parquet(tmp + "/work/mirror").collect()
+    assert len(mirror) == 3
+    by_pk = {r.pk: r for r in mirror}
+    assert by_pk[1].repaired_ts == 500 and by_pk[2].repaired_ts == 550
+    # the regressive ts=100 in the later batch was rebased above 550
+    assert by_pk[3].batch_id > by_pk[1].batch_id
+    assert by_pk[3].repaired_ts == 551
