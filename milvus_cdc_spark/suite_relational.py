@@ -1395,3 +1395,77 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# Double-correlated EXISTS / NOT EXISTS (TPC-H Q21 shape): suppliers who
+# were the ONLY late shipper on a multi-supplier order. Two correlated
+# subqueries against the same fact — the heaviest decorrelation pattern
+# in the TPC-H set: one left-semi and one left-anti join keyed on
+# (orderkey) with a supplier-inequality residual.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "sole_late_supplier",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    "join",
+    "subquery",
+    "semi-join",
+    "anti-join",
+)
+def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late_cut = F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    l1 = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > late_cut)
+        .select("l_orderkey", "l_suppkey")
+    )
+    # EXISTS: another supplier on the same order
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    with_other = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    )
+    # NOT EXISTS: no OTHER supplier was also late on that order
+    l3 = l1.select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    sole = with_other.join(
+        l3,
+        (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    return (
+        sole.join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
