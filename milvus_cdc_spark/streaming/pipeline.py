@@ -135,6 +135,18 @@ class CdcApplyPipeline:
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         from milvus_cdc_spark.operators import filters
 
+        # one materialization for the whole body: the state merge, mirror,
+        # and positions writes are separate actions — without the persist
+        # each re-scans the source batch (and re-fires observe() counters)
+        batch.persist()
+        try:
+            self._apply_batch_inner(batch, batch_id)
+        finally:
+            batch.unpersist()
+
+    def _apply_batch_inner(self, batch: DataFrame, batch_id: int) -> None:
+        from milvus_cdc_spark.operators import filters
+
         ops = filters.msg_type_whitelist(batch)
         if self.collections:
             ops = ops.filter(filters.collection_filter_predicate(self.collections))
@@ -158,6 +170,14 @@ class CdcApplyPipeline:
             self.spark.readStream.schema(OPLOG_SCHEMA)
             .option("maxFilesPerTrigger", 2)
             .parquet(self.source_dir)
+            # Spark-native counters (reference metrics.go replicate_data_cnt
+            # / _size): observed per microbatch, surfaced in progress events
+            # as observedMetrics["apply_metrics"] — no hand-kept atomics
+            .observe(
+                "apply_metrics",
+                F.count(F.lit(1)).alias("ops"),
+                F.sum("num_rows").alias("payload_rows"),
+            )
         )
         query = (
             stream.writeStream.foreachBatch(self.apply_batch)
@@ -166,6 +186,12 @@ class CdcApplyPipeline:
             .start()
         )
         query.awaitTermination()
+        observed = []
+        for p in query.recentProgress:
+            m = p.get("observedMetrics", {}).get("apply_metrics")
+            if m is not None:
+                observed.append(m.asDict() if hasattr(m, "asDict") else dict(m))
+        self.last_observed = observed
 
     def alive(self) -> DataFrame:
         return alive_view(self.read_state())

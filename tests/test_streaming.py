@@ -587,3 +587,17 @@ def test_mirror_emits_monotonic_repaired_ops(spark):
     # the regressive ts=100 in the later batch was rebased above 550
     assert by_pk[3].batch_id > by_pk[1].batch_id
     assert by_pk[3].repaired_ts == 551
+
+
+def test_observed_metrics_count_ops(spark, oplog_dir, sf_dir):
+    """A5/A6 via Spark's observe(): per-batch op/payload counters from
+    progress telemetry sum to the exact source row count."""
+    work = tempfile.mkdtemp(prefix="obs_")
+    pipe = CdcApplyPipeline(spark, oplog_dir, work)
+    pipe.run_available_now()
+    total_ops = sum(m["ops"] for m in pipe.last_observed)
+    want = oplog.derive_oplog(
+        catalog.load_table(spark, sf_dir, "lineitem")
+    ).count()
+    assert total_ops == want
+    assert sum(m["payload_rows"] for m in pipe.last_observed) == want  # num_rows==1
