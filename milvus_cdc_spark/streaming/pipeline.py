@@ -196,6 +196,27 @@ class CdcApplyPipeline:
     def alive(self) -> DataFrame:
         return alive_view(self.read_state())
 
+    def compact_positions(self) -> None:
+        """Rewrite the append-per-batch positions table as one file per
+        vchannel-summary — the small-file compaction a long-running task
+        schedules periodically (every batch appends a few-KB file; at
+        500 ms triggers that is ~170k files/day unscheduled)."""
+        try:
+            pos = self.spark.read.parquet(self.positions_dir)
+        except Exception:
+            return
+        latest = pos.groupBy("vchannel").agg(
+            F.max("position_ts").alias("position_ts"),
+            F.sum("n_msgs").alias("n_msgs"),
+            F.max("batch_id").alias("batch_id"),
+        )
+        tmp_dir = self.positions_dir + ".compact"
+        latest.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        import shutil
+
+        shutil.rmtree(self.positions_dir)
+        os.rename(tmp_dir, self.positions_dir)
+
     def positions(self) -> DataFrame:
         """Latest position per vchannel (K6 checkpoint semantics)."""
         try:

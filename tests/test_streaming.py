@@ -601,3 +601,60 @@ def test_observed_metrics_count_ops(spark, oplog_dir, sf_dir):
     ).count()
     assert total_ops == want
     assert sum(m["payload_rows"] for m in pipe.last_observed) == want  # num_rows==1
+
+
+def test_streaming_ivf_index_maintenance(spark, sf_dir):
+    """Incremental vector-index maintenance: embeddings streamed in
+    batches, each foreachBatch assigns new vectors to their IVF list and
+    appends — the final list assignment equals the one-shot batch build.
+    (The freshness story for vector search over a live CDC feed.)"""
+    from milvus_cdc_spark.analytics.similarity import ivf_assign
+
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id").between(100, 115))
+    tmp = tempfile.mkdtemp(prefix="ivf_stream_")
+    emb.repartition(4).write.parquet(tmp + "/src")
+    lists_dir = tmp + "/lists"
+
+    def assign_batch(batch, batch_id):
+        ivf_assign(batch, centroids).write.mode("append").parquet(lists_dir)
+
+    q = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp + "/src")
+        .writeStream.foreachBatch(assign_batch)
+        .option("checkpointLocation", tmp + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.vec_id, r.centroid_id)
+        for r in spark.read.parquet(lists_dir).collect()
+    }
+    want = {
+        (r.vec_id, r.centroid_id) for r in ivf_assign(emb, centroids).collect()
+    }
+    assert got == want
+
+
+def test_positions_compaction(spark, oplog_dir):
+    """Compaction folds the per-batch position appends into one summary
+    per vchannel without changing the answer."""
+    import os
+
+    work = tempfile.mkdtemp(prefix="compact_")
+    pipe = CdcApplyPipeline(spark, oplog_dir, work)
+    pipe.run_available_now()
+    before = {(r.vchannel, r.position_ts) for r in pipe.positions().collect()}
+    n_files_before = len(
+        [f for f in os.listdir(pipe.positions_dir) if f.endswith(".parquet")]
+    )
+    pipe.compact_positions()
+    after = {(r.vchannel, r.position_ts) for r in pipe.positions().collect()}
+    n_files_after = len(
+        [f for f in os.listdir(pipe.positions_dir) if f.endswith(".parquet")]
+    )
+    assert before == after
+    assert n_files_after == 1 and n_files_before > 1
