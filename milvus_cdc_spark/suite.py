@@ -1857,14 +1857,38 @@ def string_key_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@q("approx_distinct_parts", None, "agg", "approx")
+@q(
+    "approx_distinct_parts",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           true AS approx_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "agg",
+    "approx",
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) checked against the exact count: the
+    sketch itself is engine-specific, so the oracle-checkable claim is
+    the accuracy contract — approx within 5% of exact (Spark's default
+    rsd=0.05; deterministic for fixed input)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey").alias("approx_parts"),
             F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("approx_within_5pct"),
         )
         .orderBy("l_returnflag")
     )
