@@ -291,3 +291,67 @@ def sparse_topk(
         .agg(F.round(F.sum(F.col("cval") * F.col("qval")), 6).alias("sim"))
     )
     return _ranked_topk(scored, k)
+
+
+def probe_buckets(vec_col, n_bits: int = 4):
+    """Multi-probe LSH: the vector's own sign-bucket plus each
+    single-bit-flip neighbor (n_bits+1 buckets). Probing adjacent buckets
+    recovers near-neighbors that straddle a quantization boundary — the
+    standard recall/cost dial for LSH without growing the index."""
+    own = sign_bucket(vec_col, n_bits)
+    probes = [own]
+    for i in range(n_bits):
+        flipped = F.when(F.element_at(vec_col, i + 1) >= 0, F.lit("0")).otherwise(
+            F.lit("1")
+        )
+        parts = [
+            flipped if j == i
+            else F.when(F.element_at(vec_col, j + 1) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for j in range(n_bits)
+        ]
+        probes.append(F.concat(*parts))
+    return F.array(*probes)
+
+
+def multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH top-k with single-bit multi-probe: each query scans its
+    own bucket plus the n_bits flip-neighbors. Candidate volume grows
+    ~(n_bits+1)×; recall approaches brute force (see ann_recall vs
+    ann_multiprobe queries)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        vecf.norm(F.col(vec_col)).alias("qnorm"),
+        F.explode(probe_buckets(F.col(vec_col), n_bits)).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        vecf.norm(F.col(vec_col)).alias("cnorm"),
+        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                vecf.dot(F.col("cvec"), F.col("qvec"))
+                / (F.col("cnorm") * F.col("qnorm")),
+                6,
+            ).alias("sim"),
+        )
+        # a corpus vector lives in ONE bucket but a query probes several —
+        # distinct buckets never repeat, so pairs are already unique
+    )
+    return _ranked_topk(scored, k)

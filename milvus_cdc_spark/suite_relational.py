@@ -1469,3 +1469,76 @@ def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe sign-LSH (recall/cost dial): queries probe their own bucket
+# plus each single-bit-flip neighbor.
+# ---------------------------------------------------------------------------
+
+
+def _sql_bucket(flip: int | None) -> str:
+    cases = []
+    for i in range(4):
+        pos, neg = ("1", "0") if flip != i else ("0", "1")
+        cases.append(
+            f"CASE WHEN embedding[{i + 1}] >= 0 THEN '{pos}' ELSE '{neg}' END"
+        )
+    return "(" + " || ".join(cases) + ")"
+
+
+_SQL_PROBES = "[" + ", ".join(
+    _sql_bucket(f) for f in [None, 0, 1, 2, 3]
+) + "]"
+
+_SQL_COSINE_CQ = """
+  round(
+    list_sum(list_transform(list_zip(c.embedding::DOUBLE[], q.embedding::DOUBLE[]),
+                            p -> p[1] * p[2]))
+    / (sqrt(list_sum(list_transform(c.embedding::DOUBLE[], x -> x * x)))
+       * sqrt(list_sum(list_transform(q.embedding::DOUBLE[], x -> x * x)))),
+    6)
+"""
+
+
+@q(
+    "ann_multiprobe_topk",
+    f"""
+    WITH c AS (
+      SELECT vec_id, embedding, {_sql_bucket(None)} AS bucket FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, embedding, unnest({_SQL_PROBES}) AS bucket
+      FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_SQL_COSINE_CQ} AS sim
+      FROM c JOIN q ON c.bucket = q.bucket
+      WHERE c.vec_id != q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, sim
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+    "vector",
+    "ann",
+    "multi-probe",
+    "llm",
+)
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-bit multi-probe LSH: ~(n_bits+1)x the candidates of the
+    plain bucket search, recall much closer to brute force."""
+    from milvus_cdc_spark.analytics import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.multiprobe_topk(emb, queries, k=3, n_bits=4).orderBy(
+        "query_id", "rank"
+    )

@@ -658,3 +658,55 @@ def test_positions_compaction(spark, oplog_dir):
     )
     assert before == after
     assert n_files_after == 1 and n_files_before > 1
+
+
+def test_streaming_minhash_maintenance(spark, sf_dir):
+    """Incremental MinHash signature maintenance: per-doc min-hashes are
+    commutative, so streaming batches folded with min() equal the batch
+    signature build — the near-dup index stays fresh over a CDC feed."""
+    from milvus_cdc_spark.analytics.dedup import minhash_signature_df
+
+    docs = catalog.load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    tmp = tempfile.mkdtemp(prefix="mh_stream_")
+    docs.repartition(4).write.parquet(tmp + "/src")
+    sig_dir = tmp + "/sigs"
+
+    def update_sigs(batch, batch_id):
+        new = minhash_signature_df(batch, k=8)
+        try:
+            old = spark.read.parquet(sig_dir + "/current")
+        except Exception:
+            old = None
+        merged = new if old is None else (
+            old.unionByName(new)
+            .select("doc_id", *[F.col("sig")[i].alias(f"_h{i}") for i in range(8)])
+            .groupBy("doc_id")
+            .agg(*[F.min(f"_h{i}").alias(f"_h{i}") for i in range(8)])
+            .select("doc_id", F.array(*[F.col(f"_h{i}") for i in range(8)]).alias("sig"))
+        )
+        merged.write.mode("overwrite").parquet(sig_dir + f"/v{batch_id}")
+        import shutil
+
+        shutil.rmtree(sig_dir + "/current", ignore_errors=True)
+        shutil.copytree(sig_dir + f"/v{batch_id}", sig_dir + "/current")
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp + "/src")
+        .writeStream.foreachBatch(update_sigs)
+        .option("checkpointLocation", tmp + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.doc_id: tuple(r.sig)
+        for r in spark.read.parquet(sig_dir + "/current").collect()
+    }
+    want = {
+        r.doc_id: tuple(r.sig) for r in minhash_signature_df(docs, k=8).collect()
+    }
+    assert got == want
