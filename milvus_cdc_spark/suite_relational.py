@@ -1542,3 +1542,68 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.multiprobe_topk(emb, queries, k=3, n_bits=4).orderBy(
         "query_id", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed anomaly detection over the events stream: hourly error-rate
+# spikes vs the previous hour (conditional agg + lag). The realtime-ops
+# query every CDC deployment runs on its own telemetry.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "error_spike_detection",
+    """
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+             count(*) AS n_events
+      FROM events
+      GROUP BY 1
+    ),
+    rated AS (
+      SELECT hour_start, n_errors, n_events,
+             round(n_errors * 1.0 / n_events, 6) AS err_rate,
+             round(lag(n_errors * 1.0 / n_events) OVER (ORDER BY hour_start), 6)
+               AS prev_rate
+      FROM hourly
+    )
+    SELECT hour_start, n_errors, n_events, err_rate
+    FROM rated
+    WHERE prev_rate IS NOT NULL AND err_rate > 2 * prev_rate AND n_errors >= 5
+    ORDER BY hour_start
+    """,
+    "streaming-analog",
+    "window",
+    "anomaly",
+)
+def error_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+                "n_errors"
+            ),
+            F.count("*").alias("n_events"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "n_errors", "n_events")
+    )
+    w = Window.orderBy("hour_start")
+    rate = F.col("n_errors") / F.col("n_events")
+    rated = hourly.select(
+        "hour_start",
+        "n_errors",
+        "n_events",
+        F.round(rate, 6).alias("err_rate"),
+        F.round(F.lag(rate).over(w), 6).alias("prev_rate"),
+    )
+    return (
+        rated.filter(
+            F.col("prev_rate").isNotNull()
+            & (F.col("err_rate") > 2 * F.col("prev_rate"))
+            & (F.col("n_errors") >= 5)
+        )
+        .select("hour_start", "n_errors", "n_events", "err_rate")
+        .orderBy("hour_start")
+    )
