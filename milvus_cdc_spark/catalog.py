@@ -54,6 +54,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       apply directly.
     """
     path = f"{sf_dir}/{name}.parquet"
+    # Self-contained on ANY session (a vanilla driver harness session has
+    # none of session.get_spark's confs). Both are runtime-settable:
+    # nanosAsLong makes TIMESTAMP(NANOS) parquet readable (raw int64),
+    # UTC pins event-time semantics regardless of host timezone.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for col in _nanos_columns(path):
         # integer division: ns epoch values overflow double's exact range

@@ -45,9 +45,27 @@ def collection_filter_predicate(
     return pred
 
 
+#: The reference's RBAC op surface (channel_writer.go:126-141): credential,
+#: role, user-role and privilege ops, plus the privilege-group trio.
+RBAC_OP_TYPES = (
+    "create_credential",
+    "delete_credential",
+    "update_credential",
+    "create_role",
+    "drop_role",
+    "operate_user_role",
+    "operate_privilege",
+    "operate_privilege_v2",
+    "create_privilege_group",
+    "drop_privilege_group",
+    "operate_privilege_group",
+)
+
+
 def rbac_gate(df: DataFrame, enable_user_role: bool, op_col: str = "op_type") -> DataFrame:
-    """P3: user/role ops pass only when the task opted in."""
-    is_rbac = F.col(op_col).isin("create_user", "delete_user", "create_role", "drop_role", "operate_privilege")
+    """P3: user/role ops pass only when the task opted in
+    (reference replicate option EnableUserRole; channel_writer.go:126-141)."""
+    is_rbac = F.col(op_col).isin(*RBAC_OP_TYPES)
     return df.filter(~is_rbac | F.lit(enable_user_role))
 
 

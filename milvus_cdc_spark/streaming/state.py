@@ -156,6 +156,67 @@ def timetick_stream(ops: DataFrame, tt_interval_ms: int = 500) -> DataFrame:
     )
 
 
+def timetick_fallback(ops: DataFrame, tt_interval_ms: int = 500) -> DataFrame:
+    """Timer-driven TT heartbeat WITHOUT transformWithState (SURVEY §2.9 T1;
+    reference UnsafeShouldSendTSMsg ts_manager.go:324-336, 500 ms default
+    core/model/reader.go:63).
+
+    ``transformWithStateInPandas`` needs google.protobuf (absent in some
+    environments), so this fallback uses ``applyInPandasWithState`` with a
+    *processing-time timeout*: a data arrival updates the per-channel
+    high-water mark and emits a data tick; when a channel goes idle the
+    group times out and emits a heartbeat tick carrying the last mark,
+    re-arming itself. Same semantics, plain Arrow wire protocol.
+
+    State per key: (max_ts, n_msgs) — bounded by channel cardinality.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        max_ts, n_msgs = state.get if state.exists else (0, 0)
+        if state.hasTimedOut:
+            # idle channel: heartbeat with the last high-water mark, re-arm
+            state.setTimeoutDuration(tt_interval_ms)
+            yield pd.DataFrame(
+                {
+                    "vchannel": [key[0]],
+                    "tick_ts": [max_ts],
+                    "n_msgs": [0],
+                    "is_heartbeat": [True],
+                }
+            )
+            return
+        n = 0
+        for pdf in pdfs:
+            if len(pdf):
+                max_ts = max(max_ts, int(pdf["ts"].max()))
+                n += len(pdf)
+        state.update((max_ts, n_msgs + n))
+        state.setTimeoutDuration(tt_interval_ms)
+        yield pd.DataFrame(
+            {
+                "vchannel": [key[0]],
+                "tick_ts": [max_ts],
+                "n_msgs": [n],
+                "is_heartbeat": [False],
+            }
+        )
+
+    return (
+        ops.select("vchannel", "ts")
+        .groupBy("vchannel")
+        .applyInPandasWithState(
+            update,
+            outputStructType="vchannel string, tick_ts long, n_msgs long, is_heartbeat boolean",
+            stateStructType="max_ts long, n_msgs long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def barrier_stream(drops: DataFrame, expected: int) -> DataFrame:
     """Streaming barrier aggregate over a stream of drop signals.
 

@@ -194,8 +194,8 @@ def having_in_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conditional_priority_counts",
     """
     SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
     GROUP BY l_returnflag
@@ -623,9 +623,9 @@ def percentile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_priority_status",
     """
     SELECT o_orderpriority,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
-           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -667,7 +667,7 @@ def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks WHERE tok <> '' AND regexp_matches(tok, '^[ -~]+$')
     )
     SELECT doc_id,
-           sum(tok_h * (((pos - 1) % 64) + 1)) % 2147483647 AS fingerprint,
+           CAST(sum(tok_h * (((pos - 1) % 64) + 1)) % 2147483647 AS BIGINT) AS fingerprint,
            count(*) AS n_tokens
     FROM hashed
     GROUP BY doc_id
@@ -828,7 +828,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            count(*) AS n_docs,
            round(avg(n_tokens), 4) AS avg_tokens,
-           sum(n_tokens) AS total_tokens
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM deduped
     GROUP BY source
     ORDER BY source
@@ -1556,7 +1556,7 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH hourly AS (
       SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
-             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
              count(*) AS n_events
       FROM events
       GROUP BY 1
@@ -1606,4 +1606,182 @@ def error_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("hour_start", "n_errors", "n_events", "err_rate")
         .orderBy("hour_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp: the driver fixtures ship no partsupp table, so TPC-H
+# Q9/Q16 derive one deterministically from part × {0..3} with pure integer
+# arithmetic (the same trick as oplog.derive_oplog) — both engines compute
+# bit-identical rows, so the shapes stay oracle-checkable. Supplier keys are
+# taken modulo the supplier count (computed from the table, not assumed),
+# then inner-joined back to supplier so only real suppliers survive.
+#
+# Scale note: partsupp is |part| × 4 rows built from a broadcast 4-row seq —
+# no shuffle to derive; the downstream joins are ordinary shuffled/broadcast
+# equi-joins Catalyst plans like any TPC-H run.
+# ---------------------------------------------------------------------------
+
+ORACLE_PARTSUPP_SQL = """
+    SELECT p_partkey AS ps_partkey,
+           (p_partkey * 7 + i * 13) % (SELECT count(*) FROM supplier) AS ps_suppkey,
+           (p_partkey * 11 + i * 17) % 9999 + 1 AS ps_availqty,
+           CAST((p_partkey * 31 + i * 19) % 100000 AS DOUBLE) / 100.0 + 1.0
+             AS ps_supplycost
+    FROM part CROSS JOIN (VALUES (0), (1), (2), (3)) AS seq(i)
+"""
+
+
+def derive_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    n_supp = supplier.agg(F.count("*").alias("n_supp"))
+    seq = spark.range(4).select(F.col("id").cast("int").alias("i"))
+    return (
+        part.crossJoin(F.broadcast(seq))
+        .crossJoin(F.broadcast(n_supp))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") * 7 + F.col("i") * 13) % F.col("n_supp")).alias(
+                "ps_suppkey"
+            ),
+            ((F.col("p_partkey") * 11 + F.col("i") * 17) % 9999 + 1).alias(
+                "ps_availqty"
+            ),
+            (
+                ((F.col("p_partkey") * 31 + F.col("i") * 19) % 100000).cast("double")
+                / 100.0
+                + 1.0
+            ).alias("ps_supplycost"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 (product-type profit): nation × year profit over the full
+# 6-table join. At scale: part filter pushes into the scan, partsupp joins
+# lineitem on (partkey, suppkey) as a shuffled equi-join, supplier/nation
+# broadcast. Reference parity: the relational surface a CDC consumer runs
+# downstream (SURVEY §2.7).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tpch_q9_product_profit",
+    f"""
+    WITH partsupp AS ({ORACLE_PARTSUPP_SQL})
+    SELECT n_name AS nation,
+           CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
+           -- exact integer-cents accounting: per-row half-up via floor(x+0.5)
+           -- (identical IEEE arithmetic in both engines, no float-sum-order
+           -- or rounding-mode drift), summed exactly as BIGINT
+           CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)
+                                - ps_supplycost * l_quantity) * 100 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 100.0 AS profit
+    FROM lineitem
+    JOIN orders    ON o_orderkey = l_orderkey
+    JOIN partsupp  ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN part      ON p_partkey = l_partkey
+    JOIN supplier  ON s_suppkey = l_suppkey
+    JOIN nation    ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    ORDER BY 1, 2 DESC
+    """,
+    "join",
+    "multi-join",
+    "agg",
+    "tpch",
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey"
+    )
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ps = derive_partsupp(spark, sf_dir)
+    # integer-cents per row (floor(x*100+0.5) = half-up, engine-portable),
+    # so the aggregate is an exact BIGINT sum — no float-order drift
+    profit_cents = F.floor(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("ps_supplycost") * F.col("l_quantity")
+        )
+        * 100
+        + 0.5
+    ).cast("long")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            ps,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg((F.sum(profit_cents).cast("double") / 100.0).alias("profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 (supplier-part relationships): distinct suppliers per
+# (brand, type, size) bucket, excluding a deterministic "complaints"
+# blacklist (s_suppkey % 7 = 3 — the fixtures carry no comment column, so
+# the blacklist analog is arithmetic; semantics of the NOT IN anti-join are
+# the TPC-H ones). At scale: partsupp×part shuffled equi-join with the
+# filter pushed down, blacklist broadcast-anti, distinct-agg shuffles once.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tpch_q16_supplier_parts",
+    f"""
+    WITH partsupp AS ({ORACLE_PARTSUPP_SQL})
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 3)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "join",
+    "anti-join",
+    "distinct-agg",
+    "tpch",
+)
+def tpch_q16_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    blacklist = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 7 == 3)
+        .select("s_suppkey")
+    )
+    ps = derive_partsupp(spark, sf_dir)
+    return (
+        ps.join(
+            F.broadcast(blacklist),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(part, F.col("p_partkey") == F.col("ps_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
     )

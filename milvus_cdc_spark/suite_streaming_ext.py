@@ -264,3 +264,150 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# T1 time-tick heartbeat, as a deterministic event-time replay: the
+# reference emits a TT message per channel whenever data arrives OR the
+# 500 ms TTInterval elapses on an idle channel (UnsafeShouldSendTSMsg,
+# ts_manager.go:324-336; interval core/model/reader.go:63). Replayed over
+# the op-log's hybrid-TSO physical clock (ts >> 18 = epoch-ms), the
+# heartbeat schedule per channel is a pure function of the inter-arrival
+# gaps: a gap of G ms emits greatest(G-1,0) div 500 idle heartbeats.
+#
+# The *processing-time* operator itself (applyInPandasWithState with
+# ProcessingTimeTimeout, streaming/state.timetick_fallback) is executed and
+# asserted in tests/test_streaming.py — timers aren't batch-deterministic,
+# so the suite entry checks the schedule arithmetic both engines can agree
+# on. Scale: one window + one agg per channel, shuffle bounded by channel
+# cardinality.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "timetick_heartbeat",
+    f"""
+    WITH ops AS ({oplog.ORACLE_OPLOG_SQL}),
+    ph AS (SELECT vchannel, ts >> 18 AS phys FROM ops),
+    g AS (
+      SELECT vchannel,
+             phys - lag(phys) OVER (PARTITION BY vchannel ORDER BY phys) AS gap
+      FROM ph
+    )
+    SELECT vchannel,
+           count(*) AS n_msgs,
+           CAST(sum(CASE WHEN gap > 500 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_idle_gaps,
+           CAST(sum(greatest(coalesce(gap, 0) - 1, 0) // 500) AS BIGINT)
+             AS n_heartbeats,
+           CAST(max(coalesce(gap, 0)) AS BIGINT) AS max_idle_ms
+    FROM g
+    GROUP BY vchannel
+    ORDER BY vchannel
+    """,
+    "cdc",
+    "timetick",
+    "heartbeat",
+)
+def timetick_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ops = oplog.derive_oplog(catalog.load_table(spark, sf_dir, "lineitem"))
+    ph = ops.select("vchannel", F.shiftright("ts", 18).alias("phys"))
+    w = Window.partitionBy("vchannel").orderBy("phys")
+    g = ph.withColumn("gap", F.col("phys") - F.lag("phys").over(w))
+    return (
+        g.groupBy("vchannel")
+        .agg(
+            F.count("*").alias("n_msgs"),
+            F.sum(F.when(F.col("gap") > 500, 1).otherwise(0)).alias("n_idle_gaps"),
+            F.sum(
+                F.expr("greatest(coalesce(gap, 0) - 1, 0) div 500")
+            ).alias("n_heartbeats"),
+            F.max(F.coalesce("gap", F.lit(0))).alias("max_idle_ms"),
+        )
+        .orderBy("vchannel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3 + RBAC routing: a deterministic mixed DDL/RBAC op stream is routed
+# through the replicate gate at BOTH settings of enable_user_role
+# (reference option; channel_writer.go:126-141 routes 8 credential/role/
+# privilege op types + the privilege-group trio). The output is the routed
+# count per (enabled, op_class): with the gate closed every RBAC op is
+# 'filtered'; open, each routes to its handler class. The stateful
+# describe-before-mutate apply (RbacState) is asserted in pytest — this
+# entry checks the gate + routing fabric the driver can oracle.
+# ---------------------------------------------------------------------------
+
+_RBAC_OP_CASE = """
+    CASE o_orderkey % 11
+      WHEN 0 THEN 'create_credential'  WHEN 1 THEN 'delete_credential'
+      WHEN 2 THEN 'update_credential'  WHEN 3 THEN 'create_role'
+      WHEN 4 THEN 'drop_role'          WHEN 5 THEN 'operate_user_role'
+      WHEN 6 THEN 'operate_privilege'  WHEN 7 THEN 'operate_privilege_v2'
+      WHEN 8 THEN 'create_privilege_group'
+      WHEN 9 THEN 'drop_privilege_group'
+      ELSE 'operate_privilege_group' END
+"""
+
+
+@q(
+    "rbac_routing",
+    f"""
+    WITH rbac_ops AS (
+      SELECT CASE WHEN o_orderkey % 3 = 0
+                  THEN {_RBAC_OP_CASE}
+                  ELSE 'create_collection' END AS op_type
+      FROM orders
+    ),
+    gated AS (
+      SELECT op_type, enabled,
+             CASE
+               WHEN op_type = 'create_collection' THEN 'collection_ddl'
+               WHEN NOT enabled THEN 'filtered'
+               WHEN op_type LIKE '%credential%' THEN 'credential'
+               WHEN op_type LIKE '%privilege_group%' THEN 'privilege_group'
+               WHEN op_type LIKE '%role%' THEN 'role'
+               ELSE 'privilege' END AS route
+      FROM rbac_ops CROSS JOIN (VALUES (TRUE), (FALSE)) AS flags(enabled)
+    )
+    SELECT enabled, route, count(*) AS n_ops
+    FROM gated
+    GROUP BY enabled, route
+    ORDER BY enabled, route
+    """,
+    "rbac",
+    "filter",
+    "routing",
+    "cdc",
+)
+def rbac_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milvus_cdc_spark.operators.filters import RBAC_OP_TYPES
+
+    orders = catalog.load_table(spark, sf_dir, "orders")
+    op_type = F.when(
+        F.col("o_orderkey") % 3 == 0,
+        F.element_at(
+            F.array(*[F.lit(t) for t in RBAC_OP_TYPES]),
+            (F.col("o_orderkey") % 11 + 1).cast("int"),
+        ),
+    ).otherwise(F.lit("create_collection"))
+    ops = orders.select(op_type.alias("op_type"))
+    flags = spark.createDataFrame([(True,), (False,)], "enabled boolean")
+    route = (
+        F.when(F.col("op_type") == "create_collection", F.lit("collection_ddl"))
+        .when(~F.col("enabled"), F.lit("filtered"))
+        .when(F.col("op_type").contains("credential"), F.lit("credential"))
+        .when(F.col("op_type").contains("privilege_group"), F.lit("privilege_group"))
+        .when(F.col("op_type").contains("role"), F.lit("role"))
+        .otherwise(F.lit("privilege"))
+    )
+    return (
+        ops.crossJoin(F.broadcast(flags))
+        .withColumn("route", route)
+        .groupBy("enabled", "route")
+        .agg(F.count("*").alias("n_ops"))
+        .orderBy("enabled", "route")
+    )

@@ -710,3 +710,133 @@ def test_streaming_minhash_maintenance(spark, sf_dir):
         r.doc_id: tuple(r.sig) for r in minhash_signature_df(docs, k=8).collect()
     }
     assert got == want
+
+
+def test_timetick_fallback_emits_idle_heartbeats(spark):
+    """T1 heartbeat without protobuf: applyInPandasWithState with a
+    processing-time timeout emits data ticks on arrival and heartbeat rows
+    (is_heartbeat=true, carrying the high-water mark) once the channel goes
+    idle — the UnsafeShouldSendTSMsg semantics (ts_manager.go:324-336)."""
+    import time
+    import uuid
+
+    from milvus_cdc_spark.streaming.state import timetick_fallback
+
+    tmp = tempfile.mkdtemp(prefix="ttfall_")
+    spark.createDataFrame(
+        [("ch_a", 1000), ("ch_a", 2000)], "vchannel string, ts bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(tmp + "/src/b1")
+    stream = (
+        spark.readStream.schema("vchannel string, ts bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp + "/src/*")
+    )
+    sink = f"tt_{uuid.uuid4().hex[:8]}"
+    q = (
+        timetick_fallback(stream, tt_interval_ms=300)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        hb = []
+        while time.time() < deadline:
+            rows = spark.table(sink).collect()
+            hb = [r for r in rows if r.is_heartbeat]
+            if hb:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert hb, "no heartbeat rows appeared on the idle channel"
+    # heartbeat carries the channel's high-water mark, no new data
+    assert all(r.tick_ts == 2000 and r.n_msgs == 0 for r in hb)
+    data = [r for r in spark.table(sink).collect() if not r.is_heartbeat]
+    assert any(r.n_msgs == 2 for r in data)
+
+
+def test_rbac_state_idempotent_apply():
+    """K2-style describe-before-mutate for the 8 RBAC op types + privilege
+    groups (channel_writer.go:1065-1206): re-applying is a skip, not an
+    error; revokes of absent grants skip."""
+    from milvus_cdc_spark.operators.ddl import RbacState
+
+    st = RbacState()
+    assert st.apply({"op_type": "create_role", "principal": "admin"}) == "created"
+    assert st.apply({"op_type": "create_role", "principal": "admin"}) == "skipped"
+    assert (
+        st.apply({"op_type": "operate_user_role", "principal": "u1", "object": "admin"})
+        == "created"
+    )
+    assert (
+        st.apply({"op_type": "operate_user_role", "principal": "u1", "object": "admin"})
+        == "skipped"
+    )
+    assert (
+        st.apply(
+            {
+                "op_type": "operate_user_role",
+                "principal": "u1",
+                "object": "admin",
+                "revoke": True,
+            }
+        )
+        == "dropped"
+    )
+    assert (
+        st.apply(
+            {
+                "op_type": "operate_user_role",
+                "principal": "u1",
+                "object": "admin",
+                "revoke": True,
+            }
+        )
+        == "skipped"
+    )
+    assert st.apply({"op_type": "create_credential", "principal": "u1"}) == "created"
+    assert st.apply({"op_type": "update_credential", "principal": "u1"}) == "updated"
+    assert st.apply({"op_type": "delete_credential", "principal": "u1"}) == "dropped"
+    assert st.apply({"op_type": "update_credential", "principal": "u1"}) == "skipped"
+    assert (
+        st.apply({"op_type": "operate_privilege", "principal": "r", "object": "coll"})
+        == "created"
+    )
+    assert (
+        st.apply({"op_type": "operate_privilege_v2", "principal": "r", "object": "coll"})
+        == "skipped"
+    )
+    assert st.apply({"op_type": "create_privilege_group", "object": "g"}) == "created"
+    assert st.apply({"op_type": "operate_privilege_group", "object": "g"}) == "updated"
+    assert st.apply({"op_type": "drop_privilege_group", "object": "g"}) == "dropped"
+
+
+def test_rbac_gate_closed_filters_rbac_ops(spark):
+    """P3: with enable_user_role=False every RBAC op type is dropped and
+    data ops pass; open, everything passes (apply_ddl_op routes 'filtered'
+    in the same condition)."""
+    from milvus_cdc_spark.operators.ddl import RbacState, apply_ddl_op
+    from milvus_cdc_spark.operators.filters import RBAC_OP_TYPES, rbac_gate
+
+    rows = [(t,) for t in RBAC_OP_TYPES] + [("insert",), ("create_collection",)]
+    df = spark.createDataFrame(rows, "op_type string")
+    closed = {r.op_type for r in rbac_gate(df, False).collect()}
+    assert closed == {"insert", "create_collection"}
+    opened = {r.op_type for r in rbac_gate(df, True).collect()}
+    assert opened == set(RBAC_OP_TYPES) | {"insert", "create_collection"}
+    # routing agrees with the gate
+    st = RbacState()
+    for t in RBAC_OP_TYPES:
+        assert apply_ddl_op(spark, {"op_type": t, "principal": "x", "object": "y"}) == "filtered"
+        assert (
+            apply_ddl_op(
+                spark,
+                {"op_type": t, "principal": "x", "object": "y"},
+                rbac=st,
+                enable_user_role=True,
+            )
+            != "filtered"
+        )

@@ -15,7 +15,7 @@ from milvus_cdc_spark.catalog import TABLES
 import sys
 
 sys.path.insert(0, "/root/repo/scripts")
-from verify_local import result_hash  # noqa: E402
+from verify_local import compare_frames  # noqa: E402
 
 
 @pytest.fixture(scope="module")
@@ -28,15 +28,14 @@ def oracle_con(sf_dir):
 
 @pytest.mark.parametrize("name", [n for n, s in suite.QUERIES.items() if s.oracle])
 def test_oracle_match(name, spark, sf_dir, oracle_con):
+    # Compare THROUGH PANDAS, column-wise astype(str) — the driver's path.
+    # fetchall()/collect() of native Python values masked the round-1
+    # HUGEINT→float64 dtype drift; this path reproduces it.
     spec = suite.QUERIES[name]
-    sdf = spec.fn(spark, sf_dir)
-    srows = [tuple(r) for r in sdf.collect()]
-    res = oracle_con.execute(spec.oracle)
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
-    assert len(srows) == len(orows), f"rowcount {len(srows)} != {len(orows)}"
-    assert sorted(c.lower() for c in sdf.columns) == sorted(c.lower() for c in ocols)
-    assert result_hash(sdf.columns, srows) == result_hash(ocols, orows)
+    spdf = spec.fn(spark, sf_dir).toPandas()
+    opdf = oracle_con.execute(spec.oracle).df()
+    problems = compare_frames(spdf, opdf)
+    assert not problems, problems
 
 
 @pytest.mark.parametrize("name", [n for n, s in suite.QUERIES.items() if not s.oracle])
