@@ -241,6 +241,13 @@ class TaskRegistry:
         if op == "force_log":
             log.warning("forced log message: %s", data.get("message", ""))
             return {"ok": True}
+        if op == "compact_positions":
+            # small-file control on demand (the pipeline also self-schedules
+            # via compact_every); one task or all
+            tids = [data["task_id"]] if data.get("task_id") else list(self.pipelines)
+            for tid in tids:
+                self.pipelines[tid].compact_positions()
+            return {"ok": True, "compacted": tids}
         raise ValueError(f"unknown maintenance operation {op!r}")
 
 

@@ -14,22 +14,40 @@ Spark shape:
           1. merge-apply the batch into the state table (idempotent,
              commutative: per-pk max of insert/delete ts — so replay,
              reordering, and at-least-once delivery all converge to the
-             same state; this is what makes checkpoint-resume exactly-once
-             *effectively*)
+             same state)
           2. write back positions (per-vchannel max ts) in the same batch,
              mirroring the reference's position-after-apply ordering
              (server/cdc_impl.go:1116-1173)
 
-State storage here is parquet read-modify-write (the container has no
-Delta); on a cluster the same foreachBatch body becomes a Delta MERGE and
-the positions write shares the table transaction. The merge itself is a
-DataFrame aggregate+join — no driver-side state, scales with pk
-cardinality.
+State layout — designed so per-batch I/O scales with the BATCH, not the
+state (the reference applies per channel and touches only affected rows,
+core/writer/replicate_message_manager.go:33-128):
+
+    state/
+      MANIFEST.json          ← {bucket → version, last_batch_id}; committed
+                               atomically (tmp + rename) AFTER the batch's
+                               writes — the parquet Delta-MERGE stand-in
+      v{batch_id}/bucket=K/  ← only buckets whose pks appear in that batch
+
+A batch rewrites only the buckets it touches; unaffected buckets keep
+their old versioned files. Every write is keyed by batch_id and uses
+mode("overwrite"), so foreachBatch re-execution (at-least-once) is
+idempotent: a replayed batch overwrites its own files and re-commits the
+same manifest. Batches at or below the committed last_batch_id are skipped
+outright. On restart the manifest is re-read from disk, so a NEW process
+over the same work_dir resumes with full state (no in-memory-only version
+counter).
+
+On a Delta-enabled cluster the same foreachBatch body becomes
+``MERGE INTO state`` + a transactional positions upsert; the bucketed
+parquet layout is the no-Delta equivalent with the same write amplification.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,6 +58,11 @@ OPLOG_SCHEMA = (
 )
 
 STATE_COLS = ["collection", "pk", "last_insert_ts", "last_delete_ts", "n_inserts"]
+
+STATE_SCHEMA = (
+    "collection string, pk bigint, last_insert_ts bigint, "
+    "last_delete_ts bigint, n_inserts bigint"
+)
 
 
 def batch_to_state(batch: DataFrame) -> DataFrame:
@@ -60,7 +83,8 @@ def merge_state(existing: DataFrame, update: DataFrame) -> DataFrame:
     Equivalent to ``MERGE INTO state USING update ON pk WHEN MATCHED
     UPDATE max(...)`` — expressed as union+re-aggregate so it needs no
     Delta. Catalyst plans partial+final agg; the shuffle carries one row
-    per pk per side.
+    per pk per side, and when called from the pipeline ``existing`` is
+    only the touched buckets, not the whole state table.
     """
     return (
         existing.select(*STATE_COLS)
@@ -86,23 +110,39 @@ def alive_view(state: DataFrame) -> DataFrame:
 
 
 class CdcApplyPipeline:
-    """File-source CDC pipeline with parquet state + positions tables.
+    """File-source CDC pipeline with bucketed parquet state + positions.
 
     ``run_available_now`` drains everything currently in ``source_dir``
     (trigger availableNow) — the batch-correctness path the suite checks;
     a production deployment keeps the same query running continuously.
+
+    ``n_buckets`` sizes the state partitioning: per-batch state I/O is
+    bounded by (touched buckets / n_buckets) × state size. At 100 TB this
+    is the knob that keeps a 500 ms trigger from rewriting the world; the
+    local default keeps bucket files non-trivial at test scale.
+
+    ``compact_every`` schedules positions compaction (K6 small-file
+    control): every K committed batches the per-batch position partitions
+    fold into one summary partition.
     """
 
     def __init__(self, spark: SparkSession, source_dir: str, work_dir: str,
                  collections: list[str] | None = None,
-                 mirror: bool = False):
+                 mirror: bool = False,
+                 n_buckets: int = 16,
+                 compact_every: int = 64):
         self.spark = spark
         self.source_dir = source_dir
         self.state_dir = os.path.join(work_dir, "state")
         self.positions_dir = os.path.join(work_dir, "positions")
         self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
         self.collections = collections
-        self._state_version = 0
+        self.n_buckets = n_buckets
+        self.compact_every = compact_every
+        # restart recovery (reference ReloadTask resume): the manifest on
+        # disk, not an in-memory counter, is the source of truth
+        self._manifest_path = os.path.join(self.state_dir, "MANIFEST.json")
+        self._manifest = self._load_manifest()
         # optional downstream mirror (the Kafka-sink analog, K3): ops are
         # monotonic-ts-repaired (T2) before emission, exactly the
         # reference's handlePack → sink ordering
@@ -113,28 +153,68 @@ class CdcApplyPipeline:
 
             self._repair = MonotonicRepairStage(spark, work_dir)
 
+    # -- manifest ---------------------------------------------------------
+    def _load_manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {"buckets": {}, "last_batch_id": -1}
+
+    def _commit_manifest(self) -> None:
+        """Atomic write-then-rename: the commit point of a batch. A crash
+        before this line leaves the old manifest → the batch replays and
+        overwrites its own (uncommitted) files."""
+        os.makedirs(self.state_dir, exist_ok=True)
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._manifest, f)
+        os.replace(tmp, self._manifest_path)
+
+    @property
+    def last_batch_id(self) -> int:
+        return self._manifest["last_batch_id"]
+
     # -- state table ------------------------------------------------------
-    def _state_path(self, version: int) -> str:
-        return os.path.join(self.state_dir, f"v{version}")
+    def _bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket", F.pmod(F.xxhash64("collection", "pk"), F.lit(self.n_buckets))
+        )
 
-    def read_state(self) -> DataFrame:
-        if self._state_version == 0:
-            return self.spark.createDataFrame(
-                [],
-                "collection string, pk bigint, last_insert_ts bigint, "
-                "last_delete_ts bigint, n_inserts bigint",
+    def _empty_state(self) -> DataFrame:
+        return self.spark.createDataFrame([], STATE_SCHEMA)
+
+    def read_state(self, buckets: list[int] | None = None) -> DataFrame:
+        """Union of the manifest's bucket partitions (optionally a subset).
+        Each bucket contributes exactly one versioned partition directory —
+        the incremental-merge read path touches only the requested buckets.
+        """
+        entries = self._manifest["buckets"]
+        if buckets is not None:
+            entries = {str(b): entries[str(b)] for b in buckets if str(b) in entries}
+        if not entries:
+            return self._empty_state()
+        # group buckets by version → one multi-path read per version dir
+        by_version: dict[int, list[str]] = {}
+        for b, v in entries.items():
+            by_version.setdefault(v, []).append(b)
+        parts = []
+        for v, bs in by_version.items():
+            base = os.path.join(self.state_dir, f"v{v}")
+            paths = [os.path.join(base, f"bucket={b}") for b in sorted(bs)]
+            parts.append(
+                self.spark.read.option("basePath", base).parquet(*paths).drop("bucket")
             )
-        return self.spark.read.parquet(self._state_path(self._state_version))
-
-    def _write_state(self, df: DataFrame) -> None:
-        # versioned write-then-swap: parquet stand-in for a Delta MERGE commit
-        self._state_version += 1
-        df.write.mode("overwrite").parquet(self._state_path(self._state_version))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # -- foreachBatch body ------------------------------------------------
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
-        from milvus_cdc_spark.operators import filters
-
+        # idempotence gate (foreachBatch is at-least-once): batches at or
+        # below the committed id were fully applied — skip the replay
+        if batch_id <= self._manifest["last_batch_id"]:
+            return
         # one materialization for the whole body: the state merge, mirror,
         # and positions writes are separate actions — without the persist
         # each re-scans the source batch (and re-fires observe() counters)
@@ -150,19 +230,54 @@ class CdcApplyPipeline:
         ops = filters.msg_type_whitelist(batch)
         if self.collections:
             ops = ops.filter(filters.collection_filter_predicate(self.collections))
-        update = batch_to_state(ops)
-        merged = merge_state(self.read_state(), update)
-        self._write_state(merged)
-        if self._repair is not None:
-            repaired = self._repair.process(ops).withColumn(
-                "batch_id", F.lit(batch_id)
+        update = self._bucket(batch_to_state(ops)).persist()
+        try:
+            # buckets present in THIS batch — the only state partitions the
+            # merge reads and rewrites (driver list, bounded by n_buckets)
+            touched = sorted(
+                r.bucket for r in update.select("bucket").distinct().collect()
             )
-            repaired.write.mode("append").parquet(self.mirror_dir)
-        # position write-back AFTER successful apply (reference ordering)
-        positions = ops.groupBy("vchannel").agg(
-            F.max("ts").alias("position_ts"), F.count("*").alias("n_msgs")
-        ).withColumn("batch_id", F.lit(batch_id))
-        positions.write.mode("append").parquet(self.positions_dir)
+            if touched:
+                existing = self.read_state(touched)
+                merged = self._bucket(merge_state(existing, update))
+                # keyed-by-batch_id overwrite → replay-idempotent
+                merged.write.mode("overwrite").partitionBy("bucket").parquet(
+                    os.path.join(self.state_dir, f"v{batch_id}")
+                )
+                for b in touched:
+                    self._manifest["buckets"][str(b)] = batch_id
+            if self._repair is not None:
+                repaired = self._repair.process(ops)
+                repaired.write.mode("overwrite").parquet(
+                    os.path.join(self.mirror_dir, f"batch_id={batch_id}")
+                )
+            # position write-back AFTER successful apply (reference ordering);
+            # per-batch partition dir + overwrite = idempotent under replay
+            positions = ops.groupBy("vchannel").agg(
+                F.max("ts").alias("position_ts"), F.count("*").alias("n_msgs")
+            )
+            positions.write.mode("overwrite").parquet(
+                os.path.join(self.positions_dir, f"batch_id={batch_id}")
+            )
+        finally:
+            update.unpersist()
+        # commit point: everything above is keyed by batch_id and re-runnable
+        self._manifest["last_batch_id"] = batch_id
+        self._commit_manifest()
+        self._gc_stale_state_versions()
+        if self.compact_every and batch_id % self.compact_every == self.compact_every - 1:
+            self.compact_positions()
+
+    def _gc_stale_state_versions(self) -> None:
+        """Drop version directories no bucket references anymore (bounded
+        housekeeping: a version dies once all its buckets were rewritten)."""
+        if not os.path.isdir(self.state_dir):
+            return
+        live = {f"v{v}" for v in self._manifest["buckets"].values()}
+        keep = live | {f"v{self._manifest['last_batch_id']}"}
+        for d in os.listdir(self.state_dir):
+            if d.startswith("v") and d not in keep:
+                shutil.rmtree(os.path.join(self.state_dir, d), ignore_errors=True)
 
     # -- run --------------------------------------------------------------
     def run_available_now(self) -> None:
@@ -197,10 +312,10 @@ class CdcApplyPipeline:
         return alive_view(self.read_state())
 
     def compact_positions(self) -> None:
-        """Rewrite the append-per-batch positions table as one file per
-        vchannel-summary — the small-file compaction a long-running task
-        schedules periodically (every batch appends a few-KB file; at
-        500 ms triggers that is ~170k files/day unscheduled)."""
+        """Fold the per-batch position partitions into one summary partition
+        (small-file control: a 500 ms trigger appends ~170k partition dirs
+        per day unscheduled; ``compact_every`` wires this into the apply
+        loop — the reference's maintenance op, maintenance.go:27-35)."""
         try:
             pos = self.spark.read.parquet(self.positions_dir)
         except Exception:
@@ -208,14 +323,13 @@ class CdcApplyPipeline:
         latest = pos.groupBy("vchannel").agg(
             F.max("position_ts").alias("position_ts"),
             F.sum("n_msgs").alias("n_msgs"),
-            F.max("batch_id").alias("batch_id"),
         )
+        max_bid = self._manifest["last_batch_id"]
         tmp_dir = self.positions_dir + ".compact"
         latest.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
-        import shutil
-
         shutil.rmtree(self.positions_dir)
-        os.rename(tmp_dir, self.positions_dir)
+        os.makedirs(self.positions_dir)
+        os.rename(tmp_dir, os.path.join(self.positions_dir, f"batch_id={max_bid}"))
 
     def positions(self) -> DataFrame:
         """Latest position per vchannel (K6 checkpoint semantics)."""

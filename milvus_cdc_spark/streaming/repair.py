@@ -74,7 +74,21 @@ class MonotonicRepairStage:
     def __init__(self, spark: SparkSession, work_dir: str):
         self.spark = spark
         self.state_dir = os.path.join(work_dir, "channel_max")
-        self._version = 0
+        # restart recovery: resume from the latest version on disk — a new
+        # process over an existing work_dir must not restart at v0 (the
+        # streaming checkpoint will skip already-read files, so losing the
+        # channel-max state here would silently break T2 monotonicity)
+        self._version = self._latest_version_on_disk()
+
+    def _latest_version_on_disk(self) -> int:
+        if not os.path.isdir(self.state_dir):
+            return 0
+        versions = [
+            int(d[1:])
+            for d in os.listdir(self.state_dir)
+            if d.startswith("v") and d[1:].isdigit()
+        ]
+        return max(versions, default=0)
 
     def read_channel_max(self) -> DataFrame:
         if self._version == 0:
