@@ -183,3 +183,45 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir):
         for line in plan.splitlines()
         if "PartitionFilters" in line
     )
+
+
+def test_tpch_q9_broadcasts_dims_and_pushes_part_filter(spark, sf_dir):
+    """Q9's 6-table join: the p_name LIKE filter must reach the part scan
+    (pushed as StringContains), supplier/nation must broadcast, and the
+    derived partsupp side must not introduce a cartesian product against
+    lineitem (only the tiny seq/count literals are cross-joined)."""
+    df = suite.QUERIES["tpch_q9_product_profit"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert any("p_name" in p for p in audit.pushed_filters(plan))
+    assert audit.count_broadcast_joins(plan) >= 2
+    # lineitem joins partsupp/orders by key, never nested-loop
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q16_anti_join_broadcast(spark, sf_dir):
+    df = suite.QUERIES["tpch_q16_supplier_parts"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert "LeftAnti" in plan
+    # the blacklist side is catalog-sized → broadcast, not shuffled
+    assert audit.count_broadcast_joins(plan) >= 1
+    assert any("p_size" in p or "p_brand" in p for p in audit.pushed_filters(plan))
+
+
+def test_timetick_heartbeat_single_window_shuffle(spark, sf_dir):
+    """The heartbeat replay is one window partition-by + one channel agg:
+    shuffle count stays O(1) (bounded by channel cardinality, not data)."""
+    df = suite.QUERIES["timetick_heartbeat"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    # window over vchannel + final agg + orderBy: ≤4 exchanges, with the
+    # groupBy(vchannel) reusing the window's vchannel partitioning (the
+    # partial/final HashAggregate pair sits directly on the Window output,
+    # no exchange in between)
+    assert audit.count_exchanges(plan) <= 4
+
+
+def test_rbac_routing_broadcasts_flags(spark, sf_dir):
+    df = suite.QUERIES["rbac_routing"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    # the 2-row flags frame must be the broadcast side of the cross join
+    assert "BroadcastNestedLoopJoin" in plan or audit.count_broadcast_joins(plan) >= 1
+    assert "SortMergeJoin" not in plan
