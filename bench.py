@@ -50,6 +50,18 @@ HEADLINE = [
     "salted_skew_join",
 ]
 
+#: Round-2 additions (kept separate so the r1 22-query subtotal stays
+#: directly comparable across rounds — reported as ``r1_subtotal``).
+HEADLINE_R2 = [
+    "tpch_q9_product_profit",
+    "tpch_q16_supplier_parts",
+    "timetick_heartbeat",
+    "ivf_topk",
+    "hamming_topk",
+    "sparse_topk",
+    "simhash_fingerprints",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -63,9 +75,10 @@ def main() -> None:
     # code) are identical across scale factors, so this compiles each
     # query's stages without touching the measured data — the timed runs
     # then reflect steady-state engine speed, not one-time JIT cost.
+    all_queries = HEADLINE + HEADLINE_R2
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/"):
-        for name in HEADLINE:
+        for name in all_queries:
             spec = suite.QUERIES.get(name)
             if spec is not None:
                 try:
@@ -75,7 +88,7 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in all_queries:
         spec = suite.QUERIES.get(name)
         if spec is None:
             continue
@@ -85,6 +98,7 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         _ = n
     total = round(sum(timings.values()), 3)
+    r1_subtotal = round(sum(timings.get(n, 0.0) for n in HEADLINE), 3)
     print(
         json.dumps(
             {
@@ -93,6 +107,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # cross-round comparability: the round-1 22-query subtotal
+                "r1_subtotal": r1_subtotal,
             }
         )
     )
