@@ -355,3 +355,132 @@ def multiprobe_topk(
         # distinct buckets never repeat, so pairs are already unique
     )
     return _ranked_topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# Search-surface parity: the request shapes a Milvus user runs against the
+# replicated data (search with boolean filter expr, range search with
+# radius, grouping search, offset pagination — milvus.io search API
+# semantics). Each is the brute-force scored frame plus one declarative
+# refinement, so Catalyst keeps pushdown/broadcast behavior; the ANN
+# variants compose the same way on the bucketed scored frames.
+# ---------------------------------------------------------------------------
+
+
+def brute_force_scored(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine scores (query side broadcast) — the shared input of
+    the search refinements below. sim rounded to 6dp for cross-engine
+    ordering stability."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        vecf.norm(F.col(vec_col)).alias("qnorm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        vecf.norm(F.col(vec_col)).alias("cnorm"),
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                vecf.dot(F.col("cvec"), F.col("qvec"))
+                / (F.col("cnorm") * F.col("qnorm")),
+                6,
+            ).alias("sim"),
+        )
+    )
+
+
+def filtered_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    predicate,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid attribute+vector search (Milvus ``search(filter=expr)``): the
+    scalar predicate applies BEFORE the distance math, so at scale it
+    pushes into the parquet scan and prunes the candidate set first."""
+    return brute_force_topk(
+        corpus.filter(predicate), queries, k=k, id_col=id_col, vec_col=vec_col
+    )
+
+
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    radius: float,
+    range_filter: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Milvus range search: every neighbor with sim >= radius (and
+    optionally < range_filter, the 'ring' form). Unbounded-k semantics —
+    output scales with matches, not a fixed k."""
+    scored = brute_force_scored(corpus, queries, id_col=id_col, vec_col=vec_col)
+    pred = F.col("sim") >= radius
+    if range_filter is not None:
+        pred = pred & (F.col("sim") < range_filter)
+    return scored.filter(pred)
+
+
+def grouping_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    group_col: str,
+    k_groups: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Milvus grouping search (group_by_field): the best hit per group,
+    then the top ``k_groups`` groups per query by that best hit. Two
+    stacked window ranks — both partitioned by query (and group), so the
+    shuffle is bounded by the scored frame, never collected."""
+    g = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(group_col).alias("grp"))
+    scored = brute_force_scored(corpus, queries, id_col=id_col, vec_col=vec_col).join(
+        g, "neighbor_id"
+    )
+    w_in = Window.partitionBy("query_id", "grp").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    best = scored.withColumn("rn", F.row_number().over(w_in)).filter(F.col("rn") == 1)
+    w_g = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("grp").asc()
+    )
+    return (
+        best.withColumn("grp_rank", F.row_number().over(w_g))
+        .filter(F.col("grp_rank") <= k_groups)
+        .select("query_id", "grp_rank", "grp", "neighbor_id", "sim")
+    )
+
+
+def paged_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    offset: int,
+    limit: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Milvus search pagination (offset + limit): ranks (offset, offset+limit]
+    of the exact ordering — the iterator/page-2 shape."""
+    scored = brute_force_scored(corpus, queries, id_col=id_col, vec_col=vec_col)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") > offset) & (F.col("rank") <= offset + limit))
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )

@@ -165,3 +165,32 @@ def bf16_decode(bin_col: Column) -> Column:
         return pd.Series([one(b) for b in s])
 
     return dec(bin_col)
+
+
+def sq8_quantize(vec: Column) -> Column:
+    """Scalar 8-bit quantization (Milvus IVF_SQ8 storage codec): per-vector
+    min/range affine map to 0..255 stored as an int array — 4× smaller than
+    float32 on the wire/in cache. Engine-portable arithmetic: the code
+    value is floor((x-mn)/range*255 + 0.5), with a range floor guarding
+    constant vectors.
+
+    Returns a struct (mn double, rng double, codes array<int>); pair with
+    sq8_dequantize. Pure column expressions — codegen'd, no UDF.
+    """
+    mn = F.array_min(vec).cast("double")
+    rng = F.greatest(
+        (F.array_max(vec).cast("double") - mn), F.lit(1e-12)
+    )
+    codes = F.transform(
+        vec,
+        lambda x: F.floor((x.cast("double") - mn) / rng * 255.0 + 0.5).cast("int"),
+    )
+    return F.struct(mn.alias("mn"), rng.alias("rng"), codes.alias("codes"))
+
+
+def sq8_dequantize(q: Column) -> Column:
+    """Inverse of sq8_quantize: mn + code/255*range, as array<double>."""
+    return F.transform(
+        q["codes"],
+        lambda c: q["mn"] + c.cast("double") / 255.0 * q["rng"],
+    )

@@ -153,3 +153,31 @@ def test_multiprobe_recall_dominates_single_bucket(spark, sf_dir):
     assert set(s) == set(m)
     assert all(m[q] >= s[q] for q in s)
     assert sum(m.values()) > sum(s.values())
+
+
+def test_sq8_codec_bounds_and_accuracy(spark):
+    """SQ8 quantization: codes are 0..255, round-trip error is bounded by
+    half a step (range/255/2 per component), and constant vectors survive
+    the range floor."""
+    from milvus_cdc_spark.functions.vector import sq8_dequantize, sq8_quantize
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.5, 3.25, 0.0]), (2, [2.0, 2.0, 2.0, 2.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = df.select(
+        "vec_id",
+        F.col("embedding").alias("orig"),
+        sq8_quantize(F.col("embedding")).alias("q"),
+    ).select(
+        "vec_id", "orig", "q.codes", "q.rng", sq8_dequantize(F.col("q")).alias("deq")
+    )
+    rows = {r.vec_id: r for r in out.collect()}
+    r1 = rows[1]
+    assert all(0 <= c <= 255 for c in r1.codes)
+    step = r1.rng / 255.0
+    assert all(abs(a - b) <= step / 2 + 1e-12 for a, b in zip(r1.orig, r1.deq))
+    # constant vector: rng floors at 1e-12, codes all 0, dequant == input
+    r2 = rows[2]
+    assert all(c == 0 for c in r2.codes)
+    assert all(abs(a - b) < 1e-9 for a, b in zip(r2.orig, r2.deq))

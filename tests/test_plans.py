@@ -225,3 +225,13 @@ def test_rbac_routing_broadcasts_flags(spark, sf_dir):
     # the 2-row flags frame must be the broadcast side of the cross join
     assert "BroadcastNestedLoopJoin" in plan or audit.count_broadcast_joins(plan) >= 1
     assert "SortMergeJoin" not in plan
+
+
+def test_filtered_ann_pushes_label_filter_before_distance(spark, sf_dir):
+    """Hybrid search: the scalar predicate must reach the parquet scan —
+    pruning candidates BEFORE any distance arithmetic runs."""
+    df = suite.QUERIES["filtered_ann_topk"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert any("label" in p for p in audit.pushed_filters(plan))
+    # query side broadcast, corpus never shuffled for the join
+    assert "BroadcastNestedLoopJoin" in plan or audit.count_broadcast_joins(plan) >= 1
