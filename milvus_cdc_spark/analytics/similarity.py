@@ -484,3 +484,65 @@ def paged_topk(
         .filter((F.col("rank") > offset) & (F.col("rank") <= offset + limit))
         .select("query_id", "rank", "neighbor_id", "sim")
     )
+
+
+def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame, k: int = 60, topk: int = 3) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked result sets (Milvus
+    hybrid_search RRFRanker): score = Σ branches 1/(k + rank); missing in a
+    branch contributes nothing. Union + one grouped sum + one rank window —
+    no collected lists, scales with Σ|branch results|.
+    """
+    u = ranked_a.select("query_id", "neighbor_id", "rank").unionByName(
+        ranked_b.select("query_id", "neighbor_id", "rank")
+    )
+    fused = u.groupBy("query_id", "neighbor_id").agg(
+        F.round(F.sum(1.0 / (F.lit(k) + F.col("rank"))), 6).alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= topk)
+        .select("query_id", "fused_rank", "neighbor_id", "rrf_score")
+    )
+
+
+def weighted_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    w_a: int,
+    w_b: int,
+    topk: int = 3,
+) -> DataFrame:
+    """Weighted-score fusion (Milvus WeightedRanker): w_a·sim_a + w_b·sim_b
+    over the union of branch results, absent branch scores contributing 0.
+
+    Weights are INTEGERS and branch sims (6-dp values) are converted to
+    exact integer micro-units first — ``floor(sim*1e6+0.5)`` — so the fused
+    score is pure integer arithmetic: cross-engine deterministic, no float
+    rounding boundary (w_a=7, w_b=3 ≡ 0.7/0.3 up to scale, and ranking is
+    scale-invariant)."""
+    micros = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
+    a = ranked_a.select(
+        "query_id", "neighbor_id", micros(F.col("sim")).alias("sim_a")
+    )
+    b = ranked_b.select(
+        "query_id", "neighbor_id", micros(F.col("sim")).alias("sim_b")
+    )
+    joined = a.join(b, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.lit(w_a) * F.coalesce("sim_a", F.lit(0))
+            + F.lit(w_b) * F.coalesce("sim_b", F.lit(0))
+        ).alias("weighted_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("weighted_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= topk)
+        .select("query_id", "fused_rank", "neighbor_id", "weighted_score")
+    )

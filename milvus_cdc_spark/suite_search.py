@@ -285,3 +285,191 @@ def sq8_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid multi-vector search (Milvus hybrid_search API): a dense branch
+# (cosine top-10) and a sparse branch (inverted-index dot-product top-10)
+# fused per query. Two rankers, both oracle-checked:
+#   - RRF (RRFRanker):      score = Σ 1/(60 + rank)
+#   - weighted (WeightedRanker): 0.7·dense + 0.3·sparse, absent → 0
+# Scale: each branch is the already-audited top-k plan; fusion is one
+# grouped sum (RRF) or one full-outer join (weighted) over ≤ 10 rows per
+# query per branch — bounded by k × queries, never by corpus size.
+# ---------------------------------------------------------------------------
+
+_SQL_HYBRID_BRANCHES = f"""
+    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    dense AS (
+      SELECT * FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_SQL_COSINE} AS sim,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 {_SQL_COSINE} DESC, c.vec_id) AS rank
+        FROM embeddings c, q WHERE c.vec_id != q.vec_id
+      ) WHERE rank <= 10
+    ),
+    comp AS (
+      SELECT vec_id,
+             unnest(embedding::DOUBLE[]) AS val,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    ),
+    sp AS (SELECT vec_id, dim, val FROM comp WHERE abs(val) >= 0.2),
+    spq AS (SELECT vec_id AS query_id, dim, val AS qval FROM sp WHERE vec_id < 5),
+    sparse AS (
+      SELECT * FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM (
+          SELECT spq.query_id, s.vec_id AS neighbor_id,
+                 round(sum(s.val * spq.qval), 6) AS sim
+          FROM sp s JOIN spq USING (dim)
+          WHERE s.vec_id != spq.query_id
+          GROUP BY spq.query_id, s.vec_id
+        )
+      ) WHERE rank <= 10
+    )
+"""
+
+
+def _hybrid_branches(spark: SparkSession, sf_dir: str):
+    from milvus_cdc_spark.analytics import similarity
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    dense = similarity.brute_force_topk(emb, queries, k=10)
+    rows = similarity.sparse_rows(emb, threshold=0.2)
+    qrows = rows.filter(F.col("vec_id") < 5)
+    sparse = similarity.sparse_topk(rows, qrows, k=10)
+    return dense, sparse
+
+
+@q(
+    "hybrid_search_rrf",
+    f"""
+    WITH {_SQL_HYBRID_BRANCHES},
+    u AS (
+      SELECT query_id, neighbor_id, rank FROM dense
+      UNION ALL
+      SELECT query_id, neighbor_id, rank FROM sparse
+    ),
+    fused AS (
+      SELECT query_id, neighbor_id,
+             round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+      FROM u GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, fused_rank, neighbor_id, rrf_score
+    FROM (
+      SELECT query_id, neighbor_id, rrf_score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf_score DESC, neighbor_id) AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= 3
+    ORDER BY query_id, fused_rank
+    """,
+    "vector",
+    "search",
+    "hybrid",
+    "rrf",
+    "llm",
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milvus_cdc_spark.analytics import similarity
+
+    dense, sparse = _hybrid_branches(spark, sf_dir)
+    return similarity.rrf_fuse(dense, sparse, k=60, topk=3).orderBy(
+        "query_id", "fused_rank"
+    )
+
+
+@q(
+    "hybrid_search_weighted",
+    f"""
+    WITH {_SQL_HYBRID_BRANCHES}
+    SELECT query_id, fused_rank, neighbor_id, weighted_score
+    FROM (
+      SELECT query_id, neighbor_id, weighted_score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY weighted_score DESC, neighbor_id)
+               AS fused_rank
+      FROM (
+        -- integer deci-micro scoring: branch sims are 6-dp values, so
+        -- floor(sim*1e6+0.5) is an exact integer in both engines and
+        -- 7*dense + 3*sparse (units of 1e-7) never hits a float rounding
+        -- boundary the way 0.7*d + 0.3*s does
+        SELECT coalesce(d.query_id, s.query_id) AS query_id,
+               coalesce(d.neighbor_id, s.neighbor_id) AS neighbor_id,
+               CAST(7 * coalesce(CAST(floor(d.sim * 1e6 + 0.5) AS BIGINT), 0)
+                    + 3 * coalesce(CAST(floor(s.sim * 1e6 + 0.5) AS BIGINT), 0)
+                    AS BIGINT) AS weighted_score
+        FROM dense d FULL OUTER JOIN sparse s
+          ON d.query_id = s.query_id AND d.neighbor_id = s.neighbor_id
+      )
+    ) WHERE fused_rank <= 3
+    ORDER BY query_id, fused_rank
+    """,
+    "vector",
+    "search",
+    "hybrid",
+    "weighted-ranker",
+    "llm",
+)
+def hybrid_search_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milvus_cdc_spark.analytics import similarity
+
+    dense, sparse = _hybrid_branches(spark, sf_dir)
+    return similarity.weighted_fuse(dense, sparse, w_a=7, w_b=3, topk=3).orderBy(
+        "query_id", "fused_rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partition-key routing (Milvus partition-key collections: entities hash to
+# one of N partitions; the CDC replicates partition-level ops). The routing
+# is the portable md5-nibble hash (the repo's cross-engine hash contract),
+# 16 partitions; output is the per-(collection, partition) entity census a
+# partition-balanced ingest produces. Scale: one projection + one grouped
+# count — the same plan at any corpus size.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "partition_key_routing",
+    """
+    SELECT 'coll_' || CAST(l_suppkey % 3 AS VARCHAR) AS collection,
+           strpos('0123456789abcdef',
+                  substr(md5(CAST(l_partkey * 100 + l_linenumber AS VARCHAR)), 1, 1))
+             - 1 AS partition_id,
+           count(*) AS n_entities
+    FROM lineitem
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    "cdc",
+    "partition-key",
+    "routing",
+)
+def partition_key_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pk = (F.col("l_partkey") * 100 + F.col("l_linenumber")).cast("bigint")
+    partition_id = (
+        F.instr(
+            F.lit("0123456789abcdef"), F.substring(F.md5(pk.cast("string")), 1, 1)
+        )
+        - 1
+    ).cast("bigint")
+    return (
+        li.select(
+            F.concat(
+                F.lit("coll_"), (F.col("l_suppkey") % 3).cast("string")
+            ).alias("collection"),
+            partition_id.alias("partition_id"),
+        )
+        .groupBy("collection", "partition_id")
+        .agg(F.count("*").alias("n_entities"))
+        .orderBy("collection", "partition_id")
+    )
