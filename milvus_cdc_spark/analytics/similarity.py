@@ -367,6 +367,66 @@ def multiprobe_topk(
 # ---------------------------------------------------------------------------
 
 
+def metric_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    metric: str = "cosine",
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Milvus ``metric_type`` parity: exact top-k under COSINE, IP, or L2.
+
+    The reference replicates collections whose indexes carry a metric_type
+    (index params flow through the DDL path, core/writer CreateIndex); a
+    reader of the replica searches with that metric. Semantics follow the
+    Milvus contract:
+
+    - ``cosine``: similarity, higher is better (descending).
+    - ``ip``: inner product, higher is better (descending).
+    - ``l2``: SQUARED Euclidean distance (Milvus returns squared L2),
+      lower is better (ascending).
+
+    Output column is ``distance`` (the Milvus result field name) for
+    ip/l2 and ``sim`` for cosine (keeps `cosine_topk` compatibility).
+    Scores round to 6dp before ranking for cross-engine order stability;
+    ties break on neighbor_id. Query side broadcasts; distance math is
+    zip_with/aggregate JVM expressions — no shuffle beyond the ranking
+    window, same plan shape at any corpus size.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cvec, qvec = F.col("cvec"), F.col("qvec")
+    if metric == "cosine":
+        score = F.round(vecf.cosine(cvec, qvec), 6).alias("sim")
+        order = [F.col("sim").desc(), F.col("neighbor_id").asc()]
+        out = "sim"
+    elif metric == "ip":
+        score = F.round(vecf.dot(cvec, qvec), 6).alias("distance")
+        order = [F.col("distance").desc(), F.col("neighbor_id").asc()]
+        out = "distance"
+    elif metric == "l2":
+        score = F.round(vecf.l2_squared(cvec, qvec), 6).alias("distance")
+        order = [F.col("distance").asc(), F.col("neighbor_id").asc()]
+        out = "distance"
+    else:
+        raise ValueError(f"unknown metric_type: {metric}")
+    scored = pairs.select("query_id", "neighbor_id", score)
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", out)
+    )
+
+
 def brute_force_scored(
     corpus: DataFrame,
     queries: DataFrame,

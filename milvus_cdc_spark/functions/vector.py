@@ -75,6 +75,61 @@ def hamming_i64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def sign_words_i64(a: Column, n_dims: int, word_bits: int = 32) -> Column:
+    """Pack sign bits of ``n_dims`` dimensions into an ``array<bigint>`` of
+    ceil(n_dims/word_bits) words — the general BinaryVector encoding for
+    dimensions beyond one machine word (Milvus BinaryVector is dim/8 bytes,
+    any dim; the reference replicates such columns opaquely,
+    core/writer/milvus_handler.go insert path).
+
+    32-bit words keep every word positive in a signed 64-bit integer on
+    every engine, and shift/add arithmetic is portable (no engine-specific
+    bit intrinsics in the build path).
+    """
+    words = []
+    for w in range(0, n_dims, word_bits):
+        acc = F.lit(0).cast("bigint")
+        for i in range(w, min(w + word_bits, n_dims)):
+            bit = F.when(F.element_at(a, i + 1) >= 0, F.lit(1)).otherwise(F.lit(0))
+            acc = acc + (bit.cast("bigint") * F.lit(2 ** (i - w)).cast("bigint"))
+        words.append(acc)
+    return F.array(*words)
+
+
+def hamming_words(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed ``array<bigint>`` BinaryVectors:
+    Σ bit_count(a[i] XOR b[i]). zip_with + aggregate keeps it JVM-side —
+    one popcount per word per pair, linear in dim/64."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+
+def jaccard_words(a: Column, b: Column) -> Column:
+    """Milvus JACCARD distance over packed BinaryVectors:
+    1 - |a AND b| / |a OR b| (popcounts summed across words; 0 when both
+    vectors are all-zero, matching the empty-set convention).
+
+    Exact-integer popcounts divided once at the end — the division of two
+    small exact integers is bit-identical IEEE across engines.
+    """
+    and_cnt = F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseAND(y))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    or_cnt = F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseOR(y))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return F.when(or_cnt == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - and_cnt.cast("double") / or_cnt.cast("double")
+    )
+
+
 def fp16_encode(vec_col: Column) -> Column:
     """array<float> → binary of IEEE float16 (Milvus Float16Vector storage,
     SURVEY §1.3). Arrow-batched pandas UDF over numpy's float16 cast.

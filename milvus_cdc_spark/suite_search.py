@@ -473,3 +473,247 @@ def partition_key_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_entities"))
         .orderBy("collection", "partition_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Metric-type parity (Milvus metric_type: L2 / IP / COSINE / HAMMING /
+# JACCARD). Index params carry the metric through the replicated DDL path
+# (reference core/writer CreateIndex handling); a reader of the replica
+# searches with that metric. COSINE is `cosine_topk`; these cover the rest.
+# Per-row reductions accumulate left-to-right in double on both engines
+# (zip_with/aggregate vs list_transform/list_sum), so 6dp rounding before
+# ranking is cross-engine stable.
+# ---------------------------------------------------------------------------
+
+_SQL_IP = """
+  round(
+    list_sum(list_transform(list_zip(c.embedding::DOUBLE[], q.embedding::DOUBLE[]),
+                            p -> p[1] * p[2])), 6)
+"""
+
+_SQL_L2SQ = """
+  round(
+    list_sum(list_transform(list_zip(c.embedding::DOUBLE[], q.embedding::DOUBLE[]),
+                            p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)
+"""
+
+
+@q(
+    "ip_search_topk",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_SQL_IP} AS distance
+      FROM embeddings c, q WHERE c.vec_id != q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, distance,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY distance DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, distance
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+    "vector",
+    "search",
+    "metric-type",
+    "llm",
+)
+def ip_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner-product (IP) exact top-k — higher dot product is better."""
+    from milvus_cdc_spark.analytics import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.metric_topk(emb, queries, metric="ip", k=3).orderBy(
+        "query_id", "rank"
+    )
+
+
+@q(
+    "l2_search_topk",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_SQL_L2SQ} AS distance
+      FROM embeddings c, q WHERE c.vec_id != q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, distance,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY distance ASC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, distance
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+    "vector",
+    "search",
+    "metric-type",
+    "llm",
+)
+def l2_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 exact top-k — Milvus returns SQUARED Euclidean distance,
+    ascending (smaller is closer)."""
+    from milvus_cdc_spark.analytics import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.metric_topk(emb, queries, metric="l2", k=3).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _sql_sign_word(col: str, word: int, word_bits: int = 32) -> str:
+    """DuckDB expression packing sign bits of dims [word*word_bits,
+    (word+1)*word_bits) of ``col`` into a BIGINT word (mirrors
+    functions.vector.sign_words_i64)."""
+    terms = " + ".join(
+        f"(CASE WHEN {col}[{word * word_bits + i + 1}] >= 0 "
+        f"THEN CAST({2 ** i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(word_bits)
+    )
+    return f"({terms})"
+
+
+_SQL_W0 = _sql_sign_word("embedding", 0)
+_SQL_W1 = _sql_sign_word("embedding", 1)
+
+
+@q(
+    "hamming_multiword_topk",
+    f"""
+    WITH sig AS (
+      SELECT vec_id, {_SQL_W0} AS w0, {_SQL_W1} AS w1 FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, w0 AS qw0, w1 AS qw1
+          FROM sig WHERE vec_id < 5),
+    scored AS (
+      SELECT query_id, s.vec_id AS neighbor_id,
+             bit_count(xor(s.w0, q.qw0)) + bit_count(xor(s.w1, q.qw1))
+               AS hamming
+      FROM sig s, q WHERE s.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, hamming
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+    "vector",
+    "binary-vector",
+    "metric-type",
+    "llm",
+)
+def hamming_multiword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BinaryVector Hamming top-k over ALL 64 dims, packed as 2×32-bit
+    words (``array<bigint>``) — the general encoding for any dimension
+    (Milvus BinaryVector is dim/8 bytes; the single-word `hamming_topk`
+    caps at 63). Distance = Σ bit_count(xor) over words, one popcount per
+    word per pair, still a pure projection before the ranking window."""
+    from milvus_cdc_spark.functions import vector as vecf
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id", vecf.sign_words_i64(F.col("embedding"), 64, 32).alias("words")
+    )
+    qsig = sig.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("words").alias("qwords")
+    )
+    scored = (
+        sig.crossJoin(F.broadcast(qsig))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            vecf.hamming_words(F.col("words"), F.col("qwords")).alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "rank", "neighbor_id", "hamming")
+        .orderBy("query_id", "rank")
+    )
+
+
+@q(
+    "jaccard_binary_topk",
+    f"""
+    WITH sig AS (
+      SELECT vec_id, {_SQL_W0} AS w0, {_SQL_W1} AS w1 FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, w0 AS qw0, w1 AS qw1
+          FROM sig WHERE vec_id < 5),
+    scored AS (
+      SELECT query_id, s.vec_id AS neighbor_id,
+             round(CASE
+               WHEN bit_count(s.w0 | q.qw0) + bit_count(s.w1 | q.qw1) = 0
+               THEN 0.0
+               ELSE 1.0 -
+                 CAST(bit_count(s.w0 & q.qw0) + bit_count(s.w1 & q.qw1)
+                      AS DOUBLE)
+                 / CAST(bit_count(s.w0 | q.qw0) + bit_count(s.w1 | q.qw1)
+                        AS DOUBLE)
+             END, 6) AS distance
+      FROM sig s, q WHERE s.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, distance,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY distance ASC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, distance
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+    "vector",
+    "binary-vector",
+    "metric-type",
+    "llm",
+)
+def jaccard_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Milvus JACCARD distance top-k over packed BinaryVectors:
+    1 - |a AND b| / |a OR b| via per-word popcounts. Exact-integer counts
+    divided once — bit-identical IEEE across engines — then 6dp rounding
+    for rank stability."""
+    from milvus_cdc_spark.functions import vector as vecf
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id", vecf.sign_words_i64(F.col("embedding"), 64, 32).alias("words")
+    )
+    qsig = sig.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("words").alias("qwords")
+    )
+    scored = (
+        sig.crossJoin(F.broadcast(qsig))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                vecf.jaccard_words(F.col("words"), F.col("qwords")), 6
+            ).alias("distance"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("distance", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "rank", "neighbor_id", "distance")
+        .orderBy("query_id", "rank")
+    )

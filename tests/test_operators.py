@@ -181,3 +181,63 @@ def test_sq8_codec_bounds_and_accuracy(spark):
     r2 = rows[2]
     assert all(c == 0 for c in r2.codes)
     assert all(abs(a - b) < 1e-9 for a, b in zip(r2.orig, r2.deq))
+
+
+def test_packed_binary_words_and_metrics(spark):
+    """Multi-word BinaryVector packing: words match hand-computed sign
+    bits; Hamming over words == bit-level disagreement count; Jaccard
+    distance == 1 - |and|/|or| with the all-zero convention."""
+    from milvus_cdc_spark.functions import vector as vecf
+
+    a = [1.0, -1.0, 2.0, -3.0] * 16          # 64 dims: + - + - ...
+    b = [1.0] * 64                            # all positive
+    z = [-1.0] * 64                           # all negative (words = 0)
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, z)], "id bigint, v array<float>"
+    )
+    sig = df.select(
+        "id", vecf.sign_words_i64(F.col("v"), 64, 32).alias("w")
+    )
+    rows = {r.id: list(r.w) for r in sig.collect()}
+    # a: bits 0,2 set per 4-dim block -> 0b0101 repeating = 0x55555555
+    assert rows[1] == [0x55555555, 0x55555555]
+    assert rows[2] == [0xFFFFFFFF, 0xFFFFFFFF]
+    assert rows[3] == [0, 0]
+
+    pairs = sig.alias("x").crossJoin(sig.alias("y")).select(
+        F.col("x.id").alias("xi"),
+        F.col("y.id").alias("yi"),
+        vecf.hamming_words(F.col("x.w"), F.col("y.w")).alias("ham"),
+        F.round(vecf.jaccard_words(F.col("x.w"), F.col("y.w")), 6).alias("jac"),
+    )
+    got = {(r.xi, r.yi): (r.ham, r.jac) for r in pairs.collect()}
+    assert got[(1, 1)] == (0, 0.0)
+    assert got[(1, 2)] == (32, round(1 - 32 / 64, 6))  # half the bits differ
+    assert got[(2, 3)] == (64, 1.0)                    # disjoint sets
+    assert got[(3, 3)] == (0, 0.0)                     # all-zero convention
+
+
+def test_metric_topk_semantics(spark):
+    """metric_type parity: IP ranks by raw dot (not normalized), L2 ranks
+    ascending by SQUARED distance (Milvus contract), cosine matches the
+    existing brute-force path."""
+    from milvus_cdc_spark.analytics import similarity
+
+    # q=[1,0]; big vector wins IP but loses cosine/L2 to the near-unit one
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [10.0, 10.0]),   # dot=10, l2sq=181, cos~.707
+            (2, [0.9, 0.1]),     # dot=0.9, l2sq=0.02, cos~.994
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    queries = df.filter(F.col("vec_id") == 0)
+    ip = similarity.metric_topk(df, queries, metric="ip", k=2).collect()
+    assert [r.neighbor_id for r in sorted(ip, key=lambda r: r.rank)] == [1, 2]
+    l2 = similarity.metric_topk(df, queries, metric="l2", k=2).collect()
+    assert [r.neighbor_id for r in sorted(l2, key=lambda r: r.rank)] == [2, 1]
+    assert abs(sorted(l2, key=lambda r: r.rank)[0].distance - 0.02) < 1e-6
+    cos = similarity.metric_topk(df, queries, metric="cosine", k=2)
+    bf = similarity.brute_force_topk(df, queries, k=2)
+    assert sorted(map(tuple, cos.collect())) == sorted(map(tuple, bf.collect()))
