@@ -2359,6 +2359,7 @@ def dispatcher_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Extended inventories (register additional QUERIES entries).
 from milvus_cdc_spark import suite_relational  # noqa: E402,F401  (import-for-effect)
 from milvus_cdc_spark import suite_search  # noqa: E402,F401  (import-for-effect)
+from milvus_cdc_spark import suite_consistency  # noqa: E402,F401  (import-for-effect)
 from milvus_cdc_spark import suite_streaming_ext  # noqa: E402,F401  (import-for-effect)
 
 # ---------------------------------------------------------------------------

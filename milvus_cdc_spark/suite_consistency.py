@@ -1,0 +1,132 @@
+"""Read-semantics parity queries: consistency-level (guarantee_ts) reads
+and collection-TTL visibility over the replicated op-log.
+
+Reference grounding: the CDC path preserves hybrid-TSO order end-to-end
+(monotonic-ts repair, core/reader/replicate_channel_manager.go:1764-1843),
+which is exactly what makes a guarantee_ts read well-defined on the
+replica; collection properties such as ``collection.ttl.seconds`` flow
+through the replicated DDL path (core/writer DDL handlers). See
+operators/consistency.py for the execution-shape notes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from milvus_cdc_spark import oplog
+from milvus_cdc_spark.operators import apply as apply_op
+from milvus_cdc_spark.operators import consistency
+from milvus_cdc_spark.suite import _t, q
+
+# ---------------------------------------------------------------------------
+# Consistency levels: Strong / BoundedStaleness / Eventually as guarantee_ts
+# cutoffs replayed against the op-log. Level names carry a sort prefix so
+# both engines order identically.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "consistency_levels_read",
+    f"""
+    WITH ops AS ({oplog.ORACLE_OPLOG_SQL}),
+    levels AS (
+      SELECT '1_strong' AS level, (SELECT max(ts) FROM ops) AS guarantee_ts
+      UNION ALL
+      SELECT '2_bounded', (SELECT max(ts) FROM ops) - (CAST(5000 AS BIGINT) << 18)
+      UNION ALL
+      SELECT '3_eventually',
+             (SELECT min(ch_max) FROM (
+                SELECT vchannel, max(ts) AS ch_max FROM ops GROUP BY vchannel))
+    ),
+    seen AS (
+      SELECT l.level, o.collection, o.pk, o.op_type, o.ts, o.num_rows
+      FROM ops o CROSS JOIN levels l
+      WHERE o.ts <= l.guarantee_ts
+    ),
+    agg AS (
+      SELECT level, collection, pk,
+             max(CASE WHEN op_type = 'insert' THEN ts END) AS li,
+             max(CASE WHEN op_type = 'delete' THEN ts END) AS ld,
+             sum(CASE WHEN op_type = 'insert' THEN num_rows ELSE 0 END) AS n_inserts
+      FROM seen GROUP BY 1, 2, 3
+    )
+    SELECT level, collection,
+           count(*) AS alive_pks,
+           CAST(sum(n_inserts) AS BIGINT) AS total_inserts
+    FROM agg
+    WHERE li IS NOT NULL AND (ld IS NULL OR li >= ld)
+    GROUP BY level, collection
+    ORDER BY level, collection
+    """,
+    "cdc",
+    "consistency",
+    "guarantee-ts",
+)
+def consistency_levels_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"))
+    return consistency.read_at_levels(ops)
+
+
+# ---------------------------------------------------------------------------
+# Collection TTL: replicated collection.ttl.seconds property applied at
+# read time — "now" is the latest insert ts (deterministic batch analog).
+# ---------------------------------------------------------------------------
+
+#: (collection, ttl_seconds) — the replicated properties dim. 0 = no expiry.
+TTL_PROPS: tuple[tuple[str, int], ...] = (
+    ("coll_0", 31_536_000),   # 1 year
+    ("coll_1", 126_144_000),  # 4 years
+    ("coll_2", 0),            # no TTL
+)
+
+_SQL_TTL_PROPS = ", ".join(f"('{c}', {t})" for c, t in TTL_PROPS)
+
+
+@q(
+    "ttl_expiry",
+    f"""
+    WITH ops AS ({oplog.ORACLE_OPLOG_SQL}),
+    alive AS (
+      SELECT collection, pk,
+             max(CASE WHEN op_type = 'insert' THEN ts END) AS last_insert_ts
+      FROM ops GROUP BY collection, pk
+      HAVING max(CASE WHEN op_type = 'insert' THEN ts END) IS NOT NULL
+         AND (max(CASE WHEN op_type = 'delete' THEN ts END) IS NULL
+              OR max(CASE WHEN op_type = 'insert' THEN ts END)
+                 >= max(CASE WHEN op_type = 'delete' THEN ts END))
+    ),
+    props(collection, ttl_seconds) AS (VALUES {_SQL_TTL_PROPS}),
+    now_t AS (SELECT max(last_insert_ts) AS now_ts FROM alive)
+    SELECT a.collection,
+           CAST(p.ttl_seconds AS BIGINT) AS ttl_seconds,
+           CAST(sum(CASE WHEN p.ttl_seconds = 0
+                         OR a.last_insert_ts >=
+                            n.now_ts - (CAST(p.ttl_seconds AS BIGINT) * 1000 << 18)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS visible_pks,
+           CAST(sum(CASE WHEN p.ttl_seconds = 0
+                         OR a.last_insert_ts >=
+                            n.now_ts - (CAST(p.ttl_seconds AS BIGINT) * 1000 << 18)
+                    THEN 0 ELSE 1 END) AS BIGINT) AS expired_pks
+    FROM alive a
+    LEFT JOIN props p ON a.collection = p.collection
+    CROSS JOIN now_t n
+    GROUP BY 1, 2
+    ORDER BY 1
+    """,
+    "cdc",
+    "ttl",
+    "properties",
+)
+def ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"))
+    alive = apply_op.replay_alive(ops)
+    props = ops.sparkSession.createDataFrame(
+        list(TTL_PROPS), "collection string, ttl_seconds bigint"
+    )
+    return consistency.ttl_visible(alive, props).select(
+        "collection",
+        "ttl_seconds",
+        F.col("visible_pks").cast("bigint"),
+        F.col("expired_pks").cast("bigint"),
+    )

@@ -241,3 +241,64 @@ def test_metric_topk_semantics(spark):
     cos = similarity.metric_topk(df, queries, metric="cosine", k=2)
     bf = similarity.brute_force_topk(df, queries, k=2)
     assert sorted(map(tuple, cos.collect())) == sorted(map(tuple, bf.collect()))
+
+
+def test_consistency_levels_ordering_and_cutoffs(spark):
+    """Strong sees everything; Eventually stops at the channel-safe
+    watermark (min over vchannels of max ts); Bounded trails Strong by
+    the 5 s graceful window. A pk inserted past the watermark is visible
+    at Strong but not at Eventually."""
+    from milvus_cdc_spark.operators import consistency
+
+    S = consistency.BOUNDED_GRACEFUL_MS << consistency.TSO_SHIFT
+    base = 10 * S  # keep bounded cutoff positive
+    ops = spark.createDataFrame(
+        [
+            # ch_a is far ahead; ch_b's max defines the watermark
+            (base + 3 * S, "insert", "c", "p_new", "ch_a", 1),
+            (base + 0, "insert", "c", "p_old", "ch_a", 1),
+            (base + 1, "insert", "c", "p_b", "ch_b", 1),
+        ],
+        "ts bigint, op_type string, collection string, pk string, "
+        "vchannel string, num_rows bigint",
+    )
+    levels = {
+        r.level: r.guarantee_ts
+        for r in consistency.guarantee_ts_levels(ops).collect()
+    }
+    assert levels["1_strong"] == base + 3 * S
+    assert levels["2_bounded"] == base + 2 * S
+    assert levels["3_eventually"] == base + 1  # ch_b max
+    got = {
+        (r.level, r.collection): r.alive_pks
+        for r in consistency.read_at_levels(ops).collect()
+    }
+    assert got[("1_strong", "c")] == 3
+    assert got[("2_bounded", "c")] == 2   # p_new past the bounded cutoff
+    assert got[("3_eventually", "c")] == 2
+
+
+def test_ttl_visible_split_and_no_ttl(spark):
+    """TTL 0 (or missing property) never expires; a finite TTL hides pks
+    whose last insert is older than now − ttl."""
+    from milvus_cdc_spark.operators import consistency
+
+    day_ms = 86_400_000
+    mk_ts = lambda d: d * day_ms << consistency.TSO_SHIFT
+    alive = spark.createDataFrame(
+        [
+            ("a", "p1", mk_ts(100), 1),   # now
+            ("a", "p2", mk_ts(1), 1),     # ancient -> expired under 1-day ttl
+            ("b", "p3", mk_ts(1), 1),     # no props row -> never expires
+        ],
+        "collection string, pk string, last_insert_ts bigint, n_inserts bigint",
+    )
+    props = spark.createDataFrame(
+        [("a", 86_400)], "collection string, ttl_seconds bigint"
+    )
+    got = {
+        r.collection: (r.visible_pks, r.expired_pks)
+        for r in consistency.ttl_visible(alive, props).collect()
+    }
+    assert got["a"] == (1, 1)
+    assert got["b"] == (1, 0)
