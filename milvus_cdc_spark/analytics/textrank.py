@@ -65,3 +65,73 @@ def bm25_scores(
         .groupBy(id_col)
         .agg(F.sum(contrib).alias("bm25"))
     )
+
+
+def _word_tokens(text_col):
+    """Alnum-run tokenizer (lowered, empties dropped) — the analyzer both
+    engines reproduce exactly: split on `[^a-z0-9]+`."""
+    return F.filter(
+        F.split(F.lower(text_col), "[^a-z0-9]+"), lambda t: t != ""
+    )
+
+
+def text_match_all(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Milvus TextMatch parity (``text_match(text, 'a b c')`` over an
+    INVERTED text index): documents containing ALL query terms.
+
+    Spark-first inverted-index shape: explode → distinct (doc, term)
+    postings restricted to the query terms → per-doc distinct-term count
+    == |terms|. At 100 TB the posting build is the one shuffle (keyed on
+    doc_id, map-side partial), and retrieval touches only the |terms|
+    posting lists — never a full-text rescan per query. Persist the
+    posting table keyed by term to make repeated queries index-lookups.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(_word_tokens(F.col(text_col))).alias("tok")
+    )
+    hits = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy(id_col)
+        .agg(F.count_distinct("tok").alias("n_terms"))
+        .filter(F.col("n_terms") == len(terms))
+        .select(id_col)
+    )
+    return hits
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Milvus PhraseMatch parity (``phrase_match(text, 'w1 w2')``, slop=0):
+    documents where the words occur consecutively, via positional postings.
+
+    posexplode keeps the token position; each adjacent word pair joins on
+    (doc, pos+1). Postings are filtered to the phrase's words BEFORE the
+    self-join, so the join sides are posting-list-sized, not corpus-sized —
+    the classic positional inverted-index plan.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(_word_tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    matched = toks.filter(F.col("tok") == phrase[0]).select(
+        F.col(id_col), F.col("pos").alias("pos0")
+    )
+    for i, word in enumerate(phrase[1:], start=1):
+        nxt = toks.filter(F.col("tok") == word).select(
+            F.col(id_col).alias("_nxt_id"), F.col("pos").alias(f"pos{i}")
+        )
+        matched = matched.join(
+            nxt,
+            (F.col(id_col) == F.col("_nxt_id"))
+            & (F.col(f"pos{i}") == F.col(f"pos{i-1}") + 1),
+        ).drop("_nxt_id")
+    return matched.select(id_col).distinct()

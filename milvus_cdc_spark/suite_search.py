@@ -717,3 +717,77 @@ def jaccard_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "neighbor_id", "distance")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Full-text match surface (Milvus 2.5 text_match / phrase_match over an
+# INVERTED text index). Both engines tokenize with the identical analyzer:
+# lower + split on [^a-z0-9]+, empties dropped.
+# ---------------------------------------------------------------------------
+
+_SQL_TOKS = """
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+"""
+
+_SQL_POS_TOKS = """
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS tok,
+         generate_subscripts(
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       t -> t <> ''), 1) AS pos
+  FROM documents
+"""
+
+
+@q(
+    "text_match_retrieval",
+    f"""
+    WITH toks AS ({_SQL_TOKS})
+    SELECT doc_id FROM toks
+    WHERE tok IN ('vector', 'merge', 'hash')
+    GROUP BY doc_id
+    HAVING count(DISTINCT tok) = 3
+    ORDER BY doc_id
+    """,
+    "text",
+    "inverted-index",
+    "text-match",
+    "llm",
+)
+def text_match_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs containing ALL of {vector, merge, hash} — posting-list
+    intersection, never a per-query full-text rescan."""
+    from milvus_cdc_spark.analytics import textrank
+
+    docs = _t(spark, sf_dir, "documents")
+    return textrank.text_match_all(docs, ["vector", "merge", "hash"]).orderBy(
+        "doc_id"
+    )
+
+
+@q(
+    "phrase_match_retrieval",
+    f"""
+    WITH toks AS ({_SQL_POS_TOKS})
+    SELECT DISTINCT a.doc_id
+    FROM toks a JOIN toks b
+      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.tok = 'fast' AND b.tok = 'sort'
+    ORDER BY a.doc_id
+    """,
+    "text",
+    "inverted-index",
+    "phrase-match",
+    "llm",
+)
+def phrase_match_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs containing the exact phrase "fast sort" (slop 0) via
+    positional postings — posting-sized self-join on (doc, pos+1)."""
+    from milvus_cdc_spark.analytics import textrank
+
+    docs = _t(spark, sf_dir, "documents")
+    return textrank.phrase_match(docs, ["fast", "sort"]).orderBy("doc_id")

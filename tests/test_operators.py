@@ -302,3 +302,33 @@ def test_ttl_visible_split_and_no_ttl(spark):
     }
     assert got["a"] == (1, 1)
     assert got["b"] == (1, 0)
+
+
+def test_text_and_phrase_match_semantics(spark):
+    """text_match = AND of terms; phrase_match requires adjacency and
+    generalizes to 3+ word phrases; punctuation splits tokens."""
+    from milvus_cdc_spark.analytics import textrank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "quick brown fox jumps"),
+            (2, "brown quick fox naps"),      # has both words, wrong order
+            (3, "the QUICK, brown-fox!"),     # case/punct: still a phrase
+            (4, "quick only here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    tm = sorted(
+        r.doc_id for r in textrank.text_match_all(docs, ["quick", "fox"]).collect()
+    )
+    assert tm == [1, 2, 3]
+    pm2 = sorted(
+        r.doc_id for r in textrank.phrase_match(docs, ["quick", "brown"]).collect()
+    )
+    assert pm2 == [1, 3]
+    pm3 = sorted(
+        r.doc_id
+        for r in textrank.phrase_match(docs, ["quick", "brown", "fox"]).collect()
+    )
+    assert pm3 == [1, 3]
+    assert textrank.text_match_all(docs, ["quick", "absent"]).count() == 0
