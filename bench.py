@@ -60,6 +60,12 @@ HEADLINE_R2 = [
     "hamming_topk",
     "sparse_topk",
     "simhash_fingerprints",
+    # round-2b: metric-type search, read-semantics, full-text match
+    "l2_search_topk",
+    "jaccard_binary_topk",
+    "consistency_levels_read",
+    "text_match_retrieval",
+    "phrase_match_retrieval",
 ]
 
 

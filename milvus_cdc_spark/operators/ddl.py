@@ -120,11 +120,129 @@ class RbacState:
         return "ignored"
 
 
+#: Non-RBAC opMessageFuncs rows (channel_writer.go:118-128).
+INDEX_OP_TYPES = ("create_index", "drop_index", "alter_index")
+LOAD_OP_TYPES = (
+    "load_collection",
+    "release_collection",
+    "load_partitions",
+    "release_partitions",
+)
+DATABASE_OP_TYPES = ("create_database", "drop_database", "alter_database")
+
+
+class IndexState:
+    """Idempotent index-registry apply (createIndex/dropIndex/alterIndex
+    handlers, channel_writer.go:121-124). Keyed by (collection, field,
+    index_name); create is describe-before-create like K2, alter merges
+    params. The registry is what a search planner consults for
+    index_type/metric_type (see analytics.similarity.metric_topk — the
+    metric a replica searches with comes from the replicated index)."""
+
+    def __init__(self) -> None:
+        self.indexes: dict[tuple[str, str, str], dict] = {}
+
+    def apply(self, op: dict) -> str:
+        key = (
+            op["collection"],
+            op.get("field", "_default"),
+            op.get("index_name", "_default_idx"),
+        )
+        kind = op["op_type"]
+        if kind == "create_index":
+            if key in self.indexes:
+                return "skipped"
+            self.indexes[key] = {
+                "index_type": op.get("index_type", "IVF_FLAT"),
+                "metric_type": op.get("metric_type", "COSINE"),
+                "params": dict(op.get("params", {})),
+            }
+            return "created"
+        if kind == "drop_index":
+            return "dropped" if self.indexes.pop(key, None) is not None else "skipped"
+        if kind == "alter_index":
+            if key not in self.indexes:
+                return "skipped"
+            self.indexes[key]["params"].update(op.get("params", {}))
+            return "updated"
+        return "ignored"
+
+    def metric_for(self, collection: str, field: str = "_default") -> str | None:
+        for (c, f, _), meta in self.indexes.items():
+            if c == collection and f == field:
+                return meta["metric_type"]
+        return None
+
+
+class LoadState:
+    """load/release collection/partitions + flush markers
+    (channel_writer.go:122-128 handlers loadCollection/releaseCollection/
+    loadPartitions/releasePartitions/flush). Loaded-ness gates reads the
+    way Milvus does (querying an unloaded collection errors); flush
+    records the seal point per collection."""
+
+    def __init__(self) -> None:
+        self.loaded: dict[str, dict] = {}
+        self.flushed: dict[str, int] = {}
+
+    def apply(self, op: dict) -> str:
+        coll = op.get("collection", "")
+        kind = op["op_type"]
+        if kind == "load_collection":
+            if coll in self.loaded and self.loaded[coll]["partitions"] is None:
+                return "skipped"
+            self.loaded[coll] = {
+                "replicas": int(op.get("replicas", 1)),
+                "partitions": None,  # None = all partitions
+            }
+            return "created"
+        if kind == "release_collection":
+            return "dropped" if self.loaded.pop(coll, None) is not None else "skipped"
+        if kind == "load_partitions":
+            parts = set(op.get("partitions", ()))
+            cur = self.loaded.get(coll)
+            if cur is not None and (cur["partitions"] is None or parts <= cur["partitions"]):
+                return "skipped"
+            if cur is None or cur["partitions"] is None:
+                self.loaded[coll] = {
+                    "replicas": int(op.get("replicas", 1)),
+                    "partitions": set(parts),
+                }
+            else:
+                cur["partitions"] |= parts
+            return "created"
+        if kind == "release_partitions":
+            cur = self.loaded.get(coll)
+            if cur is None or cur["partitions"] is None:
+                return "skipped"
+            parts = set(op.get("partitions", ()))
+            if not (parts & cur["partitions"]):
+                return "skipped"
+            cur["partitions"] -= parts
+            if not cur["partitions"]:
+                del self.loaded[coll]
+            return "dropped"
+        if kind == "flush":
+            self.flushed[coll] = int(op.get("ts", 0))
+            return "flushed"
+        return "ignored"
+
+    def is_loaded(self, collection: str, partition: str | None = None) -> bool:
+        cur = self.loaded.get(collection)
+        if cur is None:
+            return False
+        if partition is None or cur["partitions"] is None:
+            return True
+        return partition in cur["partitions"]
+
+
 def apply_ddl_op(
     spark: SparkSession,
     op: dict,
     rbac: RbacState | None = None,
     enable_user_role: bool = False,
+    index: IndexState | None = None,
+    load: LoadState | None = None,
 ) -> str:
     """Dispatch one DDL op-event (channel_writer.go opMessageFuncs table,
     116-141, RBAC rows 126-141). Returns 'created' | 'skipped' | 'dropped' |
@@ -147,5 +265,15 @@ def apply_ddl_op(
         return "dropped" if drop_table_if_exists(spark, op["collection"]) else "skipped"
     if kind == "create_database":
         return "created" if ensure_database(spark, op["db"]) else "skipped"
-    # load/release/flush/index ops have no Spark-side materialization
+    if kind == "drop_database":
+        if not spark.catalog.databaseExists(op["db"]):
+            return "skipped"
+        spark.sql(f"DROP DATABASE IF EXISTS `{op['db']}`")
+        return "dropped"
+    if kind == "alter_database":
+        return "updated" if spark.catalog.databaseExists(op["db"]) else "skipped"
+    if kind in INDEX_OP_TYPES:
+        return (index if index is not None else IndexState()).apply(op)
+    if kind in LOAD_OP_TYPES or kind == "flush":
+        return (load if load is not None else LoadState()).apply(op)
     return "ignored"

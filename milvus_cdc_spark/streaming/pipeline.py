@@ -130,7 +130,8 @@ class CdcApplyPipeline:
                  collections: list[str] | None = None,
                  mirror: bool = False,
                  n_buckets: int = 16,
-                 compact_every: int = 64):
+                 compact_every: int = 64,
+                 history_keep: int = 8):
         self.spark = spark
         self.source_dir = source_dir
         self.state_dir = os.path.join(work_dir, "state")
@@ -139,6 +140,7 @@ class CdcApplyPipeline:
         self.collections = collections
         self.n_buckets = n_buckets
         self.compact_every = compact_every
+        self.history_keep = history_keep
         # restart recovery (reference ReloadTask resume): the manifest on
         # disk, not an in-memory counter, is the source of truth
         self._manifest_path = os.path.join(self.state_dir, "MANIFEST.json")
@@ -157,8 +159,10 @@ class CdcApplyPipeline:
     def _load_manifest(self) -> dict:
         if os.path.exists(self._manifest_path):
             with open(self._manifest_path) as f:
-                return json.load(f)
-        return {"buckets": {}, "last_batch_id": -1}
+                m = json.load(f)
+                m.setdefault("history", [])
+                return m
+        return {"buckets": {}, "last_batch_id": -1, "history": []}
 
     def _commit_manifest(self) -> None:
         """Atomic write-then-rename: the commit point of a batch. A crash
@@ -183,12 +187,28 @@ class CdcApplyPipeline:
     def _empty_state(self) -> DataFrame:
         return self.spark.createDataFrame([], STATE_SCHEMA)
 
-    def read_state(self, buckets: list[int] | None = None) -> DataFrame:
+    def read_state(self, buckets: list[int] | None = None,
+                   as_of_batch_id: int | None = None) -> DataFrame:
         """Union of the manifest's bucket partitions (optionally a subset).
         Each bucket contributes exactly one versioned partition directory —
         the incremental-merge read path touches only the requested buckets.
+
+        ``as_of_batch_id`` time-travels to the newest committed snapshot at
+        or below that batch id (manifest history; metadata-only resolution,
+        same one-dir-per-bucket read shape). The retention window is
+        ``history_keep`` commits — the state-table analog of a
+        BoundedStaleness guarantee_ts read, and of Delta ``VERSION AS OF``
+        without requiring Delta in the container.
         """
         entries = self._manifest["buckets"]
+        if as_of_batch_id is not None:
+            eligible = [
+                h for h in self._manifest["history"]
+                if h["batch_id"] <= as_of_batch_id
+            ]
+            if not eligible:
+                return self._empty_state()
+            entries = max(eligible, key=lambda h: h["batch_id"])["buckets"]
         if buckets is not None:
             entries = {str(b): entries[str(b)] for b in buckets if str(b) in entries}
         if not entries:
@@ -263,6 +283,12 @@ class CdcApplyPipeline:
             update.unpersist()
         # commit point: everything above is keyed by batch_id and re-runnable
         self._manifest["last_batch_id"] = batch_id
+        # time-travel history: snapshot the bucket map per commit, bounded
+        # retention (metadata only — versions stay alive via GC liveness)
+        self._manifest["history"].append(
+            {"batch_id": batch_id, "buckets": dict(self._manifest["buckets"])}
+        )
+        del self._manifest["history"][: -self.history_keep]
         self._commit_manifest()
         self._gc_stale_state_versions()
         if self.compact_every and batch_id % self.compact_every == self.compact_every - 1:
@@ -274,6 +300,8 @@ class CdcApplyPipeline:
         if not os.path.isdir(self.state_dir):
             return
         live = {f"v{v}" for v in self._manifest["buckets"].values()}
+        for h in self._manifest["history"]:
+            live |= {f"v{v}" for v in h["buckets"].values()}
         keep = live | {f"v{self._manifest['last_batch_id']}"}
         for d in os.listdir(self.state_dir):
             if d.startswith("v") and d not in keep:

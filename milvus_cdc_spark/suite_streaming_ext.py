@@ -411,3 +411,105 @@ def rbac_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_ops"))
         .orderBy("enabled", "route")
     )
+
+
+# ---------------------------------------------------------------------------
+# Full DDL op-table routing (channel_writer.go initOPMessageFuncs :117-141
+# + initAPIEventFuncs :108-113): every op type the reference's writer
+# dispatches, classified to its handler family. The state-machine applies
+# (IndexState / LoadState / RbacState idempotence) are asserted in pytest;
+# this entry oracle-checks the dispatch fabric itself.
+# ---------------------------------------------------------------------------
+
+_DDL_OP_TYPES = (
+    # DML (not opMessage — the replicate data path)
+    "insert", "delete",
+    # API events (initAPIEventFuncs)
+    "create_collection", "drop_collection", "create_partition", "drop_partition",
+    # database ops
+    "create_database", "drop_database", "alter_database",
+    # index ops
+    "create_index", "drop_index", "alter_index",
+    # load/release + flush
+    "load_collection", "release_collection", "load_partitions",
+    "release_partitions", "flush",
+    # RBAC (11 types, RBAC_OP_TYPES)
+    "create_credential", "delete_credential", "update_credential",
+    "create_role", "drop_role", "operate_user_role",
+    "operate_privilege", "operate_privilege_v2", "create_privilege_group",
+    "drop_privilege_group", "operate_privilege_group",
+)
+
+_SQL_DDL_LIST = "[" + ", ".join(f"'{t}'" for t in _DDL_OP_TYPES) + "]"
+
+
+@q(
+    "ddl_op_routing",
+    f"""
+    WITH ops AS (
+      SELECT list_extract({_SQL_DDL_LIST},
+                          CAST(o_orderkey % {len(_DDL_OP_TYPES)} AS INTEGER) + 1)
+               AS op_type
+      FROM orders
+    )
+    SELECT CASE
+             WHEN op_type IN ('insert', 'delete') THEN 'dml'
+             WHEN op_type IN ('create_collection', 'drop_collection',
+                              'create_partition', 'drop_partition')
+               THEN 'api_event'
+             WHEN op_type IN ('create_database', 'drop_database',
+                              'alter_database') THEN 'database'
+             WHEN op_type IN ('create_index', 'drop_index', 'alter_index')
+               THEN 'index'
+             WHEN op_type IN ('load_collection', 'release_collection',
+                              'load_partitions', 'release_partitions')
+               THEN 'load_release'
+             WHEN op_type = 'flush' THEN 'flush'
+             ELSE 'rbac' END AS route,
+           count(*) AS n_ops,
+           count(DISTINCT op_type) AS n_op_types
+    FROM ops
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    "cdc",
+    "ddl",
+    "routing",
+)
+def ddl_op_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milvus_cdc_spark.operators.ddl import (
+        DATABASE_OP_TYPES,
+        INDEX_OP_TYPES,
+        LOAD_OP_TYPES,
+    )
+
+    orders = catalog.load_table(spark, sf_dir, "orders")
+    op_type = F.element_at(
+        F.array(*[F.lit(t) for t in _DDL_OP_TYPES]),
+        (F.col("o_orderkey") % len(_DDL_OP_TYPES) + 1).cast("int"),
+    )
+    route = (
+        F.when(F.col("op_type").isin("insert", "delete"), F.lit("dml"))
+        .when(
+            F.col("op_type").isin(
+                "create_collection", "drop_collection",
+                "create_partition", "drop_partition",
+            ),
+            F.lit("api_event"),
+        )
+        .when(F.col("op_type").isin(*DATABASE_OP_TYPES), F.lit("database"))
+        .when(F.col("op_type").isin(*INDEX_OP_TYPES), F.lit("index"))
+        .when(F.col("op_type").isin(*LOAD_OP_TYPES), F.lit("load_release"))
+        .when(F.col("op_type") == "flush", F.lit("flush"))
+        .otherwise(F.lit("rbac"))
+    )
+    return (
+        orders.select(op_type.alias("op_type"))
+        .withColumn("route", route)
+        .groupBy("route")
+        .agg(
+            F.count("*").alias("n_ops"),
+            F.count_distinct("op_type").alias("n_op_types"),
+        )
+        .orderBy("route")
+    )

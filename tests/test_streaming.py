@@ -992,3 +992,54 @@ def test_scheduled_compaction_bounds_position_files(spark, sf_dir):
     }
     got = {(r.vchannel, r.position_ts) for r in pipe.positions().collect()}
     assert got == want
+
+
+def test_state_time_travel_via_manifest_history(spark):
+    """read_state(as_of_batch_id=N) reproduces the state exactly as
+    committed at batch N: deletes later than N are not visible, updates
+    later than N roll back. History survives a cold restart, retention is
+    bounded, and GC never drops a version a retained snapshot needs."""
+    import os
+
+    tmp = tempfile.mkdtemp(prefix="timetravel_")
+    pipe = CdcApplyPipeline(spark, tmp + "/src", tmp + "/work",
+                            n_buckets=4, history_keep=2)
+
+    def ops(rows):
+        return spark.createDataFrame(
+            [
+                (ts, op, "default", "c", "_p", "ch_0", pk, 1, ts)
+                for ts, op, pk in rows
+            ],
+            "ts bigint, op_type string, db string, collection string, "
+            "partition string, vchannel string, pk bigint, num_rows bigint, "
+            "seq bigint",
+        )
+
+    pipe.apply_batch(ops([(10, "insert", 1), (10, "insert", 2)]), 0)
+    pipe.apply_batch(ops([(20, "delete", 2), (20, "insert", 3)]), 1)
+    pipe.apply_batch(ops([(30, "insert", 2)]), 2)
+
+    from milvus_cdc_spark.streaming.pipeline import alive_view
+
+    def alive_pks(df):
+        return sorted(r.pk for r in alive_view(df).collect())
+
+    # at batch 1: pk2 deleted; at batch 2: pk2 re-inserted
+    assert alive_pks(pipe.read_state(as_of_batch_id=1)) == [1, 3]
+    assert alive_pks(pipe.read_state(as_of_batch_id=2)) == [1, 2, 3]
+    # retention bound (history_keep=2): batch-0 snapshot is gone
+    assert pipe.read_state(as_of_batch_id=0).count() == 0
+    assert [h["batch_id"] for h in pipe._manifest["history"]] == [1, 2]
+
+    # cold restart over the same work_dir: history still resolves
+    pipe2 = CdcApplyPipeline(spark, tmp + "/src", tmp + "/work",
+                             n_buckets=4, history_keep=2)
+    assert alive_pks(pipe2.read_state(as_of_batch_id=1)) == [1, 3]
+    assert alive_pks(pipe2.read_state()) == [1, 2, 3]
+
+    # GC kept every version some retained snapshot references
+    needed = {f"v{v}" for h in pipe2._manifest["history"]
+              for v in h["buckets"].values()}
+    on_disk = {d for d in os.listdir(pipe2.state_dir) if d.startswith("v")}
+    assert needed <= on_disk
