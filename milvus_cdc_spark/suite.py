@@ -2401,8 +2401,8 @@ PRIORITY: tuple[str, ...] = (
     "rbac_routing",              # P3 + RBAC apply (new in r2)
     "streaming_cdc_apply",       # K1/T6 executed stream
     "streaming_positions",       # K6/T6
-    "streaming_tumbling_window", # T11 tumbling, executed stream
-    "streaming_session_window",  # T11 session, executed stream
+    "streaming_tumbling_window", # T11 windows, executed stream (session/sliding variants behind the window)
+    "consistency_levels_read",   # guarantee_ts read semantics (new in r2b)
     "streaming_stream_join",     # stream-stream join ext
     "streaming_dedupe",          # streaming dedupe ext
     "tpch_q3_shipping",          # §2.7 sort/limit/top-k + join agg

@@ -130,3 +130,66 @@ def ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("visible_pks").cast("bigint"),
         F.col("expired_pks").cast("bigint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Growing + sealed lambda read (Milvus query path: sealed segments on disk
+# UNION the in-memory growing segment). The Spark side SEALS the op-log at
+# a deterministic flush cutoff with the pipeline's real batch_to_state /
+# merge_state / alive_view functions, then merges the growing tail — while
+# the oracle replays the whole log in one pass. A hash match proves the
+# incremental merge algebra equals single-pass replay CROSS-ENGINE, which
+# is the exact invariant the streaming foreachBatch apply relies on.
+# ---------------------------------------------------------------------------
+
+#: flush cutoff: ops at/under this hybrid-ts are "sealed" (1996-01-01).
+SEAL_CUTOFF_TS = 820_454_400_000 << 18
+
+
+@q(
+    "growing_sealed_read",
+    f"""
+    WITH ops AS ({oplog.ORACLE_OPLOG_SQL}),
+    agg AS (
+      SELECT collection, pk,
+             max(CASE WHEN op_type = 'insert' THEN ts END) AS li,
+             max(CASE WHEN op_type = 'delete' THEN ts END) AS ld,
+             sum(CASE WHEN op_type = 'insert' THEN num_rows ELSE 0 END) AS n_inserts
+      FROM ops GROUP BY collection, pk
+    )
+    SELECT collection,
+           count(*) AS alive_pks,
+           CAST(sum(n_inserts) AS BIGINT) AS total_inserts,
+           max(li) AS max_ts
+    FROM agg
+    WHERE li IS NOT NULL AND (ld IS NULL OR li >= ld)
+    GROUP BY collection
+    ORDER BY collection
+    """,
+    "cdc",
+    "streaming",
+    "lambda-read",
+)
+def growing_sealed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase read (sealed state ⊕ growing tail) vs the oracle's
+    single-pass replay — merge-algebra equivalence, oracle-checked."""
+    from milvus_cdc_spark.streaming.pipeline import (
+        alive_view,
+        batch_to_state,
+        merge_state,
+    )
+
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"))
+    sealed = batch_to_state(ops.filter(F.col("ts") <= F.lit(SEAL_CUTOFF_TS)))
+    growing = batch_to_state(ops.filter(F.col("ts") > F.lit(SEAL_CUTOFF_TS)))
+    merged = merge_state(sealed, growing)
+    return (
+        alive_view(merged)
+        .groupBy("collection")
+        .agg(
+            F.count("*").alias("alive_pks"),
+            F.sum("n_inserts").alias("total_inserts"),
+            F.max("last_insert_ts").alias("max_ts"),
+        )
+        .orderBy("collection")
+    )
