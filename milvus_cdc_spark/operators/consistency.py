@@ -35,43 +35,77 @@ TSO_SHIFT = 18
 BOUNDED_GRACEFUL_MS = 5_000
 
 
-def guarantee_ts_levels(ops: DataFrame) -> DataFrame:
-    """One row per consistency level: (level, guarantee_ts).
+def _level_cutoffs(ops: DataFrame) -> DataFrame:
+    """One row holding all three guarantee_ts cutoffs, from a SINGLE
+    per-vchannel aggregation (the global max ts IS the max over channel
+    maxima, so one channel-keyed agg feeds all three levels):
 
-    Strong = max ts in the log; Bounded = Strong − (5 s << 18);
+    Strong = max ts; Bounded = Strong − (5 s << 18);
     Eventually = serviceable watermark = min over vchannels of max ts.
     """
-    strong = ops.agg(F.max("ts").alias("guarantee_ts")).select(
-        F.lit("1_strong").alias("level"), "guarantee_ts"
-    )
-    bounded = ops.agg(
-        (F.max("ts") - F.lit(BOUNDED_GRACEFUL_MS << TSO_SHIFT)).alias("guarantee_ts")
-    ).select(F.lit("2_bounded").alias("level"), "guarantee_ts")
-    eventually = (
+    return (
         ops.groupBy("vchannel")
         .agg(F.max("ts").alias("ch_max"))
-        .agg(F.min("ch_max").alias("guarantee_ts"))
-        .select(F.lit("3_eventually").alias("level"), "guarantee_ts")
+        .agg(
+            F.max("ch_max").alias("c_strong"),
+            (F.max("ch_max") - F.lit(BOUNDED_GRACEFUL_MS << TSO_SHIFT)).alias(
+                "c_bounded"
+            ),
+            F.min("ch_max").alias("c_eventually"),
+        )
     )
-    return strong.unionByName(bounded).unionByName(eventually)
+
+
+def guarantee_ts_levels(ops: DataFrame) -> DataFrame:
+    """One row per consistency level: (level, guarantee_ts)."""
+    return _level_cutoffs(ops).selectExpr(
+        "stack(3, '1_strong', c_strong, '2_bounded', c_bounded, "
+        "'3_eventually', c_eventually) AS (level, guarantee_ts)"
+    )
 
 
 def read_at_levels(ops: DataFrame) -> DataFrame:
     """Per (level, collection) alive counts after replaying ops with
     ts <= the level's guarantee_ts — the visible state a client at that
-    consistency level observes on the replica."""
-    levels = guarantee_ts_levels(ops)
-    seen = ops.crossJoin(F.broadcast(levels)).filter(
-        F.col("ts") <= F.col("guarantee_ts")
+    consistency level observes on the replica.
+
+    Single-pass plan: the 1-row cutoff frame broadcasts onto the op-log
+    and the per-pk aggregate computes all three levels as conditional
+    aggregate columns — the pk-keyed shuffle carries ONE row per pk
+    (9 columns) instead of one row per (level, pk), and the op-log is
+    scanned once for cutoffs and once for the replay. The per-level
+    expansion (stack) happens after the aggregate, on pk-count rows.
+    """
+    cuts = _level_cutoffs(ops)
+    seen = ops.crossJoin(F.broadcast(cuts))
+
+    def _cols(suffix: str, cutoff: str) -> list:
+        within = F.col("ts") <= F.col(cutoff)
+        is_ins = within & (F.col("op_type") == "insert")
+        is_del = within & (F.col("op_type") == "delete")
+        return [
+            F.max(F.when(is_ins, F.col("ts"))).alias(f"li_{suffix}"),
+            F.max(F.when(is_del, F.col("ts"))).alias(f"ld_{suffix}"),
+            F.sum(F.when(is_ins, F.col("num_rows")).otherwise(F.lit(0))).alias(
+                f"n_{suffix}"
+            ),
+        ]
+
+    agg = seen.groupBy("collection", "pk").agg(
+        *_cols("strong", "c_strong"),
+        *_cols("bounded", "c_bounded"),
+        *_cols("eventually", "c_eventually"),
     )
-    agg = seen.groupBy("level", "collection", "pk").agg(
-        F.max(F.when(F.col("op_type") == "insert", F.col("ts"))).alias("last_insert_ts"),
-        F.max(F.when(F.col("op_type") == "delete", F.col("ts"))).alias("last_delete_ts"),
-        F.sum(
-            F.when(F.col("op_type") == "insert", F.col("num_rows")).otherwise(F.lit(0))
-        ).alias("n_inserts"),
+    per_level = agg.selectExpr(
+        "collection",
+        "pk",
+        "stack(3, "
+        "'1_strong', li_strong, ld_strong, n_strong, "
+        "'2_bounded', li_bounded, ld_bounded, n_bounded, "
+        "'3_eventually', li_eventually, ld_eventually, n_eventually"
+        ") AS (level, last_insert_ts, last_delete_ts, n_inserts)",
     )
-    alive = agg.filter(
+    alive = per_level.filter(
         F.col("last_insert_ts").isNotNull()
         & (
             F.col("last_delete_ts").isNull()

@@ -235,3 +235,44 @@ def test_filtered_ann_pushes_label_filter_before_distance(spark, sf_dir):
     assert any("label" in p for p in audit.pushed_filters(plan))
     # query side broadcast, corpus never shuffled for the join
     assert "BroadcastNestedLoopJoin" in plan or audit.count_broadcast_joins(plan) >= 1
+
+
+def test_consistency_levels_broadcasts_cutoffs(spark, sf_dir):
+    """guarantee_ts cutoffs are a 3-row build side broadcast onto the
+    op-log — never a shuffled join; the replay agg is the only keyed
+    shuffle (partial+final, so exchanges stay bounded)."""
+    df = suite.QUERIES["consistency_levels_read"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_metric_topk_is_projection_plus_window(spark, sf_dir):
+    """L2 search: distance math is a pure projection over the
+    broadcast-query pair frame — no shuffle before the ranking window,
+    and the scan reads only the columns the metric needs."""
+    df = suite.QUERIES["l2_search_topk"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    cols = audit.read_schema_columns(plan)
+    assert all(set(c) <= {"vec_id", "embedding"} for c in cols)
+
+
+def test_text_match_prunes_to_id_and_text(spark, sf_dir):
+    """Posting build reads only (doc_id, text); the term filter applies
+    before the per-doc distinct-count aggregation."""
+    df = suite.QUERIES["text_match_retrieval"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    cols = audit.read_schema_columns(plan)
+    assert all(set(c) <= {"doc_id", "text"} for c in cols)
+
+
+def test_growing_sealed_single_agg_chain(spark, sf_dir):
+    """The sealed/growing union re-aggregates with partial+final hash
+    aggregation — the merge costs one keyed shuffle per side plus the
+    final agg, independent of how state is split."""
+    df = suite.QUERIES["growing_sealed_read"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert plan.count("HashAggregate") >= 4  # partial+final at both levels
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
