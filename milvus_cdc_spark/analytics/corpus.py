@@ -1,0 +1,116 @@
+"""Training-corpus preparation operators: chunking and data mixing.
+
+The two ops every large-scale LLM data pipeline runs between raw
+documents and the tokenizer, expressed as pure column plans:
+
+- **Chunking**: split each document into fixed-size token windows with
+  overlap (context-window packing / RAG indexing). Implemented with a
+  per-row sequence + explode — rows out ∝ Σ ceil(tokens/stride), never a
+  UDF, never a collect. Each chunk carries (doc_id, chunk_id, n_tokens,
+  text) and is independently addressable downstream (embed, dedup,
+  index).
+- **Stratified sampling / mixing**: deterministic hash-based sampling at
+  a per-source rate (data-mixture weighting). The sampling decision is
+  ``md5(doc_id) mod 1000 < rate‰`` — reproducible across engines and
+  runs, no RNG state, so a resampled pipeline is idempotent and
+  auditable (the same doc is always in or out at a given rate).
+
+At 100 TB both are map-only over the corpus (chunking multiplies rows
+by ~tokens/stride before the shuffle to downstream ops; sampling prunes
+before any expensive stage — apply it first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size token-window chunking with overlap.
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_tokens) where
+    stride = chunk_tokens - overlap; the last window may be short but is
+    never empty; a document shorter than one chunk yields one chunk.
+    Tokens are whitespace words (functions.text.tokens semantics).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    # windows: 1 + ceil(max(n - chunk_tokens, 0) / stride), in exact
+    # integer arithmetic (ceil(a/b) = (a + b - 1) // b) so both engines
+    # count identically with no float in the path
+    n_chunks = F.lit(1) + (
+        (F.greatest(n - F.lit(chunk_tokens), F.lit(0)) + F.lit(stride - 1))
+        / F.lit(stride)
+    ).cast("int")
+    chunked = (
+        docs.select(F.col(id_col), toks.alias("_toks"), n_chunks.alias("_nc"))
+        .select(
+            id_col,
+            "_toks",
+            F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.slice(
+                F.col("_toks"),
+                F.col("chunk_id") * stride + 1,
+                chunk_tokens,
+            ).alias("_chunk_toks"),
+        )
+    )
+    return chunked.select(
+        id_col,
+        "chunk_id",
+        F.size("_chunk_toks").alias("n_tokens"),
+        F.array_join("_chunk_toks", " ").alias("chunk_text"),
+    )
+
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+def sample_gate(id_col: Column, rate_permille: Column) -> Column:
+    """Deterministic keep-gate: the first three md5 nibbles form a value
+    in [0, 4096); keep when value % 1000 < rate‰. Pure md5 + integer
+    arithmetic — the portable-hash contract both engines honor exactly
+    (same construction as the partition-key router)."""
+    md5 = F.md5(id_col.cast("string"))
+
+    def nib(i: int) -> Column:
+        return (F.instr(F.lit(HEX_DIGITS), F.substring(md5, i, 1)) - 1).cast(
+            "bigint"
+        )
+
+    h = nib(1) * 256 + nib(2) * 16 + nib(3)
+    return (h % 1000) < rate_permille
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: DataFrame,
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: ``rates`` is a catalog-sized
+    (stratum, rate_permille) dim — broadcast joined, then the hash gate
+    prunes rows map-side. Strata absent from ``rates`` default to keep
+    (rate 1000‰), so a mixture spec only lists what it downweights."""
+    r = rates.select(
+        F.col(strat_col), F.col("rate_permille").cast("bigint").alias("_rate")
+    )
+    return (
+        docs.join(F.broadcast(r), strat_col, "left")
+        .filter(sample_gate(F.col(id_col), F.coalesce(F.col("_rate"), F.lit(1000))))
+        .drop("_rate")
+    )

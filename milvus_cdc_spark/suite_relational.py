@@ -1785,3 +1785,105 @@ def tpch_q16_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-corpus preparation: chunking + deterministic data mixing
+# (analytics/corpus.py). The two ops between raw documents and the
+# tokenizer in every LLM data pipeline.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "doc_chunking",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents WHERE doc_id < 50
+    ),
+    sized AS (
+      SELECT doc_id, tk,
+             1 + (greatest(len(tk) - 48, 0) + 31) // 32 AS n_chunks
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id, unnest(range(n_chunks)) AS chunk_id, tk
+      FROM sized
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           CAST(len(list_slice(tk, chunk_id * 32 + 1, chunk_id * 32 + 48))
+                AS INT) AS n_tokens,
+           md5(array_to_string(
+                 list_slice(tk, chunk_id * 32 + 1, chunk_id * 32 + 48), ' '))
+             AS chunk_fp
+    FROM chunks
+    ORDER BY doc_id, chunk_id
+    """,
+    "llm",
+    "chunking",
+    "pipeline",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64→48-token overlapping windows per document; the md5 of each
+    chunk's text proves content equality cross-engine, not just counts."""
+    from milvus_cdc_spark.analytics import corpus
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    ch = corpus.chunk_documents(docs, chunk_tokens=48, overlap=16)
+    return ch.select(
+        "doc_id",
+        F.col("chunk_id").cast("int"),
+        F.col("n_tokens").cast("int"),
+        F.md5("chunk_text").alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+_MIX_RATES = (("src0", 200), ("src3", 500), ("src7", 800))
+
+_SQL_MIX_RATES = ", ".join(f"('{s}', {r})" for s, r in _MIX_RATES)
+
+
+@q(
+    "stratified_mixing",
+    f"""
+    WITH rates(source, rate_permille) AS (VALUES {_SQL_MIX_RATES}),
+    gated AS (
+      SELECT d.source,
+             ((strpos('0123456789abcdef',
+                      substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 256
+              + (strpos('0123456789abcdef',
+                        substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) * 16
+              + (strpos('0123456789abcdef',
+                        substr(md5(CAST(d.doc_id AS VARCHAR)), 3, 1)) - 1))
+               % 1000 AS h,
+             coalesce(r.rate_permille, 1000) AS rate
+      FROM documents d LEFT JOIN rates r ON d.source = r.source
+    )
+    SELECT source, count(*) AS n_kept
+    FROM gated WHERE h < rate
+    GROUP BY source
+    ORDER BY source
+    """,
+    "llm",
+    "sampling",
+    "data-mixing",
+    "pipeline",
+)
+def stratified_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source mixture sampling: downweighted sources
+    keep a hash-stable subset; unlisted sources keep everything."""
+    from milvus_cdc_spark.analytics import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = docs.sparkSession.createDataFrame(
+        list(_MIX_RATES), "source string, rate_permille bigint"
+    )
+    return (
+        corpus.stratified_sample(docs, rates)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+        .orderBy("source")
+    )

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from milvus_cdc_spark.operators import apply as apply_op
@@ -332,3 +333,56 @@ def test_text_and_phrase_match_semantics(spark):
     )
     assert pm3 == [1, 3]
     assert textrank.text_match_all(docs, ["quick", "absent"]).count() == 0
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    """Chunking: short doc -> one chunk; exact-boundary doc -> one chunk;
+    longer doc -> overlapping windows with the stride's token overlap and
+    a short tail; reconstruction covers every token in order."""
+    from milvus_cdc_spark.analytics import corpus
+
+    words = [f"w{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [
+            (1, "a b"),
+            (2, " ".join(f"w{i}" for i in range(4))),   # == chunk size
+            (3, " ".join(words)),                        # 10 tokens
+        ],
+        "doc_id bigint, text string",
+    )
+    out = corpus.chunk_documents(docs, chunk_tokens=4, overlap=2)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    assert sum(1 for k in rows if k[0] == 1) == 1 and rows[(1, 0)].n_tokens == 2
+    assert sum(1 for k in rows if k[0] == 2) == 1 and rows[(2, 0)].n_tokens == 4
+    # doc 3: stride 2 -> chunks at 0,2,4,6,8 -> 1+ceil(6/2)=4 chunks
+    c3 = sorted(k[1] for k in rows if k[0] == 3)
+    assert c3 == [0, 1, 2, 3]
+    assert rows[(3, 0)].chunk_text == "w0 w1 w2 w3"
+    assert rows[(3, 1)].chunk_text == "w2 w3 w4 w5"   # 2-token overlap
+    assert rows[(3, 3)].chunk_text == "w6 w7 w8 w9"
+    with pytest.raises(ValueError):
+        corpus.chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_stratified_sample_deterministic_and_defaulted(spark):
+    """Sampling: rate 0 drops all, rate 1000 keeps all, unlisted strata
+    default to keep-everything, and two runs agree row-for-row."""
+    from milvus_cdc_spark.analytics import corpus
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(200)],
+        "doc_id bigint, source string",
+    )
+    rates = spark.createDataFrame(
+        [("a", 0)], "source string, rate_permille bigint"
+    )
+    kept = corpus.stratified_sample(docs, rates)
+    got = {r.source for r in kept.select("source").distinct().collect()}
+    assert got == {"b"}                      # a fully dropped, b defaulted
+    assert kept.count() == 100
+    half = spark.createDataFrame(
+        [("a", 500), ("b", 500)], "source string, rate_permille bigint"
+    )
+    k1 = sorted(r.doc_id for r in corpus.stratified_sample(docs, half).collect())
+    k2 = sorted(r.doc_id for r in corpus.stratified_sample(docs, half).collect())
+    assert k1 == k2 and 0 < len(k1) < 200    # deterministic, non-trivial
