@@ -25,12 +25,14 @@ def replay_alive(ops: DataFrame) -> DataFrame:
     """Per-pk conditional aggregate → alive rows after full replay.
 
     Returns (collection, pk, last_insert_ts) for alive pks, i.e. pks whose
-    latest insert is not superseded by a later delete.
+    latest insert is not superseded by a later delete. 'upsert' (Milvus
+    Upsert) and 'import' (bulk load) advance liveness exactly like insert.
     """
+    is_ins = F.col("op_type").isin("insert", "upsert", "import")
     agg = ops.groupBy("collection", "pk").agg(
-        F.max(F.when(F.col("op_type") == "insert", F.col("ts"))).alias("last_insert_ts"),
+        F.max(F.when(is_ins, F.col("ts"))).alias("last_insert_ts"),
         F.max(F.when(F.col("op_type") == "delete", F.col("ts"))).alias("last_delete_ts"),
-        F.sum(F.when(F.col("op_type") == "insert", F.col("num_rows")).otherwise(F.lit(0))).alias(
+        F.sum(F.when(is_ins, F.col("num_rows")).otherwise(F.lit(0))).alias(
             "n_inserts"
         ),
     )

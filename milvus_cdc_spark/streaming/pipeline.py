@@ -67,9 +67,11 @@ STATE_SCHEMA = (
 
 def batch_to_state(batch: DataFrame) -> DataFrame:
     """Collapse one microbatch to per-pk partial state."""
-    # 'import' (bulk load, reference ImportMsg) carries rows exactly like
-    # an insert for liveness purposes — both advance last_insert_ts
-    is_ins = F.col("op_type").isin("insert", "import")
+    # 'import' (bulk load, reference ImportMsg) and 'upsert' (Milvus
+    # Upsert — replicated as-is, tests/testcases/test_cdc_sync_requests
+    # upsert cases) carry rows exactly like an insert for liveness
+    # purposes — all three advance last_insert_ts
+    is_ins = F.col("op_type").isin("insert", "import", "upsert")
     return batch.groupBy("collection", "pk").agg(
         F.max(F.when(is_ins, F.col("ts"))).alias("last_insert_ts"),
         F.max(F.when(F.col("op_type") == "delete", F.col("ts"))).alias("last_delete_ts"),

@@ -791,3 +791,43 @@ def phrase_match_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return textrank.phrase_match(docs, ["fast", "sort"]).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Iterator pagination (Milvus query_iterator / search_iterator): keyset
+# (seek) pagination instead of OFFSET. An offset page costs O(offset) at
+# every engine; the keyset predicate pushes into the scan, so page N
+# costs the same as page 1 — the only iterator shape that survives 100 TB.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "keyset_pagination",
+    """
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_orderdate > DATE '1995-06-15'
+       OR (o_orderdate = DATE '1995-06-15' AND o_orderkey > 12345)
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 20
+    """,
+    "search",
+    "iterator",
+    "pagination",
+)
+def keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One iterator page after cursor (1995-06-15, 12345): the strict
+    keyset predicate reaches the parquet scan (PushedFilters) and the
+    page materializes via TakeOrderedAndProject — no global sort, no
+    offset skip-scan."""
+    o = _t(spark, sf_dir, "orders")
+    cur_date = F.lit("1995-06-15").cast("date")
+    after = (F.col("o_orderdate") > cur_date) | (
+        (F.col("o_orderdate") == cur_date) & (F.col("o_orderkey") > 12345)
+    )
+    return (
+        o.filter(after)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(20)
+    )

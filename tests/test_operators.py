@@ -386,3 +386,26 @@ def test_stratified_sample_deterministic_and_defaulted(spark):
     k1 = sorted(r.doc_id for r in corpus.stratified_sample(docs, half).collect())
     k2 = sorted(r.doc_id for r in corpus.stratified_sample(docs, half).collect())
     assert k1 == k2 and 0 < len(k1) < 200    # deterministic, non-trivial
+
+
+def test_upsert_and_import_advance_liveness(spark):
+    """Milvus Upsert / bulk Import count as inserts for replay liveness:
+    an upsert after a delete resurrects the pk in both the batch replay
+    (replay_alive) and the pipeline state collapse (batch_to_state)."""
+    from milvus_cdc_spark.streaming.pipeline import alive_view, batch_to_state
+
+    ops = _ops(
+        spark,
+        [
+            (10, "insert", "c", 1, 1),
+            (20, "delete", "c", 1, 1),
+            (30, "upsert", "c", 1, 1),
+            (10, "import", "c", 2, 1),
+            (15, "delete", "c", 3, 1),
+        ],
+    )
+    alive = {r.pk for r in apply_op.replay_alive(ops).collect()}
+    assert alive == {1, 2}
+    st = {r.pk: r for r in alive_view(batch_to_state(ops)).collect()}
+    assert set(st) == {1, 2}
+    assert st[1].last_insert_ts == 30

@@ -276,3 +276,13 @@ def test_growing_sealed_single_agg_chain(spark, sf_dir):
     plan = audit.formatted_plan(df)
     assert plan.count("HashAggregate") >= 4  # partial+final at both levels
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_keyset_pagination_pushes_cursor_and_takes_ordered(spark, sf_dir):
+    """Iterator pagination: the keyset predicate reaches the scan and the
+    page materializes via TakeOrderedAndProject — page N costs page-1
+    work, unlike OFFSET."""
+    df = suite.QUERIES["keyset_pagination"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert any("o_orderdate" in p for p in audit.pushed_filters(plan))
+    assert "TakeOrderedAndProject" in plan
