@@ -248,6 +248,13 @@ class TaskRegistry:
             for tid in tids:
                 self.pipelines[tid].compact_positions()
             return {"ok": True, "compacted": tids}
+        if op == "compact_state":
+            # state-table version-sprawl control (bucket dirs fold into one
+            # compaction epoch; logical content unchanged)
+            tids = [data["task_id"]] if data.get("task_id") else list(self.pipelines)
+            for tid in tids:
+                self.pipelines[tid].compact_state()
+            return {"ok": True, "compacted": tids}
         raise ValueError(f"unknown maintenance operation {op!r}")
 
 

@@ -65,6 +65,12 @@ STATE_SCHEMA = (
 )
 
 
+def _vdir_name(v) -> str:
+    """Version → directory name: batch versions are ``v{batch_id}`` (int),
+    compaction epochs are already-prefixed strings (``c{epoch}``)."""
+    return f"v{v}" if isinstance(v, int) else str(v)
+
+
 def batch_to_state(batch: DataFrame) -> DataFrame:
     """Collapse one microbatch to per-pk partial state."""
     # 'import' (bulk load, reference ImportMsg) and 'upsert' (Milvus
@@ -221,7 +227,7 @@ class CdcApplyPipeline:
             by_version.setdefault(v, []).append(b)
         parts = []
         for v, bs in by_version.items():
-            base = os.path.join(self.state_dir, f"v{v}")
+            base = os.path.join(self.state_dir, _vdir_name(v))
             paths = [os.path.join(base, f"bucket={b}") for b in sorted(bs)]
             parts.append(
                 self.spark.read.option("basePath", base).parquet(*paths).drop("bucket")
@@ -301,12 +307,12 @@ class CdcApplyPipeline:
         housekeeping: a version dies once all its buckets were rewritten)."""
         if not os.path.isdir(self.state_dir):
             return
-        live = {f"v{v}" for v in self._manifest["buckets"].values()}
+        live = {_vdir_name(v) for v in self._manifest["buckets"].values()}
         for h in self._manifest["history"]:
-            live |= {f"v{v}" for v in h["buckets"].values()}
+            live |= {_vdir_name(v) for v in h["buckets"].values()}
         keep = live | {f"v{self._manifest['last_batch_id']}"}
         for d in os.listdir(self.state_dir):
-            if d.startswith("v") and d not in keep:
+            if d[:1] in ("v", "c") and d not in keep and d != "MANIFEST.json":
                 shutil.rmtree(os.path.join(self.state_dir, d), ignore_errors=True)
 
     # -- run --------------------------------------------------------------
@@ -360,6 +366,49 @@ class CdcApplyPipeline:
         shutil.rmtree(self.positions_dir)
         os.makedirs(self.positions_dir)
         os.rename(tmp_dir, os.path.join(self.positions_dir, f"batch_id={max_bid}"))
+
+    def compact_state(self) -> None:
+        """Fold every live bucket partition into one compaction-epoch dir
+        (``c{N}``) — the state-side twin of ``compact_positions``. After
+        many incremental batches the state spreads across one version dir
+        per recent batch; compaction bounds that version sprawl (and the
+        per-dir small files) without changing logical content:
+        ``read_state`` before == after, and time-travel history keeps
+        resolving because GC liveness includes history-referenced dirs.
+        Reads come from the old dirs and write to a NEW dir, so the swap
+        is crash-safe exactly like a batch commit (manifest rename)."""
+        if not self._manifest["buckets"]:
+            return
+        epoch = self._manifest.get("compact_epoch", 0) + 1
+        out = os.path.join(self.state_dir, f"c{epoch}")
+        self._bucket(self.read_state()).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(out)
+        for b in self._manifest["buckets"]:
+            self._manifest["buckets"][b] = f"c{epoch}"
+        self._manifest["compact_epoch"] = epoch
+        self._commit_manifest()
+        self._gc_stale_state_versions()
+
+    def channel_lag(self) -> DataFrame:
+        """Per-vchannel replicate lag in physical ms (reference Prometheus
+        replicate-lag metric, server/metrics/metrics.go:111-135): the
+        channel-safe global maximum position minus each channel's
+        position, hybrid-TSO shifted back to wall-clock ms."""
+        pos = self.positions()
+        gmax = pos.agg(F.max("position_ts").alias("_gmax"))
+        return (
+            pos.crossJoin(F.broadcast(gmax))
+            .select(
+                "vchannel",
+                "position_ts",
+                (
+                    F.shiftrightunsigned(F.col("_gmax"), 18)
+                    - F.shiftrightunsigned(F.col("position_ts"), 18)
+                ).alias("lag_ms"),
+            )
+            .orderBy("vchannel")
+        )
 
     def positions(self) -> DataFrame:
         """Latest position per vchannel (K6 checkpoint semantics)."""

@@ -1043,3 +1043,67 @@ def test_state_time_travel_via_manifest_history(spark):
               for v in h["buckets"].values()}
     on_disk = {d for d in os.listdir(pipe2.state_dir) if d.startswith("v")}
     assert needed <= on_disk
+
+
+def test_compact_state_folds_versions_and_preserves_content(spark):
+    """State compaction: many incremental batches spread buckets across
+    version dirs; compact_state folds them into one epoch dir with
+    identical logical content, later batches keep working, and a cold
+    restart reads the compacted manifest."""
+    import os
+
+    tmp = tempfile.mkdtemp(prefix="compactstate_")
+    pipe = CdcApplyPipeline(spark, tmp + "/src", tmp + "/work",
+                            n_buckets=8, history_keep=1)
+
+    def ops(pks, ts):
+        return spark.createDataFrame(
+            [(ts, "insert", "default", "c", "_p", "ch_0", pk, 1, ts)
+             for pk in pks],
+            "ts bigint, op_type string, db string, collection string, "
+            "partition string, vchannel string, pk bigint, num_rows bigint, "
+            "seq bigint",
+        )
+
+    # seed all buckets, then single-pk batches leave buckets pinned at
+    # different versions — the version sprawl compaction exists to fold
+    pipe.apply_batch(ops(range(200), 10), 0)
+    for i in range(1, 4):
+        pipe.apply_batch(ops([i], 10 + i), i)
+    before = sorted((r.pk, r.last_insert_ts)
+                    for r in pipe.read_state().collect())
+    n_dirs_before = len([d for d in os.listdir(pipe.state_dir)
+                         if d[:1] in ("v", "c")])
+    assert n_dirs_before > 1
+    pipe.compact_state()
+    after = sorted((r.pk, r.last_insert_ts) for r in pipe.read_state().collect())
+    assert after == before
+    assert set(pipe._manifest["buckets"].values()) == {"c1"}
+    # a later batch merges on top of the compacted state
+    pipe.apply_batch(ops([0], 99), 4)
+    assert pipe.read_state().filter(F.col("pk") == 0).collect()[0].last_insert_ts == 99
+    # cold restart resolves the compacted manifest
+    pipe2 = CdcApplyPipeline(spark, tmp + "/src", tmp + "/work", n_buckets=8)
+    assert pipe2.alive().count() == 200
+    # second compaction bumps the epoch
+    pipe2.compact_state()
+    assert set(pipe2._manifest["buckets"].values()) == {"c2"}
+
+
+def test_channel_lag_from_positions(spark):
+    """channel_lag: physical-ms lag of each channel behind the most
+    advanced one (reference replicate-lag metric)."""
+    tmp = tempfile.mkdtemp(prefix="chlag_")
+    pipe = CdcApplyPipeline(spark, tmp + "/src", tmp + "/work")
+    batch = spark.createDataFrame(
+        [
+            (1000 << 18, "insert", "default", "c", "_p", "ch_0", 1, 1, 1),
+            (4000 << 18, "insert", "default", "c", "_p", "ch_1", 2, 1, 2),
+        ],
+        "ts bigint, op_type string, db string, collection string, "
+        "partition string, vchannel string, pk bigint, num_rows bigint, "
+        "seq bigint",
+    )
+    pipe.apply_batch(batch, 0)
+    lag = {r.vchannel: r.lag_ms for r in pipe.channel_lag().collect()}
+    assert lag == {"ch_0": 3000, "ch_1": 0}
