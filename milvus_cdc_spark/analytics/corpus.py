@@ -114,3 +114,72 @@ def stratified_sample(
         .filter(sample_gate(F.col(id_col), F.coalesce(F.col("_rate"), F.lit(1000))))
         .drop("_rate")
     )
+
+
+def build_vocab(
+    docs: DataFrame,
+    min_df: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary with document frequencies and stable ids:
+    tokens ranked by (df desc, term asc) — the deterministic ordering a
+    tokenizer build needs — keeping terms seen in >= min_df documents.
+
+    One explode + two aggregations (distinct (doc, term), then per-term
+    df); the global rank is a single window over |vocab| rows, which is
+    vocabulary-sized, not corpus-sized, after aggregation.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+            )
+        ).alias("term")
+    )
+    dfreq = toks.groupBy("term").agg(F.count("*").alias("df")).filter(
+        F.col("df") >= min_df
+    )
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    return dfreq.select(
+        (F.row_number().over(w) - 1).alias("token_id"), "term", "df"
+    )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    seq_len: int = 128,
+    id_col: str = "doc_id",
+    order_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy contiguous sequence packing (training-efficiency packing):
+    walk chunks in (doc, chunk) order, assign pack_id = floor(running
+    token count before this chunk / seq_len) — each pack holds whole
+    chunks and may overflow by at most one chunk (the standard
+    contiguous-greedy approximation; no chunk is split).
+
+    Expressed as one running-sum window — deterministic, and at scale the
+    window can partition by a shard key to avoid a single global sort
+    (documented trade-off: per-shard packing is equally valid for
+    training; the global form is for oracle parity).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.col(id_col), F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    packed = chunks.withColumn(
+        "pack_id", F.floor(before / F.lit(seq_len)).cast("int")
+    )
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(tokens_col).alias("pack_tokens"),
+        )
+        .orderBy("pack_id")
+    )

@@ -1887,3 +1887,93 @@ def stratified_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_kept"))
         .orderBy("source")
     )
+
+
+@q(
+    "vocab_build",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ),
+    dfreq AS (
+      SELECT term, count(*) AS df FROM toks GROUP BY term HAVING count(*) >= 2
+    )
+    SELECT CAST(row_number() OVER (ORDER BY df DESC, term) - 1 AS BIGINT)
+             AS token_id,
+           term,
+           CAST(df AS BIGINT) AS df
+    FROM dfreq
+    ORDER BY token_id
+    """,
+    "llm",
+    "vocab",
+    "pipeline",
+)
+def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary: document frequencies with stable
+    (df desc, term) rank ids, min_df=2."""
+    from milvus_cdc_spark.analytics import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    v = corpus.build_vocab(docs, min_df=2)
+    return v.select(
+        F.col("token_id").cast("bigint"), "term", F.col("df").cast("bigint")
+    ).orderBy("token_id")
+
+
+@q(
+    "sequence_packing",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents WHERE doc_id < 100
+    ),
+    sized AS (
+      SELECT doc_id, tk, 1 + (greatest(len(tk) - 48, 0) + 31) // 32 AS n_chunks
+      FROM toks
+    ),
+    exploded AS (
+      SELECT doc_id, tk, unnest(range(n_chunks)) AS chunk_id FROM sized
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             len(list_slice(tk, chunk_id * 32 + 1, chunk_id * 32 + 48))
+               AS n_tokens
+      FROM exploded
+    ),
+    run AS (
+      SELECT doc_id, chunk_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               ORDER BY doc_id, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM chunks
+    )
+    SELECT CAST(before // 128 AS INT) AS pack_id,
+           count(*) AS n_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+    FROM run
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    "llm",
+    "packing",
+    "pipeline",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk then pack into 128-token training sequences via one
+    running-sum window (greedy contiguous, whole chunks)."""
+    from milvus_cdc_spark.analytics import corpus
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    ch = corpus.chunk_documents(docs, chunk_tokens=48, overlap=16)
+    packs = corpus.pack_sequences(ch, seq_len=128)
+    return packs.select(
+        "pack_id",
+        F.col("n_chunks").cast("bigint"),
+        F.col("pack_tokens").cast("bigint"),
+    ).orderBy("pack_id")

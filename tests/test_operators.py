@@ -409,3 +409,35 @@ def test_upsert_and_import_advance_liveness(spark):
     st = {r.pk: r for r in alive_view(batch_to_state(ops)).collect()}
     assert set(st) == {1, 2}
     assert st[1].last_insert_ts == 30
+
+
+def test_build_vocab_rank_and_min_df(spark):
+    """Vocab: df counts distinct documents (not occurrences), min_df
+    prunes, ids follow (df desc, term asc)."""
+    from milvus_cdc_spark.analytics import corpus
+
+    docs = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a b"), (3, "a z")],
+        "doc_id bigint, text string",
+    )
+    v = {r.term: (r.token_id, r.df) for r in corpus.build_vocab(docs, min_df=2).collect()}
+    assert set(v) == {"a", "b"}          # c, z below min_df
+    assert v["a"] == (0, 3)              # df=3 despite 4 occurrences
+    assert v["b"] == (1, 2)
+
+
+def test_pack_sequences_greedy_contiguous(spark):
+    """Packing: packs hold whole chunks in order; a pack closes once the
+    running count crosses the budget; totals are conserved."""
+    from milvus_cdc_spark.analytics import corpus
+
+    chunks = spark.createDataFrame(
+        [(1, 0, 60), (1, 1, 60), (2, 0, 60), (2, 1, 10), (3, 0, 5)],
+        "doc_id bigint, chunk_id int, n_tokens bigint",
+    )
+    packs = {r.pack_id: (r.n_chunks, r.pack_tokens)
+             for r in corpus.pack_sequences(chunks, seq_len=128).collect()}
+    # before-sums: 0,60,120,180,190 -> pack ids 0,0,0,1,1
+    assert packs == {0: (3, 180), 1: (2, 15)}
+    total = sum(t for _, t in packs.values())
+    assert total == 195
