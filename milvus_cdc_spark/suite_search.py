@@ -831,3 +831,67 @@ def keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# ARRAY-field boolean expressions (Milvus ARRAY datatype filter surface:
+# array_contains / array_contains_any / array_length). The array column is
+# derived from text deterministically; the predicates compose with any
+# search/filter plan exactly like scalar filters.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "array_field_filters",
+    """
+    WITH arr AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tags
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN list_contains(tags, 'vector') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contains,
+           CAST(sum(CASE WHEN list_contains(tags, 'vector')
+                          OR list_contains(tags, 'stream')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_contains_any,
+           CAST(sum(CASE WHEN len(tags) BETWEEN 30 AND 60 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_len_between
+    FROM arr
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    "search",
+    "array-field",
+    "filter",
+)
+def array_field_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Milvus ARRAY expr parity: array_contains / contains_any /
+    array_length over a derived tags array, counted per lang."""
+    docs = _t(spark, sf_dir, "documents")
+    tags = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    arr = docs.select("doc_id", "lang", tags.alias("tags"))
+    return (
+        arr.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.array_contains("tags", "vector"), 1).otherwise(0)
+            ).alias("n_contains"),
+            F.sum(
+                F.when(
+                    F.array_contains("tags", "vector")
+                    | F.array_contains("tags", "stream"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_contains_any"),
+            F.sum(
+                F.when(F.size("tags").between(30, 60), 1).otherwise(0)
+            ).alias("n_len_between"),
+        )
+        .orderBy("lang")
+    )
