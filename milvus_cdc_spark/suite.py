@@ -2409,8 +2409,8 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q9_product_profit",    # multi-join agg (new in r2, partsupp)
     "tpch_q16_supplier_parts",   # distinct-agg + anti-join (new in r2)
     "dedup_exact",               # LLM exact dedup
-    "minhash_bands",             # LLM MinHash
-    "near_dup_pairs",            # LLM LSH + Jaccard
+    "milvus_expr_filter",        # filter-expression compiler (new in r2c; minhash_bands behind the window — near_dup_pairs covers the MinHash family end-to-end)
+    "near_dup_pairs",            # LLM MinHash + LSH + Jaccard
     "simhash_fingerprints",      # LLM SimHash
     "embedding_near_dup",        # LLM embedding-cosine near-dup
     "text_quality",              # LLM quality scoring

@@ -895,3 +895,136 @@ def array_field_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Milvus filter-expression language (query(expr=...) / search(filter=...)).
+# The reference's own e2e checks drive deletes and row verification through
+# these strings (tests/testcases/test_cdc_e2e.py:103-107 `int64 in [...]`),
+# so the replicated data must answer them here. functions/expr.py compiles
+# the public grammar to pure Column predicates; this query evaluates 15
+# expressions covering every grammar family in ONE scan (conditional
+# aggregation → stack), and the oracle re-states each predicate directly
+# over the base columns — a hash match proves compiler semantics, not just
+# parse success.
+# ---------------------------------------------------------------------------
+
+#: (expr_id, Milvus expression) — one per grammar family.
+MILVUS_EXPRS: tuple[tuple[str, str], ...] = (
+    ("e01", 'size >= 10 && size < 25'),                     # && + comparisons
+    ("e02", "5 < size <= 20"),                              # chained binary range
+    ("e03", 'brand in ["Brand#12", "Brand#34"]'),           # in list
+    ("e04", 'name like "gold%"'),                           # like prefix
+    ("e05", 'not (size == 10 || brand == "Brand#12")'),     # not / || / parens
+    ("e06", "price / 2 + 100 > size * 6"),                  # arithmetic precedence
+    ("e07", "size % 4 == 0"),                               # modulo
+    ("e08", 'array_contains(tags, "green")'),               # ARRAY contains
+    ("e09", 'array_contains_any(tags, ["green", "navy"])'), # ARRAY contains_any
+    ("e10", "array_length(tags) == 5"),                     # ARRAY length
+    ("e11", 'tags[0] == "green"'),                          # 0-based ARRAY index
+    ("e12", 'props["grade"] >= 3'),                         # JSON path + typed cast
+    ("e13", 'exists props["extra"]'),                       # JSON exists
+    ("e14", 'ptype like "%BRASS"'),                         # dynamic $meta field
+    ("e15", "size ** 2 > 400"),                             # power
+)
+
+_EXPR_ORACLE_PREDS: tuple[tuple[str, str], ...] = (
+    ("e01", "size >= 10 AND size < 25"),
+    ("e02", "5 < size AND size <= 20"),
+    ("e03", "brand IN ('Brand#12', 'Brand#34')"),
+    ("e04", "name LIKE 'gold%'"),
+    ("e05", "NOT (size = 10 OR brand = 'Brand#12')"),
+    ("e06", "price / 2 + 100 > size * 6"),
+    ("e07", "size % 4 = 0"),
+    ("e08", "list_contains(tags, 'green')"),
+    ("e09", "list_contains(tags, 'green') OR list_contains(tags, 'navy')"),
+    ("e10", "len(tags) = 5"),
+    ("e11", "tags[1] = 'green'"),
+    ("e12", "size % 5 >= 3"),
+    ("e13", "pk % 3 = 0"),
+    ("e14", "ptype LIKE '%BRASS'"),
+    ("e15", "size * size > 400"),
+)
+
+_EXPR_ORACLE = (
+    """
+    WITH ent AS (
+      SELECT p_partkey AS pk, p_size AS size, p_retailprice AS price,
+             p_brand AS brand, p_name AS name, p_type AS ptype,
+             regexp_split_to_array(p_name, ' ') AS tags
+      FROM part
+    ), w AS (
+      SELECT
+    """
+    + ",\n".join(
+        f"        CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS n{eid[1:]},\n"
+        f"        CAST(sum(CASE WHEN {pred} THEN pk ELSE 0 END) AS BIGINT) AS s{eid[1:]}"
+        for eid, pred in _EXPR_ORACLE_PREDS
+    )
+    + """
+      FROM ent
+    )
+    """
+    + "\n    UNION ALL ".join(
+        f"SELECT '{eid}' AS expr_id, n{eid[1:]} AS n_match, s{eid[1:]} AS sum_pk FROM w"
+        for eid, _ in _EXPR_ORACLE_PREDS
+    )
+    + "\n    ORDER BY expr_id"
+)
+
+
+@q(
+    "milvus_expr_filter",
+    _EXPR_ORACLE,
+    "expr",
+    "filter",
+    "search",
+    "compiler",
+)
+def milvus_expr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15 Milvus filter expressions compiled to Column predicates and
+    evaluated in one conditional-aggregation pass over ``part``.
+
+    Entity mapping: scalars from part columns; ``tags`` = name words
+    (ARRAY field); ``props`` = a JSON document with ``grade`` = size%5 and
+    ``extra`` present iff pk%3==0 (to_json drops null fields — the JSON
+    missing-key case `exists` needs); ``ptype`` lives ONLY in the $meta JSON
+    (dynamic-field resolution). One scan for all 15 predicates; at 100 TB a
+    single compiled predicate used as a filter pushes into the scan
+    (tests/test_expr.py::test_pushdown_reaches_scan).
+    """
+    from milvus_cdc_spark.functions.expr import compile_expr
+
+    p = _t(spark, sf_dir, "part")
+    ent = p.select(
+        F.col("p_partkey").alias("pk"),
+        F.col("p_size").alias("size"),
+        F.col("p_retailprice").alias("price"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name"),
+        F.split(F.col("p_name"), " ").alias("tags"),
+        F.to_json(
+            F.struct(
+                (F.col("p_size") % 5).alias("grade"),
+                F.when(F.col("p_partkey") % 3 == 0, F.lit("x")).alias("extra"),
+            )
+        ).alias("props"),
+        F.to_json(F.struct(F.col("p_type").alias("ptype"))).alias("meta"),
+    )
+    fields = {c: ent[c] for c in ent.columns if c != "meta"}
+    aggs = []
+    for eid, src in MILVUS_EXPRS:
+        pred = compile_expr(
+            src, fields, meta_col=ent["meta"], json_fields=("props",)
+        )
+        aggs.append(F.sum(F.when(pred, 1).otherwise(0)).alias(f"n{eid[1:]}"))
+        aggs.append(
+            F.sum(F.when(pred, F.col("pk")).otherwise(0)).alias(f"s{eid[1:]}")
+        )
+    wide = ent.agg(*aggs)
+    pairs = ", ".join(f"'{eid}', n{eid[1:]}, s{eid[1:]}" for eid, _ in MILVUS_EXPRS)
+    return wide.select(
+        F.expr(
+            f"stack({len(MILVUS_EXPRS)}, {pairs}) AS (expr_id, n_match, sum_pk)"
+        )
+    ).orderBy("expr_id")

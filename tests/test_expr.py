@@ -1,0 +1,120 @@
+"""Milvus filter-expression compiler: grammar corners + semantics.
+
+Each case filters a tiny in-memory frame with the compiled Column and
+checks the surviving ids against a hand-evaluated set — the suite query
+``milvus_expr_filter`` is the oracle-checked twin over real tables.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from milvus_cdc_spark.functions.expr import ExprError, compile_expr
+
+
+@pytest.fixture(scope="module")
+def ent(spark):
+    rows = [
+        # id, size, price, brand, name, tags,            props(json),           meta(json)
+        (1, 4, 10.0, "B1", "gold ring", ["green", "red"], '{"grade": 1}', '{"mfgr": "M1"}'),
+        (2, 10, 40.0, "B2", "steel cap", ["blue"], '{"grade": 3, "extra": "x"}', '{"mfgr": "M2"}'),
+        (3, 15, 25.0, "B1", "golden rod", ["green", "blue", "ivory"], '{"grade": 5}', '{"mfgr": "M1"}'),
+        (4, 20, 5.5, "B3", "iron bar", [], '{"grade": 2, "tags": ["a","b"]}', '{"mfgr": "M3"}'),
+        (5, 25, 99.9, "B2", "tin cup", ["red"], '{"grade": 4, "n": [1,2,3]}', '{"mfgr": "M1"}'),
+    ]
+    return (
+        spark.createDataFrame(
+            rows, "id int, size int, price double, brand string, name string, "
+            "tags array<string>, props string, meta string"
+        )
+        .cache()
+    )
+
+
+def ids(ent, expr, **kw):
+    col = compile_expr(expr, ent, **kw)
+    return sorted(r.id for r in ent.filter(col).select("id").collect())
+
+
+def test_comparisons_and_logic(ent):
+    assert ids(ent, "size >= 10 && size < 25") == [2, 3, 4]
+    assert ids(ent, "size == 4 || size == 25") == [1, 5]
+    assert ids(ent, "not (size == 10 || size == 20)") == [1, 3, 5]
+    assert ids(ent, "!(brand != 'B1')") == [1, 3]
+
+
+def test_chained_binary_range(ent):
+    # Milvus binary-range shape: adjacent pairs AND together
+    assert ids(ent, "10 <= size < 25") == [2, 3, 4]
+    assert ids(ent, "4 < size <= 15 <= price") == [2, 3]
+
+
+def test_in_like(ent):
+    assert ids(ent, 'brand in ["B1", "B3"]') == [1, 3, 4]
+    assert ids(ent, 'brand not in ["B1", "B3"]') == [2, 5]
+    assert ids(ent, "name like 'gold%'") == [1, 3]
+    assert ids(ent, "name not like '%cup'") == [1, 2, 3, 4]
+
+
+def test_arithmetic_precedence(ent):
+    assert ids(ent, "price / 2 + 100 > size * 6") == [1, 2, 3]
+    assert ids(ent, "size % 5 == 0") == [2, 3, 4, 5]
+    assert ids(ent, "size ** 2 > 400") == [5]
+    assert ids(ent, "-size < -20") == [5]
+    assert ids(ent, "size in [-4, 4]") == [1]
+
+
+def test_array_field(ent):
+    assert ids(ent, 'array_contains(tags, "green")') == [1, 3]
+    assert ids(ent, 'array_contains_any(tags, ["green", "blue"])') == [1, 2, 3]
+    assert ids(ent, 'array_contains_all(tags, ["green", "blue"])') == [3]
+    assert ids(ent, "array_length(tags) == 2") == [1]
+    assert ids(ent, 'tags[0] == "green"') == [1, 3]  # 0-based ARRAY access
+
+
+def test_json_field(ent):
+    j = dict(json_fields=("props",))
+    assert ids(ent, 'props["grade"] >= 3', **j) == [2, 3, 5]
+    assert ids(ent, 'props["grade"] == 5', **j) == [3]
+    assert ids(ent, 'exists props["extra"]', **j) == [2]
+    assert ids(ent, 'props["extra"] == "x"', **j) == [2]
+    assert ids(ent, 'json_contains(props["tags"], "a")', **j) == [4]
+    assert ids(ent, 'json_contains_any(props["n"], [2, 9])', **j) == [5]
+    assert ids(ent, 'json_contains_all(props["n"], [1, 3])', **j) == [5]
+    assert ids(ent, 'array_length(props["n"]) == 3', **j) == [5]
+    # arithmetic over a JSON number: cast at the comparison site
+    assert ids(ent, 'props["grade"] * 10 >= 40', **j) == [3, 5]
+
+
+def test_dynamic_meta_field(ent):
+    # 'mfgr' is not a declared column → resolves through meta_col ($meta)
+    assert ids(ent, 'mfgr == "M1"', meta_col=F.col("meta")) == [1, 3, 5]
+    assert ids(ent, 'mfgr in ["M2", "M3"]', meta_col=F.col("meta")) == [2, 4]
+
+
+def test_errors(ent):
+    with pytest.raises(ExprError, match="unknown field"):
+        compile_expr("nosuch > 1", ent)
+    with pytest.raises(ExprError, match="expected"):
+        compile_expr("size >", ent)
+    with pytest.raises(ExprError, match="trailing"):
+        compile_expr("size > 1 size", ent)
+    with pytest.raises(ExprError, match="bad character"):
+        compile_expr("size > 1 @ 2", ent)
+    with pytest.raises(ExprError, match="unknown function"):
+        compile_expr("frobnicate(size)", ent)
+    with pytest.raises(ExprError, match="trailing|must precede"):
+        compile_expr("size not > 3", ent)
+
+
+def test_pushdown_reaches_scan(spark, sf_dir):
+    """Compiled predicates are ordinary Catalyst filters: a compiled
+    comparison on a parquet column must appear in PushedFilters."""
+    from milvus_cdc_spark import catalog
+
+    part = catalog.load_table(spark, sf_dir, "part")
+    pred = compile_expr('p_size >= 10 && p_brand == "Brand#12"', part)
+    plan = part.filter(pred)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "p_size" in plan.split("PushedFilters")[1][:300]
