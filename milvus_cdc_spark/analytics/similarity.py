@@ -471,7 +471,16 @@ def filtered_topk(
 ) -> DataFrame:
     """Hybrid attribute+vector search (Milvus ``search(filter=expr)``): the
     scalar predicate applies BEFORE the distance math, so at scale it
-    pushes into the parquet scan and prunes the candidate set first."""
+    pushes into the parquet scan and prunes the candidate set first.
+
+    ``predicate`` is a Column or a Milvus filter-expression string — the
+    string form is compiled against the corpus schema by
+    ``functions/expr.compile_expr`` (what a client's ``filter=...`` arg
+    actually carries)."""
+    if isinstance(predicate, str):
+        from milvus_cdc_spark.functions.expr import compile_expr
+
+        predicate = compile_expr(predicate, corpus)
     return brute_force_topk(
         corpus.filter(predicate), queries, k=k, id_col=id_col, vec_col=vec_col
     )

@@ -118,3 +118,18 @@ def test_pushdown_reaches_scan(spark, sf_dir):
     plan = part.filter(pred)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert "p_size" in plan.split("PushedFilters")[1][:300]
+
+
+def test_filtered_topk_accepts_expr_string(spark, sf_dir):
+    """similarity.filtered_topk(filter="...") — the string a Milvus client
+    sends — must match the hand-written Column predicate exactly."""
+    from milvus_cdc_spark import catalog
+    from milvus_cdc_spark.analytics import similarity
+
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    via_str = similarity.filtered_topk(emb, queries, "label % 2 == 0", k=3)
+    via_col = similarity.filtered_topk(emb, queries, F.col("label") % 2 == 0, k=3)
+    assert sorted(map(tuple, via_str.collect())) == sorted(
+        map(tuple, via_col.collect())
+    )
