@@ -80,11 +80,11 @@ def chunk_documents(
 HEX_DIGITS = "0123456789abcdef"
 
 
-def sample_gate(id_col: Column, rate_permille: Column) -> Column:
-    """Deterministic keep-gate: the first three md5 nibbles form a value
-    in [0, 4096); keep when value % 1000 < rate‰. Pure md5 + integer
-    arithmetic — the portable-hash contract both engines honor exactly
-    (same construction as the partition-key router)."""
+def portable_nibble_hash(id_col: Column) -> Column:
+    """First three md5 nibbles of the stringified id as a value in
+    [0, 4096) — pure md5 + integer arithmetic, the portable-hash contract
+    both engines honor exactly (same construction as the partition-key
+    router). Shared by the sampling gate and the packing shard key."""
     md5 = F.md5(id_col.cast("string"))
 
     def nib(i: int) -> Column:
@@ -92,8 +92,13 @@ def sample_gate(id_col: Column, rate_permille: Column) -> Column:
             "bigint"
         )
 
-    h = nib(1) * 256 + nib(2) * 16 + nib(3)
-    return (h % 1000) < rate_permille
+    return nib(1) * 256 + nib(2) * 16 + nib(3)
+
+
+def sample_gate(id_col: Column, rate_permille: Column) -> Column:
+    """Deterministic keep-gate: keep when portable_nibble_hash % 1000 <
+    rate‰ — reproducible across engines and runs, no RNG state."""
+    return (portable_nibble_hash(id_col) % 1000) < rate_permille
 
 
 def stratified_sample(
@@ -150,6 +155,7 @@ def build_vocab(
 def pack_sequences(
     chunks: DataFrame,
     seq_len: int = 128,
+    n_shards: int = 16,
     id_col: str = "doc_id",
     order_col: str = "chunk_id",
     tokens_col: str = "n_tokens",
@@ -160,26 +166,35 @@ def pack_sequences(
     chunks and may overflow by at most one chunk (the standard
     contiguous-greedy approximation; no chunk is split).
 
-    Expressed as one running-sum window — deterministic, and at scale the
-    window can partition by a shard key to avoid a single global sort
-    (documented trade-off: per-shard packing is equally valid for
-    training; the global form is for oracle parity).
+    Scale design: the running-sum window partitions by a deterministic
+    md5-derived shard of the document id (``portable_nibble_hash %
+    n_shards``), so NO single task ever sorts the whole corpus — each
+    shard packs its documents independently and pack ids are local to a
+    shard; ``(shard_id, pack_id)`` identifies a pack globally. Per-shard
+    packing is exactly as valid for training as a global walk (packs
+    never span documents' shard boundaries by construction), and the
+    portable shard key means an external oracle sharding the same way
+    reproduces the output bit-for-bit. At 100 TB, raise ``n_shards`` to
+    O(cluster cores); each window task sorts ~1/n_shards of the chunks.
+    ``n_shards=1`` degenerates to the single global walk.
     """
     from pyspark.sql import Window
 
+    shard = (portable_nibble_hash(F.col(id_col)) % n_shards).cast("int")
     w = (
-        Window.orderBy(F.col(id_col), F.col(order_col))
+        Window.partitionBy("shard_id")
+        .orderBy(F.col(id_col), F.col(order_col))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
-    packed = chunks.withColumn(
+    packed = chunks.withColumn("shard_id", shard).withColumn(
         "pack_id", F.floor(before / F.lit(seq_len)).cast("int")
     )
     return (
-        packed.groupBy("pack_id")
+        packed.groupBy("shard_id", "pack_id")
         .agg(
             F.count("*").alias("n_chunks"),
             F.sum(tokens_col).alias("pack_tokens"),
         )
-        .orderBy("pack_id")
+        .orderBy("shard_id", "pack_id")
     )

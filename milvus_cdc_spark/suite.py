@@ -2364,65 +2364,76 @@ from milvus_cdc_spark import suite_streaming_ext  # noqa: E402,F401  (import-for
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness checks the FIRST 50
-# registry entries (CORRECTNESS_r01 was the first 50 of 94 verbatim), so the
-# front of the dict is curated: one representative per SURVEY §2 operator row
-# plus every LLM-pipeline operator family, then TPC-H representatives and the
-# streaming extensions. Redundant near-duplicates (two queries exercising the
-# same §2 row) sit behind the window. Names listed here but not (yet)
-# registered are skipped, so the list can lead registration.
+# registry entries, so the front of the dict is curated. Round 4 ROTATES the
+# window: rounds 1-3 hard-checked the same 50 queries, leaving 73 registry
+# entries with only local oracle runs. This window keeps 10 regression
+# anchors (one per broad family, all green in CORRECTNESS_r01-r03) and fills
+# the other 40 slots with first-time-checked queries: the TPC-H tail, corpus
+# prep, the Milvus search surface, consistency variants, and the streaming
+# session/state extensions. The 40 rounds-1-3 entries now behind the window
+# remain covered by pytest + scripts/verify_local.py (123/123 local oracle).
+# Names listed here but not (yet) registered are skipped, so the list can
+# lead registration.
 # ---------------------------------------------------------------------------
 
 PRIORITY: tuple[str, ...] = (
+    # -- 10 regression anchors (driver-green in r1-r3) --
     "q1_pricing_summary",        # flagship; TPC-H Q1 agg
     "cdc_replay_summary",        # A7/K1 replay
-    "dim_join_enrich",           # J1/J2 broadcast enrich
-    "diff_reconcile",            # J8 data-diff
-    "rank_zip_join",             # J5/W4 rank-zip
-    "latest_version_dedupe",     # W2
-    "monotonic_rebase",          # W3/T2
-    "lag_gap_tracking",          # W5
-    "barrier_ready",             # A1/T3
-    "scalar_funcs",              # §2.8 core + P6
-    "filtered_oplog_counts",     # P1/P2
-    "rollup_region_nation",      # rollup/cube/approx row
-    "lifetime_asof_apply",       # P9/J7 as-of range join
-    "name_remap",                # P4/P5
-    "watermark_ts",              # A3/A4
-    "metrics_counters",          # A5/A6
-    "ready_set_equality",        # A2
-    "kafka_envelope",            # K3/K4
-    "pack_sort_order",           # W1
-    "json_extract_props",        # §2.8 JSON
-    "begin_ts_repair",           # T4
-    "schema_hydration",          # S1/S3/S4/P7/J3/J4
-    "metadata_watch_diff",       # S2
-    "dispatcher_routing",        # S6
-    "timetick_heartbeat",        # T1 (new in r2)
-    "rbac_routing",              # P3 + RBAC apply (new in r2)
     "streaming_cdc_apply",       # K1/T6 executed stream
-    "streaming_positions",       # K6/T6
-    "streaming_tumbling_window", # T11 windows, executed stream (session/sliding variants behind the window)
-    "consistency_levels_read",   # guarantee_ts read semantics (new in r2b)
-    "streaming_stream_join",     # stream-stream join ext
-    "streaming_dedupe",          # streaming dedupe ext
-    "tpch_q3_shipping",          # §2.7 sort/limit/top-k + join agg
-    "tpch_q9_product_profit",    # multi-join agg (new in r2, partsupp)
-    "tpch_q16_supplier_parts",   # distinct-agg + anti-join (new in r2)
-    "dedup_exact",               # LLM exact dedup
-    "milvus_expr_filter",        # filter-expression compiler (new in r2c; minhash_bands behind the window — near_dup_pairs covers the MinHash family end-to-end)
+    "monotonic_rebase",          # W3/T2
+    "timetick_heartbeat",        # T1
+    "consistency_levels_read",   # guarantee_ts read semantics
     "near_dup_pairs",            # LLM MinHash + LSH + Jaccard
-    "simhash_fingerprints",      # LLM SimHash
-    "embedding_near_dup",        # LLM embedding-cosine near-dup
-    "text_quality",              # LLM quality scoring
-    "lang_detect",               # LLM language-ID
-    "cosine_topk",               # LLM brute-force cosine
-    "ann_recall",                # LLM sign-LSH ANN + recall@k
-    "ivf_topk",                  # LLM centroid IVF
-    "ann_multiprobe_topk",       # LLM multi-probe LSH
-    "hamming_topk",              # LLM binary vectors
-    "sparse_topk",               # LLM sparse inverted index
-    "bm25_topk",                 # LLM BM25
     "multimodal_features",       # §2.10 Arrow UDF surface
+    "schema_hydration",          # S1/S3/S4/P7/J3/J4
+    "barrier_ready",             # A1/T3
+    # -- 40 first-time driver checks (never in CORRECTNESS_r01-r03) --
+    # TPC-H tail / relational surface
+    "tpch_q5_local_volume",      # 6-way join agg
+    "bi_nation_volume",          # TPC-H Q7-style bi-nation volume
+    "market_share",              # TPC-H Q8-style market share
+    "sole_late_supplier",        # TPC-H Q21-style multi-exists
+    "top_supplier_revenue",      # TPC-H Q15-style max-revenue view
+    "topk_orders",               # §2.7 top-k
+    "set_ops_nations",           # §2.7 set ops
+    "ntile_quartiles",           # window ntile (scale-safe variant)
+    "cube_order_status",         # cube
+    "approx_distinct_parts",     # approx_count_distinct
+    "grouping_sets_revenue",     # grouping sets
+    "pivot_priority_status",     # pivot
+    "salted_skew_join",          # skew-salted join pattern
+    "window_moving_avg",         # sliding frame window
+    # corpus prep (LLM pipeline)
+    "doc_chunking",              # chunker
+    "vocab_build",               # vocab/token counting
+    "sequence_packing",          # shard-partitioned packing (fixed r4)
+    "stratified_mixing",         # mixture sampling
+    # Milvus search surface
+    "filtered_ann_topk",         # filter-before-distance ANN
+    "range_search_radius",       # range search
+    "grouping_search_labels",    # grouping search
+    "search_pagination",         # offset pagination
+    "keyset_pagination",         # keyset cursor
+    "array_field_filters",       # ARRAY field ops
+    "hybrid_search_rrf",         # RRF fusion
+    "hybrid_search_weighted",    # weighted fusion
+    "sq8_quantized_recall",      # SQ8 quantization + recall
+    "ip_search_topk",            # IP metric parity
+    "l2_search_topk",            # L2 (Milvus squared) metric parity
+    "hamming_multiword_topk",    # >64-dim binary Hamming
+    "jaccard_binary_topk",       # binary Jaccard
+    "minhash_bands",             # MinHash band detail
+    "ann_bucketed_topk",         # LSH-bucketed ANN scale path
+    "text_match_retrieval",      # text_match posting lists
+    "phrase_match_retrieval",    # phrase_match positional postings
+    # lifecycle / consistency variants
+    "ttl_expiry",                # collection TTL filter
+    "growing_sealed_read",       # growing+sealed segment union read
+    "ddl_op_routing",            # S8/K2 DDL routing + idempotent state
+    # streaming extensions
+    "streaming_session_window",  # T11 session window, executed stream
+    "streaming_state_tracker",   # custom stateful tracker
 )
 
 

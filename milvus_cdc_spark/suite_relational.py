@@ -1946,34 +1946,50 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_tokens
       FROM exploded
     ),
-    run AS (
+    sharded AS (
       SELECT doc_id, chunk_id, n_tokens,
+             CAST(((strpos('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 256
+                   + (strpos('0123456789abcdef',
+                             substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef',
+                             substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1))
+                  % 8 AS INT) AS shard_id
+      FROM chunks
+    ),
+    run AS (
+      SELECT shard_id, doc_id, chunk_id, n_tokens,
              coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard_id
                ORDER BY doc_id, chunk_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
-      FROM chunks
+      FROM sharded
     )
-    SELECT CAST(before // 128 AS INT) AS pack_id,
+    SELECT shard_id,
+           CAST(before // 128 AS INT) AS pack_id,
            count(*) AS n_chunks,
            CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
     FROM run
-    GROUP BY 1
-    ORDER BY 1
+    GROUP BY 1, 2
+    ORDER BY 1, 2
     """,
     "llm",
     "packing",
     "pipeline",
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk then pack into 128-token training sequences via one
-    running-sum window (greedy contiguous, whole chunks)."""
+    """Chunk then pack into 128-token training sequences via a
+    shard-partitioned running-sum window (greedy contiguous, whole
+    chunks; the md5 shard key keeps every window task corpus-fractional —
+    no global sort). Oracle shards with the identical md5 arithmetic."""
     from milvus_cdc_spark.analytics import corpus
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     ch = corpus.chunk_documents(docs, chunk_tokens=48, overlap=16)
-    packs = corpus.pack_sequences(ch, seq_len=128)
+    packs = corpus.pack_sequences(ch, seq_len=128, n_shards=8)
     return packs.select(
+        "shard_id",
         "pack_id",
         F.col("n_chunks").cast("bigint"),
         F.col("pack_tokens").cast("bigint"),
-    ).orderBy("pack_id")
+    ).orderBy("shard_id", "pack_id")

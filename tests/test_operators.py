@@ -428,7 +428,8 @@ def test_build_vocab_rank_and_min_df(spark):
 
 def test_pack_sequences_greedy_contiguous(spark):
     """Packing: packs hold whole chunks in order; a pack closes once the
-    running count crosses the budget; totals are conserved."""
+    running count crosses the budget; totals are conserved. n_shards=1
+    degenerates to the single global walk."""
     from milvus_cdc_spark.analytics import corpus
 
     chunks = spark.createDataFrame(
@@ -436,8 +437,41 @@ def test_pack_sequences_greedy_contiguous(spark):
         "doc_id bigint, chunk_id int, n_tokens bigint",
     )
     packs = {r.pack_id: (r.n_chunks, r.pack_tokens)
-             for r in corpus.pack_sequences(chunks, seq_len=128).collect()}
+             for r in corpus.pack_sequences(chunks, seq_len=128, n_shards=1).collect()}
     # before-sums: 0,60,120,180,190 -> pack ids 0,0,0,1,1
     assert packs == {0: (3, 180), 1: (2, 15)}
     total = sum(t for _, t in packs.values())
     assert total == 195
+
+
+def test_pack_sequences_sharded_conserves_and_matches_per_shard(spark):
+    """Sharded packing: token totals are conserved across shards, every
+    shard's packs equal a standalone global pack of just that shard's
+    chunks (shards are independent), and the shard key is the portable
+    md5 hash (deterministic across engines)."""
+    from pyspark.sql import functions as F
+
+    from milvus_cdc_spark.analytics import corpus
+
+    rows = [(d, c, 30 + (d * 7 + c) % 40) for d in range(40) for c in range(3)]
+    chunks = spark.createDataFrame(
+        rows, "doc_id bigint, chunk_id int, n_tokens bigint"
+    )
+    out = corpus.pack_sequences(chunks, seq_len=100, n_shards=4).collect()
+    assert sum(r.pack_tokens for r in out) == sum(t for _, _, t in rows)
+    # shard assignment matches the portable hash
+    shards = {
+        r.doc_id: r.s
+        for r in chunks.select(
+            "doc_id",
+            (corpus.portable_nibble_hash(F.col("doc_id")) % 4).cast("int").alias("s"),
+        ).distinct().collect()
+    }
+    for sid in set(shards.values()):
+        sub = chunks.filter(F.col("doc_id").isin(
+            [d for d, s in shards.items() if s == sid]))
+        solo = {(r.pack_id, r.n_chunks, r.pack_tokens)
+                for r in corpus.pack_sequences(sub, seq_len=100, n_shards=1).collect()}
+        merged = {(r.pack_id, r.n_chunks, r.pack_tokens)
+                  for r in out if r.shard_id == sid}
+        assert solo == merged

@@ -278,6 +278,16 @@ def test_growing_sealed_single_agg_chain(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_sequence_packing_has_no_single_partition_window(spark, sf_dir):
+    """The packing running-sum window partitions by the md5 shard key, so
+    the plan must contain NO `Exchange SinglePartition` — the shape that
+    would funnel the whole corpus through one task's sort at 100 TB."""
+    df = suite.QUERIES["sequence_packing"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # still the one running-sum window
+
+
 def test_keyset_pagination_pushes_cursor_and_takes_ordered(spark, sf_dir):
     """Iterator pagination: the keyset predicate reaches the scan and the
     page materializes via TakeOrderedAndProject — page N costs page-1
