@@ -26,9 +26,12 @@ def replay_alive(ops: DataFrame) -> DataFrame:
 
     Returns (collection, pk, last_insert_ts) for alive pks, i.e. pks whose
     latest insert is not superseded by a later delete. 'upsert' (Milvus
-    Upsert) and 'import' (bulk load) advance liveness exactly like insert.
+    Upsert) and 'import' (bulk load) advance liveness exactly like insert
+    (shared filters.INSERT_LIKE contract).
     """
-    is_ins = F.col("op_type").isin("insert", "upsert", "import")
+    from milvus_cdc_spark.operators.filters import insert_like
+
+    is_ins = insert_like()
     agg = ops.groupBy("collection", "pk").agg(
         F.max(F.when(is_ins, F.col("ts"))).alias("last_insert_ts"),
         F.max(F.when(F.col("op_type") == "delete", F.col("ts"))).alias("last_delete_ts"),

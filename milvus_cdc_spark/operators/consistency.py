@@ -76,12 +76,16 @@ def read_at_levels(ops: DataFrame) -> DataFrame:
     scanned once for cutoffs and once for the replay. The per-level
     expansion (stack) happens after the aggregate, on pk-count rows.
     """
+    from milvus_cdc_spark.operators.filters import insert_like
+
     cuts = _level_cutoffs(ops)
     seen = ops.crossJoin(F.broadcast(cuts))
 
     def _cols(suffix: str, cutoff: str) -> list:
         within = F.col("ts") <= F.col(cutoff)
-        is_ins = within & (F.col("op_type") == "insert")
+        # shared INSERT_LIKE contract: a Strong read over an op-log with
+        # upsert/import rows must agree with a full replay_alive pass
+        is_ins = within & insert_like()
         is_del = within & (F.col("op_type") == "delete")
         return [
             F.max(F.when(is_ins, F.col("ts"))).alias(f"li_{suffix}"),

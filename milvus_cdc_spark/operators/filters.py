@@ -17,8 +17,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: Insert-like DML: every op that advances a pk's liveness exactly like an
+#: insert. The reference's channel writer has no Upsert case — Milvus splits
+#: an Upsert into delete+insert upstream of replication
+#: (replicate_channel_manager.go:1442-1447 whitelists Insert/Delete/Drop*
+#: only) — but this engine also accepts the PRE-split wire form: an op-log
+#: carrying literal 'upsert' rows (latest-write-wins per pk) and 'import'
+#: (bulk load, ImportMsg) rows. This single tuple is THE liveness contract:
+#: the P1 whitelist, the streaming apply path (pipeline.batch_to_state),
+#: the batch replay (apply.replay_alive), and the consistency read
+#: (consistency.read_at_levels) all share it, so a row forwarded by the
+#: whitelist is never silently dropped by the state fold and a Strong read
+#: always equals a full replay.
+INSERT_LIKE = ("insert", "upsert", "import")
+
+
+def insert_like(op_col: str = "op_type") -> Column:
+    """The shared insert-liveness predicate (see INSERT_LIKE)."""
+    return F.col(op_col).isin(*INSERT_LIKE)
+
+
 #: P1: DML msg types forwarded inside the data stream.
-DML_WHITELIST = ("insert", "delete", "drop_collection", "drop_partition", "import")
+DML_WHITELIST = INSERT_LIKE + ("delete", "drop_collection", "drop_partition")
 
 #: P8: etcd tombstone magic bytes 0xE2 0x9B 0xBC ("⛼").
 TOMBSTONE = b"\xe2\x9b\xbc"

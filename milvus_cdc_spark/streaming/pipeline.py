@@ -73,11 +73,12 @@ def _vdir_name(v) -> str:
 
 def batch_to_state(batch: DataFrame) -> DataFrame:
     """Collapse one microbatch to per-pk partial state."""
-    # 'import' (bulk load, reference ImportMsg) and 'upsert' (Milvus
-    # Upsert — replicated as-is, tests/testcases/test_cdc_sync_requests
-    # upsert cases) carry rows exactly like an insert for liveness
-    # purposes — all three advance last_insert_ts
-    is_ins = F.col("op_type").isin("insert", "import", "upsert")
+    # insert/upsert/import advance last_insert_ts uniformly — the shared
+    # filters.INSERT_LIKE contract, kept identical to the P1 whitelist and
+    # the batch replay so the apply path never drops a whitelisted row
+    from milvus_cdc_spark.operators.filters import insert_like
+
+    is_ins = insert_like()
     return batch.groupBy("collection", "pk").agg(
         F.max(F.when(is_ins, F.col("ts"))).alias("last_insert_ts"),
         F.max(F.when(F.col("op_type") == "delete", F.col("ts"))).alias("last_delete_ts"),
@@ -347,11 +348,38 @@ class CdcApplyPipeline:
     def alive(self) -> DataFrame:
         return alive_view(self.read_state())
 
+    def _recover_positions(self) -> None:
+        """Crash recovery for the compaction swap (mirrors the state path's
+        atomic manifest commit): if a crash landed between the two renames
+        the live dir is missing and the ``.old.N`` snapshot is
+        authoritative — roll it back; any ``.old``/``.compact`` leftovers
+        next to a live dir are superseded — drop them."""
+        import glob as _glob
+
+        old_dirs = sorted(
+            _glob.glob(self.positions_dir + ".old.*"),
+            key=lambda d: int(d.rsplit(".", 1)[1]),
+        )
+        if not os.path.isdir(self.positions_dir) and old_dirs:
+            os.rename(old_dirs.pop(), self.positions_dir)
+        for d in old_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(self.positions_dir + ".compact", ignore_errors=True)
+
     def compact_positions(self) -> None:
         """Fold the per-batch position partitions into one summary partition
         (small-file control: a 500 ms trigger appends ~170k partition dirs
         per day unscheduled; ``compact_every`` wires this into the apply
-        loop — the reference's maintenance op, maintenance.go:27-35)."""
+        loop — the reference's maintenance op, maintenance.go:27-35).
+
+        Crash-safe: the summary is FULLY written to a side dir first, then
+        swapped live with two atomic renames (live → .old.N, .compact →
+        live); the old table is deleted only after both renames. A crash
+        at any step leaves either the old or the new table on disk —
+        ``_recover_positions`` rolls an interrupted swap back — so the K6
+        checkpoint surface is never lost (round-2/3 defect: rmtree-then-
+        rename had a window that dropped every position)."""
+        self._recover_positions()
         try:
             pos = self.spark.read.parquet(self.positions_dir)
         except Exception:
@@ -362,10 +390,13 @@ class CdcApplyPipeline:
         )
         max_bid = self._manifest["last_batch_id"]
         tmp_dir = self.positions_dir + ".compact"
-        latest.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
-        shutil.rmtree(self.positions_dir)
-        os.makedirs(self.positions_dir)
-        os.rename(tmp_dir, os.path.join(self.positions_dir, f"batch_id={max_bid}"))
+        latest.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp_dir, f"batch_id={max_bid}")
+        )
+        old_dir = f"{self.positions_dir}.old.{max_bid}"
+        os.rename(self.positions_dir, old_dir)  # atomic; old table kept
+        os.rename(tmp_dir, self.positions_dir)  # atomic; new table live
+        shutil.rmtree(old_dir)  # cleanup strictly after both renames
 
     def compact_state(self) -> None:
         """Fold every live bucket partition into one compaction-epoch dir

@@ -411,6 +411,58 @@ def test_upsert_and_import_advance_liveness(spark):
     assert st[1].last_insert_ts == 30
 
 
+def test_whitelist_forwards_every_insert_like_op(spark):
+    """The P1 whitelist and the liveness predicate share INSERT_LIKE: no
+    op the apply path counts can be dropped by the whitelist (the round-2
+    defect: 'upsert' passed liveness but was filtered before apply)."""
+    from milvus_cdc_spark.operators import filters
+
+    assert set(filters.INSERT_LIKE) <= set(filters.DML_WHITELIST)
+    ops = _ops(
+        spark,
+        [(1, "insert", "c", 1, 1), (2, "upsert", "c", 2, 1),
+         (3, "import", "c", 3, 1), (4, "delete", "c", 1, 1),
+         (5, "time_tick", "c", 0, 0)],
+    )
+    kept = {r.op_type for r in filters.msg_type_whitelist(ops).collect()}
+    assert kept == {"insert", "upsert", "import", "delete"}
+
+
+def test_strong_read_equals_full_replay_with_upsert_import(spark):
+    """A Strong-consistency read (guarantee_ts = max ts) over an op-log
+    containing upsert and import ops must equal a full replay_alive pass
+    — the shared INSERT_LIKE contract across consistency + apply."""
+    from milvus_cdc_spark.operators.consistency import read_at_levels
+
+    rows = [
+        # (ts, op_type, collection, vchannel, pk, num_rows)
+        (10, "insert", "c1", "ch_0", 1, 1),
+        (20, "delete", "c1", "ch_0", 1, 1),
+        (30, "upsert", "c1", "ch_1", 1, 1),   # resurrects pk 1
+        (10, "import", "c1", "ch_1", 2, 5),   # bulk load counts rows
+        (15, "delete", "c2", "ch_0", 3, 1),
+        (25, "upsert", "c2", "ch_1", 3, 1),   # alive via upsert only
+        (40, "insert", "c2", "ch_0", 4, 1),
+        (50, "delete", "c2", "ch_1", 4, 1),   # dead
+    ]
+    ops = spark.createDataFrame(
+        rows,
+        "ts bigint, op_type string, collection string, vchannel string, "
+        "pk bigint, num_rows bigint",
+    )
+    strong = {
+        r.collection: (r.alive_pks, r.total_inserts)
+        for r in read_at_levels(ops).collect()
+        if r.level == "1_strong"
+    }
+    replay = {
+        r.collection: (r.alive_pks, r.total_inserts)
+        for r in apply_op.replay_summary(ops).collect()
+    }
+    assert strong == replay
+    assert strong["c1"] == (2, 7)  # pk1 (ins+upsert=2 rows) + pk2 import(5)
+
+
 def test_build_vocab_rank_and_min_df(spark):
     """Vocab: df counts distinct documents (not occurrences), min_df
     prunes, ids follow (df desc, term asc)."""

@@ -671,6 +671,46 @@ def test_positions_compaction(spark, oplog_dir):
     assert n_files_after == 1 and n_files_before > 1
 
 
+def test_compact_positions_survives_crash_between_steps(spark, oplog_dir):
+    """Kill-between-steps recovery for the compaction swap (round-2/3
+    defect: rmtree-then-rename lost the whole K6 checkpoint surface).
+    Simulate a crash at each dangerous point and assert a restarted
+    pipeline still serves the full positions table."""
+    import os
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="compact_crash_")
+    pipe = CdcApplyPipeline(spark, oplog_dir, work, compact_every=0)
+    pipe.run_available_now()
+    want = {(r.vchannel, r.position_ts) for r in pipe.positions().collect()}
+    pos_dir = pipe.positions_dir
+
+    # crash point A: .compact fully written, neither rename happened —
+    # live table intact, leftover must be swept
+    os.makedirs(pos_dir + ".compact/batch_id=999")
+    pipe2 = CdcApplyPipeline(spark, pipe.source_dir, work, compact_every=0)
+    pipe2.compact_positions()
+    assert {(r.vchannel, r.position_ts) for r in pipe2.positions().collect()} == want
+    assert not os.path.exists(pos_dir + ".compact")
+
+    # crash point B: between the two renames — live dir gone, .old.N is
+    # the only copy; recovery must roll it back, not lose it
+    os.rename(pos_dir, pos_dir + ".old.7")
+    assert not os.path.isdir(pos_dir)
+    pipe3 = CdcApplyPipeline(spark, pipe.source_dir, work, compact_every=0)
+    pipe3.compact_positions()
+    got = {(r.vchannel, r.position_ts) for r in pipe3.positions().collect()}
+    assert got == want
+    assert os.path.isdir(pos_dir) and not os.path.exists(pos_dir + ".old.7")
+
+    # crash point C: second rename done, .old.N cleanup missed — superseded
+    # snapshot must be dropped, table unchanged
+    shutil.copytree(pos_dir, pos_dir + ".old.3")
+    pipe3._recover_positions()
+    assert not os.path.exists(pos_dir + ".old.3")
+    assert {(r.vchannel, r.position_ts) for r in pipe3.positions().collect()} == want
+
+
 def test_streaming_minhash_maintenance(spark, sf_dir):
     """Incremental MinHash signature maintenance: per-doc min-hashes are
     commutative, so streaming batches folded with min() equal the batch
@@ -926,6 +966,39 @@ def test_replayed_batch_is_idempotent(spark):
     assert len(pos) == 1 and pos[0].position_ts == 200
     mirror = spark.read.parquet(pipe.mirror_dir)
     assert mirror.count() == 2  # not 4
+
+
+def test_pipeline_apply_equals_replay_on_upsert_import_log(spark):
+    """Pipeline-vs-replay equivalence on an op-log containing upsert and
+    import ops: the whitelist inside apply_batch must forward them (the
+    round-2 defect silently dropped 'upsert' rows the replay counted),
+    so the incremental state converges to the batch replay_alive answer."""
+    from milvus_cdc_spark.operators.apply import replay_alive
+
+    tmp = tempfile.mkdtemp(prefix="upsert_")
+    pipe = CdcApplyPipeline(spark, tmp + "/src", tmp + "/work")
+    rows = [
+        (100, "insert", "default", "c", "_p", "ch_0", 1, 1, 1),
+        (200, "delete", "default", "c", "_p", "ch_0", 1, 1, 2),
+        (300, "upsert", "default", "c", "_p", "ch_1", 1, 1, 3),
+        (100, "import", "default", "c", "_p", "ch_1", 2, 4, 4),
+        (150, "delete", "default", "c", "_p", "ch_0", 3, 1, 5),
+    ]
+    schema = (
+        "ts bigint, op_type string, db string, collection string, partition string, "
+        "vchannel string, pk bigint, num_rows bigint, seq bigint"
+    )
+    ops = spark.createDataFrame(rows, schema)
+    pipe.apply_batch(spark.createDataFrame(rows[:3], schema), 0)
+    pipe.apply_batch(spark.createDataFrame(rows[3:], schema), 1)
+    got = {
+        (r.pk, r.last_insert_ts, r.n_inserts) for r in pipe.alive().collect()
+    }
+    want = {
+        (r.pk, r.last_insert_ts, r.n_inserts) for r in replay_alive(ops).collect()
+    }
+    assert got == want
+    assert {pk for pk, _, _ in got} == {1, 2}  # upsert resurrected pk 1
 
 
 def test_cold_restart_recovers_state_from_manifest(spark, sf_dir):
