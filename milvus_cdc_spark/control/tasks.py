@@ -24,6 +24,7 @@ from dataclasses import asdict, dataclass, field
 from pyspark.sql import SparkSession
 
 from milvus_cdc_spark.control.quarantine import ErrorQuarantine
+from milvus_cdc_spark.operators import filters
 from milvus_cdc_spark.streaming.pipeline import CdcApplyPipeline
 
 STATE_INITIAL = "initial"
@@ -50,6 +51,22 @@ class TaskSpec:
     # connection parameters for remote sources/sinks (kafka bootstrap,
     # auth, ...); persisted verbatim, scrubbed on read-out
     connect_params: dict = field(default_factory=dict)
+    # per-database collection scoping (TaskInfo.DBCollections,
+    # server/model/meta/task.go:67): {db: [collection, ...]}, '*' allowed
+    # on either level
+    db_collections: dict = field(default_factory=dict)
+    # NameMapping entries (server/model/common.go:83-87): each
+    # {"source_db", "target_db", "collections": {src: dst}}; empty
+    # collections dict = db-level wildcard mapping
+    name_mapping: list = field(default_factory=list)
+
+    def full_names(self) -> list[str]:
+        """Every captured name in full ``db.collection`` form
+        (GetCollectionNamesFromTaskInfo, cdc_impl.go:260-275)."""
+        names = [filters.full_name(n) for n in self.collections]
+        for db, colls in (self.db_collections or {}).items():
+            names += [filters.full_name(c, db) for c in colls]
+        return names
 
 
 def _scrub(spec_dict: dict) -> dict:
@@ -96,44 +113,78 @@ class TaskRegistry:
     # -- request handlers -------------------------------------------------
     def create(self, source_dir: str, collections: list[str] | None = None,
                exclude: list[str] | None = None,
-               connect_params: dict | None = None) -> TaskSpec:
+               connect_params: dict | None = None,
+               db_collections: dict[str, list[str]] | None = None,
+               name_mapping: list[dict] | None = None) -> TaskSpec:
         if len(self.tasks) >= self.max_tasks:
             raise ValueError(f"max task number {self.max_tasks} reached")
-        collections = collections or ["*"]
-        self._check_duplicate(collections)
-        task_id = uuid.uuid4().hex[:12]
+        if not collections and not db_collections:
+            collections = ["*"]
         spec = TaskSpec(
-            task_id=task_id,
+            task_id=uuid.uuid4().hex[:12],
             source_dir=source_dir,
-            work_dir=os.path.join(self.root_dir, task_id),
-            collections=collections,
-            exclude=exclude or [],
+            work_dir="",
+            collections=collections or [],
+            exclude=[filters.full_name(n) for n in (exclude or [])],
             connect_params=connect_params or {},
+            db_collections=db_collections or {},
+            name_mapping=name_mapping or [],
         )
-        self.tasks[task_id] = spec
+        spec.work_dir = os.path.join(self.root_dir, spec.task_id)
+        # auto-exclusions: existing explicit names a new wildcard swallows
+        # are carved OUT of this task (cdc_impl.go:385-393 appends them to
+        # excludeData and stores them as the task's ExcludeCollections)
+        spec.exclude += self._check_duplicate(spec.full_names())
+        self.tasks[spec.task_id] = spec
         self._persist()
         return spec
 
-    def _check_duplicate(self, collections: list[str]) -> None:
-        """Duplicate-collection guard (cdc_impl.go:328-406): two tasks may
-        not both capture the same collection; '*' overlaps everything not
-        explicitly excluded elsewhere."""
-        new = set(collections)
-        for t in self.tasks.values():
-            existing = set(t.collections)
-            if "*" in new or "*" in existing or (new & existing):
-                overlap = "*" if ("*" in new or "*" in existing) else (new & existing)
+    def _check_duplicate(self, new_names: list[str]) -> list[str]:
+        """Duplicate-collection guard (cdc_impl.go:328-406) over full
+        ``db.collection`` names: an exact re-capture always raises; a
+        wildcard overlap raises ONLY when the overlapping name is not in
+        the accumulated exclusion set (the reference allows a ``*`` task
+        alongside an explicit task by excluding the explicit names from
+        the wildcard, cdc_impl.go:352 consults excludeData). A new ``*.*``
+        task skips the wildcard test entirely (cdc_impl.go:347-349).
+        Returns the auto-exclusion list for the new task: every existing
+        name one of the new (wildcard) names matches."""
+        existing = [n for t in self.tasks.values() for n in t.full_names()]
+        excluded = {n for t in self.tasks.values() for n in t.exclude}
+        for new in new_names:
+            if new in existing:
                 raise DuplicateCollectionError(
-                    f"collections {overlap} already captured by task {t.task_id}"
+                    f"collection {new} already captured by another task"
                 )
+            if filters.split_full_name(new) == (filters.ALL, filters.ALL):
+                continue
+            for name in existing:
+                match, contain_any = filters.match_collection_name(name, new)
+                if match and contain_any and new not in excluded:
+                    raise DuplicateCollectionError(
+                        f"collection {new} overlaps wildcard capture {name}"
+                    )
+        return [
+            name
+            for name in existing
+            if any(
+                filters.match_collection_name(new, name)[0] for new in new_names
+            )
+        ]
 
     def start(self, task_id: str) -> None:
         spec = self.tasks[task_id]
         pipeline = self.pipelines.get(task_id)
         if pipeline is None:
-            include = None if "*" in spec.collections else spec.collections
+            include = spec.full_names()
+            if any(
+                filters.split_full_name(n) == (filters.ALL, filters.ALL)
+                for n in include
+            ):
+                include = None
             pipeline = CdcApplyPipeline(
-                self.spark, spec.source_dir, spec.work_dir, collections=include
+                self.spark, spec.source_dir, spec.work_dir,
+                collections=include, exclude=spec.exclude or None,
             )
             self.pipelines[task_id] = pipeline
         quarantine = self.quarantines.setdefault(task_id, ErrorQuarantine())

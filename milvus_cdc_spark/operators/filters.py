@@ -48,20 +48,84 @@ def msg_type_whitelist(df: DataFrame, types: tuple[str, ...] = DML_WHITELIST) ->
     return df.filter(F.col("op_type").isin(*types))
 
 
+#: Default database name (reference cdcreader.DefaultDatabase; bare
+#: collection names normalize into it, cdc_impl.go:264).
+DEFAULT_DB = "default"
+
+#: Wildcard matching any db / any collection (collection_reader.go:43-47).
+ALL = "*"
+
+
+def full_name(name: str, db: str = DEFAULT_DB) -> str:
+    """Normalize to the reference's full form ``db.collection``
+    (util.GetFullCollectionName, core/util/string.go:198-200): a bare
+    collection name lives in the default db; an already-full name is kept."""
+    return name if "." in name else f"{db}.{name}"
+
+
+def split_full_name(name: str) -> tuple[str, str]:
+    """``db.collection`` → (db, collection); bare → (default, name)
+    (util.GetCollectionNameFromFull, core/util/string.go:202-208)."""
+    db, _, coll = full_name(name).partition(".")
+    return db, coll
+
+
+def match_collection_name(sample: str, target: str) -> tuple[bool, bool]:
+    """Mirror of the reference's matchCollectionName (cdc_impl.go:320-326):
+    returns (match, contain_any) where wildcards count ONLY on the sample
+    side — ``match`` iff sample's db/collection each equal target's or are
+    ``*``; ``contain_any`` iff sample has a wildcard part."""
+    db1, c1 = split_full_name(sample)
+    db2, c2 = split_full_name(target)
+    match = (db1 == db2 or db1 == ALL) and (c1 == c2 or c1 == ALL)
+    return match, (db1 == ALL or c1 == ALL)
+
+
+def _name_pattern_pred(pattern: str, col: str, db_col: str) -> Column:
+    db, coll = split_full_name(pattern)
+    pred = F.lit(True) if db == ALL else (F.col(db_col) == db)
+    if coll != ALL:
+        pred = pred & (F.col(col) == coll)
+    return pred
+
+
 def collection_filter_predicate(
     include: list[str] | None,
     exclude: list[str] | None = None,
     col: str = "collection",
+    db_col: str | None = None,
 ) -> Column:
-    """P2: build the task's collection predicate. ``include`` of ``["*"]`` (or
-    None) means all; exclusions subtract (cdc_impl.go:320-326 MatchCollection,
-    1421-1422 lo.Without)."""
-    if not include or "*" in include:
+    """P2: build the task's collection predicate. ``include`` of ``["*"]``
+    (or None) means all; exclusions subtract (cdc_impl.go:320-326
+    matchCollectionName, 1421-1422 lo.Without).
+
+    With ``db_col`` set, patterns are full names ``db.collection`` with
+    ``*`` wildcards on either part (bare names normalize to the default
+    db) — the per-DB scoping of ``TaskInfo.DBCollections``
+    (server/model/meta/task.go:67). Without it, the legacy
+    collection-only form is kept for single-db op-logs."""
+    if db_col is None:
+        if not include or ALL in include:
+            pred = F.lit(True)
+        else:
+            pred = F.col(col).isin(*include)
+        if exclude:
+            pred = pred & ~F.col(col).isin(*exclude)
+        return pred
+
+    def any_match(patterns: list[str]) -> Column:
+        preds = [_name_pattern_pred(p, col, db_col) for p in patterns]
+        out = preds[0]
+        for p in preds[1:]:
+            out = out | p
+        return out
+
+    if not include or any(split_full_name(p) == (ALL, ALL) for p in include):
         pred = F.lit(True)
     else:
-        pred = F.col(col).isin(*include)
+        pred = any_match(include)
     if exclude:
-        pred = pred & ~F.col(col).isin(*exclude)
+        pred = pred & ~any_match(exclude)
     return pred
 
 

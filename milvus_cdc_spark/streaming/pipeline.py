@@ -137,6 +137,7 @@ class CdcApplyPipeline:
 
     def __init__(self, spark: SparkSession, source_dir: str, work_dir: str,
                  collections: list[str] | None = None,
+                 exclude: list[str] | None = None,
                  mirror: bool = False,
                  n_buckets: int = 16,
                  compact_every: int = 64,
@@ -147,6 +148,7 @@ class CdcApplyPipeline:
         self.positions_dir = os.path.join(work_dir, "positions")
         self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
         self.collections = collections
+        self.exclude = exclude
         self.n_buckets = n_buckets
         self.compact_every = compact_every
         self.history_keep = history_keep
@@ -257,8 +259,15 @@ class CdcApplyPipeline:
         from milvus_cdc_spark.operators import filters
 
         ops = filters.msg_type_whitelist(batch)
-        if self.collections:
-            ops = ops.filter(filters.collection_filter_predicate(self.collections))
+        if self.collections or self.exclude:
+            # full-name (db.collection) scoping with '*' on either part —
+            # P2 + per-DB DBCollections semantics (task.go:67); bare names
+            # normalize to the default db, so legacy callers are unchanged
+            ops = ops.filter(
+                filters.collection_filter_predicate(
+                    self.collections, self.exclude, db_col="db"
+                )
+            )
         update = self._bucket(batch_to_state(ops)).persist()
         try:
             # buckets present in THIS batch — the only state partitions the

@@ -806,6 +806,63 @@ def name_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "db_scoped_remap",
+    f"""
+    WITH ops0 AS ({oplog.ORACLE_OPLOG_SQL}),
+    ops AS (SELECT * REPLACE ('db_' || CAST(pk % 2 AS VARCHAR) AS db) FROM ops0),
+    filtered AS (
+      SELECT * FROM ops
+      WHERE (db = 'db_0' OR (db = 'db_1' AND collection = 'coll_1'))
+        AND NOT (db = 'db_0' AND collection = 'coll_2')
+    )
+    SELECT CASE WHEN db = 'db_1' AND collection = 'coll_1' THEN 'db_one'
+                WHEN db = 'db_0' THEN 'db_zero' ELSE db END AS target_db,
+           CASE WHEN db = 'db_1' AND collection = 'coll_1' THEN 'coll_first'
+                ELSE collection END AS target_collection,
+           count(*) AS n_ops,
+           CAST(sum(num_rows) AS BIGINT) AS n_rows
+    FROM filtered GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "projection",
+    "remap",
+    "control",
+    "cdc",
+)
+def db_scoped_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DB scoping + db-wildcard remap in one pass (TaskInfo.DBCollections,
+    task.go:67; NameMapping db-level '*', common.go:83-87, applied at
+    channel_writer.go:1208-1226): include {db_0: *, db_1: coll_1}, exclude
+    db_0.coll_2, then remap db_0.* → db_zero.* (db-wildcard) and
+    db_1.coll_1 → db_one.coll_first (exact). Filter is a pushed-down
+    Catalyst predicate; both remap rules are broadcast joins."""
+    from milvus_cdc_spark.operators import remap
+
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem")).withColumn(
+        "db", F.concat(F.lit("db_"), (F.col("pk") % 2).cast("string"))
+    )
+    pred = filters.collection_filter_predicate(
+        ["db_0.*", "db_1.coll_1"], ["db_0.coll_2"], db_col="db"
+    )
+    mapping = remap.name_mapping_df(
+        spark,
+        [
+            {"source_db": "db_0", "target_db": "db_zero"},
+            {"source_db": "db_1", "target_db": "db_one",
+             "collections": {"coll_1": "coll_first"}},
+        ],
+    )
+    return (
+        remap.map_db_and_collection(ops.filter(pred), mapping)
+        .groupBy("target_db", "target_collection")
+        .agg(
+            F.count("*").alias("n_ops"),
+            F.sum("num_rows").cast("bigint").alias("n_rows"),
+        )
+        .orderBy("target_db", "target_collection")
+    )
+
+
 # ---------------------------------------------------------------------------
 # A3/A4: per-channel max-ts (watermark currency) + global min across channels.
 # ---------------------------------------------------------------------------
@@ -2377,7 +2434,9 @@ from milvus_cdc_spark import suite_streaming_ext  # noqa: E402,F401  (import-for
 # ---------------------------------------------------------------------------
 
 PRIORITY: tuple[str, ...] = (
-    # -- 10 regression anchors (driver-green in r1-r3) --
+    # -- 9 regression anchors (driver-green in r1-r3) + db_scoped_remap
+    # (new in r4; schema_hydration rotated out after 3 green rounds — still
+    # pytest + local-oracle covered) --
     "q1_pricing_summary",        # flagship; TPC-H Q1 agg
     "cdc_replay_summary",        # A7/K1 replay
     "streaming_cdc_apply",       # K1/T6 executed stream
@@ -2386,7 +2445,7 @@ PRIORITY: tuple[str, ...] = (
     "consistency_levels_read",   # guarantee_ts read semantics
     "near_dup_pairs",            # LLM MinHash + LSH + Jaccard
     "multimodal_features",       # §2.10 Arrow UDF surface
-    "schema_hydration",          # S1/S3/S4/P7/J3/J4
+    "db_scoped_remap",           # P2 per-DB scoping + P4 db-wildcard remap
     "barrier_ready",             # A1/T3
     # -- 40 first-time driver checks (never in CORRECTNESS_r01-r03) --
     # TPC-H tail / relational surface

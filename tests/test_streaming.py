@@ -112,6 +112,89 @@ def test_task_registry_lifecycle(spark, oplog_dir):
     assert reg2.list() == []
 
 
+def test_duplicate_guard_exclusion_semantics(spark, oplog_dir):
+    """Reference guard parity (cdc_impl.go:328-406): a wildcard task is
+    allowed to coexist with an explicit task — the explicit names are
+    auto-carved out of the wildcard — while a true re-capture raises."""
+    root = tempfile.mkdtemp(prefix="tasks_dup_")
+    reg = TaskRegistry(spark, root)
+    a = reg.create(oplog_dir, ["coll_0"])
+    # wildcard after explicit: allowed, coll_0 auto-excluded from B
+    b = reg.create(oplog_dir, ["*"])
+    assert "default.coll_0" in b.exclude
+    # explicit name covered by B's wildcard but carved out by B's own
+    # exclusion → a THIRD task may not retake coll_0 (A still owns it)
+    with pytest.raises(DuplicateCollectionError):
+        reg.create(oplog_dir, ["coll_0"])
+    # a name B's wildcard owns (not excluded) is a duplicate
+    with pytest.raises(DuplicateCollectionError):
+        reg.create(oplog_dir, ["coll_1"])
+    # per-db scoping: db_9 is outside B's 'default.*' wildcard → allowed
+    c = reg.create(oplog_dir, db_collections={"db_9": ["coll_1"]})
+    assert c.full_names() == ["db_9.coll_1"]
+    # ...but re-capturing it exactly raises
+    with pytest.raises(DuplicateCollectionError):
+        reg.create(oplog_dir, db_collections={"db_9": ["coll_1", "x"]})
+    # a '*.*' task skips the wildcard-overlap test (cdc_impl.go:347-349)
+    # but still auto-excludes every existing name
+    d = reg.create(oplog_dir, db_collections={"*": ["*"]})
+    assert set(d.exclude) >= {"default.coll_0", "default.*", "db_9.coll_1"}
+    assert a.task_id in reg.tasks
+
+
+def test_db_scoped_filter_predicate(spark):
+    """P2 per-DB form: full-name patterns with '*' on either part."""
+    from milvus_cdc_spark.operators.filters import collection_filter_predicate
+
+    rows = [("default", "c1"), ("default", "c2"), ("db1", "c1"), ("db1", "c3"),
+            ("db2", "c9")]
+    df = spark.createDataFrame(rows, "db string, collection string")
+
+    def got(include, exclude=None):
+        pred = collection_filter_predicate(include, exclude, db_col="db")
+        return {(r.db, r.collection) for r in df.filter(pred).collect()}
+
+    assert got(["db1.*"]) == {("db1", "c1"), ("db1", "c3")}
+    assert got(["*.c1"]) == {("default", "c1"), ("db1", "c1")}
+    # bare names normalize into the default db
+    assert got(["c1", "db1.c3"]) == {("default", "c1"), ("db1", "c3")}
+    assert got(["*.*"], ["db2.*"]) == set(rows) - {("db2", "c9")}
+    assert got(None, ["*.c1"]) == set(rows) - {("default", "c1"), ("db1", "c1")}
+
+
+def test_map_db_and_collection_precedence(spark):
+    """Remap parity with mapDBAndCollectionName (channel_writer.go:1208-
+    1226): exact rule rewrites both parts, db-wildcard rewrites db only,
+    unmapped rows pass through; exact wins over wildcard."""
+    from milvus_cdc_spark.operators.remap import (
+        map_db_and_collection,
+        name_mapping_df,
+    )
+
+    mapping = name_mapping_df(
+        spark,
+        [
+            {"source_db": "db0", "target_db": "dbz"},  # db-level wildcard
+            {"source_db": "db0", "target_db": "dbx",
+             "collections": {"special": "renamed"}},   # exact, same src db
+            {"source_db": "db1", "target_db": "db1",
+             "collections": {"a": "b"}},
+        ],
+    )
+    ops = spark.createDataFrame(
+        [("db0", "plain"), ("db0", "special"), ("db1", "a"), ("db2", "keep")],
+        "db string, collection string",
+    )
+    got = {
+        (r.db, r.collection): (r.target_db, r.target_collection)
+        for r in map_db_and_collection(ops, mapping).collect()
+    }
+    assert got[("db0", "plain")] == ("dbz", "plain")      # db rewritten only
+    assert got[("db0", "special")] == ("dbx", "renamed")  # exact beats wild
+    assert got[("db1", "a")] == ("db1", "b")
+    assert got[("db2", "keep")] == ("db2", "keep")        # identity
+
+
 def test_streaming_barrier(spark):
     """Drop-barrier as a real streaming aggregate over a memory-ish source:
     use a rate-limited file stream of drop signals."""
