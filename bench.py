@@ -89,8 +89,8 @@ def main() -> None:
             if spec is not None:
                 try:
                     spec.fn(spark, warm_dir).count()
-                except Exception:
-                    pass
+                except Exception as e:  # warm-up only — but never silently
+                    print(f"warm-up failed for {name}: {e!r}", file=sys.stderr)
     spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}

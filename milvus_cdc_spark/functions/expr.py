@@ -111,9 +111,14 @@ def _tokenize(src: str) -> list[_Tok]:
     return toks
 
 
+#: Standard escapes Milvus string literals carry (Go-style); any other
+#: backslashed char unescapes to itself.
+_STR_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\", "'": "'", '"': '"'}
+
+
 def _unquote(s: str) -> str:
     body = s[1:-1]
-    return re.sub(r"\\(.)", r"\1", body)
+    return re.sub(r"\\(.)", lambda m: _STR_ESCAPES.get(m.group(1), m.group(1)), body)
 
 
 @dataclass
@@ -249,7 +254,11 @@ class _Parser:
             lc = left.col
             if left.is_json:
                 lc = lc.cast("string")
-            col = lc.like(_unquote(t.text))
+            # Milvus's grammar wildcards ONLY '%'; Spark LIKE also treats
+            # '_' as any-single-char, so literal underscores (ubiquitous in
+            # ids) must be escaped and the pattern compiled with ESCAPE
+            pat = _unquote(t.text).replace("\\", "\\\\").replace("_", "\\_")
+            col = F.like(lc, F.lit(pat), F.lit("\\"))
             return ~col if negate else col
         if negate:
             t = self.peek()

@@ -168,7 +168,9 @@ def fp16_decode(bin_col: Column) -> Column:
             [
                 None
                 if b is None
-                else np.frombuffer(b, dtype=np.float16).astype(np.float32).tolist()
+                # ndarray, not .tolist(): the Arrow serializer null-masks
+                # leaf NaN in plain Python lists but not in numpy arrays
+                else np.frombuffer(b, dtype=np.float16).astype(np.float32)
                 for b in s
             ]
         )
@@ -177,10 +179,12 @@ def fp16_decode(bin_col: Column) -> Column:
 
 
 def bf16_encode(vec_col: Column) -> Column:
-    """array<float> → binary of bfloat16 (truncated float32 high bytes).
-    numpy has no native bfloat16: encode = round-to-nearest float32 then
-    keep the top 16 bits (truncation — documents the precision contract:
-    8 mantissa bits, same exponent range as float32)."""
+    """array<float> → binary of bfloat16 (float32 high bytes, 8 mantissa
+    bits, same exponent range). numpy has no native bfloat16: encode =
+    round-to-nearest-EVEN on the dropped 16 bits — ``u32 + 0x7FFF +
+    lsb-of-kept-half`` — the IEEE tie-break hardware bf16 units use.
+    NaN/Inf (exponent 0xFF) bypass the rounding add: a blind ``+0x8000``
+    would carry a NaN payload over into the exponent and wrap it to ±0."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("binary")
@@ -192,8 +196,13 @@ def bf16_encode(vec_col: Column) -> Column:
             if v is None:
                 return None
             u32 = np.asarray(v, dtype=np.float32).view(np.uint32)
-            # round-to-nearest: add half of the dropped ulp before truncating
-            u16 = ((u32 + 0x8000) >> 16).astype(np.uint16)
+            rounded = u32 + 0x7FFF + ((u32 >> 16) & 1)
+            special = (u32 & 0x7F800000) == 0x7F800000  # NaN / Inf
+            u16 = (np.where(special, u32, rounded) >> 16).astype(np.uint16)
+            # a NaN whose payload lives only in the dropped half must stay
+            # a NaN after truncation — force the quiet bit
+            nan_lost = special & ((u32 & 0x007FFFFF) != 0) & ((u16 & 0x7F) == 0)
+            u16 = np.where(nan_lost, u16 | 0x40, u16).astype(np.uint16)
             return u16.tobytes()
 
         return pd.Series([one(v) for v in s])
@@ -215,7 +224,9 @@ def bf16_decode(bin_col: Column) -> Column:
             if b is None:
                 return None
             u16 = np.frombuffer(b, dtype=np.uint16).astype(np.uint32)
-            return (u16 << 16).view(np.float32).tolist()
+            # ndarray, not .tolist(): the Arrow serializer null-masks leaf
+            # NaN in plain Python lists but not in numpy arrays
+            return (u16 << 16).view(np.float32)
 
         return pd.Series([one(b) for b in s])
 

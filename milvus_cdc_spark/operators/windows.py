@@ -52,6 +52,62 @@ def monotonic_rebase(
     )
 
 
+def distributed_ntile(df: DataFrame, n: int, order_cols: list[str],
+                      n_partitions: int = 32,
+                      tile_col: str = "tile") -> DataFrame:
+    """Exact global ``ntile(n)`` without a single-task global sort.
+
+    ``ntile`` over an unpartitioned window funnels every row through ONE
+    task's sort (Exchange SinglePartition) — the shape that dies at 100 TB.
+    Same answer, distributed plan:
+
+    1. ``repartitionByRange(order_cols)`` — rows land range-ordered across
+       ``n_partitions`` tasks (one parallel shuffle);
+    2. per-partition ``row_number`` gives a local rank;
+    3. per-partition counts (tiny: one row per partition) turn into
+       cumulative offsets, folded back as a literal map:
+       global rank = offset[pid] + local rank;
+    4. the tile is pure arithmetic on (rank, N): the first ``N % n`` tiles
+       hold ``ceil(N/n)`` rows, the rest ``floor(N/n)`` — SQL ntile's
+       exact fill rule.
+
+    ``order_cols`` must be a total order (include a unique tie-break key),
+    otherwise boundary rows could land in either range partition.
+    """
+    ranged = df.repartitionByRange(n_partitions, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "_lrank", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols))
+    ).persist()
+    # per-partition counts → driver-side offsets, the zipWithIndex pattern:
+    # ONE row per range partition (control-sized like the pipeline's
+    # touched-bucket list), folded back as a literal map so the plan has
+    # no SinglePartition exchange and no second pass over the data
+    counts = {
+        r._pid: r._cnt
+        for r in local.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
+    }
+    total = sum(counts.values())
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])]
+    )
+    rk = F.col("_lrank") + off_map[F.col("_pid")]
+    base, rem = total // n, total % n  # first N%n tiles take one extra row
+    fat = rem * (base + 1)             # rows covered by the fat tiles
+    if base == 0:
+        tile = rk
+    else:
+        tile = F.when(rk <= fat, F.ceil(rk / (base + 1))).otherwise(
+            rem + F.ceil((rk - fat) / base)
+        )
+    return local.withColumn(tile_col, tile.cast("int")).drop("_pid", "_lrank")
+
+
 def last_sent_lag(df: DataFrame, partition_keys: list[str], ts_col: str) -> DataFrame:
     """W5: per-channel last-sent-ts tracking (ts_manager.go:338-366) — decides
     whether a TimeTick needs emitting. Batch analog: lag() over the channel

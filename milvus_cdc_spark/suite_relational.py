@@ -519,11 +519,21 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ranking",
 )
 def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    """Exact ntile(4) via windows.distributed_ntile — range-partitioned
+    rank + arithmetic tiling, NO Exchange SinglePartition (the r2/r3
+    global-window shape funneled every order through one task's sort)."""
+    from milvus_cdc_spark.operators.windows import distributed_ntile
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_totalprice", "o_orderkey")
+    )
+    tiled = distributed_ntile(
+        o, 4, ["o_totalprice", "o_orderkey"], tile_col="quartile"
+    )
     return (
-        o.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
-        .groupBy("quartile")
+        tiled.groupBy("quartile")
         .agg(
             F.count("*").alias("n_orders"),
             F.round(F.min("o_totalprice"), 2).alias("min_price"),

@@ -50,6 +50,30 @@ def test_chained_binary_range(ent):
     assert ids(ent, "4 < size <= 15 <= price") == [2, 3]
 
 
+def test_like_underscore_is_literal(spark):
+    """Milvus's grammar wildcards only '%': a literal '_' (ubiquitous in
+    ids) must NOT behave as Spark LIKE's any-single-char."""
+    df = spark.createDataFrame(
+        [(1, "doc_1"), (2, "docX1"), (3, "doc_12"), (4, "a_b_c"), (5, "aXbYc")],
+        "id int, name string",
+    )
+    assert ids(df, "name like 'doc_1'") == [1]          # not docX1
+    assert ids(df, "name like 'doc_1%'") == [1, 3]
+    assert ids(df, "name like 'a_b_c'") == [4]          # not aXbYc
+    assert ids(df, "name like '%_1'") == [1]
+    assert ids(df, "name not like 'doc_%'") == [2, 4, 5]
+
+
+def test_string_escapes_interpreted():
+    from milvus_cdc_spark.functions.expr import _unquote
+
+    assert _unquote(r"'a\nb'") == "a\nb"
+    assert _unquote(r"'a\tb'") == "a\tb"
+    assert _unquote(r"'a\\b'") == "a\\b"
+    assert _unquote(r"'it\'s'") == "it's"
+    assert _unquote(r"'\q'") == "q"  # unknown escape: char itself
+
+
 def test_in_like(ent):
     assert ids(ent, 'brand in ["B1", "B3"]') == [1, 3, 4]
     assert ids(ent, 'brand not in ["B1", "B3"]') == [2, 5]

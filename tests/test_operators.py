@@ -138,6 +138,47 @@ def test_fp16_bf16_codec_roundtrip(spark):
     assert np.allclose(got_b, np.asarray(vals[0]), rtol=2 ** -8)
 
 
+def test_bf16_encode_nan_inf_and_rounding(spark):
+    """bf16 round-to-nearest-even with NaN/Inf guard: specials survive the
+    codec (a blind +0x8000 carry wrapped NaN payloads to ±0), ties round
+    to even, and overflow saturates to inf like hardware bf16."""
+    import math
+
+    import numpy as np
+
+    from milvus_cdc_spark.functions import vector as vecf
+    from pyspark.sql import functions as F
+
+    vals = [
+        float("nan"), float("inf"), float("-inf"),
+        1.0, -1.0, 0.0,
+        3.4028235e38,        # float32 max: rounds up to inf in bf16
+        1.0078125,           # 1 + 2^-7: exactly representable, kept
+        1.00390625,          # 1 + 2^-8: tie, kept lsb 0 -> down to 1.0
+        1.01171875,          # 1 + 2^-7 + 2^-8: tie, lsb 1 -> up to 1+2^-6
+    ]
+    df = spark.createDataFrame([(1, vals)], "id bigint, v array<float>")
+    out = df.select(
+        vecf.bf16_decode(vecf.bf16_encode(F.col("v"))).alias("b")
+    ).collect()[0].b
+    assert math.isnan(out[0])
+    assert out[1] == float("inf") and out[2] == float("-inf")
+    assert out[3] == 1.0 and out[4] == -1.0 and out[5] == 0.0
+    assert out[6] == float("inf")
+    assert out[7] == 1.0078125
+    assert out[8] == 1.0                      # tie to even (mantissa lsb 0)
+    assert out[9] == 1.015625                 # tie to even (lsb 1 -> up)
+    # pure-numpy cross-check of round-to-nearest-even truncation
+    u32 = np.asarray(vals, dtype=np.float32).view(np.uint32)
+    spec = (u32 & 0x7F800000) == 0x7F800000
+    want = np.where(spec, u32, u32 + 0x7FFF + ((u32 >> 16) & 1)) >> 16
+    got = np.frombuffer(
+        np.asarray(out, dtype=np.float32).tobytes(), dtype=np.uint32
+    ) >> 16
+    finite = [i for i, v in enumerate(vals) if not (math.isnan(v) or math.isinf(v))]
+    assert (got[finite] == want[finite]).all()
+
+
 def test_multiprobe_recall_dominates_single_bucket(spark, sf_dir):
     """The recall/cost dial is real: multi-probe recall@3 >= single-bucket
     recall@3 on every query, and strictly better in aggregate here."""

@@ -288,6 +288,17 @@ def test_sequence_packing_has_no_single_partition_window(spark, sf_dir):
     assert "Window" in plan  # still the one running-sum window
 
 
+def test_ntile_quartiles_has_no_single_partition_window(spark, sf_dir):
+    """distributed_ntile replaces the global ntile window: the plan must
+    contain NO `Exchange SinglePartition` over the orders scan — the
+    only single-partition exchange allowed is none at all; the per-pid
+    window and the tiny offsets frame stay partition-parallel."""
+    df = suite.QUERIES["ntile_quartiles"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+
+
 def test_keyset_pagination_pushes_cursor_and_takes_ordered(spark, sf_dir):
     """Iterator pagination: the keyset predicate reaches the scan and the
     page materializes via TakeOrderedAndProject — page N costs page-1
