@@ -32,6 +32,88 @@ def test_oplog_kafka_roundtrip(spark):
     assert [tuple(r) for r in decoded.collect()] == [tuple(r) for r in ops.collect()]
 
 
+def test_pulsar_message_id_codec_roundtrip():
+    """MessageIdData protobuf codec: encode/decode are inverse, defaults
+    (-1 partition/batch) are omitted on the wire like Pulsar's encoder,
+    and multi-byte varints survive."""
+    from milvus_cdc_spark.sources import pulsar
+
+    for lid, eid, part, bidx in [
+        (0, 0, -1, -1),
+        (8, 11, -1, -1),
+        (300, 2, 4, -1),          # ledgerId needs a 2-byte varint
+        (2**40, 2**21, 65, 300),  # big ids, batch index present
+    ]:
+        data = pulsar.encode_message_id(lid, eid, part, bidx)
+        got = pulsar.decode_message_id(data)
+        assert got == {
+            "ledger_id": lid, "entry_id": eid,
+            "partition": part, "batch_index": bidx,
+        }
+    # canonical small id: field tags 1..2, single-byte varints
+    assert pulsar.encode_message_id(8, 11) == b"\x08\x08\x10\x0b"
+
+
+def test_pulsar_starting_offsets_seek_vs_latest():
+    from milvus_cdc_spark.sources import pulsar
+
+    assert pulsar.starting_message_ids_json("t", None) == "latest"
+    mid = pulsar.encode_message_id(8, 11)
+    s = json.loads(pulsar.starting_message_ids_json("persistent://a/b/t", mid))
+    assert s == {"persistent://a/b/t": [8, 8, 16, 11]}
+    # bytes above 127 encode as signed (java byte[] wire form)
+    mid2 = pulsar.encode_message_id(300, 2)
+    vals = json.loads(pulsar.starting_message_ids_json("t", mid2))["t"]
+    assert vals[1] == -84 and all(-128 <= v <= 127 for v in vals)
+
+
+def test_pulsar_source_options_cdc_yaml_parity():
+    """Option builder mirrors cdc.yaml's pulsar block (address,
+    webAddress, tenant/namespace, maxMessageSize, auth)."""
+    from milvus_cdc_spark.sources import pulsar
+
+    opts = pulsar.pulsar_source_options(
+        "pulsar://localhost:6650",
+        "by-dev-rootcoord-dml_0",
+        admin_url="http://localhost:80",
+        tenant="public",
+        namespace="default",
+        max_message_size=5242880,
+        auth_plugin="org.apache.pulsar.client.impl.auth.AuthenticationToken",
+        auth_params="token:xxx",
+        receiver_queue_size=4,
+    )
+    assert opts["service.url"] == "pulsar://localhost:6650"
+    assert opts["admin.url"] == "http://localhost:80"
+    assert opts["topic"] == "persistent://public/default/by-dev-rootcoord-dml_0"
+    assert opts["startingOffsets"] == "latest"
+    assert opts["pulsar.client.maxMessageSize"] == "5242880"
+    assert opts["pulsar.client.authPluginClassName"].endswith("AuthenticationToken")
+    assert opts["pulsar.consumer.receiverQueueSize"] == "4"
+    # a seek position lands as the per-topic offsets JSON
+    seek = pulsar.pulsar_source_options(
+        "pulsar://h:6650", "t", message_id=pulsar.encode_message_id(8, 11)
+    )
+    assert json.loads(seek["startingOffsets"]) == {
+        "persistent://public/default/t": [8, 8, 16, 11]
+    }
+
+
+def test_mq_dispatch_picks_exactly_one_broker():
+    """Shared dispatch: exactly one of pulsar/kafka must be configured
+    (cdc.yaml mq block); wrong shapes raise before any stream is built."""
+    import pytest
+
+    from milvus_cdc_spark.sources import mq
+
+    with pytest.raises(ValueError):
+        mq.read_oplog_stream(None, {}, "t")
+    with pytest.raises(ValueError):
+        mq.read_oplog_stream(
+            None, {"pulsar": {"address": "p"}, "kafka": {"address": "k"}}, "t"
+        )
+
+
 def test_error_quarantine_trips_in_window():
     q = ErrorQuarantine(max_errors=3, window_sec=60)
     q.record("e1", now=0.0)
