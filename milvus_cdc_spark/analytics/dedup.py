@@ -195,6 +195,51 @@ def jaccard_pairs(
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 8, w: int = 4,
+) -> DataFrame:
+    """Rolling-hash document fingerprints by winnowing (Schleimer,
+    Wilkerson, Aiken: "Winnowing: Local Algorithms for Document
+    Fingerprinting", SIGMOD 2003): hash every character k-gram, slide a
+    w-window over the hash sequence, keep each window's minimum — the
+    guarantee is that any match of length >= w+k-1 shares a fingerprint,
+    while only ~2/(w+1) of hashes are kept.
+
+    Returns distinct (id, fingerprint-hash) rows.
+
+    Scale shape: posexplode of gram positions (rows ∝ corpus bytes, a
+    map-only expansion), one per-DOC window (partitioned by id — never a
+    global sort), then distinct. The 16-bit md5-prefix hash is the
+    repo-wide engine-portable hash contract.
+    """
+    norm = F.lower(F.col(text_col))
+    n_grams = (F.length(norm) - k + 1).alias("n_grams")
+    grams = (
+        df.filter(F.length(norm) >= k)
+        .select(
+            F.col(id_col), norm.alias("_t"), n_grams,
+            F.explode(F.sequence(F.lit(1), F.length(norm) - k + 1)).alias("pos"),
+        )
+        .select(
+            id_col, "n_grams", "pos",
+            F.conv(
+                F.substring(F.md5(F.substr(F.col("_t"), F.col("pos"), F.lit(k))), 1, 4),
+                16, 10,
+            ).cast("int").alias("h"),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("fp", F.min("h").over(win))
+        # full windows only; a doc shorter than w grams keeps its single
+        # all-grams window (start position 1)
+        .filter(F.col("pos") <= F.greatest(F.col("n_grams") - w + 1, F.lit(1)))
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
 def near_dup_pipeline(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 8, bands: int = 4, shingle_n: int = 3,

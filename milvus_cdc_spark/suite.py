@@ -2338,6 +2338,74 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Winnowing rolling-hash fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03):
+# the north-star "document fingerprinting (rolling hash)" operator. Char
+# k-gram md5 hashes, per-doc sliding-window minima, distinct survivors.
+# ---------------------------------------------------------------------------
+
+
+def _sql_winnowing_oracle(k: int = 8, w: int = 4) -> str:
+    digit = "(strpos('0123456789abcdef', substr(h0, {pos}, 1)) - 1)"
+    v = " + ".join(f"{digit.format(pos=i + 1)} * {16 ** (3 - i)}" for i in range(4))
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, lower(text) AS t FROM documents
+      WHERE length(lower(text)) >= {k}
+    ),
+    grams AS (
+      SELECT doc_id, length(t) - {k - 1} AS n_grams,
+             unnest(generate_series(1, length(t) - {k - 1})) AS pos, t
+      FROM norm
+    ),
+    hashed AS (
+      SELECT doc_id, n_grams, pos, md5(substr(t, pos, {k})) AS h0 FROM grams
+    ),
+    vals AS (
+      SELECT doc_id, n_grams, pos, CAST({v} AS INTEGER) AS h FROM hashed
+    ),
+    wins AS (
+      SELECT doc_id, n_grams, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
+      FROM vals
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, fp FROM wins
+      WHERE pos <= greatest(n_grams - {w - 1}, 1)
+    )
+    SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp, max(fp) AS max_fp
+    FROM sel GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@q(
+    "winnowing_fingerprints",
+    _sql_winnowing_oracle(),
+    "dedup",
+    "fingerprint",
+    "llm",
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint summary per document: any shared substring of
+    length >= w+k-1 between two docs is guaranteed to share a fingerprint
+    hash, at ~2/(w+1) selection density — the classic plagiarism/near-dup
+    index. Plan: map-only gram explosion, ONE per-doc window, distinct,
+    tiny per-doc aggregate (analytics/dedup.winnowing_fingerprints)."""
+    from milvus_cdc_spark.analytics import dedup
+
+    fp = dedup.winnowing_fingerprints(_t(spark, sf_dir, "documents"), k=8, w=4)
+    return (
+        fp.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fp"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Map/array construction (ConvertKVPairToMap, milvus_handler.go:248):
 # KV structs → map, element extraction. Output is scalars so the comparison
 # stays engine-portable.

@@ -504,6 +504,35 @@ def test_strong_read_equals_full_replay_with_upsert_import(spark):
     assert strong["c1"] == (2, 7)  # pk1 (ins+upsert=2 rows) + pk2 import(5)
 
 
+def test_winnowing_guarantee_and_density(spark):
+    """Winnowing (SIGMOD'03) §2 guarantees: (1) two documents sharing a
+    substring of length >= w+k-1 share at least one fingerprint; (2) at
+    most ~2/(w+1) of gram hashes are selected; (3) disjoint-alphabet
+    documents share nothing."""
+    from milvus_cdc_spark.analytics.dedup import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"  # >> w+k-1 = 11
+    docs = spark.createDataFrame(
+        [
+            (1, f"AAAA {shared} BBBB"),
+            (2, f"XXXX {shared} YYYY"),
+            (3, "zzzzzzzzzzzzzzzzzzzzzzzzzzzz"),
+        ],
+        "doc_id bigint, text string",
+    )
+    fp = winnowing_fingerprints(docs, k=8, w=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2]          # shared substring -> shared fp
+    assert not (by_doc[1] & by_doc[3])    # disjoint alphabets
+    # density: selected distinct fps <= all windows, and far below the
+    # gram count for doc 3 (a constant run hashes to ONE value)
+    assert len(by_doc[3]) == 1
+    n_grams_1 = len(f"AAAA {shared} BBBB") - 8 + 1
+    assert len(by_doc[1]) <= n_grams_1 / 2
+
+
 def test_build_vocab_rank_and_min_df(spark):
     """Vocab: df counts distinct documents (not occurrences), min_df
     prunes, ids follow (df desc, term asc)."""
