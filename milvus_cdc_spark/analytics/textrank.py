@@ -68,11 +68,10 @@ def bm25_scores(
 
 
 def _word_tokens(text_col):
-    """Alnum-run tokenizer (lowered, empties dropped) — the analyzer both
-    engines reproduce exactly: split on `[^a-z0-9]+`."""
-    return F.filter(
-        F.split(F.lower(text_col), "[^a-z0-9]+"), lambda t: t != ""
-    )
+    """The shared match-surface analyzer (functions.text.word_tokens)."""
+    from milvus_cdc_spark.functions.text import word_tokens
+
+    return word_tokens(text_col)
 
 
 def text_match_all(

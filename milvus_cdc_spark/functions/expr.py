@@ -36,7 +36,10 @@ Grammar (precedence low → high)::
 
 Builtin calls: ``array_contains / array_contains_all / array_contains_any /
 array_length`` over ARRAY fields; ``json_contains / json_contains_all /
-json_contains_any`` over JSON paths.
+json_contains_any`` over JSON paths; ``text_match(field, 'a b c')``
+(OR-of-terms over the shared alnum analyzer) and
+``phrase_match(field, 'w1 w2')`` (consecutive terms, slop=0) over text
+fields.
 
 Typing rules (JSON is stringly-typed on extraction):
 
@@ -498,7 +501,53 @@ class _Parser:
                 # length of a JSON array at the path
                 return _Val(F.json_array_length(v.col))
             raise ExprError(f"array_length needs a field in {self.src!r}")
+        if fn == "text_match":
+            need(2)
+            return _Val(self._text_match(args[0], args[1]))
+        if fn == "phrase_match":
+            if len(args) not in (2, 3):
+                raise ExprError(
+                    f"phrase_match takes 2 or 3 arguments, got {len(args)} in {self.src!r}"
+                )
+            slop = args[2] if len(args) == 3 else 0
+            return _Val(self._phrase_match(args[0], args[1], slop))
         raise ExprError(f"unknown function {fn!r} at position {t.pos} in {self.src!r}")
+
+    def _match_args(self, field, query, fn: str):
+        from milvus_cdc_spark.functions.text import word_tokens
+
+        if not isinstance(field, _Val) or not isinstance(query, str):
+            raise ExprError(f"{fn}(field, 'terms') expected in {self.src!r}")
+        fc = field.col.cast("string") if field.is_json else field.col
+        terms = [t for t in re.split(r"[^a-z0-9]+", query.lower()) if t]
+        if not terms:
+            raise ExprError(f"{fn} needs a non-empty query in {self.src!r}")
+        return word_tokens(fc), terms
+
+    def _text_match(self, field, query) -> Column:
+        """Milvus TEXT_MATCH(field, 'a b c'): true when the analyzed text
+        contains ANY query term (Milvus ORs multi-term queries); the
+        analyzer is the shared alnum-run word_tokens, so this predicate
+        agrees row-for-row with the posting-list retrieval in
+        analytics.textrank."""
+        toks, terms = self._match_args(field, query, "text_match")
+        return F.arrays_overlap(toks, F.array(*[F.lit(t) for t in terms]))
+
+    def _phrase_match(self, field, query, slop) -> Column:
+        """Milvus PHRASE_MATCH(field, 'w1 w2', slop=0): the terms occur
+        consecutively in analyzer order. Compiled as a substring test on
+        the space-rejoined token stream — identical semantics to the
+        positional-posting join (textrank.phrase_match), pure column expr.
+        Only slop=0 compiles; sloppy matching needs the positional index
+        (analytics.textrank), not a row predicate."""
+        toks, terms = self._match_args(field, query, "phrase_match")
+        if slop != 0:
+            raise ExprError(
+                "phrase_match slop > 0 is not supported in filter expressions; "
+                "use analytics.textrank.phrase_match posting-list retrieval"
+            )
+        stream = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
+        return stream.contains(" " + " ".join(terms) + " ")
 
     def call_arg(self):
         t = self.peek()

@@ -34,6 +34,15 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
 
 
+def word_tokens(text: Column) -> Column:
+    """Alnum-run analyzer (lowered, empties dropped): split on
+    ``[^a-z0-9]+``. The ONE analyzer shared by the match surface — the
+    posting-list builders (analytics.textrank) and the expr-compiler
+    ``text_match``/``phrase_match`` predicates — so a filter expression
+    and an index lookup agree on every document."""
+    return F.filter(F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != "")
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 

@@ -973,6 +973,88 @@ _EXPR_ORACLE = (
 )
 
 
+#: expr-compiler match surface: (expr_id, Milvus filter expression).
+MATCH_EXPRS = (
+    ("m1", "text_match(text, 'vector stream')"),
+    ("m2", "phrase_match(text, 'data table')"),
+    ("m3", "text_match(text, 'vector') and not phrase_match(text, 'vector table')"),
+    ("m4", "phrase_match(text, 'big big')"),
+)
+
+_MATCH_ORACLE_PREDS = (
+    ("m1", "len(list_intersect(toks, ['vector', 'stream'])) > 0"),
+    ("m2", "contains(stream, ' data table ')"),
+    ("m3", "len(list_intersect(toks, ['vector'])) > 0"
+           " AND NOT contains(stream, ' vector table ')"),
+    ("m4", "contains(stream, ' big big ')"),
+)
+
+_MATCH_ORACLE = (
+    """
+    WITH ent AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t != '') AS toks
+      FROM documents
+    ), ent2 AS (
+      SELECT doc_id, toks,
+             ' ' || array_to_string(toks, ' ') || ' ' AS stream
+      FROM ent
+    ), w AS (
+      SELECT
+    """
+    + ",\n".join(
+        f"        CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS n{eid[1:]},\n"
+        f"        CAST(sum(CASE WHEN {pred} THEN doc_id ELSE 0 END) AS BIGINT) AS s{eid[1:]}"
+        for eid, pred in _MATCH_ORACLE_PREDS
+    )
+    + """
+      FROM ent2
+    )
+    """
+    + "\n    UNION ALL ".join(
+        f"SELECT '{eid}' AS expr_id, n{eid[1:]} AS n_match, s{eid[1:]} AS sum_doc_id FROM w"
+        for eid, _ in _MATCH_ORACLE_PREDS
+    )
+    + "\n    ORDER BY expr_id"
+)
+
+
+@q(
+    "expr_text_match_filter",
+    _MATCH_ORACLE,
+    "expr",
+    "text-match",
+    "search",
+    "compiler",
+)
+def expr_text_match_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXT_MATCH / PHRASE_MATCH as compiled filter predicates (the Milvus
+    expr functions, not the posting-list retrieval path): four match
+    expressions over ``documents`` evaluated in ONE conditional-agg scan,
+    sharing the alnum analyzer with analytics.textrank so both access
+    paths agree. Covers OR-of-terms, adjacency, negation composition, and
+    repeated-word adjacency."""
+    from milvus_cdc_spark.functions.expr import compile_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    fields = {"text": docs["text"], "doc_id": docs["doc_id"]}
+    aggs = []
+    for eid, src in MATCH_EXPRS:
+        pred = compile_expr(src, fields)
+        aggs.append(F.sum(F.when(pred, 1).otherwise(0)).alias(f"n{eid[1:]}"))
+        aggs.append(
+            F.sum(F.when(pred, F.col("doc_id")).otherwise(0)).alias(f"s{eid[1:]}")
+        )
+    wide = docs.agg(*aggs)
+    pairs = ", ".join(f"'{eid}', n{eid[1:]}, s{eid[1:]}" for eid, _ in MATCH_EXPRS)
+    return wide.select(
+        F.expr(
+            f"stack({len(MATCH_EXPRS)}, {pairs}) AS (expr_id, n_match, sum_doc_id)"
+        )
+    ).orderBy("expr_id")
+
+
 @q(
     "milvus_expr_filter",
     _EXPR_ORACLE,

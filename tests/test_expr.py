@@ -50,6 +50,57 @@ def test_chained_binary_range(ent):
     assert ids(ent, "4 < size <= 15 <= price") == [2, 3]
 
 
+def test_text_match_and_phrase_match(spark):
+    """TEXT_MATCH = any analyzed term present; PHRASE_MATCH = terms
+    consecutive in analyzer order; both use the shared alnum analyzer
+    (punctuation splits, case folds)."""
+    df = spark.createDataFrame(
+        [
+            (1, "The quick brown fox"),
+            (2, "quick-BROWN dogs"),
+            (3, "a brownstone house"),
+            (4, "fox ... quick"),
+        ],
+        "id int, text string",
+    )
+    # any-term OR semantics
+    assert ids(df, "text_match(text, 'quick fox')") == [1, 2, 4]
+    assert ids(df, "text_match(text, 'brownstone')") == [3]
+    assert ids(df, "not text_match(text, 'quick')") == [3]
+    # phrase: consecutive, analyzer order; 'quick-BROWN' tokenizes to
+    # quick,brown so it matches the phrase
+    assert ids(df, "phrase_match(text, 'quick brown')") == [1, 2]
+    assert ids(df, "phrase_match(text, 'quick Brown', 0)") == [1, 2]
+    assert ids(df, "phrase_match(text, 'brown fox')") == [1]
+    assert ids(df, "phrase_match(text, 'fox quick')") == [4]
+    with pytest.raises(ExprError):
+        ids(df, "phrase_match(text, 'quick brown', 2)")  # slop unsupported
+    with pytest.raises(ExprError):
+        ids(df, "text_match(text, '...')")  # analyzes to zero terms
+
+
+def test_expr_match_agrees_with_posting_retrieval(spark, sf_dir):
+    """The expr predicates and the posting-list retrieval must select the
+    same documents — one analyzer, two access paths."""
+    from milvus_cdc_spark.analytics import textrank
+    from milvus_cdc_spark.catalog import load_table
+    from milvus_cdc_spark.functions.expr import compile_expr
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    phrase = "data pipeline"
+    via_expr = {
+        r.doc_id
+        for r in docs.filter(
+            compile_expr(f"phrase_match(text, '{phrase}')", docs)
+        ).select("doc_id").collect()
+    }
+    via_index = {
+        r.doc_id
+        for r in textrank.phrase_match(docs, phrase.split()).collect()
+    }
+    assert via_expr == via_index
+
+
 def test_like_underscore_is_literal(spark):
     """Milvus's grammar wildcards only '%': a literal '_' (ubiquitous in
     ids) must NOT behave as Spark LIKE's any-single-char."""
