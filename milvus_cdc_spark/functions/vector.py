@@ -260,3 +260,28 @@ def sq8_dequantize(q: Column) -> Column:
         q["codes"],
         lambda c: q["mn"] + c.cast("double") / 255.0 * q["rng"],
     )
+
+
+def binary_quantize(vec: Column, centroid: Column) -> Column:
+    """1-bit (sign) quantization against a corpus centroid — the storage
+    idea behind binary/RaBitQ-family indexes (Gao & Long, SIGMOD 2024),
+    simplified to its deterministic core: residual r = x - c, code =
+    sign bits of r, plus the per-vector scale s = mean(|r_d|) that
+    minimizes ||r - s·sign(r)||² over scalar s. 32× smaller than float32.
+
+    Returns struct (scale double, bits array<boolean>); pair with
+    binary_dequantize. Pure column expressions — codegen'd, no UDF.
+    """
+    r = F.zip_with(vec, centroid, lambda x, c: x.cast("double") - c)
+    s = F.aggregate(r, F.lit(0.0), lambda a, x: a + F.abs(x)) / F.size(r)
+    bits = F.transform(r, lambda x: x >= 0)
+    return F.struct(s.alias("scale"), bits.alias("bits"))
+
+
+def binary_dequantize(q: Column, centroid: Column) -> Column:
+    """Inverse of binary_quantize: c_d ± scale, as array<double>."""
+    return F.zip_with(
+        q["bits"],
+        centroid,
+        lambda b, c: c + F.when(b, q["scale"]).otherwise(-q["scale"]),
+    )

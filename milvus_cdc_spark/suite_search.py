@@ -288,6 +288,120 @@ def sq8_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 1-bit binary quantization (the storage idea behind Milvus's binary/
+# RaBitQ-family indexes, Gao & Long SIGMOD'24, deterministic core): sign
+# bits of the centroid residual + the per-vector L2-optimal scale
+# s = mean(|r_d|) — 32× smaller than float32. The query reports per-query
+# recall@3 of search-after-reconstruction vs full precision, like the SQ8
+# twin above. Quantization is pure comparisons + one fold; both engines
+# produce identical codes, and cosine is rounded to 6 before ranking.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "binary_quantized_recall",
+    """
+    WITH centroid AS (
+      SELECT list(avg_v ORDER BY dim) AS c
+      FROM (
+        SELECT u.dim, avg(u.v) AS avg_v
+        FROM (SELECT unnest(embedding::DOUBLE[]) AS v,
+                     unnest(generate_series(1, len(embedding))) AS dim
+              FROM embeddings) u
+        GROUP BY u.dim
+      )
+    ),
+    res AS (
+      SELECT e.vec_id,
+             list_transform(list_zip(e.embedding::DOUBLE[], ct.c),
+                            p -> p[1] - p[2]) AS r,
+             ct.c AS c
+      FROM embeddings e, centroid ct
+    ),
+    scaled AS (
+      SELECT vec_id, r, c,
+             list_sum(list_transform(r, x -> abs(x))) / len(r) AS s
+      FROM res
+    ),
+    recon AS (
+      SELECT vec_id,
+             list_transform(list_zip(r, c),
+                            p -> p[2] + CASE WHEN p[1] >= 0 THEN s ELSE -s END)
+               AS embedding
+      FROM scaled
+    ),
+    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    approx AS (
+      SELECT * FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 {0} DESC, c.vec_id) AS rank
+        FROM recon c, q WHERE c.vec_id != q.vec_id
+      ) WHERE rank <= 3
+    ),
+    exact AS (
+      SELECT * FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 {0} DESC, c.vec_id) AS rank
+        FROM embeddings c, q WHERE c.vec_id != q.vec_id
+      ) WHERE rank <= 3
+    )
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(a.neighbor_id) / 3.0, 6) AS recall
+    FROM exact e LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """.format(_SQL_COSINE),
+    "vector",
+    "quantization",
+    "binary",
+    "rabitq",
+    "recall",
+    "llm",
+)
+def binary_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of 1-bit sign-quantized search vs full precision. The
+    centroid is ONE global per-dim average (map-side partial agg →
+    single row, broadcast); quantize/reconstruct are pure array
+    expressions (functions.vector.binary_quantize/_dequantize); both
+    search branches are the audited broadcast brute-force plan."""
+    from milvus_cdc_spark.analytics import similarity
+    from milvus_cdc_spark.functions import vector as vecf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size(F.col("embedding")).alias("d")).first().d
+    cent = emb.agg(
+        F.array(*[F.avg(F.col("embedding")[i]) for i in range(dim)]).alias("c")
+    )
+    recon = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        vecf.binary_dequantize(
+            vecf.binary_quantize(F.col("embedding"), F.col("c")), F.col("c")
+        ).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = similarity.brute_force_topk(recon, queries, k=3)
+    exact = similarity.brute_force_topk(emb, queries, k=3)
+    hits = exact.alias("e").join(
+        approx.alias("a"),
+        (F.col("e.query_id") == F.col("a.query_id"))
+        & (F.col("e.neighbor_id") == F.col("a.neighbor_id")),
+        "left",
+    )
+    return (
+        hits.groupBy(F.col("e.query_id").alias("query_id"))
+        .agg(
+            F.count(F.col("a.neighbor_id")).alias("n_hits"),
+            F.round(F.count(F.col("a.neighbor_id")) / 3.0, 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Hybrid multi-vector search (Milvus hybrid_search API): a dense branch
 # (cosine top-10) and a sparse branch (inverted-index dot-product top-10)
 # fused per query. Two rankers, both oracle-checked:

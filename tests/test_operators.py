@@ -504,6 +504,36 @@ def test_strong_read_equals_full_replay_with_upsert_import(spark):
     assert strong["c1"] == (2, 7)  # pk1 (ins+upsert=2 rows) + pk2 import(5)
 
 
+def test_binary_quantize_optimal_scale(spark):
+    """1-bit sign quantization: bits = residual signs, scale = mean |r|
+    (the L2-optimal scalar for a fixed sign code), reconstruction =
+    centroid ± scale; error never exceeds a plain sign code with any
+    OTHER uniform scale (optimality spot-check)."""
+    import numpy as np
+
+    from milvus_cdc_spark.functions import vector as vecf
+    from pyspark.sql import functions as F
+
+    vec = [1.0, -2.0, 0.5, 3.5]
+    cent = [0.5, 0.5, 0.5, 0.5]
+    df = spark.createDataFrame(
+        [(1, vec, cent)], "id bigint, v array<float>, c array<double>"
+    )
+    row = df.select(
+        vecf.binary_quantize(F.col("v"), F.col("c")).alias("q"),
+        vecf.binary_dequantize(
+            vecf.binary_quantize(F.col("v"), F.col("c")), F.col("c")
+        ).alias("recon"),
+    ).collect()[0]
+    r = np.asarray(vec) - np.asarray(cent)           # [0.5, -2.5, 0, 3]
+    assert row.q.bits == [True, False, True, True]   # sign(0) -> +
+    assert abs(row.q.scale - np.abs(r).mean()) < 1e-12
+    got_err = np.sum((np.asarray(row.recon) - np.asarray(vec)) ** 2)
+    for s in (0.5, 1.0, 2.0):                        # any other scale is worse
+        err = np.sum((r - s * np.sign(r + 1e-30)) ** 2)
+        assert got_err <= err + 1e-9
+
+
 def test_winnowing_guarantee_and_density(spark):
     """Winnowing (SIGMOD'03) §2 guarantees: (1) two documents sharing a
     substring of length >= w+k-1 share at least one fingerprint; (2) at
