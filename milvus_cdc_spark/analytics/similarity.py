@@ -509,13 +509,21 @@ def grouping_topk(
     queries: DataFrame,
     group_col: str,
     k_groups: int = 3,
+    group_size: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Milvus grouping search (group_by_field): the best hit per group,
-    then the top ``k_groups`` groups per query by that best hit. Two
-    stacked window ranks — both partitioned by query (and group), so the
-    shuffle is bounded by the scored frame, never collected."""
+    """Milvus grouping search (group_by_field + group_size): the top
+    ``group_size`` hits per group, groups ranked per query by their BEST
+    hit, top ``k_groups`` groups kept. Stacked window ranks — all
+    partitioned by query (and group), so the shuffle is bounded by the
+    scored frame, never collected.
+
+    Milvus's ``strict_group_size`` knob is about how hard the ANN search
+    tries to FILL group_size candidates; an exact engine always sees
+    every member, so groups simply return min(group_size, |group|) rows
+    — both strict settings coincide.
+    """
     g = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(group_col).alias("grp"))
     scored = brute_force_scored(corpus, queries, id_col=id_col, vec_col=vec_col).join(
         g, "neighbor_id"
@@ -523,14 +531,22 @@ def grouping_topk(
     w_in = Window.partitionBy("query_id", "grp").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
-    best = scored.withColumn("rn", F.row_number().over(w_in)).filter(F.col("rn") == 1)
-    w_g = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("grp").asc()
+    w_best = Window.partitionBy("query_id", "grp")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w_in))
+        .withColumn("best_sim", F.max("sim").over(w_best))
+        .filter(F.col("rn") <= group_size)
     )
+    w_g = Window.partitionBy("query_id").orderBy(
+        F.col("best_sim").desc(), F.col("grp").asc()
+    )
+    out_cols = ["query_id", "grp_rank", "grp"]
+    if group_size > 1:
+        out_cols.append("rn")
     return (
-        best.withColumn("grp_rank", F.row_number().over(w_g))
+        best.withColumn("grp_rank", F.dense_rank().over(w_g))
         .filter(F.col("grp_rank") <= k_groups)
-        .select("query_id", "grp_rank", "grp", "neighbor_id", "sim")
+        .select(*out_cols, "neighbor_id", "sim")
     )
 
 

@@ -23,6 +23,7 @@ Grammar (precedence low → high)::
               Milvus binary-range shape `0 < x <= 10` ANDs adjacent pairs
             | sum ["not"] "in" "[" literals "]"
             | sum ["not"] "like" STRING
+            | sum "is" ["not"] "null"         -- nullable fields (Milvus 2.5)
     sum    := term (("+" | "-") term)*
     term   := factor (("*" | "/" | "%") factor)*
     factor := ("-" | "+") factor | power
@@ -52,10 +53,13 @@ Typing rules (JSON is stringly-typed on extraction):
 - array subscripts are 0-based (Milvus ARRAY access), mapped onto Spark's
   0-based ``Column.getItem``.
 
+``field is [not] null`` (Milvus 2.5 nullable fields) compiles to
+Spark's SQL NULL tests; for a JSON path it is true when the key is
+missing OR holds an explicit JSON null (both extract to NULL).
+
 Out of scope (documented, not silently wrong): JSON paths of
-heterogeneous runtime type per row, ``is null`` (Milvus pre-2.4 has no
-NULL fields), and template/parameterized exprs — callers substitute
-params before compiling.
+heterogeneous runtime type per row, and template/parameterized exprs —
+callers substitute params before compiling.
 """
 
 from __future__ import annotations
@@ -82,7 +86,7 @@ _TOKEN_RE = re.compile(
     re.VERBOSE,
 )
 
-_KEYWORDS = {"and", "or", "not", "in", "like", "true", "false", "exists"}
+_KEYWORDS = {"and", "or", "not", "in", "like", "true", "false", "exists", "is", "null"}
 
 _CMP_OPS = {"==", "!=", ">", ">=", "<", "<="}
 
@@ -263,6 +267,21 @@ class _Parser:
             pat = _unquote(t.text).replace("\\", "\\\\").replace("_", "\\_")
             col = F.like(lc, F.lit(pat), F.lit("\\"))
             return ~col if negate else col
+        if not negate and self.at_kw("is"):
+            # nullable-field test (Milvus 2.5): `f is [not] null`; a JSON
+            # path extracts to NULL for missing keys AND explicit JSON
+            # nulls, so both count as null here
+            self.next()
+            neg = False
+            if self.at_kw("not"):
+                self.next()
+                neg = True
+            t = self.next()
+            if not (t.kind == "kw" and t.text == "null"):
+                raise ExprError(
+                    f"expected 'null' at position {t.pos} in {self.src!r}"
+                )
+            return left.col.isNotNull() if neg else left.col.isNull()
         if negate:
             t = self.peek()
             raise ExprError(

@@ -147,6 +147,57 @@ def grouping_search_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Grouping search with group_size > 1 (Milvus group_size/strict_group_size
+# params): top-2 hits per group, top-2 groups per query ranked by each
+# group's best hit. Exact engine ⇒ both strict settings coincide
+# (similarity.grouping_topk docstring).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "grouping_search_group_size",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS grp,
+             {{0}} AS sim
+      FROM embeddings c, q
+      WHERE c.vec_id != q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, grp, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id, grp
+                                ORDER BY sim DESC, neighbor_id) AS rn,
+             max(sim) OVER (PARTITION BY query_id, grp) AS best_sim
+      FROM scored
+    ),
+    top AS (
+      SELECT query_id, grp, rn, neighbor_id, sim,
+             dense_rank() OVER (PARTITION BY query_id
+                                ORDER BY best_sim DESC, grp) AS grp_rank
+      FROM ranked WHERE rn <= 2
+    )
+    SELECT query_id, grp_rank, grp, rn, neighbor_id, sim
+    FROM top WHERE grp_rank <= 2
+    ORDER BY query_id, grp_rank, rn
+    """.format(_SQL_COSINE),
+    "vector",
+    "search",
+    "grouping",
+    "group-size",
+    "llm",
+)
+def grouping_search_group_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milvus_cdc_spark.analytics import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.grouping_topk(
+        emb, queries, group_col="label", k_groups=2, group_size=2
+    ).orderBy("query_id", "grp_rank", "rn")
+
+
+# ---------------------------------------------------------------------------
 # Pagination: offset 3, limit 3 — "page 2" of the exact ordering (Milvus
 # search offset param / query iterator).
 # ---------------------------------------------------------------------------

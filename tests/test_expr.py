@@ -50,6 +50,28 @@ def test_chained_binary_range(ent):
     assert ids(ent, "4 < size <= 15 <= price") == [2, 3]
 
 
+def test_is_null_nullable_fields(spark):
+    """Milvus 2.5 nullable fields: `f is null` / `f is not null`; a JSON
+    path is null when the key is missing or explicitly null."""
+    df = spark.createDataFrame(
+        [
+            (1, None, '{"a": 1}'),
+            (2, 5, '{"a": null}'),
+            (3, 7, "{}"),
+            (4, None, '{"a": "x"}'),
+        ],
+        "id int, size int, props string",
+    )
+    assert ids(df, "size is null", json_fields=("props",)) == [1, 4]
+    assert ids(df, "size is not null", json_fields=("props",)) == [2, 3]
+    assert ids(df, 'props["a"] is null', json_fields=("props",)) == [2, 3]
+    assert ids(df, 'props["a"] is not null', json_fields=("props",)) == [1, 4]
+    assert ids(df, "size is null and props['a'] is not null",
+               json_fields=("props",)) == [1, 4]
+    with pytest.raises(ExprError):
+        ids(df, "size is 5", json_fields=("props",))
+
+
 def test_text_match_and_phrase_match(spark):
     """TEXT_MATCH = any analyzed term present; PHRASE_MATCH = terms
     consecutive in analyzer order; both use the shared alnum analyzer
