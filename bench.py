@@ -68,6 +68,15 @@ HEADLINE_R2 = [
     "phrase_match_retrieval",
 ]
 
+#: Round-4 additions (same rule: the r1/r3 subtotals stay comparable).
+HEADLINE_R4 = [
+    "ntile_quartiles",           # distributed exact ntile (no global sort)
+    "db_scoped_remap",           # per-DB scoping + db-wildcard remap
+    "winnowing_fingerprints",    # rolling-hash fingerprint selection
+    "binary_quantized_recall",   # 1-bit quantization recall
+    "expr_text_match_filter",    # compiled TEXT/PHRASE_MATCH predicates
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -81,7 +90,7 @@ def main() -> None:
     # code) are identical across scale factors, so this compiles each
     # query's stages without touching the measured data — the timed runs
     # then reflect steady-state engine speed, not one-time JIT cost.
-    all_queries = HEADLINE + HEADLINE_R2
+    all_queries = HEADLINE + HEADLINE_R2 + HEADLINE_R4
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/"):
         for name in all_queries:
@@ -105,6 +114,9 @@ def main() -> None:
         _ = n
     total = round(sum(timings.values()), 3)
     r1_subtotal = round(sum(timings.get(n, 0.0) for n in HEADLINE), 3)
+    r3_subtotal = round(
+        sum(timings.get(n, 0.0) for n in HEADLINE + HEADLINE_R2), 3
+    )
     print(
         json.dumps(
             {
@@ -114,7 +126,11 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 # cross-round comparability: the round-1 22-query subtotal
+                # and the 34-query set benched in rounds 2-3 (the r4 total
+                # includes 5 new queries, so compare r3_subtotal to the
+                # BENCH_r03 total, not value-to-value)
                 "r1_subtotal": r1_subtotal,
+                "r3_subtotal": r3_subtotal,
             }
         )
     )
