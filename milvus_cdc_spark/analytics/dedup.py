@@ -197,7 +197,7 @@ def jaccard_pairs(
 
 def winnowing_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    k: int = 8, w: int = 4,
+    k: int = 8, w: int = 4, n_partitions: int = 32,
 ) -> DataFrame:
     """Rolling-hash document fingerprints by winnowing (Schleimer,
     Wilkerson, Aiken: "Winnowing: Local Algorithms for Document
@@ -208,15 +208,19 @@ def winnowing_fingerprints(
 
     Returns distinct (id, fingerprint-hash) rows.
 
-    Scale shape: posexplode of gram positions (rows ∝ corpus bytes, a
-    map-only expansion), one per-DOC window (partitioned by id — never a
-    global sort), then distinct. The 16-bit md5-prefix hash is the
-    repo-wide engine-portable hash contract.
+    Scale shape: the one shuffle happens BEFORE the gram explosion — an
+    id-keyed repartition of compact documents that (a) parallelizes the
+    md5 work across tasks even from a single-file scan and (b) already
+    satisfies the per-doc window's hash partitioning, so the exploded
+    gram rows (∝ corpus bytes) are never shuffled at all. Then one
+    per-DOC window (never a global sort) and distinct. The 16-bit
+    md5-prefix hash is the repo-wide engine-portable hash contract.
     """
     norm = F.lower(F.col(text_col))
     n_grams = (F.length(norm) - k + 1).alias("n_grams")
     grams = (
-        df.filter(F.length(norm) >= k)
+        df.repartition(n_partitions, F.col(id_col))
+        .filter(F.length(norm) >= k)
         .select(
             F.col(id_col), norm.alias("_t"), n_grams,
             F.explode(F.sequence(F.lit(1), F.length(norm) - k + 1)).alias("pos"),

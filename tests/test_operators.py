@@ -504,6 +504,30 @@ def test_strong_read_equals_full_replay_with_upsert_import(spark):
     assert strong["c1"] == (2, 7)  # pk1 (ins+upsert=2 rows) + pk2 import(5)
 
 
+def test_distributed_ntile_matches_builtin(spark):
+    """distributed_ntile == Spark's global-window ntile on every shape
+    that exercises the fill rule: N % n != 0, N < n, duplicate order
+    values (unique tie-break key), and several n."""
+    from milvus_cdc_spark.operators.windows import distributed_ntile
+    from pyspark.sql import Window
+
+    for n_rows, n in [(1003, 4), (3, 5), (100, 7), (64, 4)]:
+        df = spark.range(n_rows).select(
+            F.col("id"), (F.col("id") % 17).alias("v")  # heavy duplicates
+        )
+        got = {
+            r.id: r.tile
+            for r in distributed_ntile(df, n, ["v", "id"], n_partitions=8).collect()
+        }
+        want = {
+            r.id: r.tile
+            for r in df.select(
+                "id", F.ntile(n).over(Window.orderBy("v", "id")).alias("tile")
+            ).collect()
+        }
+        assert got == want, f"mismatch at n_rows={n_rows}, n={n}"
+
+
 def test_binary_quantize_optimal_scale(spark):
     """1-bit sign quantization: bits = residual signs, scale = mean |r|
     (the L2-optimal scalar for a fixed sign code), reconstruction =
