@@ -27,7 +27,8 @@ from milvus_cdc_spark.functions import text as textf
 
 
 def shingle_rows(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
+    n_partitions: int = 32,
 ) -> DataFrame:
     """(id, shingle) rows — may contain duplicate shingles per doc.
 
@@ -37,8 +38,13 @@ def shingle_rows(
     element inside the interpreted higher-order lambda — O(tokens²) per doc,
     measured ~10× slower on real documents. Use this for bulk pipelines and
     the array form only for small/interactive use.
+
+    The id-keyed repartition happens BEFORE the token explosion: it
+    parallelizes tokenization even from a single-file scan, and the lead()
+    window reuses that exact partitioning — so the shuffle moves compact
+    documents, never exploded token rows.
     """
-    toks = df.select(
+    toks = df.repartition(n_partitions, F.col(id_col)).select(
         F.col(id_col),
         F.posexplode(textf.tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
     )
