@@ -255,6 +255,8 @@ class TaskRegistry:
             spec = self.create(
                 data["source_dir"], data.get("collections"), data.get("exclude"),
                 data.get("connect_params"),
+                db_collections=data.get("db_collections"),
+                name_mapping=data.get("name_mapping"),
             )
             return {"task_id": spec.task_id}
         if rt == "delete":

@@ -142,6 +142,27 @@ def test_duplicate_guard_exclusion_semantics(spark, oplog_dir):
     assert a.task_id in reg.tasks
 
 
+def test_http_create_carries_db_scoping(spark, oplog_dir):
+    """The POST /cdc create dispatch forwards DBCollections + NameMapping
+    (request surface parity with CreateRequest)."""
+    root = tempfile.mkdtemp(prefix="tasks_http_")
+    reg = TaskRegistry(spark, root)
+    resp = reg.handle(
+        {"request_type": "create",
+         "request_data": {
+             "source_dir": oplog_dir,
+             "db_collections": {"db_1": ["coll_1"]},
+             "name_mapping": [{"source_db": "db_1", "target_db": "db_one"}],
+         }}
+    )
+    spec = reg.tasks[resp["task_id"]]
+    assert spec.full_names() == ["db_1.coll_1"]
+    assert spec.name_mapping[0]["target_db"] == "db_one"
+    # survives the JSON persistence roundtrip (ReloadTask)
+    reg2 = TaskRegistry(spark, root)
+    assert reg2.tasks[resp["task_id"]].db_collections == {"db_1": ["coll_1"]}
+
+
 def test_db_scoped_filter_predicate(spark):
     """P2 per-DB form: full-name patterns with '*' on either part."""
     from milvus_cdc_spark.operators.filters import collection_filter_predicate
