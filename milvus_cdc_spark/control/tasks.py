@@ -185,6 +185,7 @@ class TaskRegistry:
             pipeline = CdcApplyPipeline(
                 self.spark, spec.source_dir, spec.work_dir,
                 collections=include, exclude=spec.exclude or None,
+                name_mapping=spec.name_mapping or None,
             )
             self.pipelines[task_id] = pipeline
         quarantine = self.quarantines.setdefault(task_id, ErrorQuarantine())

@@ -138,6 +138,7 @@ class CdcApplyPipeline:
     def __init__(self, spark: SparkSession, source_dir: str, work_dir: str,
                  collections: list[str] | None = None,
                  exclude: list[str] | None = None,
+                 name_mapping: list[dict] | None = None,
                  mirror: bool = False,
                  n_buckets: int = 16,
                  compact_every: int = 64,
@@ -149,6 +150,15 @@ class CdcApplyPipeline:
         self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
         self.collections = collections
         self.exclude = exclude
+        # P4/P5 at the writer (channel_writer.go:1208-1226): ops are keyed
+        # by their TARGET names before the state fold, so the applied state
+        # lands under the mapped (db, collection) exactly like the
+        # reference's target Milvus
+        self._name_mapping_df = None
+        if name_mapping:
+            from milvus_cdc_spark.operators.remap import name_mapping_df
+
+            self._name_mapping_df = name_mapping_df(spark, name_mapping)
         self.n_buckets = n_buckets
         self.compact_every = compact_every
         self.history_keep = history_keep
@@ -267,6 +277,17 @@ class CdcApplyPipeline:
                 filters.collection_filter_predicate(
                     self.collections, self.exclude, db_col="db"
                 )
+            )
+        if self._name_mapping_df is not None:
+            # filter on SOURCE names first (reference order: the task's
+            # collection scope is source-side), then rewrite to targets
+            from milvus_cdc_spark.operators.remap import map_db_and_collection
+
+            ops = (
+                map_db_and_collection(ops, self._name_mapping_df)
+                .drop("db", "collection")
+                .withColumnRenamed("target_db", "db")
+                .withColumnRenamed("target_collection", "collection")
             )
         update = self._bucket(batch_to_state(ops)).persist()
         try:

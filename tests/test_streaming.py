@@ -163,6 +163,22 @@ def test_http_create_carries_db_scoping(spark, oplog_dir):
     assert reg2.tasks[resp["task_id"]].db_collections == {"db_1": ["coll_1"]}
 
 
+def test_pipeline_applies_name_mapping_to_state(spark, oplog_dir):
+    """Writer-side remap (channel_writer.go:1208-1226): applied state is
+    keyed by TARGET names — an exact rule renames a collection, others
+    pass through; source-side scoping still filters pre-remap names."""
+    work = tempfile.mkdtemp(prefix="remap_pipe_")
+    pipe = CdcApplyPipeline(
+        spark, oplog_dir, work,
+        collections=["coll_0", "coll_1"],
+        name_mapping=[{"source_db": "default", "target_db": "default",
+                       "collections": {"coll_0": "coll_zero"}}],
+    )
+    pipe.run_available_now()
+    colls = {r.collection for r in pipe.alive().collect()}
+    assert colls == {"coll_zero", "coll_1"}
+
+
 def test_db_scoped_filter_predicate(spark):
     """P2 per-DB form: full-name patterns with '*' on either part."""
     from milvus_cdc_spark.operators.filters import collection_filter_predicate
