@@ -250,6 +250,70 @@ def winnowing_fingerprints(
     )
 
 
+def connected_components(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair graph by min-label
+    propagation — the step that turns near-dup PAIRS into dedup CLUSTERS
+    (keep one canonical doc per component, drop the rest).
+
+    Pregel-style iteration (the GraphX/GraphFrames pattern, no library
+    needed): every node starts labeled with itself; each round a node
+    takes the min of its own label and its neighbors' labels; fixpoint =
+    min node id per component. The driver loop checks ONE scalar per
+    round (changed-count) — the data never leaves the cluster, and round
+    count is bounded by the component diameter, which for near-dup
+    clusters is tiny (dup groups are cliques-ish through LSH buckets).
+
+    Returns (node, component) for every node that appears in ``pairs``;
+    singletons (docs with no near-dup) are their own implicit components
+    and are intentionally absent.
+    """
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("nbr_label")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nbr_label").alias("min_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("min_nbr"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", F.col("label").alias("component"))
+
+
 def near_dup_pipeline(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 8, bands: int = 4, shingle_n: int = 3,

@@ -1170,6 +1170,67 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_pipeline(docs, k=8, bands=4).orderBy("a", "b")
 
 
+#: The pair CTE chain shared by near_dup_pairs and the cluster query.
+_ORACLE_NEAR_DUP_PAIRS_CTE = _ORACLE_NEAR_DUP.split("SELECT p.a, p.b,")[0]
+
+
+@q(
+    "near_dup_clusters",
+    (_ORACLE_NEAR_DUP_PAIRS_CTE
+    + """,
+    jac AS (
+      SELECT p.a, p.b,
+             round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                   / greatest(len(list_distinct(list_concat(sa.shingles, sb.shingles))), 1),
+                   6) AS jaccard
+      FROM pairs p
+      JOIN sh sa ON p.a = sa.doc_id
+      JOIN sh sb ON p.b = sb.doc_id
+    ),
+    strong AS (SELECT a, b FROM jac WHERE jaccard >= 0.2),
+    edges AS (SELECT a AS src, b AS dst FROM strong
+              UNION SELECT b, a FROM strong),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+      SELECT node, node AS lab FROM nodes
+      UNION
+      SELECT e.dst AS node, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+    SELECT component AS canonical_id,
+           count(*) AS cluster_size,
+           CAST(max(node) AS BIGINT) AS max_member
+    FROM comp GROUP BY component ORDER BY component
+    """).replace("WITH base AS (", "WITH RECURSIVE base AS (", 1),
+    "dedup",
+    "clustering",
+    "connected-components",
+    "llm",
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: verified-Jaccard pairs (>= 0.2)
+    → connected components by min-label propagation
+    (dedup.connected_components, the Pregel pattern) → one row per
+    cluster with the canonical (min) member as its id. The dedup action
+    at 100 TB is 'keep canonical, drop the rest' per cluster; the oracle
+    computes the identical components with a recursive CTE."""
+    from milvus_cdc_spark.analytics import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    strong = dedup.near_dup_pipeline(docs, k=8, bands=4).filter(
+        F.col("jaccard") >= 0.2
+    )
+    comp = dedup.connected_components(strong)
+    return (
+        comp.groupBy(F.col("component").alias("canonical_id"))
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.max("node").alias("max_member"),
+        )
+        .orderBy("canonical_id")
+    )
+
+
 @q(
     "text_quality",
     """

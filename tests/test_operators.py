@@ -558,6 +558,24 @@ def test_binary_quantize_optimal_scale(spark):
         assert got_err <= err + 1e-9
 
 
+def test_connected_components_shapes(spark):
+    """Min-label propagation components: chain, triangle, isolated pair —
+    every node labeled with its component's min id; convergence needs
+    diameter rounds (the 1-2-3-4 chain exercises multi-round)."""
+    from milvus_cdc_spark.analytics.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain -> component 1
+         (10, 11), (11, 12), (10, 12),  # triangle -> component 10
+         (20, 21)],                     # pair -> component 20
+        "a bigint, b bigint",
+    )
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
 def test_winnowing_guarantee_and_density(spark):
     """Winnowing (SIGMOD'03) §2 guarantees: (1) two documents sharing a
     substring of length >= w+k-1 share at least one fingerprint; (2) at
