@@ -288,6 +288,33 @@ def test_sequence_packing_has_no_single_partition_window(spark, sf_dir):
     assert "Window" in plan  # still the one running-sum window
 
 
+def test_db_scoped_remap_broadcasts_both_rule_classes(spark, sf_dir):
+    """Both remap joins (exact + db-wildcard) must broadcast the tiny
+    mapping side — never shuffle the op stream for a rule table."""
+    df = suite.QUERIES["db_scoped_remap"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_winnowing_window_reuses_pre_explosion_shuffle(spark, sf_dir):
+    """The id-keyed repartition BEFORE the gram explosion must satisfy
+    the per-doc window: exactly one hashpartitioning exchange of the
+    compact documents, none of the exploded gram rows."""
+    from milvus_cdc_spark.analytics.dedup import winnowing_fingerprints
+    from milvus_cdc_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = audit.formatted_plan(winnowing_fingerprints(docs))
+    # exchanges: the doc_id repartition + the final distinct — the window
+    # itself must NOT add a third (it reuses the repartition)
+    n_exchanges = len(
+        [l for l in plan.splitlines() if l.strip().startswith("Arguments: hashpartitioning")]
+    )
+    assert "SinglePartition" not in plan
+    assert n_exchanges <= 2, plan[:2000]
+
+
 def test_ntile_quartiles_has_no_single_partition_window(spark, sf_dir):
     """distributed_ntile replaces the global ntile window: the plan must
     contain NO `Exchange SinglePartition` over the orders scan — the
