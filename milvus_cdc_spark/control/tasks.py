@@ -59,6 +59,9 @@ class TaskSpec:
     # {"source_db", "target_db", "collections": {src: dst}}; empty
     # collections dict = db-level wildcard mapping
     name_mapping: list = field(default_factory=list)
+    # UseStartPosition seek points (CollectionInfo.Positions,
+    # common.go:63-67): {collection: {vchannel: last_consumed_ts}}
+    start_positions: dict = field(default_factory=dict)
 
     def full_names(self) -> list[str]:
         """Every captured name in full ``db.collection`` form
@@ -115,7 +118,8 @@ class TaskRegistry:
                exclude: list[str] | None = None,
                connect_params: dict | None = None,
                db_collections: dict[str, list[str]] | None = None,
-               name_mapping: list[dict] | None = None) -> TaskSpec:
+               name_mapping: list[dict] | None = None,
+               start_positions: dict[str, dict[str, int]] | None = None) -> TaskSpec:
         if len(self.tasks) >= self.max_tasks:
             raise ValueError(f"max task number {self.max_tasks} reached")
         if not collections and not db_collections:
@@ -129,6 +133,7 @@ class TaskRegistry:
             connect_params=connect_params or {},
             db_collections=db_collections or {},
             name_mapping=name_mapping or [],
+            start_positions=start_positions or {},
         )
         spec.work_dir = os.path.join(self.root_dir, spec.task_id)
         # auto-exclusions: existing explicit names a new wildcard swallows
@@ -186,6 +191,7 @@ class TaskRegistry:
                 self.spark, spec.source_dir, spec.work_dir,
                 collections=include, exclude=spec.exclude or None,
                 name_mapping=spec.name_mapping or None,
+                start_positions=spec.start_positions or None,
             )
             self.pipelines[task_id] = pipeline
         quarantine = self.quarantines.setdefault(task_id, ErrorQuarantine())
@@ -258,6 +264,7 @@ class TaskRegistry:
                 data.get("connect_params"),
                 db_collections=data.get("db_collections"),
                 name_mapping=data.get("name_mapping"),
+                start_positions=data.get("start_positions"),
             )
             return {"task_id": spec.task_id}
         if rt == "delete":

@@ -139,6 +139,7 @@ class CdcApplyPipeline:
                  collections: list[str] | None = None,
                  exclude: list[str] | None = None,
                  name_mapping: list[dict] | None = None,
+                 start_positions: dict[str, dict[str, int]] | None = None,
                  mirror: bool = False,
                  n_buckets: int = 16,
                  compact_every: int = 64,
@@ -159,6 +160,20 @@ class CdcApplyPipeline:
             from milvus_cdc_spark.operators.remap import name_mapping_df
 
             self._name_mapping_df = name_mapping_df(spark, name_mapping)
+        # UseStartPosition (CollectionInfo.Positions, common.go:63-67): a
+        # per-(collection, vchannel) seek point — ops at or before it were
+        # already consumed upstream and are skipped. Control-plane-sized
+        # dim, broadcast onto the stream.
+        self._start_pos_df = None
+        if start_positions:
+            rows = [
+                (c, v, int(ts))
+                for c, vs in start_positions.items()
+                for v, ts in vs.items()
+            ]
+            self._start_pos_df = spark.createDataFrame(
+                rows, "collection string, vchannel string, start_ts bigint"
+            )
         self.n_buckets = n_buckets
         self.compact_every = compact_every
         self.history_keep = history_keep
@@ -277,6 +292,17 @@ class CdcApplyPipeline:
                 filters.collection_filter_predicate(
                     self.collections, self.exclude, db_col="db"
                 )
+            )
+        if self._start_pos_df is not None:
+            # seek semantics: ts AT the position was the last consumed msg
+            ops = (
+                ops.join(
+                    F.broadcast(self._start_pos_df),
+                    ["collection", "vchannel"],
+                    "left",
+                )
+                .filter(F.col("start_ts").isNull() | (F.col("ts") > F.col("start_ts")))
+                .drop("start_ts")
             )
         if self._name_mapping_df is not None:
             # filter on SOURCE names first (reference order: the task's

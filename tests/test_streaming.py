@@ -163,6 +163,38 @@ def test_http_create_carries_db_scoping(spark, oplog_dir):
     assert reg2.tasks[resp["task_id"]].db_collections == {"db_1": ["coll_1"]}
 
 
+def test_pipeline_start_positions_skip_consumed(spark, oplog_dir, sf_dir):
+    """UseStartPosition (CollectionInfo.Positions): ops at or before the
+    per-(collection, vchannel) seek point were already consumed upstream
+    — the applied state must equal a replay of ONLY the later ops."""
+    ops = oplog.derive_oplog(catalog.load_table(spark, sf_dir, "lineitem"))
+    cut = ops.filter(
+        (F.col("collection") == "coll_0") & (F.col("vchannel") == "ch_0")
+    ).agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    work = tempfile.mkdtemp(prefix="seek_")
+    pipe = CdcApplyPipeline(
+        spark, oplog_dir, work,
+        start_positions={"coll_0": {"ch_0": int(cut)}},
+    )
+    pipe.run_available_now()
+    got = {
+        (r.collection, r.pk): r.last_insert_ts for r in pipe.alive().collect()
+    }
+    want_ops = ops.filter(
+        ~((F.col("collection") == "coll_0") & (F.col("vchannel") == "ch_0"))
+        | (F.col("ts") > int(cut))
+    )
+    want = {
+        (r.collection, r.pk): r.last_insert_ts
+        for r in apply_op.replay_alive(want_ops).collect()
+    }
+    assert got == want
+    assert got != {  # the seek actually dropped something
+        (r.collection, r.pk): r.last_insert_ts
+        for r in apply_op.replay_alive(ops).collect()
+    }
+
+
 def test_pipeline_applies_name_mapping_to_state(spark, oplog_dir):
     """Writer-side remap (channel_writer.go:1208-1226): applied state is
     keyed by TARGET names — an exact rule renames a collection, others
