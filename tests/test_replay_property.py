@@ -37,6 +37,42 @@ def python_replay(ops: list[tuple[int, str, int]]) -> set[int]:
     }
 
 
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(edges_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_match_union_find(spark, edges):
+    """Min-label propagation == classic union-find on random graphs."""
+    from milvus_cdc_spark.analytics.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == want
+
+
 @given(ops_strategy)
 @settings(
     max_examples=12,
