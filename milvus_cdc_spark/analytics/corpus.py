@@ -131,10 +131,12 @@ def build_vocab(
     tokenizer build needs — keeping terms seen in >= min_df documents.
 
     One explode + two aggregations (distinct (doc, term), then per-term
-    df); the global rank is a single window over |vocab| rows, which is
-    vocabulary-sized, not corpus-sized, after aggregation.
+    df); token ids come from ``distributed_row_number`` (range partition +
+    per-partition rank + driver-side offsets), NOT a global unpartitioned
+    window — a 100 TB web corpus has 10^7-10^8 distinct terms, far too
+    many to funnel through one task's sort (`Exchange SinglePartition`).
     """
-    from pyspark.sql import Window
+    from milvus_cdc_spark.operators.windows import distributed_row_number
 
     toks = docs.select(
         F.explode(
@@ -146,9 +148,13 @@ def build_vocab(
     dfreq = toks.groupBy("term").agg(F.count("*").alias("df")).filter(
         F.col("df") >= min_df
     )
-    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
-    return dfreq.select(
-        (F.row_number().over(w) - 1).alias("token_id"), "term", "df"
+    ranked = distributed_row_number(
+        dfreq,
+        [F.col("df").desc(), F.col("term").asc()],
+        rank_col="_vrank",
+    )
+    return ranked.select(
+        (F.col("_vrank") - 1).alias("token_id"), "term", "df"
     )
 
 

@@ -52,24 +52,38 @@ def monotonic_rebase(
     )
 
 
-def distributed_ntile(df: DataFrame, n: int, order_cols: list[str],
-                      n_partitions: int = 32,
-                      tile_col: str = "tile") -> DataFrame:
-    """Exact global ``ntile(n)`` without a single-task global sort.
+# Cached range-ranked frames from distributed_ntile / distributed_row_number.
+# The cache is load-bearing for correctness, not just speed: the driver-side
+# offsets are computed from the SAME materialized range partitioning the
+# result reads, and an unpersisted recompute could re-sample different range
+# bounds and silently mis-rank. Callers therefore own the release point —
+# call release_rank_caches() once returned frames have been materialized
+# (collected / written), which long-lived sessions should do between queries.
+_RANK_CACHES: list[DataFrame] = []
 
-    ``ntile`` over an unpartitioned window funnels every row through ONE
-    task's sort (Exchange SinglePartition) — the shape that dies at 100 TB.
-    Same answer, distributed plan:
+
+def release_rank_caches() -> None:
+    """Unpersist intermediates cached by prior distributed_ntile /
+    distributed_row_number calls. Safe once their returned DataFrames have
+    been materialized; re-executing an old returned frame AFTER release
+    recomputes the range shuffle and may mis-rank — treat released results
+    as consumed."""
+    while _RANK_CACHES:
+        _RANK_CACHES.pop().unpersist(False)
+
+
+def _range_ranked(df: DataFrame, order_cols: list, n_partitions: int):
+    """Shared core of the exact distributed global-rank pattern: returns
+    ``(local, rank_expr, total)`` where ``local`` is the persisted
+    range-partitioned frame carrying ``_pid``/``_lrank`` helper columns and
+    ``rank_expr`` evaluates to the exact 1-based global rank.
 
     1. ``repartitionByRange(order_cols)`` — rows land range-ordered across
        ``n_partitions`` tasks (one parallel shuffle);
     2. per-partition ``row_number`` gives a local rank;
     3. per-partition counts (tiny: one row per partition) turn into
        cumulative offsets, folded back as a literal map:
-       global rank = offset[pid] + local rank;
-    4. the tile is pure arithmetic on (rank, N): the first ``N % n`` tiles
-       hold ``ceil(N/n)`` rows, the rest ``floor(N/n)`` — SQL ntile's
-       exact fill rule.
+       global rank = offset[pid] + local rank.
 
     ``order_cols`` must be a total order (include a unique tie-break key),
     otherwise boundary rows could land in either range partition.
@@ -80,6 +94,7 @@ def distributed_ntile(df: DataFrame, n: int, order_cols: list[str],
     local = ranged.withColumn(
         "_lrank", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols))
     ).persist()
+    _RANK_CACHES.append(local)
     # per-partition counts → driver-side offsets, the zipWithIndex pattern:
     # ONE row per range partition (control-sized like the pipeline's
     # touched-bucket list), folded back as a literal map so the plan has
@@ -93,10 +108,44 @@ def distributed_ntile(df: DataFrame, n: int, order_cols: list[str],
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    if not offsets:  # empty input: keep the literal map well-formed
+        offsets = {0: 0}
     off_map = F.create_map(
         *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])]
     )
-    rk = F.col("_lrank") + off_map[F.col("_pid")]
+    rk = F.col("_lrank") + F.coalesce(off_map[F.col("_pid")], F.lit(0))
+    return local, rk, total
+
+
+def distributed_row_number(df: DataFrame, order_cols: list,
+                           n_partitions: int = 32,
+                           rank_col: str = "rank") -> DataFrame:
+    """Exact global ``row_number()`` (1-based) without a single-task global
+    sort — the `Exchange SinglePartition` an unpartitioned window would
+    force. Used for vocabulary token-id assignment, where a 100 TB corpus
+    has 10^7-10^8 distinct terms. Same offsets pattern as
+    ``distributed_ntile``; see ``_range_ranked`` for the plan shape and
+    ``release_rank_caches`` for cache lifetime."""
+    local, rk, _ = _range_ranked(df, order_cols, n_partitions)
+    return local.withColumn(rank_col, rk.cast("bigint")).drop("_pid", "_lrank")
+
+
+def distributed_ntile(df: DataFrame, n: int, order_cols: list[str],
+                      n_partitions: int = 32,
+                      tile_col: str = "tile") -> DataFrame:
+    """Exact global ``ntile(n)`` without a single-task global sort.
+
+    ``ntile`` over an unpartitioned window funnels every row through ONE
+    task's sort (Exchange SinglePartition) — the shape that dies at 100 TB.
+    Same answer, distributed plan: the ``_range_ranked`` offsets pattern,
+    then the tile is pure arithmetic on (rank, N): the first ``N % n``
+    tiles hold ``ceil(N/n)`` rows, the rest ``floor(N/n)`` — SQL ntile's
+    exact fill rule.
+
+    ``order_cols`` must be a total order (include a unique tie-break key).
+    Cache lifetime: see ``release_rank_caches``.
+    """
+    local, rk, total = _range_ranked(df, order_cols, n_partitions)
     base, rem = total // n, total % n  # first N%n tiles take one extra row
     fat = rem * (base + 1)             # rows covered by the fat tiles
     if base == 0:

@@ -522,8 +522,12 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ntile(4) via windows.distributed_ntile — range-partitioned
     rank + arithmetic tiling, NO Exchange SinglePartition (the r2/r3
     global-window shape funneled every order through one task's sort)."""
-    from milvus_cdc_spark.operators.windows import distributed_ntile
+    from milvus_cdc_spark.operators.windows import (
+        distributed_ntile,
+        release_rank_caches,
+    )
 
+    release_rank_caches()  # prior query's rank cache is consumed by now
     o = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
@@ -1926,7 +1930,9 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer vocabulary: document frequencies with stable
     (df desc, term) rank ids, min_df=2."""
     from milvus_cdc_spark.analytics import corpus
+    from milvus_cdc_spark.operators.windows import release_rank_caches
 
+    release_rank_caches()  # prior query's rank cache is consumed by now
     docs = _t(spark, sf_dir, "documents")
     v = corpus.build_vocab(docs, min_df=2)
     return v.select(

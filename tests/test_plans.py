@@ -326,6 +326,32 @@ def test_ntile_quartiles_has_no_single_partition_window(spark, sf_dir):
     assert "rangepartitioning" in plan.lower()
 
 
+def test_vocab_build_has_no_single_partition_window(spark, sf_dir):
+    """build_vocab assigns token ids via distributed_row_number (range
+    partition + per-partition rank + driver offsets) — the plan must
+    contain NO `Exchange SinglePartition`: a 100 TB corpus has 10^7-10^8
+    distinct terms, too many for one task's sort."""
+    df = suite.QUERIES["vocab_build"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_rank_cache_release(spark):
+    """distributed_ntile/row_number register their persisted intermediate
+    so long-lived sessions can free it; release empties the registry."""
+    from milvus_cdc_spark.operators import windows
+
+    windows.release_rank_caches()
+    df = spark.range(100).withColumnRenamed("id", "v")
+    out = windows.distributed_row_number(df, ["v"], n_partitions=4, rank_col="rk")
+    assert len(windows._RANK_CACHES) == 1
+    rows = {r.v: r.rk for r in out.collect()}
+    assert rows == {v: v + 1 for v in range(100)}
+    windows.release_rank_caches()
+    assert not windows._RANK_CACHES
+
+
 def test_keyset_pagination_pushes_cursor_and_takes_ordered(spark, sf_dir):
     """Iterator pagination: the keyset predicate reaches the scan and the
     page materializes via TakeOrderedAndProject — page N costs page-1
