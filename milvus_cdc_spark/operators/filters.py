@@ -102,8 +102,17 @@ def collection_filter_predicate(
     With ``db_col`` set, patterns are full names ``db.collection`` with
     ``*`` wildcards on either part (bare names normalize to the default
     db) — the per-DB scoping of ``TaskInfo.DBCollections``
-    (server/model/meta/task.go:67). Without it, the legacy
-    collection-only form is kept for single-db op-logs."""
+    (server/model/meta/task.go:67), with the reference's SHADOWING
+    semantics (cdc_impl.go GetCollectionInfos:1607-1628): a db-wildcard
+    pattern (``*.x`` / ``*.*``) is only the FALLBACK for dbs that have no
+    explicit ``DBCollections`` entry — with ``{'db1': ['a'], '*': ['c1']}``
+    the op ``db1.c1`` does NOT match, because db1's explicit entry shadows
+    the ``*`` entry. Exclusions (concrete full names in practice — the
+    duplicate guard's lo.Without output, cdc_impl.go:1618-1623,1651-1654)
+    subtract only from wildcard-matched rows: an exact ``db.coll`` include
+    is returned by the reference without ever consulting
+    ``ExcludeCollections`` (GetMatchCollectionInfo:1644-1649 name-list
+    loop has no exclude check)."""
     if db_col is None:
         if not include or ALL in include:
             pred = F.lit(True)
@@ -120,12 +129,38 @@ def collection_filter_predicate(
             out = out | p
         return out
 
-    if not include or any(split_full_name(p) == (ALL, ALL) for p in include):
-        pred = F.lit(True)
-    else:
-        pred = any_match(include)
-    if exclude:
-        pred = pred & ~any_match(exclude)
+    split = (
+        [split_full_name(p) for p in include] if include else [(ALL, ALL)]
+    )
+    exact = [f"{d}.{c}" for d, c in split if d != ALL and c != ALL]
+    db_scoped_all = [f"{d}.{c}" for d, c in split if d != ALL and c == ALL]
+    db_wildcard = [f"{d}.{c}" for d, c in split if d == ALL]
+    explicit_dbs = sorted({d for d, _ in split if d != ALL})
+
+    wild_parts: list[Column] = []
+    if db_scoped_all:
+        wild_parts.append(any_match(db_scoped_all))
+    if db_wildcard:
+        w = any_match(db_wildcard)
+        if explicit_dbs:  # shadowed by the dbs' own entries
+            w = w & ~F.col(db_col).isin(*explicit_dbs)
+        wild_parts.append(w)
+
+    parts: list[Column] = []
+    if exact:
+        parts.append(any_match(exact))
+    if wild_parts:
+        wp = wild_parts[0]
+        for w in wild_parts[1:]:
+            wp = wp | w
+        if exclude:
+            wp = wp & ~any_match(exclude)
+        parts.append(wp)
+    if not parts:
+        return F.lit(False)
+    pred = parts[0]
+    for p in parts[1:]:
+        pred = pred | p
     return pred
 
 

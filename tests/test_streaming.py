@@ -229,6 +229,20 @@ def test_db_scoped_filter_predicate(spark):
     assert got(["c1", "db1.c3"]) == {("default", "c1"), ("db1", "c3")}
     assert got(["*.*"], ["db2.*"]) == set(rows) - {("db2", "c9")}
     assert got(None, ["*.c1"]) == set(rows) - {("default", "c1"), ("db1", "c1")}
+    # SHADOWING (cdc_impl.go GetCollectionInfos:1607-1628): a db with an
+    # explicit DBCollections entry never consults the '*' fallback —
+    # {'db1': ['c3'], '*': ['c1']} must NOT capture db1.c1.
+    assert got(["db1.c3", "*.c1"]) == {("db1", "c3"), ("default", "c1")}
+    # db-scoped '*' entry also shadows the fallback for its db
+    assert got(["db1.*", "*.c1"]) == {
+        ("db1", "c1"), ("db1", "c3"), ("default", "c1")
+    }
+    # exact includes are returned without consulting ExcludeCollections
+    # (GetMatchCollectionInfo:1644-1649 name-list loop has no exclude
+    # check); exclusions subtract only from wildcard-matched rows
+    assert got(["db1.c3", "*.*"], ["db1.c3", "db2.c9"]) == set(rows) - {
+        ("db2", "c9"), ("db1", "c1")
+    }
 
 
 def test_map_db_and_collection_precedence(spark):
