@@ -259,16 +259,30 @@ def connected_components(
 
     Pregel-style iteration (the GraphX/GraphFrames pattern, no library
     needed): every node starts labeled with itself; each round a node
-    takes the min of its own label and its neighbors' labels; fixpoint =
-    min node id per component. The driver loop checks ONE scalar per
-    round (changed-count) — the data never leaves the cluster, and round
-    count is bounded by the component diameter, which for near-dup
-    clusters is tiny (dup groups are cliques-ish through LSH buckets).
+    (1) takes the min of its own label and its neighbors' labels
+    (HashMin), then (2) pointer-jumps — ``label := label(label)`` — so
+    labels chase their component minimum at doubling speed: round count
+    is O(log diameter), not O(diameter), which is what survives a
+    pathological chain-shaped component (a path of 10^6 docs converges
+    in ~20 rounds, not 10^6). The driver loop checks ONE scalar per
+    round (changed-count) — the data never leaves the cluster.
+
+    Lineage hardening: the label frame is localCheckpoint-ed (eager)
+    every round, truncating the plan — the pointer-jump self-join
+    DOUBLES the logical plan per round, so an uncheckpointed loop sends
+    Catalyst analysis cost to 2^rounds (minutes of driver time by round
+    ~10). The materialization is free in context: the changed-count
+    action would materialize the frame anyway. If the loop exhausts
+    ``max_iter`` with labels still moving, a RuntimeWarning reports the
+    residual changed-count: the result is then over-split (some nodes
+    not yet folded to their component minimum), never wrong-merged.
 
     Returns (node, component) for every node that appears in ``pairs``;
     singletons (docs with no near-dup) are their own implicit components
     and are intentionally absent.
     """
+    import warnings
+
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -279,6 +293,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .persist()
     )
+    changed = 0
     for _ in range(max_iter):
         nbr = (
             edges.join(
@@ -290,7 +305,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("nbr_label").alias("min_nbr"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr, labels["node"] == nbr["src"], "left")
             .select(
                 "node",
@@ -298,19 +313,47 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("min_nbr"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .persist()  # read twice by the pointer-jump self-join
         )
+        # pointer jump: follow my label to ITS label (labels are always
+        # node ids within the same component, monotonically decreasing,
+        # so the jump can only move toward the component minimum)
+        jumped = (
+            stepped.join(
+                stepped.select(
+                    F.col("node").alias("label"), F.col("label").alias("_jump")
+                ),
+                "label",
+                "left",
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_jump"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = jumped.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        stepped.unpersist()
         labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
+    if changed:
+        warnings.warn(
+            f"connected_components: exhausted max_iter={max_iter} with "
+            f"{changed} labels still changing; components are over-split "
+            "(raise max_iter)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -523,6 +523,10 @@ def grouping_topk(
     tries to FILL group_size candidates; an exact engine always sees
     every member, so groups simply return min(group_size, |group|) rows
     — both strict settings coincide.
+
+    The output schema is parameter-independent: ``rn`` (in-group rank) is
+    always present — constant 1 when ``group_size == 1`` — so callers can
+    rely on one shape across parameter values.
     """
     g = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(group_col).alias("grp"))
     scored = brute_force_scored(corpus, queries, id_col=id_col, vec_col=vec_col).join(
@@ -540,13 +544,10 @@ def grouping_topk(
     w_g = Window.partitionBy("query_id").orderBy(
         F.col("best_sim").desc(), F.col("grp").asc()
     )
-    out_cols = ["query_id", "grp_rank", "grp"]
-    if group_size > 1:
-        out_cols.append("rn")
     return (
         best.withColumn("grp_rank", F.dense_rank().over(w_g))
         .filter(F.col("grp_rank") <= k_groups)
-        .select(*out_cols, "neighbor_id", "sim")
+        .select("query_id", "grp_rank", "grp", "rn", "neighbor_id", "sim")
     )
 
 

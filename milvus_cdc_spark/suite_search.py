@@ -122,9 +122,9 @@ def range_search_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM scored
       ) WHERE rn = 1
     )
-    SELECT query_id, grp_rank, grp, neighbor_id, sim
+    SELECT query_id, grp_rank, grp, rn, neighbor_id, sim
     FROM (
-      SELECT query_id, grp, neighbor_id, sim,
+      SELECT query_id, grp, rn, neighbor_id, sim,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY sim DESC, grp) AS grp_rank
       FROM best

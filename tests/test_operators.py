@@ -576,6 +576,45 @@ def test_connected_components_shapes(spark):
                    20: 20, 21: 20}
 
 
+def test_connected_components_long_chain_converges(spark):
+    """Pathological high-diameter component: a 100-node path. Pointer
+    jumping makes round count O(log diameter), so the default
+    max_iter=50 must converge (HashMin alone would need 99 rounds), and
+    the periodic localCheckpoint keeps the plan bounded — the collect
+    would blow the driver's analysis budget otherwise."""
+    import warnings
+
+    from milvus_cdc_spark.analytics.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "a bigint, b bigint"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # unconverged exit would raise
+        got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(100)}
+
+
+def test_connected_components_warns_when_iter_exhausted(spark):
+    """Exhausting max_iter with labels still moving must WARN (the result
+    is over-split, silently looking converged otherwise)."""
+    import warnings
+
+    from milvus_cdc_spark.analytics.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "a bigint, b bigint"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(pairs, max_iter=1).collect()
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "over-split" in str(w.message)
+        for w in caught
+    )
+
+
 def test_winnowing_guarantee_and_density(spark):
     """Winnowing (SIGMOD'03) §2 guarantees: (1) two documents sharing a
     substring of length >= w+k-1 share at least one fingerprint; (2) at
