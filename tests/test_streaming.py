@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import sys
 import tempfile
 
 import pytest
@@ -1346,3 +1347,55 @@ def test_channel_lag_from_positions(spark):
     pipe.apply_batch(batch, 0)
     lag = {r.vchannel: r.lag_ms for r in pipe.channel_lag().collect()}
     assert lag == {"ch_0": 3000, "ch_1": 0}
+
+
+def test_msg_count_tool(spark):
+    """msg_count analog (server/tool/msg_count/main.go): per-channel
+    per-type counts, NumRows-summed insert/delete counts, end position +
+    physical msg time; a stored position seeks strictly PAST it (the
+    reference excludes the current msg on seek), and channels without a
+    position count from earliest."""
+    sys.path.insert(0, "/root/repo/scripts")
+    from msg_count import count_messages
+
+    ops = spark.createDataFrame(
+        [
+            (1000 << 18, "insert", "default", "c", "_p", "ch_0", 1, 5, 1),
+            (2000 << 18, "delete", "default", "c", "_p", "ch_0", 1, 2, 2),
+            (3000 << 18, "insert", "default", "c", "_p", "ch_0", 2, 7, 3),
+            (1500 << 18, "upsert", "default", "c", "_p", "ch_1", 3, 4, 4),
+            (2500 << 18, "insert", "default", "d", "_p", "ch_1", 4, 1, 5),
+        ],
+        "ts bigint, op_type string, db string, collection string, "
+        "partition string, vchannel string, pk bigint, num_rows bigint, "
+        "seq bigint",
+    )
+    rows = {r.vchannel: r for r in count_messages(spark, ops).collect()}
+    assert dict(rows["ch_0"].type_counts) == {"insert": 2, "delete": 1}
+    assert rows["ch_0"].insert_count == 12 and rows["ch_0"].delete_count == 2
+    assert rows["ch_0"].end_ts == 3000 << 18
+    assert rows["ch_0"].end_time.timestamp() == 3.0  # epoch ms 3000
+    assert dict(rows["ch_1"].type_counts) == {"insert": 1, "upsert": 1}
+    assert rows["ch_1"].insert_count == 5  # upsert is insert-like
+
+    # position seek: ch_0 counts strictly after ts=2000<<18; ch_1 has no
+    # stored position -> earliest
+    pos = spark.createDataFrame(
+        [("ch_0", 2000 << 18)], "vchannel string, position_ts bigint"
+    )
+    seeked = {
+        r.vchannel: r for r in count_messages(spark, ops, positions=pos).collect()
+    }
+    assert seeked["ch_0"].n_msgs == 1 and seeked["ch_0"].insert_count == 7
+    assert seeked["ch_1"].n_msgs == 2
+
+    # two-timestamp delta window (from exclusive, to inclusive) +
+    # collection scoping (CollectionID analog)
+    windowed = {
+        r.vchannel: r
+        for r in count_messages(
+            spark, ops, from_ts=1000 << 18, to_ts=2500 << 18, collection="c"
+        ).collect()
+    }
+    assert windowed["ch_0"].n_msgs == 1  # just the delete
+    assert windowed["ch_1"].n_msgs == 1  # upsert; d-collection insert scoped out
