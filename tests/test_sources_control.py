@@ -114,6 +114,148 @@ def test_mq_dispatch_picks_exactly_one_broker():
         )
 
 
+class _RecordingReader:
+    """Stands in for spark.readStream: records format + options, returns
+    a prepared batch frame from load() so the shared JSON envelope parse
+    runs for real downstream of the connector surface."""
+
+    def __init__(self, result_df=None):
+        self.fmt = None
+        self.opts: dict[str, str] = {}
+        self._result = result_df
+
+    def format(self, f):
+        self.fmt = f
+        return self
+
+    def option(self, k, v):
+        self.opts[k] = v
+        return self
+
+    def load(self):
+        return self._result
+
+
+class _FakeSession:
+    def __init__(self, reader):
+        self._reader = reader
+
+    @property
+    def readStream(self):
+        return self._reader
+
+
+def _envelope_df(spark):
+    from pyspark.sql import functions as F
+
+    ops = spark.createDataFrame(
+        [(1, "insert", "db", "c", "_default", "ch_0", 10, 1, 0)],
+        kafka.OPLOG_SCHEMA,
+    )
+    return kafka.oplog_to_kafka_value(ops).select(
+        F.col("value").cast("binary").alias("value")
+    )
+
+
+def test_kafka_broker_contract_three_seek_modes(spark):
+    """The exact option dict format('kafka') receives, per seek mode
+    (stream_creator.go:49-98 seek-vs-latest; T9 backpressure): no
+    checkpoint → latest; checkpointed positions → per-partition offsets
+    JSON; explicit start position + maxOffsetsPerTrigger pass through.
+    Connector regressions surface here without a broker."""
+    from milvus_cdc_spark.sources import mq
+
+    # mode 1: no checkpoint → subscribe at latest
+    r = _RecordingReader(_envelope_df(spark))
+    out = mq.read_oplog_stream(
+        _FakeSession(r), {"kafka": {"address": "b1:9092,b2:9092"}}, "oplog"
+    )
+    assert r.fmt == "kafka"
+    assert r.opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "oplog",
+        "startingOffsets": "latest",
+        "failOnDataLoss": "false",
+    }
+    assert out.collect()[0].collection == "c"  # envelope parse is wired in
+
+    # mode 2: checkpointed positions → exact per-partition offsets JSON
+    r = _RecordingReader(_envelope_df(spark))
+    mq.read_oplog_stream(
+        _FakeSession(r), {"kafka": {"address": "b:9092"}}, "oplog",
+        positions={0: 42, 1: 7},
+    )
+    assert json.loads(r.opts["startingOffsets"]) == {"oplog": {"0": 42, "1": 7}}
+
+    # mode 3: explicit start position + backpressure bound
+    r = _RecordingReader(_envelope_df(spark))
+    mq.read_oplog_stream(
+        _FakeSession(r), {"kafka": {"address": "b:9092"}}, "oplog",
+        positions={0: 1}, max_offsets_per_trigger=1000,
+    )
+    assert r.opts["maxOffsetsPerTrigger"] == "1000"
+    assert json.loads(r.opts["startingOffsets"]) == {"oplog": {"0": 1}}
+
+
+def test_pulsar_broker_contract_three_seek_modes(spark):
+    """format('pulsar') option parity across the same three modes, with
+    the cdc.yaml block (webAddress/tenant/namespace/auth/maxMessageSize)
+    folded through mq dispatch (cdc.yaml:36-44)."""
+    from milvus_cdc_spark.sources import mq, pulsar
+
+    cfg = {
+        "address": "pulsar://h:6650",
+        "webAddress": "http://h:8080",
+        "tenant": "tn",
+        "namespace": "ns",
+    }
+
+    # mode 1: no checkpoint → latest, topic fully qualified
+    r = _RecordingReader(_envelope_df(spark))
+    out = mq.read_oplog_stream(_FakeSession(r), {"pulsar": cfg}, "ch")
+    assert r.fmt == "pulsar"
+    assert r.opts == {
+        "service.url": "pulsar://h:6650",
+        "admin.url": "http://h:8080",
+        "topic": "persistent://tn/ns/ch",
+        "startingOffsets": "latest",
+        "failOnDataLoss": "false",
+    }
+    assert out.collect()[0].collection == "c"
+
+    # mode 2: checkpointed MessageId → per-topic serialized MessageIdData
+    r = _RecordingReader(_envelope_df(spark))
+    mq.read_oplog_stream(
+        _FakeSession(r), {"pulsar": cfg}, "ch",
+        message_id=pulsar.encode_message_id(8, 11),
+    )
+    assert json.loads(r.opts["startingOffsets"]) == {
+        "persistent://tn/ns/ch": [8, 8, 16, 11]
+    }
+
+    # mode 3: start position + auth + size + backpressure pass-through
+    r = _RecordingReader(_envelope_df(spark))
+    mq.read_oplog_stream(
+        _FakeSession(r),
+        {"pulsar": {**cfg, "maxMessageSize": 5242880,
+                    "authPlugin": "AuthToken", "authParams": "token:x"}},
+        "ch",
+        message_id=pulsar.encode_message_id(300, 2, 4),
+        receiver_queue_size=8,
+    )
+    assert r.opts["pulsar.client.maxMessageSize"] == "5242880"
+    assert r.opts["pulsar.client.authPluginClassName"] == "AuthToken"
+    assert r.opts["pulsar.client.authParams"] == "token:x"
+    assert r.opts["pulsar.consumer.receiverQueueSize"] == "8"
+    mid = json.loads(r.opts["startingOffsets"])["persistent://tn/ns/ch"]
+    decoded = pulsar.decode_message_id(
+        bytes(b if b >= 0 else b + 256 for b in mid)
+    )
+    assert decoded == {
+        "ledger_id": 300, "entry_id": 2, "partition": 4, "batch_index": -1
+    }
+
+
 def test_error_quarantine_trips_in_window():
     q = ErrorQuarantine(max_errors=3, window_sec=60)
     q.record("e1", now=0.0)
