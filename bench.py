@@ -77,6 +77,13 @@ HEADLINE_R4 = [
     "expr_text_match_filter",    # compiled TEXT/PHRASE_MATCH predicates
 ]
 
+#: Round-5 additions (alphabetized; the r1/r3/r4 subtotals stay comparable).
+HEADLINE_R5 = [
+    "near_dup_clusters",         # connected-components clustering
+    "sequence_packing",          # shard-partitioned greedy packing
+    "vocab_build",               # distributed token-id ranking
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -90,7 +97,7 @@ def main() -> None:
     # code) are identical across scale factors, so this compiles each
     # query's stages without touching the measured data — the timed runs
     # then reflect steady-state engine speed, not one-time JIT cost.
-    all_queries = HEADLINE + HEADLINE_R2 + HEADLINE_R4
+    all_queries = HEADLINE + HEADLINE_R2 + HEADLINE_R4 + HEADLINE_R5
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/"):
         for name in all_queries:
@@ -117,6 +124,10 @@ def main() -> None:
     r3_subtotal = round(
         sum(timings.get(n, 0.0) for n in HEADLINE + HEADLINE_R2), 3
     )
+    r4_subtotal = round(
+        sum(timings.get(n, 0.0) for n in HEADLINE + HEADLINE_R2 + HEADLINE_R4),
+        3,
+    )
     print(
         json.dumps(
             {
@@ -125,12 +136,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                # cross-round comparability: the round-1 22-query subtotal
-                # and the 34-query set benched in rounds 2-3 (the r4 total
-                # includes 5 new queries, so compare r3_subtotal to the
-                # BENCH_r03 total, not value-to-value)
+                # cross-round comparability: r1 = the round-1 22-query set,
+                # r3 = the 34-query set benched in rounds 2-3, r4 = the
+                # 39-query round-4 set (compare each to that round's total,
+                # not value-to-value — later totals include newer queries)
                 "r1_subtotal": r1_subtotal,
                 "r3_subtotal": r3_subtotal,
+                "r4_subtotal": r4_subtotal,
             }
         )
     )

@@ -1,0 +1,157 @@
+"""Scale-factor stress bench: do the heavy hitters scale LINEARLY?
+
+The 100 TB claims elsewhere rest on plan shapes (banded joins, sharded
+windows, no SinglePartition exchanges). This script measures them: run
+the five most expensive suite operators on a 1x corpus and a 10x corpus
+and report the runtime growth factor — a linear-shape operator on 10x
+data should cost <= ~10x wall-clock (usually less: fixed per-query
+overhead amortizes).
+
+The 10x corpus derives from sf0.1 with cardinalities that scale
+honestly:
+- ``lineitem`` x10 with l_orderkey shifted per replica — 10x distinct
+  pks, so CDC state/replay work scales 10x;
+- ``documents`` x10 with doc_id shifted AND every token salted with a
+  replica tag (replica 0 keeps the original text) — replicas of one doc
+  share NO shingles, so the near-dup pair count grows ~10x (linearly)
+  instead of ~100x (quadratically, as naive text copies would: every
+  replica would near-dup every other replica of the same doc).
+
+Usage: python scripts/scale_bench.py [--sf-dir DIR] [--work DIR]
+Prints one JSON line per query: {"query", "t_1x", "t_10x", "ratio"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SCALE = 10
+
+
+def build_dirs(sf_dir: str, work: str) -> tuple[str, str]:
+    """Materialize {work}/x1 and {work}/x10 holding documents + lineitem
+    (the only tables the heavy queries read), as the single-file parquet
+    layout the catalog expects. DuckDB does the replication: driver-side
+    build tooling, not a measured path."""
+    import duckdb
+
+    x1, x10 = os.path.join(work, "x1"), os.path.join(work, "x10")
+    if os.path.isdir(x1) and os.path.isdir(x10):
+        return x1, x10
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(x1)
+    os.makedirs(x10)
+
+    li_src = os.path.join(sf_dir, "lineitem.parquet")
+    doc_src = os.path.join(sf_dir, "documents.parquet")
+    shutil.copy(li_src, os.path.join(x1, "lineitem.parquet"))
+    shutil.copy(doc_src, os.path.join(x1, "documents.parquet"))
+
+    con = duckdb.connect()
+    max_ok = con.sql(f"SELECT max(l_orderkey)+1 FROM '{li_src}'").fetchone()[0]
+    reps = " UNION ALL ".join(
+        f"SELECT * REPLACE (l_orderkey + {i * max_ok} AS l_orderkey) "
+        f"FROM '{li_src}'"
+        for i in range(SCALE)
+    )
+    con.sql(
+        f"COPY ({reps}) TO '{x10}/lineitem.parquet' (FORMAT PARQUET)"
+    )
+    max_doc = con.sql(f"SELECT max(doc_id)+1 FROM '{doc_src}'").fetchone()[0]
+    doc_reps = ["SELECT * FROM '%s'" % doc_src]
+    for i in range(1, SCALE):  # salt every token: replicas share no shingles
+        doc_reps.append(
+            f"SELECT * REPLACE (doc_id + {i * max_doc} AS doc_id, "
+            f"regexp_replace(text, '(\\S+)', '\\1~{i}', 'g') AS text) "
+            f"FROM '{doc_src}'"
+        )
+    con.sql(
+        f"COPY ({' UNION ALL '.join(doc_reps)}) TO '{x10}/documents.parquet' "
+        "(FORMAT PARQUET)"
+    )
+    con.close()
+    return x1, x10
+
+
+def queries():
+    """name → fn(spark, dir) for the five heavy hitters. sequence_packing
+    runs UNfiltered (the suite query clamps to doc_id<100 for its oracle;
+    the scale question needs the whole corpus)."""
+    from pyspark.sql import functions as F
+
+    from milvus_cdc_spark import catalog, suite
+
+    def packing_full(spark, d):
+        from milvus_cdc_spark.analytics import corpus
+
+        docs = catalog.load_table(spark, d, "documents")
+        ch = corpus.chunk_documents(docs, chunk_tokens=48, overlap=16)
+        return corpus.pack_sequences(ch, seq_len=128, n_shards=32)
+
+    _ = F
+    return {
+        "near_dup_pairs": suite.QUERIES["near_dup_pairs"].fn,
+        "winnowing_fingerprints": suite.QUERIES["winnowing_fingerprints"].fn,
+        "cdc_replay_summary": suite.QUERIES["cdc_replay_summary"].fn,
+        "consistency_levels_read": suite.QUERIES["consistency_levels_read"].fn,
+        "sequence_packing_full": packing_full,
+    }
+
+
+def main() -> None:
+    sf_dir = "/root/testdata/sf0.1"
+    work = "/tmp/spark_graft_scale"
+    for a in sys.argv[1:]:
+        if a.startswith("--sf-dir="):
+            sf_dir = a.split("=", 1)[1]
+        if a.startswith("--work="):
+            work = a.split("=", 1)[1]
+
+    from milvus_cdc_spark.session import get_spark
+
+    x1, x10 = build_dirs(sf_dir, work)
+    spark = get_spark("scale_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = []
+    for name, fn in queries().items():
+        fn(spark, x1).count()  # warm codegen/JIT per query shape
+        t0 = time.time()
+        n1 = fn(spark, x1).count()
+        t1 = round(time.time() - t0, 3)
+        t0 = time.time()
+        n10 = fn(spark, x10).count()
+        t10 = round(time.time() - t0, 3)
+        row = {
+            "query": name,
+            "t_1x": t1,
+            "t_10x": t10,
+            "ratio": round(t10 / t1, 2) if t1 else None,
+            "rows_1x": n1,
+            "rows_10x": n10,
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    total1 = round(sum(r["t_1x"] for r in results), 3)
+    total10 = round(sum(r["t_10x"] for r in results), 3)
+    print(
+        json.dumps(
+            {
+                "query": "TOTAL",
+                "t_1x": total1,
+                "t_10x": total10,
+                "ratio": round(total10 / total1, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
