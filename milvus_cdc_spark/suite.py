@@ -926,6 +926,48 @@ def metrics_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# msg_count tool surface (server/tool/msg_count/main.go): per-channel
+# accounting — type counts, NumRows-summed insert/delete totals, end
+# position. The driver-checked projection drops the type_counts map and
+# the derived end_time timestamp (map cells break the canonicalizer);
+# both are covered by the tool's unit test.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "channel_msg_counts",
+    f"""
+    WITH ops AS ({oplog.ORACLE_OPLOG_SQL})
+    SELECT vchannel,
+           count(*) AS n_msgs,
+           CAST(sum(CASE WHEN op_type IN ('insert', 'upsert', 'import')
+                         THEN num_rows ELSE 0 END) AS BIGINT) AS insert_count,
+           CAST(sum(CASE WHEN op_type = 'delete'
+                         THEN num_rows ELSE 0 END) AS BIGINT) AS delete_count,
+           max(ts) AS end_ts
+    FROM ops
+    GROUP BY vchannel
+    ORDER BY vchannel
+    """,
+    "cdc",
+    "metrics",
+    "tool",
+)
+def channel_msg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """msg_count analog over the derived op-log: one scan, one
+    control-sized aggregation keyed by (vchannel, op_type)
+    (control/msgcount.count_messages; main.go:419+ MsgCount)."""
+    from milvus_cdc_spark.control import msgcount
+
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"))
+    return (
+        msgcount.count_messages(spark, ops)
+        .select("vchannel", "n_msgs", "insert_count", "delete_count", "end_ts")
+        .orderBy("vchannel")
+    )
+
+
+# ---------------------------------------------------------------------------
 # A2: ready-set equality — sorted channel arrays compared to the full set
 # (task_msg.go:44-56 IsReady = TargetChannels == ReadyChannels as sets).
 # ---------------------------------------------------------------------------

@@ -34,67 +34,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
-def count_messages(
-    spark,
-    ops,
-    positions=None,
-    from_ts: int | None = None,
-    to_ts: int | None = None,
-    collection: str | None = None,
-):
-    """Per-channel message accounting over an op-log frame.
-
-    Returns one row per vchannel: per-type counts folded to a
-    ``type_counts`` map, ``insert_count``/``delete_count`` (num_rows
-    sums over insert-like / delete ops — MsgCount's NumRows totals),
-    ``n_msgs``, ``end_ts`` (the channel's end position) and ``end_time``
-    (its physical wall-clock time). ``positions`` (vchannel,
-    position_ts) seeks each channel strictly past its stored position;
-    ``from_ts``/``to_ts`` bound the window globally.
-    """
-    from pyspark.sql import functions as F
-
-    from milvus_cdc_spark.functions.ts import physical_timestamp
-    from milvus_cdc_spark.operators.filters import insert_like
-
-    if collection is not None:
-        ops = ops.filter(F.col("collection") == collection)
-    if from_ts is not None:
-        ops = ops.filter(F.col("ts") > from_ts)
-    if to_ts is not None:
-        ops = ops.filter(F.col("ts") <= to_ts)
-    if positions is not None:
-        pos = positions.select("vchannel", F.col("position_ts").alias("_seek"))
-        ops = (
-            ops.join(F.broadcast(pos), "vchannel", "left")
-            .filter(F.col("_seek").isNull() | (F.col("ts") > F.col("_seek")))
-            .drop("_seek")
-        )
-    per_type = ops.groupBy("vchannel", "op_type").agg(
-        F.count("*").alias("n"),
-        F.sum("num_rows").alias("rows"),
-        F.max("ts").alias("max_ts"),
-    )
-    return (
-        per_type.groupBy("vchannel")
-        .agg(
-            F.map_from_entries(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("op_type"), F.col("n")))
-                )
-            ).alias("type_counts"),
-            F.sum("n").alias("n_msgs"),
-            F.sum(F.when(insert_like(), F.col("rows")).otherwise(0)).alias(
-                "insert_count"
-            ),
-            F.sum(
-                F.when(F.col("op_type") == "delete", F.col("rows")).otherwise(0)
-            ).alias("delete_count"),
-            F.max("max_ts").alias("end_ts"),
-        )
-        .withColumn("end_time", physical_timestamp(F.col("end_ts")))
-        .orderBy("vchannel")
-    )
+from milvus_cdc_spark.control.msgcount import count_messages  # noqa: E402
 
 
 def main() -> None:
