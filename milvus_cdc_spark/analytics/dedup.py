@@ -273,9 +273,12 @@ def connected_components(
     Catalyst analysis cost to 2^rounds (minutes of driver time by round
     ~10). The materialization is free in context: the changed-count
     action would materialize the frame anyway. If the loop exhausts
-    ``max_iter`` with labels still moving, a RuntimeWarning reports the
-    residual changed-count: the result is then over-split (some nodes
-    not yet folded to their component minimum), never wrong-merged.
+    ``max_iter`` with labels still moving, a RuntimeWarning fires: the
+    result is then over-split (some nodes not yet folded to their
+    component minimum), never wrong-merged. Convergence is detected by
+    the label-sum invariant — labels only ever decrease, so the sum is
+    strictly decreasing until fixpoint — one tiny aggregate per round
+    instead of a join against the previous frame.
 
     Returns (node, component) for every node that appears in ``pairs``;
     singletons (docs with no near-dup) are their own implicit components
@@ -293,7 +296,12 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .persist()
     )
-    changed = 0
+    # Convergence tracking: labels are monotonically non-increasing
+    # (every update is a least(...)), so the label SUM strictly decreases
+    # iff ANY label changed — a one-column aggregate on the new frame
+    # replaces a join-against-previous per round.
+    prev_sum = None
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(
@@ -334,22 +342,23 @@ def connected_components(
             )
         )
         new_labels = jumped.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        # decimal(38,0): a bigint sum could overflow at 10^8 nodes with
+        # near-2^63 ids; strict monotone decrease is the invariant
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
         stepped.unpersist()
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
+            converged = True
             break
+        prev_sum = new_sum
     edges.unpersist()
-    if changed:
+    if not converged:
         warnings.warn(
             f"connected_components: exhausted max_iter={max_iter} with "
-            f"{changed} labels still changing; components are over-split "
+            "labels still changing; components are over-split "
             "(raise max_iter)",
             RuntimeWarning,
             stacklevel=2,

@@ -2597,9 +2597,10 @@ from milvus_cdc_spark import suite_streaming_ext  # noqa: E402,F401  (import-for
 # had at least one hard driver row; the remaining 28 (verified green by
 # scripts/verify_local.py in r4) fill this window so that EVERY registry
 # query has a driver check in some round. The window keeps 10 regression
-# anchors (one per broad family, driver-green in r1-r4) and backfills the
-# last 12 slots with the oldest-checked queries (last driver row r3),
-# chosen for family spread. Entries behind the window remain covered by
+# anchors (one per broad family, driver-green in r1-r4) and backfills
+# the last 12 slots with oldest-checked queries (last driver row r3)
+# chosen for family spread, plus channel_msg_counts (new in r5 — 29
+# first-time rows total). Entries behind the window remain covered by
 # pytest + scripts/verify_local.py. Names listed here but not (yet)
 # registered are skipped, so the list can lead registration.
 # ---------------------------------------------------------------------------
@@ -2661,7 +2662,7 @@ PRIORITY: tuple[str, ...] = (
     "latest_version_dedupe",     # W2 latest-version dedupe
     "metrics_counters",          # A5/A6 accounting
     "diff_reconcile",            # J8 data-diff reconciliation
-    "tpch_q3_shipping",          # TPC-H Q3 join agg
+    "channel_msg_counts",        # msg_count tool surface (new r5)
 )
 
 
