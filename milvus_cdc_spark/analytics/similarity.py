@@ -156,6 +156,88 @@ def bucketed_topk(
     return _ranked_topk(scored, k)
 
 
+def ivf_train(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse-quantizer TRAINING: deterministic Lloyd k-means in pure
+    DataFrame ops — the step ``ivf_topk`` takes as an input ("kMeans-
+    trained offline"). Milvus trains IVF centroids with k-means at index
+    build (knowhere IVF family); the coarse quantizer only needs a
+    reasonable partition of the space, so deterministic seeding (the k
+    lowest-id vectors) replaces random init — reproducible across
+    engines and runs.
+
+    Each iteration: broadcast the k centroids, assign every vector to
+    its nearest by squared L2 (ties → lower centroid id), recompute each
+    centroid as the per-dimension mean. Plan shape: one broadcast join +
+    one k-row aggregation per iteration — the corpus shuffles ONCE per
+    iteration into k groups with map-side partial aggregation, and the
+    centroid set stays driver-sized. At 100 TB this is exactly
+    distributed Lloyd; raise ``iters`` as needed (the coarse quantizer
+    converges in a handful).
+
+    Cross-engine exactness: per-dimension means are rounded to 6
+    decimals BETWEEN iterations, quantizing away float-summation-order
+    drift (Spark's partial/final aggregation order differs from a serial
+    engine's; ~1e-13 absolute drift vs the 5e-7 rounding threshold), so
+    the next iteration's assignment sees bit-identical centroids in any
+    engine. Clusters that lose all members drop (consistent inner-join
+    semantics everywhere).
+
+    Returns (centroid_id, centroid array<double>, n_members) for the
+    FINAL assignment.
+    """
+    cent = (
+        vectors.orderBy(id_col)
+        .limit(k)
+        .select(
+            (
+                F.row_number().over(Window.orderBy(id_col)) - 1
+            ).alias("centroid_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "centroid"
+            ),
+        )
+    )
+    assigned = None
+    for _ in range(iters):
+        j = vectors.select(
+            F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vvec")
+        ).crossJoin(F.broadcast(cent.select("centroid_id", "centroid")))
+        # sequential left-to-right fold == a serial engine's '+' chain
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("_vvec"), F.col("centroid"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("_vid").orderBy(
+            F.col("_dist").asc(), F.col("centroid_id").asc()
+        )
+        assigned = (
+            j.withColumn("_dist", dist)
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("_vid", "centroid_id", "_vvec")
+        )
+        cent = assigned.groupBy("centroid_id").agg(
+            F.array(
+                *[
+                    F.round(F.avg(F.element_at(F.col("_vvec"), i + 1)), 6)
+                    for i in range(dim)
+                ]
+            ).alias("centroid"),
+            F.count("*").alias("n_members"),
+        )
+    return cent.select("centroid_id", "centroid", "n_members")
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,

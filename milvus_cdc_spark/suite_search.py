@@ -1275,3 +1275,97 @@ def milvus_expr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(MILVUS_EXPRS)}, {pairs}) AS (expr_id, n_match, sum_pk)"
         )
     ).orderBy("expr_id")
+
+
+# ---------------------------------------------------------------------------
+# IVF index BUILD (the training step ivf_topk consumes): deterministic
+# Lloyd k-means — k lowest-id seeds, squared-L2 assignment with
+# (dist, centroid_id) tie-break, per-dimension means rounded to 6
+# decimals between iterations so both engines see bit-identical
+# centroids (similarity.ivf_train docstring). The driver-checked
+# projection reduces each centroid to canonicalizer-safe scalars
+# (member count + rounded L2 norm); the array itself feeds ivf_topk.
+# ---------------------------------------------------------------------------
+
+_KM_DIM, _KM_K = 64, 8
+_KM_INIT = ", ".join(
+    f"CAST(embedding[{i + 1}] AS DOUBLE) AS d{i}" for i in range(_KM_DIM)
+)
+_KM_AVG = ", ".join(
+    f"round(avg(embedding[{i + 1}]), 6) AS d{i}" for i in range(_KM_DIM)
+)
+_KM_DIST = " + ".join(
+    f"(v.embedding[{i + 1}] - c.d{i}) * (v.embedding[{i + 1}] - c.d{i})"
+    for i in range(_KM_DIM)
+)
+_KM_NORM = " + ".join(f"d{i} * d{i}" for i in range(_KM_DIM))
+
+
+@q(
+    "ivf_kmeans_build",
+    f"""
+    WITH c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+             {_KM_INIT}
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_KM_K})
+    ),
+    a0 AS (
+      SELECT * FROM (
+        SELECT v.vec_id, c.centroid_id, v.embedding,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_KM_DIST} ASC, c.centroid_id)
+                 AS rn
+        FROM embeddings v CROSS JOIN c0 c
+      ) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT centroid_id, {_KM_AVG} FROM a0 GROUP BY centroid_id
+    ),
+    a1 AS (
+      SELECT * FROM (
+        SELECT v.vec_id, c.centroid_id, v.embedding,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_KM_DIST} ASC, c.centroid_id)
+                 AS rn
+        FROM embeddings v CROSS JOIN c1 c
+      ) WHERE rn = 1
+    ),
+    c2 AS (
+      SELECT centroid_id, {_KM_AVG}, count(*) AS n_members
+      FROM a1 GROUP BY centroid_id
+    )
+    SELECT centroid_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           round(sqrt({_KM_NORM}), 4) AS c_norm
+    FROM c2
+    ORDER BY centroid_id
+    """,
+    "vector",
+    "ivf",
+    "kmeans",
+    "build",
+    "llm",
+)
+def ivf_kmeans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed Lloyd k-means over the embeddings table
+    (similarity.ivf_train, k=8, 2 iterations): one broadcast join + one
+    k-group aggregation per iteration."""
+    from milvus_cdc_spark.analytics import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = similarity.ivf_train(emb, k=_KM_K, iters=2, dim=_KM_DIM)
+    return (
+        cent.select(
+            "centroid_id",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.col("centroid"), F.lit(0.0), lambda a, x: a + x * x
+                    )
+                ),
+                4,
+            ).alias("c_norm"),
+        )
+        .orderBy("centroid_id")
+    )

@@ -558,6 +558,46 @@ def test_binary_quantize_optimal_scale(spark):
         assert got_err <= err + 1e-9
 
 
+def test_ivf_train_lloyd_invariants(spark, sf_dir):
+    """Deterministic Lloyd k-means (IVF build): (1) two runs produce
+    identical centroids (deterministic seeding + rounded means); (2)
+    every member count is positive and counts sum to N; (3) the k-means
+    objective (sum of squared distances to assigned centroid) does not
+    increase from iteration 1 to 2 — Lloyd's monotonicity."""
+    import math
+
+    from milvus_cdc_spark import catalog
+    from milvus_cdc_spark.analytics.similarity import ivf_train
+
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+
+    def run(iters):
+        rows = ivf_train(emb, k=4, iters=iters, dim=64).collect()
+        return {r.centroid_id: (tuple(r.centroid), r.n_members) for r in rows}
+
+    a, b = run(2), run(2)
+    assert a == b  # bit-identical across runs
+    assert sum(m for _, m in a.values()) == n
+    assert all(m > 0 for _, m in a.values())
+
+    def objective(cent):
+        vecs = [(r.vec_id, r.embedding) for r in emb.collect()]
+        total = 0.0
+        for _, v in vecs:
+            total += min(
+                sum((x - c) * (x - c) for x, c in zip(v, cv))
+                for cv, _ in cent.values()
+            )
+        return total
+
+    # slack: the 6-decimal centroid rounding can nudge each squared
+    # distance by ~1e-4; Lloyd monotonicity holds far beyond that
+    o1, o2 = objective(run(1)), objective(run(2))
+    assert o2 <= o1 + 0.1, (o1, o2)
+    _ = math
+
+
 def test_connected_components_shapes(spark):
     """Min-label propagation components: chain, triangle, isolated pair —
     every node labeled with its component's min id; convergence needs
