@@ -352,6 +352,27 @@ def test_rank_cache_release(spark):
     assert not windows._RANK_CACHES
 
 
+def test_channel_msg_counts_two_level_aggregate(spark, sf_dir):
+    """msg_count surface: one scan, partial+final hash aggregation at
+    both levels (vchannel × op_type, then vchannel) — no joins, no
+    single-partition funnels of table-sized data."""
+    df = suite.QUERIES["channel_msg_counts"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final at both levels
+
+
+def test_ivf_kmeans_build_broadcasts_centroids(spark, sf_dir):
+    """Lloyd assignment must broadcast the k-row centroid side — the
+    corpus is never shuffled for a join; the only corpus shuffle is the
+    k-group mean aggregation (with map-side partial)."""
+    df = suite.QUERIES["ivf_kmeans_build"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_keyset_pagination_pushes_cursor_and_takes_ordered(spark, sf_dir):
     """Iterator pagination: the keyset predicate reaches the scan and the
     page materializes via TakeOrderedAndProject — page N costs page-1
