@@ -48,6 +48,61 @@ def replay_alive(ops: DataFrame) -> DataFrame:
     ).select("collection", "pk", "last_insert_ts", "n_inserts")
 
 
+def replay_alive_with_drops(ops: DataFrame) -> DataFrame:
+    """Replay with BULK-DROP semantics: the data stream's DropPartition /
+    DropCollection messages (channel_writer.go:245-267 handles both in
+    the DML path, whitelist P1 forwards them) erase everything in their
+    scope as of their ts. A pk is alive iff its last insert-like op is
+    not superseded by a later pk delete, NOR a later drop of its
+    partition, NOR a later drop of its collection — last-writer-wins
+    across all three scopes, so re-inserts after a drop (collection
+    recreate) stay alive.
+
+    Plan: the per-pk conditional aggregate keyed (collection, partition,
+    pk) — one shuffle of distinct pks with map-side partials — plus two
+    BROADCAST left joins against the drop cutoffs, which are
+    catalog-sized (one row per dropped partition/collection), never a
+    second corpus shuffle.
+    """
+    from milvus_cdc_spark.operators.filters import insert_like
+
+    is_ins = insert_like()
+    coll_drops = (
+        ops.filter(F.col("op_type") == "drop_collection")
+        .groupBy("collection")
+        .agg(F.max("ts").alias("_coll_drop_ts"))
+    )
+    part_drops = (
+        ops.filter(F.col("op_type") == "drop_partition")
+        .groupBy("collection", "partition")
+        .agg(F.max("ts").alias("_part_drop_ts"))
+    )
+    agg = (
+        ops.filter(is_ins | (F.col("op_type") == "delete"))
+        .groupBy("collection", "partition", "pk")
+        .agg(
+            F.max(F.when(is_ins, F.col("ts"))).alias("last_insert_ts"),
+            F.max(F.when(F.col("op_type") == "delete", F.col("ts"))).alias(
+                "last_delete_ts"
+            ),
+        )
+    )
+    cut = F.greatest(
+        F.coalesce(F.col("last_delete_ts"), F.lit(-1)),
+        F.coalesce(F.col("_part_drop_ts"), F.lit(-1)),
+        F.coalesce(F.col("_coll_drop_ts"), F.lit(-1)),
+    )
+    return (
+        agg.join(F.broadcast(part_drops), ["collection", "partition"], "left")
+        .join(F.broadcast(coll_drops), ["collection"], "left")
+        .filter(
+            F.col("last_insert_ts").isNotNull()
+            & (F.col("last_insert_ts") >= cut)
+        )
+        .select("collection", "partition", "pk", "last_insert_ts")
+    )
+
+
 def replay_summary(ops: DataFrame) -> DataFrame:
     """Aggregate replay result per collection — the e2e check the reference's
     tests run (downstream num_entities == upstream, tests/testcases/

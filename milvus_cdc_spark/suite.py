@@ -129,6 +129,97 @@ def cdc_replay_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_op.replay_summary(ops)
 
 
+# ---------------------------------------------------------------------------
+# Bulk-drop replay: DropPartition / DropCollection travel IN the data
+# stream (channel_writer.go:245-267; whitelist P1 forwards both) and
+# erase their whole scope as of their ts — last-writer-wins across pk
+# delete, partition drop, and collection drop, so re-inserts after a
+# drop (collection recreate) stay alive. Partitions derive as pk%2; a
+# 1996 partition drop hits coll_0.p_1 and a 1997 collection drop hits
+# all of coll_2.
+# ---------------------------------------------------------------------------
+
+#: hybrid TSO literals: epoch_ms << 18
+_PART_DROP_TS = 820454400000 << 18   # 1996-01-01
+_COLL_DROP_TS = 852076800000 << 18   # 1997-01-01
+
+
+@q(
+    "partition_drop_replay",
+    f"""
+    WITH base AS ({oplog.ORACLE_OPLOG_SQL}),
+    ops AS (
+      SELECT ts, op_type, collection,
+             'p_' || CAST(pk % 2 AS VARCHAR) AS partition, pk
+      FROM base
+      UNION ALL
+      SELECT {_PART_DROP_TS}, 'drop_partition', 'coll_0', 'p_1', NULL
+      UNION ALL
+      SELECT {_COLL_DROP_TS}, 'drop_collection', 'coll_2', NULL, NULL
+    ),
+    agg AS (
+      SELECT collection, partition, pk,
+             max(CASE WHEN op_type IN ('insert', 'upsert', 'import')
+                      THEN ts END) AS li,
+             max(CASE WHEN op_type = 'delete' THEN ts END) AS ld
+      FROM ops
+      WHERE op_type IN ('insert', 'upsert', 'import', 'delete')
+      GROUP BY 1, 2, 3
+    ),
+    pd AS (
+      SELECT collection, partition, max(ts) AS pdt
+      FROM ops WHERE op_type = 'drop_partition' GROUP BY 1, 2
+    ),
+    cd AS (
+      SELECT collection, max(ts) AS cdt
+      FROM ops WHERE op_type = 'drop_collection' GROUP BY 1
+    )
+    SELECT a.collection, a.partition,
+           CAST(count(*) AS BIGINT) AS alive_pks,
+           max(a.li) AS max_ts
+    FROM agg a
+    LEFT JOIN pd ON a.collection = pd.collection AND a.partition = pd.partition
+    LEFT JOIN cd ON a.collection = cd.collection
+    WHERE a.li IS NOT NULL
+      AND a.li >= greatest(coalesce(a.ld, -1), coalesce(pd.pdt, -1),
+                           coalesce(cd.cdt, -1))
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    "cdc",
+    "bulk-drop",
+    "conditional-agg",
+)
+def partition_drop_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk-drop-aware replay (apply.replay_alive_with_drops): per-pk
+    conditional aggregate keyed (collection, partition, pk) + two
+    broadcast joins against catalog-sized drop cutoffs."""
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem")).withColumn(
+        "partition",
+        F.concat(F.lit("p_"), (F.col("pk") % 2).cast("string")),
+    )
+    drops = spark.createDataFrame(
+        [
+            (_PART_DROP_TS, "drop_partition", "default", "coll_0", "p_1",
+             "ch_0", None, None, None),
+            (_COLL_DROP_TS, "drop_collection", "default", "coll_2", None,
+             "ch_0", None, None, None),
+        ],
+        "ts bigint, op_type string, db string, collection string, "
+        "partition string, vchannel string, pk bigint, num_rows bigint, "
+        "seq bigint",
+    )
+    alive = apply_op.replay_alive_with_drops(ops.unionByName(drops))
+    return (
+        alive.groupBy("collection", "partition")
+        .agg(
+            F.count("*").cast("bigint").alias("alive_pks"),
+            F.max("last_insert_ts").alias("max_ts"),
+        )
+        .orderBy("collection", "partition")
+    )
+
+
 @q(
     "cdc_alive_rows",
     f"""
@@ -2599,8 +2690,9 @@ from milvus_cdc_spark import suite_streaming_ext  # noqa: E402,F401  (import-for
 # query has a driver check in some round. The window keeps 10 regression
 # anchors (one per broad family, driver-green in r1-r4) and backfills
 # the last 12 slots with oldest-checked queries (last driver row r3)
-# chosen for family spread, plus channel_msg_counts (new in r5 — 29
-# first-time rows total). Entries behind the window remain covered by
+# chosen for family spread, plus channel_msg_counts and
+# partition_drop_replay (new in r5 — 30 first-time rows total).
+# Entries behind the window remain covered by
 # pytest + scripts/verify_local.py. Names listed here but not (yet)
 # registered are skipped, so the list can lead registration.
 # ---------------------------------------------------------------------------
@@ -2660,7 +2752,7 @@ PRIORITY: tuple[str, ...] = (
     "kafka_envelope",            # K3/K4 JSON envelope codec
     "milvus_expr_filter",        # expr compiler baseline
     "latest_version_dedupe",     # W2 latest-version dedupe
-    "metrics_counters",          # A5/A6 accounting
+    "partition_drop_replay",     # bulk-drop replay semantics (new r5)
     "diff_reconcile",            # J8 data-diff reconciliation
     "channel_msg_counts",        # msg_count tool surface (new r5)
 )

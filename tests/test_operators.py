@@ -37,6 +37,33 @@ def test_replay_tie_insert_wins(spark):
     assert {r.pk for r in apply_op.replay_alive(ops).collect()} == {1}
 
 
+def test_replay_bulk_drops_scope_and_reinsert(spark):
+    """DropPartition/DropCollection in the data path
+    (channel_writer.go:245-267): a drop erases its scope as of its ts;
+    re-inserts after the drop survive (collection recreate); other
+    partitions/collections are untouched; tie ts → insert wins."""
+    rows = [
+        # (ts, op_type, collection, partition, pk)
+        (1, "insert", "c1", "p0", 1),   # c1.p0 untouched by p1 drop → alive
+        (1, "insert", "c1", "p1", 2),   # killed by partition drop @5
+        (6, "insert", "c1", "p1", 3),   # re-insert after drop → alive
+        (5, "insert", "c1", "p1", 4),   # tie with drop ts → alive (>=)
+        (2, "insert", "c2", "p0", 5),   # killed by collection drop @7
+        (8, "upsert", "c2", "p0", 6),   # insert-like after drop → alive
+        (3, "insert", "c3", "p0", 7),   # other collection → alive
+        (9, "delete", "c1", "p1", 3),   # pk delete still applies → dead
+        (5, "drop_partition", "c1", "p1", None),
+        (7, "drop_collection", "c2", None, None),
+    ]
+    ops = spark.createDataFrame(
+        rows,
+        "ts bigint, op_type string, collection string, partition string, "
+        "pk bigint",
+    ).withColumn("num_rows", F.lit(1).cast("bigint"))
+    alive = {r.pk for r in apply_op.replay_alive_with_drops(ops).collect()}
+    assert alive == {1, 4, 6, 7}
+
+
 def test_barrier_fires_only_on_all_channels(spark):
     drops = spark.createDataFrame(
         [(1, "ch_0"), (1, "ch_1"), (2, "ch_0"), (1, "ch_0")],
