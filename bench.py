@@ -79,7 +79,10 @@ HEADLINE_R4 = [
 
 #: Round-5 additions (alphabetized; the r1/r3/r4 subtotals stay comparable).
 HEADLINE_R5 = [
+    "channel_msg_counts",        # msg_count tool surface
+    "ivf_kmeans_build",          # deterministic Lloyd k-means (IVF build)
     "near_dup_clusters",         # connected-components clustering
+    "partition_drop_replay",     # bulk-drop replay semantics
     "sequence_packing",          # shard-partitioned greedy packing
     "vocab_build",               # distributed token-id ranking
 ]
