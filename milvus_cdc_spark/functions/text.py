@@ -29,6 +29,73 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
+#: Lucene's classic English stop set (the default list Milvus's built-in
+#: ``english`` analyzer filters; analyzer_params stop_words "_english_").
+ENGLISH_STOPWORDS: tuple[str, ...] = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with",
+)
+
+
+def _porter_1a(t: Column) -> Column:
+    """Porter stemmer step 1a (plural folding): sses→ss, ies→i, ss→ss,
+    s→∅ — the plural-collapse slice of the stemmer, exact and
+    column-expressible. (The full Porter pipeline the reference's
+    ``english`` analyzer applies is NOT reproduced; see ``analyze``.)"""
+    return (
+        F.when(t.endswith("sses"), F.substring(t, 1, F.length(t) - 2))
+        .when(t.endswith("ies"), F.substring(t, 1, F.length(t) - 2))
+        .when(t.endswith("ss"), t)
+        .when(t.endswith("s") & (F.length(t) > 1), F.substring(t, 1, F.length(t) - 1))
+        .otherwise(t)
+    )
+
+
+def analyze(
+    text: Column,
+    analyzer: str = "standard",
+    stop_words: tuple[str, ...] | None = None,
+) -> Column:
+    """Milvus analyzer surface (analyzer_params for VARCHAR fields with
+    enable_analyzer, milvus.io Analyzer docs; the tokenizer feeding
+    text_match / BM25 full-text search):
+
+    - ``standard``: lowercase + alnum-run segmentation — the engine's
+      shared match analyzer (``word_tokens``). Divergence: Milvus uses
+      Unicode word segmentation; identical on ASCII corpora.
+    - ``whitespace``: split on whitespace, NO lowercase/filters (the
+      bare whitespace tokenizer).
+    - ``english``: standard + Lucene classic stop-set removal + Porter
+      step-1a plural folding. Divergence (documented, deliberate): the
+      reference applies the FULL Porter stemmer; step 1a covers the
+      plural collapse exactly and keeps the expression JVM-side —
+      deeper suffix rules (-ational, -iveness, ...) are not applied.
+
+    ``stop_words`` overrides the stop list (analyzer_params
+    ``filter: [{type: stop, stop_words: [...]}]``); applied for any
+    analyzer when given.
+    """
+    if analyzer == "standard":
+        out = word_tokens(text)
+    elif analyzer == "whitespace":
+        out = F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    elif analyzer == "english":
+        out = F.transform(
+            F.filter(
+                word_tokens(text),
+                lambda t: ~t.isin(*ENGLISH_STOPWORDS),
+            ),
+            _porter_1a,
+        )
+    else:
+        raise ValueError(f"unknown analyzer: {analyzer!r}")
+    if stop_words:
+        out = F.filter(out, lambda t: ~t.isin(*stop_words))
+    return out
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization; empty strings removed."""
     return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")

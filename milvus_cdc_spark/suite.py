@@ -1398,6 +1398,78 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# Milvus analyzer surface (analyzer_params: standard / whitespace /
+# english — milvus.io Analyzer docs). Per-analyzer token totals and
+# distinct-term counts over the corpus; english = standard + Lucene
+# classic stop set + Porter step-1a plural folding (functions.text.analyze
+# documents the full-stemmer divergence).
+# ---------------------------------------------------------------------------
+
+_SQL_STOPLIST = ", ".join(f"'{w}'" for w in text.ENGLISH_STOPWORDS)
+
+
+@q(
+    "analyzer_token_stats",
+    f"""
+    WITH docs AS (SELECT doc_id, text FROM documents),
+    std AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               t -> t <> '')) AS term
+      FROM docs
+    ),
+    ws AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS term
+      FROM docs
+    ),
+    en AS (
+      SELECT CASE
+               WHEN term LIKE '%sses' THEN substring(term, 1, length(term) - 2)
+               WHEN term LIKE '%ies'  THEN substring(term, 1, length(term) - 2)
+               WHEN term LIKE '%ss'   THEN term
+               WHEN term LIKE '%s' AND length(term) > 1
+                 THEN substring(term, 1, length(term) - 1)
+               ELSE term
+             END AS term
+      FROM std WHERE term NOT IN ({_SQL_STOPLIST})
+    )
+    SELECT 'english' AS analyzer, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT term) AS BIGINT) AS n_terms FROM en
+    UNION ALL
+    SELECT 'standard', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT term) AS BIGINT) FROM std
+    UNION ALL
+    SELECT 'whitespace', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT term) AS BIGINT) FROM ws
+    ORDER BY analyzer
+    """,
+    "text",
+    "analyzer",
+    "llm",
+)
+def analyzer_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-analyzer corpus stats via functions.text.analyze — each
+    variant is one explode + one aggregate, all JVM-side."""
+    docs = _t(spark, sf_dir, "documents")
+    parts = []
+    for name in ("english", "standard", "whitespace"):
+        toks = docs.select(
+            F.explode(text.analyze(F.col("text"), name)).alias("term")
+        )
+        parts.append(
+            toks.agg(
+                F.count("*").cast("bigint").alias("n_tokens"),
+                F.countDistinct("term").cast("bigint").alias("n_terms"),
+            ).select(F.lit(name).alias("analyzer"), "n_tokens", "n_terms")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("analyzer")
+
+
 @q(
     "lang_detect",
     """

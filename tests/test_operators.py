@@ -585,6 +585,38 @@ def test_binary_quantize_optimal_scale(spark):
         assert got_err <= err + 1e-9
 
 
+def test_analyzer_variants(spark):
+    """Milvus analyzer surface: standard lowers+splits, whitespace keeps
+    case and splits on blanks only, english drops Lucene stopwords and
+    folds plurals (Porter 1a: sses→ss, ies→i, ss keeps, s strips);
+    custom stop_words apply to any analyzer; unknown names raise."""
+    from milvus_cdc_spark.functions.text import analyze
+
+    df = spark.createDataFrame(
+        [("The Glasses of the ponies and CLASS bosses run!",)], "text string"
+    )
+
+    def run(**kw):
+        return df.select(analyze(F.col("text"), **kw).alias("t")).collect()[0].t
+
+    assert run(analyzer="standard") == [
+        "the", "glasses", "of", "the", "ponies", "and", "class", "bosses",
+        "run",
+    ]
+    assert run(analyzer="whitespace") == [
+        "The", "Glasses", "of", "the", "ponies", "and", "CLASS", "bosses",
+        "run!",
+    ]
+    # english: stopwords (the/of/and) gone; glasses→glass (sses→ss),
+    # ponies→poni (ies→i), class→class (ss keeps), bosses→boss
+    assert run(analyzer="english") == ["glass", "poni", "class", "boss", "run"]
+    assert run(analyzer="english", stop_words=("run",)) == [
+        "glass", "poni", "class", "boss",
+    ]
+    with pytest.raises(ValueError):
+        run(analyzer="nope")
+
+
 def test_ivf_train_lloyd_invariants(spark, sf_dir):
     """Deterministic Lloyd k-means (IVF build): (1) two runs produce
     identical centroids (deterministic seeding + rounded means); (2)
