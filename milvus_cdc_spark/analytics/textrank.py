@@ -67,11 +67,12 @@ def bm25_scores(
     )
 
 
-def _word_tokens(text_col):
-    """The shared match-surface analyzer (functions.text.word_tokens)."""
-    from milvus_cdc_spark.functions.text import word_tokens
+def _word_tokens(text_col, analyzer: str = "standard"):
+    """The match-surface analyzer (functions.text.analyze; 'standard'
+    is the shared default every existing contract is built on)."""
+    from milvus_cdc_spark.functions.text import analyze
 
-    return word_tokens(text_col)
+    return analyze(text_col, analyzer)
 
 
 def text_match_all(
@@ -79,6 +80,7 @@ def text_match_all(
     terms: list[str],
     id_col: str = "doc_id",
     text_col: str = "text",
+    analyzer: str = "standard",
 ) -> DataFrame:
     """Milvus TextMatch parity (``text_match(text, 'a b c')`` over an
     INVERTED text index): documents containing ALL query terms.
@@ -89,15 +91,23 @@ def text_match_all(
     doc_id, map-side partial), and retrieval touches only the |terms|
     posting lists — never a full-text rescan per query. Persist the
     posting table keyed by term to make repeated queries index-lookups.
+
+    ``analyzer`` selects the field's analyzer_params; QUERY terms pass
+    through the same analyzer (text.analyze_terms), as Milvus does — so
+    with ``english``, 'glass' matches documents containing 'glasses'.
     """
+    from milvus_cdc_spark.functions.text import analyze_terms
+
+    qterms = sorted(set(analyze_terms(terms, analyzer)))
     toks = docs.select(
-        F.col(id_col), F.explode(_word_tokens(F.col(text_col))).alias("tok")
+        F.col(id_col),
+        F.explode(_word_tokens(F.col(text_col), analyzer)).alias("tok"),
     )
     hits = (
-        toks.filter(F.col("tok").isin(terms))
+        toks.filter(F.col("tok").isin(qterms))
         .groupBy(id_col)
         .agg(F.count_distinct("tok").alias("n_terms"))
-        .filter(F.col("n_terms") == len(terms))
+        .filter(F.col("n_terms") == len(qterms))
         .select(id_col)
     )
     return hits
@@ -108,6 +118,7 @@ def phrase_match(
     phrase: list[str],
     id_col: str = "doc_id",
     text_col: str = "text",
+    analyzer: str = "standard",
 ) -> DataFrame:
     """Milvus PhraseMatch parity (``phrase_match(text, 'w1 w2')``, slop=0):
     documents where the words occur consecutively, via positional postings.
@@ -116,10 +127,18 @@ def phrase_match(
     (doc, pos+1). Postings are filtered to the phrase's words BEFORE the
     self-join, so the join sides are posting-list-sized, not corpus-sized —
     the classic positional inverted-index plan.
+
+    ``analyzer`` applies to both sides (the phrase via
+    text.analyze_terms) — note an analyzer that DROPS words (english
+    stopwords) shifts positions on the document side the same way it
+    shortens the phrase, keeping adjacency semantics consistent.
     """
+    from milvus_cdc_spark.functions.text import analyze_terms
+
+    phrase = analyze_terms(phrase, analyzer)
     toks = docs.select(
         F.col(id_col),
-        F.posexplode(_word_tokens(F.col(text_col))).alias("pos", "tok"),
+        F.posexplode(_word_tokens(F.col(text_col), analyzer)).alias("pos", "tok"),
     )
     matched = toks.filter(F.col("tok") == phrase[0]).select(
         F.col(id_col), F.col("pos").alias("pos0")

@@ -96,6 +96,46 @@ def analyze(
     return out
 
 
+def analyze_terms(
+    terms: list[str],
+    analyzer: str = "standard",
+    stop_words: tuple[str, ...] | None = None,
+) -> list[str]:
+    """Driver-side mirror of :func:`analyze` for QUERY terms — Milvus
+    analyzes the query text with the field's analyzer, so a match
+    surface must run both sides through the same rules (control-sized:
+    a handful of query words, never data)."""
+    import re
+
+    def p1a(t: str) -> str:
+        if t.endswith("sses") or t.endswith("ies"):
+            return t[:-2]
+        if t.endswith("ss"):
+            return t
+        if t.endswith("s") and len(t) > 1:
+            return t[:-1]
+        return t
+
+    out: list[str] = []
+    for s in terms:
+        if analyzer == "standard":
+            toks = [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+        elif analyzer == "whitespace":
+            toks = [t for t in re.split(r"\s+", s) if t]
+        elif analyzer == "english":
+            toks = [
+                p1a(t)
+                for t in re.split(r"[^a-z0-9]+", s.lower())
+                if t and t not in ENGLISH_STOPWORDS
+            ]
+        else:
+            raise ValueError(f"unknown analyzer: {analyzer!r}")
+        out.extend(toks)
+    if stop_words:
+        out = [t for t in out if t not in stop_words]
+    return out
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization; empty strings removed."""
     return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")

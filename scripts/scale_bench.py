@@ -50,8 +50,10 @@ def build_dirs(sf_dir: str, work: str) -> tuple[str, str]:
 
     li_src = os.path.join(sf_dir, "lineitem.parquet")
     doc_src = os.path.join(sf_dir, "documents.parquet")
+    emb_src = os.path.join(sf_dir, "embeddings.parquet")
     shutil.copy(li_src, os.path.join(x1, "lineitem.parquet"))
     shutil.copy(doc_src, os.path.join(x1, "documents.parquet"))
+    shutil.copy(emb_src, os.path.join(x1, "embeddings.parquet"))
 
     con = duckdb.connect()
     max_ok = con.sql(f"SELECT max(l_orderkey)+1 FROM '{li_src}'").fetchone()[0]
@@ -74,6 +76,17 @@ def build_dirs(sf_dir: str, work: str) -> tuple[str, str]:
     con.sql(
         f"COPY ({' UNION ALL '.join(doc_reps)}) TO '{x10}/documents.parquet' "
         "(FORMAT PARQUET)"
+    )
+    # embeddings x10: shifted vec_id only — k-means/clustering cost scales
+    # with row count; repeated vectors don't change the plan shape
+    max_vec = con.sql(f"SELECT max(vec_id)+1 FROM '{emb_src}'").fetchone()[0]
+    emb_reps = " UNION ALL ".join(
+        f"SELECT * REPLACE (vec_id + {i * max_vec} AS vec_id) "
+        f"FROM '{emb_src}'"
+        for i in range(SCALE)
+    )
+    con.sql(
+        f"COPY ({emb_reps}) TO '{x10}/embeddings.parquet' (FORMAT PARQUET)"
     )
     con.close()
     return x1, x10
@@ -101,6 +114,10 @@ def queries():
         "cdc_replay_summary": suite.QUERIES["cdc_replay_summary"].fn,
         "consistency_levels_read": suite.QUERIES["consistency_levels_read"].fn,
         "sequence_packing_full": packing_full,
+        # iterative shapes: clustering rounds and Lloyd iterations must
+        # not multiply with data size, only per-round work may
+        "near_dup_clusters": suite.QUERIES["near_dup_clusters"].fn,
+        "ivf_kmeans_build": suite.QUERIES["ivf_kmeans_build"].fn,
     }
 
 

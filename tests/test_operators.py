@@ -403,6 +403,49 @@ def test_text_and_phrase_match_semantics(spark):
     assert textrank.text_match_all(docs, ["quick", "absent"]).count() == 0
 
 
+def test_text_match_with_english_analyzer(spark):
+    """analyzer parity on the match surface: with analyzer='english'
+    both sides pass through stop-removal + plural folding, so the
+    singular query 'glass' matches documents containing 'glasses', and
+    stopwords never count as required terms; phrase adjacency holds
+    across a dropped stopword on both sides."""
+    from milvus_cdc_spark.analytics import textrank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the glasses of winter"),
+            (2, "a glass house"),
+            (3, "no lenses here"),
+            (4, "winter Glass festival"),
+        ],
+        "doc_id bigint, text string",
+    )
+    tm = sorted(
+        r.doc_id
+        for r in textrank.text_match_all(
+            docs, ["glass"], analyzer="english"
+        ).collect()
+    )
+    assert tm == [1, 2, 4]
+    # 'the' is a stopword: the effective query is just {glass, winter}
+    tm2 = sorted(
+        r.doc_id
+        for r in textrank.text_match_all(
+            docs, ["the glass", "winter"], analyzer="english"
+        ).collect()
+    )
+    assert tm2 == [1, 4]
+    # phrase 'glasses of winter' → analyzed [glass, winter]; doc 1's
+    # tokens analyze to [glass, winter] — adjacency holds on both sides
+    pm = sorted(
+        r.doc_id
+        for r in textrank.phrase_match(
+            docs, ["glasses", "of", "winter"], analyzer="english"
+        ).collect()
+    )
+    assert pm == [1]
+
+
 def test_chunk_documents_windows_and_edges(spark):
     """Chunking: short doc -> one chunk; exact-boundary doc -> one chunk;
     longer doc -> overlapping windows with the stride's token overlap and
