@@ -169,3 +169,45 @@ def test_salted_join_equals_plain_join(spark, rows):
     )
     want = sorted((r.k, r.v, r.d) for r in big.join(dim, "k").collect())
     assert got == want
+
+
+text_strategy = st.lists(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll", "Lu", "Nd", "Po", "Zs"),
+            max_codepoint=0x7F,
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(text_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_analyze_column_matches_python_mirror(spark, texts):
+    """functions.text.analyze (Catalyst column expressions) and
+    analyze_terms (the driver-side mirror the match surface runs QUERY
+    terms through) are independent implementations of the same analyzer
+    contract — they must tokenize arbitrary ASCII text identically for
+    every analyzer, or english text_match would silently miss documents."""
+    from pyspark.sql import functions as F
+
+    from milvus_cdc_spark.functions.text import analyze, analyze_terms
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for analyzer in ("standard", "whitespace", "english"):
+        got = [
+            r.t
+            for r in df.select(
+                analyze(F.col("text"), analyzer).alias("t")
+            ).collect()
+        ]
+        want = [analyze_terms([t], analyzer) for t in texts]
+        assert got == want, (analyzer, texts)
