@@ -31,6 +31,7 @@ def bm25_scores(
     text_col: str = "text",
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
+    analyzer: str | None = None,
 ) -> DataFrame:
     """Per-document BM25 score for a bag-of-terms query.
 
@@ -39,10 +40,21 @@ def bm25_scores(
 
     Documents containing no query term are absent from the result (their
     score is 0 by definition).
+
+    ``analyzer=None`` keeps the legacy whitespace-lowercase tokenizer
+    (the ``bm25_topk`` oracle contract); naming one of the
+    functions.text.analyze analyzers applies it to BOTH the corpus and
+    the query terms — Milvus's full-text-search BM25 runs the field's
+    analyzer_params over both sides.
     """
-    toks = docs.select(
-        F.col(id_col), F.explode(textf.tokens(F.lower(F.col(text_col)))).alias("tok")
-    )
+    if analyzer is None:
+        tok_expr = textf.tokens(F.lower(F.col(text_col)))
+    else:
+        from milvus_cdc_spark.functions.text import analyze, analyze_terms
+
+        tok_expr = analyze(F.col(text_col), analyzer)
+        terms = sorted(set(analyze_terms(terms, analyzer)))
+    toks = docs.select(F.col(id_col), F.explode(tok_expr).alias("tok"))
     dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")

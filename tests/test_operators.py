@@ -446,6 +446,26 @@ def test_text_match_with_english_analyzer(spark):
     assert pm == [1]
 
 
+def test_bm25_analyzer_mode(spark):
+    """analyzer-aware BM25: english mode folds plurals on both sides, so
+    a singular query scores documents containing only the plural; the
+    default (None) keeps the legacy whitespace-lowercase contract and
+    misses them."""
+    from milvus_cdc_spark.analytics import textrank
+
+    docs = spark.createDataFrame(
+        [(1, "glasses glasses everywhere"), (2, "no match content")],
+        "doc_id bigint, text string",
+    )
+    legacy = {r.doc_id for r in textrank.bm25_scores(docs, ["glass"]).collect()}
+    assert legacy == set()
+    en = {
+        r.doc_id: r.bm25
+        for r in textrank.bm25_scores(docs, ["glass"], analyzer="english").collect()
+    }
+    assert set(en) == {1} and en[1] > 0
+
+
 def test_chunk_documents_windows_and_edges(spark):
     """Chunking: short doc -> one chunk; exact-boundary doc -> one chunk;
     longer doc -> overlapping windows with the stride's token overlap and
