@@ -79,6 +79,81 @@ def bm25_scores(
     )
 
 
+def bm25_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    analyzer: str | None = None,
+) -> DataFrame:
+    """Milvus 2.5 full-text-search BM25 *function* analog (milvus.io Full
+    Text Search: a BM25 Function maps a VARCHAR field to a
+    SPARSE_FLOAT_VECTOR indexed with SPARSE_INVERTED_INDEX): materialize
+    each document's sparse vector as term-keyed postings
+    ``(tok, doc_id, weight, idf)`` where ``weight`` is the
+    document-side BM25 tf normalization — tf·(k1+1) / (tf + k1·(1−b +
+    b·dl/avgdl)) — and ``idf`` is the term's corpus idf, applied at
+    QUERY time exactly as Milvus/knowhere does (the stored vector is
+    query-independent; a changed query re-weights, never re-indexes).
+
+    The postings frame IS the sparse inverted index at scale: one
+    corpus shuffle builds it; persist/bucket it by ``tok`` and each
+    query touches only its terms' posting lists.
+    """
+    if analyzer is None:
+        tok_expr = textf.tokens(F.lower(F.col(text_col)))
+    else:
+        from milvus_cdc_spark.functions.text import analyze
+
+        tok_expr = analyze(F.col(text_col), analyzer)
+    toks = docs.select(F.col(id_col), F.explode(tok_expr).alias("tok"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    weight = (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    return (
+        tf.join(dl, id_col)
+        .join(F.broadcast(stats))
+        .join(dfreq, "tok")
+        .select(
+            "tok",
+            F.col(id_col),
+            weight.alias("weight"),
+            idf.alias("idf"),
+        )
+    )
+
+
+def fulltext_search(
+    index: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    analyzer: str | None = None,
+) -> DataFrame:
+    """Query the sparse BM25 index: the score is the sparse dot product
+    Σ_t idf(t)·weight(d,t) over the query's posting lists — identical to
+    ``bm25_scores`` run directly (tested), but touching only |terms|
+    posting lists of a prebuilt index instead of re-scanning text.
+    ``analyzer`` must match the index build's."""
+    if analyzer is not None:
+        from milvus_cdc_spark.functions.text import analyze_terms
+
+        terms = sorted(set(analyze_terms(terms, analyzer)))
+    return (
+        index.filter(F.col("tok").isin(terms))
+        .groupBy(id_col)
+        .agg(F.sum(F.col("idf") * F.col("weight")).alias("bm25"))
+    )
+
+
 def _word_tokens(text_col, analyzer: str = "standard"):
     """The match-surface analyzer (functions.text.analyze; 'standard'
     is the shared default every existing contract is built on)."""

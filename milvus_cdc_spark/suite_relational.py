@@ -813,6 +813,69 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Milvus 2.5 full-text search (milvus.io Full Text Search): a BM25
+# Function maps VARCHAR → SPARSE_FLOAT_VECTOR, indexed with
+# SPARSE_INVERTED_INDEX, searched by raw text. Engine shape: the
+# postings-frame index (textrank.bm25_index, doc-side tf weights +
+# query-time idf) queried via sparse dot product — must score exactly
+# like direct BM25 (unit-tested), so the oracle is the direct form.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "fulltext_sparse_search",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                        t -> t <> '')) AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM toks WHERE tok IN ('batch', 'data', 'query')
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
+      FROM tf
+      JOIN dfreq USING (tok)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 4) AS bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 15
+    """,
+    "text",
+    "bm25",
+    "sparse",
+    "fulltext",
+    "llm",
+)
+def fulltext_sparse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text search through the sparse posting index
+    (textrank.bm25_index → fulltext_search): build once, query by
+    posting-list join."""
+    from milvus_cdc_spark.analytics.textrank import bm25_index, fulltext_search
+
+    docs = _t(spark, sf_dir, "documents")
+    index = bm25_index(docs)
+    scored = fulltext_search(index, ["batch", "data", "query"])
+    return (
+        scored.select("doc_id", F.round("bm25", 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Composite training-data ingest pipeline: language filter → quality gate
 # → exact dedup (keep canonical doc) → per-source corpus stats. The chain
 # a 100 TB ingest run executes nightly; every stage is one of the

@@ -466,6 +466,38 @@ def test_bm25_analyzer_mode(spark):
     assert set(en) == {1} and en[1] > 0
 
 
+def test_fulltext_index_equals_direct_bm25(spark):
+    """The sparse posting index (Milvus 2.5 FTS shape: doc-side tf
+    weights, query-time idf) must score EXACTLY like direct BM25 — the
+    stored vectors are query-independent, so any term set agrees."""
+    from milvus_cdc_spark.analytics.textrank import (
+        bm25_index,
+        bm25_scores,
+        fulltext_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark streams join the batch world"),
+            (2, "batch batch data pipelines"),
+            (3, "vector search joins sparse data"),
+            (4, "nothing relevant here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    index = bm25_index(docs)
+    for terms in (["batch"], ["data", "join"], ["sparse", "batch", "data"]):
+        via_index = {
+            r.doc_id: r.bm25 for r in fulltext_search(index, terms).collect()
+        }
+        direct = {
+            r.doc_id: r.bm25 for r in bm25_scores(docs, terms).collect()
+        }
+        assert set(via_index) == set(direct)
+        for d in direct:
+            assert abs(via_index[d] - direct[d]) < 1e-9
+
+
 def test_chunk_documents_windows_and_edges(spark):
     """Chunking: short doc -> one chunk; exact-boundary doc -> one chunk;
     longer doc -> overlapping windows with the stride's token overlap and
