@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from milvus_cdc_spark.suite import _t, q
+from milvus_cdc_spark.suite import _SQL_COSINE, _t, q
 
 # ---------------------------------------------------------------------------
 # Correlated EXISTS (TPC-H Q4 shape): orders that have at least one late
@@ -873,6 +873,122 @@ def fulltext_sparse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Milvus 2.5 hybrid semantic + full-text search (milvus.io Hybrid Search
+# with a dense vector branch and a BM25 sparse branch fused by
+# RRFRanker): the flagship 2.5 retrieval pattern. Branches restricted to
+# the shared id space (< 500, present at every sf); the dense branch is
+# exact cosine top-10 for query vec 0, the text branch is the sparse
+# posting index's top-10 for a term query, fused by similarity.rrf_fuse.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "hybrid_dense_fulltext_rrf",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0),
+    dense_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_SQL_COSINE} AS sim
+      FROM embeddings c, q
+      WHERE c.vec_id != q.vec_id AND c.vec_id < 500
+    ),
+    dense AS (
+      SELECT * FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (ORDER BY sim DESC, neighbor_id) AS rank
+        FROM dense_scored
+      ) WHERE rank <= 10
+    ),
+    toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                        t -> t <> '')) AS tok
+      FROM documents WHERE doc_id < 500
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM toks WHERE tok IN ('batch', 'data', 'query')
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    bm AS (
+      SELECT tf.doc_id,
+             sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
+      FROM tf
+      JOIN dfreq USING (tok)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    text AS (
+      SELECT * FROM (
+        SELECT 0 AS query_id, doc_id AS neighbor_id,
+               row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rank
+        FROM bm
+      ) WHERE rank <= 10
+    ),
+    u AS (
+      SELECT query_id, neighbor_id, rank FROM dense
+      UNION ALL
+      SELECT query_id, neighbor_id, rank FROM text
+    ),
+    fused AS (
+      SELECT query_id, neighbor_id,
+             round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+      FROM u GROUP BY 1, 2
+    )
+    SELECT query_id, fused_rank, neighbor_id, rrf_score FROM (
+      SELECT query_id, neighbor_id, rrf_score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf_score DESC, neighbor_id)
+               AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= 10
+    ORDER BY query_id, fused_rank
+    """,
+    "vector",
+    "text",
+    "hybrid",
+    "fulltext",
+    "rrf",
+    "llm",
+)
+def hybrid_dense_fulltext_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense ANN branch + sparse BM25 branch → RRF fusion
+    (similarity.rrf_fuse): the Milvus 2.5 hybrid retrieval shape."""
+    from pyspark.sql import Window
+
+    from milvus_cdc_spark.analytics import similarity
+    from milvus_cdc_spark.analytics.textrank import bm25_index, fulltext_search
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    dense = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=10
+    )
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    bm = fulltext_search(bm25_index(docs), ["batch", "data", "query"])
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("neighbor_id").asc()
+    )
+    text = (
+        bm.select(
+            F.lit(0).alias("query_id"),
+            F.col("doc_id").alias("neighbor_id"),
+            F.round("bm25", 4).alias("s"),
+        )
+        .withColumn("rank", F.row_number().over(wt))
+        .filter(F.col("rank") <= 10)
+    )
+    return similarity.rrf_fuse(
+        dense.select("query_id", "neighbor_id", "rank"),
+        text.select("query_id", "neighbor_id", "rank"),
+        topk=10,
+    ).orderBy("query_id", "fused_rank")
 
 
 # ---------------------------------------------------------------------------
