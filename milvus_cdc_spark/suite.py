@@ -2760,13 +2760,13 @@ from milvus_cdc_spark import suite_streaming_ext  # noqa: E402,F401  (import-for
 # had at least one hard driver row; the remaining 28 (verified green by
 # scripts/verify_local.py in r4) fill this window so that EVERY registry
 # query has a driver check in some round. The window keeps 10 regression
-# anchors (one per broad family, driver-green in r1-r4) and backfills
-# the last 12 slots with oldest-checked queries (last driver row r3)
-# chosen for family spread, plus channel_msg_counts and
-# partition_drop_replay (new in r5 — 30 first-time rows total).
-# Entries behind the window remain covered by
-# pytest + scripts/verify_local.py. Names listed here but not (yet)
-# registered are skipped, so the list can lead registration.
+# anchors (one per broad family, driver-green in r1-r4), 6 backfill
+# slots with oldest-checked queries (last driver row r3) chosen for
+# family spread, and the 6 new-in-r5 surfaces — 34 first-time rows
+# total. A green CORRECTNESS_r05 leaves every registry query with a
+# hard driver row in some round. Entries behind the window remain
+# covered by pytest + scripts/verify_local.py. Names listed here but
+# not (yet) registered are skipped, so the list can lead registration.
 # ---------------------------------------------------------------------------
 
 PRIORITY: tuple[str, ...] = (
@@ -2820,13 +2820,14 @@ PRIORITY: tuple[str, ...] = (
     "bm25_topk",                 # BM25 retrieval
     "streaming_positions",       # K6/T6 positions write-back
     "lifetime_asof_apply",       # P9/J7 as-of lifetime join
-    "rank_zip_join",             # J5/W4 rank-zip
-    "kafka_envelope",            # K3/K4 JSON envelope codec
-    "milvus_expr_filter",        # expr compiler baseline
-    "latest_version_dedupe",     # W2 latest-version dedupe
-    "partition_drop_replay",     # bulk-drop replay semantics (new r5)
     "diff_reconcile",            # J8 data-diff reconciliation
-    "channel_msg_counts",        # msg_count tool surface (new r5)
+    # -- new-in-r5 surfaces (first-ever driver rows) --
+    "partition_drop_replay",     # bulk-drop replay semantics
+    "channel_msg_counts",        # msg_count tool surface
+    "ivf_kmeans_build",          # IVF build: deterministic Lloyd k-means
+    "analyzer_token_stats",      # analyzer_params surface
+    "fulltext_sparse_search",    # BM25 sparse posting index
+    "hybrid_dense_fulltext_rrf", # dense + full-text RRF hybrid
 )
 
 
