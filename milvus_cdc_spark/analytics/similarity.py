@@ -714,3 +714,193 @@ def weighted_fuse(
         .filter(F.col("fused_rank") <= topk)
         .select("query_id", "fused_rank", "neighbor_id", "weighted_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Milvus IVF_PQ / PQ index family; Jégou, Douze &
+# Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+# The reference replicates collections whose indexes carry
+# index_type=IVF_PQ (index params flow through the DDL path, core/writer
+# CreateIndex, server/.../create_index parity tests); PQ is the codec that
+# makes billion-vector corpora fit in memory: split each D-dim vector
+# into M subvectors, k-means each subspace to K codewords, store M small
+# codes per vector (D*4 bytes -> M bytes), and answer queries with
+# asymmetric distance computation (ADC) against a per-query lookup table.
+# ---------------------------------------------------------------------------
+
+
+def _pq_subvectors(
+    vectors: DataFrame,
+    m: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, sub_id, sv) — each vector split into ``m`` contiguous
+    subvectors of dim/m dims. posexplode keeps this a narrow projection
+    of the scan (rows x m skinny rows, no shuffle)."""
+    d_sub = dim // m
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    slices = F.array(*[F.slice(dv, s * d_sub + 1, d_sub) for s in range(m)])
+    return vectors.select(
+        F.col(id_col).alias("_vid"),
+        F.posexplode(slices).alias("sub_id", "sv"),
+    )
+
+
+def _pq_assign(subv: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Nearest codeword per (vector, subspace): broadcast the M*K
+    codebook rows, squared-L2 per candidate, then a min-of-struct
+    aggregate — (dist asc, centroid_id asc) lexicographic min IS the
+    Milvus/serial tie rule, and unlike a row_number window it partial-
+    aggregates map-side, so the corpus x K candidate set collapses
+    before the one shuffle (keyed by vector x subspace)."""
+    j = subv.join(
+        F.broadcast(codebooks.select("sub_id", "centroid_id", "centroid")),
+        "sub_id",
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        j.withColumn("_dist", dist)
+        .groupBy("_vid", "sub_id")
+        .agg(
+            F.min(F.struct(F.col("_dist"), F.col("centroid_id"))).alias("_b"),
+            # sv is functionally determined by the group key; first() is
+            # safe (identical in every row of the group)
+            F.first("sv").alias("sv"),
+        )
+        .select(
+            "_vid",
+            "sub_id",
+            F.col("_b.centroid_id").alias("centroid_id"),
+            "sv",
+        )
+    )
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codebook TRAINING: deterministic Lloyd k-means in every
+    subspace simultaneously — the ``sub_id`` column keys the subspace,
+    so all M trainings share one broadcast join + one (m*k)-group
+    aggregation per iteration instead of M sequential jobs.
+
+    Determinism mirrors ``ivf_train``: seeds are the subvectors of the
+    ``k`` lowest-id vectors (centroid_id = rank of seed id within the
+    subspace), assignment ties break toward the lower centroid_id, and
+    per-dimension means round to 6 decimals between iterations so a
+    serial engine (the DuckDB oracle) reproduces the codebooks
+    bit-for-bit.
+
+    At 100 TB: the corpus-sized frames only ever carry (id, sub_id,
+    16-dim subvector) rows; each iteration is one map-side-combined
+    shuffle into m*k groups; the codebook stays driver-sized (m*k rows).
+
+    Returns (sub_id, centroid_id, centroid array<double>, n_members).
+    """
+    d_sub = dim // m
+    subv = _pq_subvectors(vectors, m, dim, id_col, vec_col)
+    seeds = vectors.orderBy(id_col).limit(k).select(F.col(id_col).alias("_vid"))
+    cent = (
+        subv.join(F.broadcast(seeds), "_vid")
+        .withColumn(
+            "centroid_id",
+            F.row_number().over(Window.partitionBy("sub_id").orderBy("_vid")) - 1,
+        )
+        .select("sub_id", "centroid_id", F.col("sv").alias("centroid"))
+    )
+    for _ in range(iters):
+        assigned = _pq_assign(subv, cent)
+        cent = assigned.groupBy("sub_id", "centroid_id").agg(
+            F.array(
+                *[
+                    F.round(F.avg(F.element_at(F.col("sv"), i + 1)), 6)
+                    for i in range(d_sub)
+                ]
+            ).alias("centroid"),
+            F.count("*").alias("n_members"),
+        )
+    return cent.select("sub_id", "centroid_id", "centroid", "n_members")
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as M one-byte codes: (id, sub_id, code) with
+    code = nearest codeword in that subspace. This narrow frame IS the
+    PQ index — 32x smaller than the float32 corpus at m=4/dim=64 — and
+    the only corpus-sized input ``pq_adc_topk`` reads."""
+    subv = _pq_subvectors(vectors, m, dim, id_col, vec_col)
+    return _pq_assign(subv, codebooks).select(
+        F.col("_vid").alias(id_col),
+        "sub_id",
+        F.col("centroid_id").alias("code"),
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric distance computation (ADC) top-k over PQ codes.
+
+    Per query: distances from each query SUBVECTOR to every codeword
+    form a lookup table of m*k rows (queries x m x k total — catalog-
+    sized, broadcast). The approximate distance of a document is the sum
+    of its M table entries, so the scan side touches only the byte
+    codes, never the float corpus: codes ⋈ broadcast(LUT) then one
+    map-side-combined sum keyed (query, doc). Rounded to 6dp before
+    ranking; ascending distance, ties on neighbor_id — the Milvus L2
+    result contract.
+    """
+    qsub = _pq_subvectors(queries, m, dim, id_col, vec_col).select(
+        F.col("_vid").alias("query_id"), "sub_id", F.col("sv").alias("qv")
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = (
+        qsub.join(
+            codebooks.select("sub_id", F.col("centroid_id").alias("code"), "centroid"),
+            "sub_id",
+        )
+        .select("query_id", "sub_id", "code", d.alias("d"))
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub_id", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.round(F.sum("d"), 6).alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adist")
+    )

@@ -1369,3 +1369,187 @@ def ivf_kmeans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Milvus IVF_PQ family — index_type flows through
+# the replicated CreateIndex DDL path; Jégou et al., TPAMI 2011). Two
+# queries: codebook training (the deterministic per-subspace Lloyd
+# k-means, oracle-mirrored exactly like ivf_kmeans_build) and ADC
+# search recall@10 vs the exact squared-L2 top-k. The SQL mirrors the
+# Spark plan CTE-for-stage; both engines round per-dimension means to 6
+# decimals between iterations and the summed ADC distance to 6 before
+# ranking, so ranks are cross-engine stable.
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_K, _PQ_DSUB = 4, 16, 16
+_PQ_SUBV = " UNION ALL ".join(
+    "SELECT vec_id, {s} AS sub_id, {cols} FROM embeddings".format(
+        s=s,
+        cols=", ".join(
+            f"CAST(embedding[{s * _PQ_DSUB + i + 1}] AS DOUBLE) AS v{i}"
+            for i in range(_PQ_DSUB)
+        ),
+    )
+    for s in range(_PQ_M)
+)
+_PQ_VCOLS = ", ".join(f"v{i}" for i in range(_PQ_DSUB))
+_PQ_SCOLS = ", ".join(f"s.v{i} AS v{i}" for i in range(_PQ_DSUB))
+_PQ_DIST = " + ".join(
+    f"(s.v{i} - c.v{i}) * (s.v{i} - c.v{i})" for i in range(_PQ_DSUB)
+)
+_PQ_AVG = ", ".join(f"round(avg(v{i}), 6) AS v{i}" for i in range(_PQ_DSUB))
+_PQ_NORM = " + ".join(f"v{i} * v{i}" for i in range(_PQ_DSUB))
+
+
+def _pq_assign_sql(cent_cte: str) -> str:
+    return f"""
+      SELECT * FROM (
+        SELECT s.vec_id, s.sub_id, c.cid, {_PQ_SCOLS},
+               row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+                                  ORDER BY {_PQ_DIST} ASC, c.cid) AS rn
+        FROM subv s JOIN {cent_cte} c ON s.sub_id = c.sub_id
+      ) WHERE rn = 1
+    """
+
+
+_PQ_TRAIN_CTES = f"""
+    subv AS ({_PQ_SUBV}),
+    c0 AS (
+      SELECT sub_id,
+             row_number() OVER (PARTITION BY sub_id ORDER BY vec_id) - 1
+               AS cid,
+             {_PQ_VCOLS}
+      FROM subv
+      WHERE vec_id IN (SELECT vec_id FROM embeddings
+                       ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    a0 AS ({_pq_assign_sql("c0")}),
+    c1 AS (SELECT sub_id, cid, {_PQ_AVG} FROM a0 GROUP BY sub_id, cid),
+    a1 AS ({_pq_assign_sql("c1")}),
+    c2 AS (
+      SELECT sub_id, cid, {_PQ_AVG}, count(*) AS n_members
+      FROM a1 GROUP BY sub_id, cid
+    )
+"""
+
+
+@q(
+    "pq_codebooks",
+    f"""
+    WITH {_PQ_TRAIN_CTES}
+    SELECT sub_id, cid AS centroid_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           round(sqrt({_PQ_NORM}), 4) AS c_norm
+    FROM c2
+    ORDER BY sub_id, centroid_id
+    """,
+    "vector",
+    "quantization",
+    "pq",
+    "build",
+    "llm",
+)
+def pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook training (similarity.pq_train, m=4, k=16, 2
+    iterations): all four subspaces train in ONE broadcast join + one
+    (m*k)-group map-side-combined aggregation per iteration."""
+    from milvus_cdc_spark.analytics import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = similarity.pq_train(emb, m=_PQ_M, k=_PQ_K, iters=2, dim=64)
+    return (
+        cb.select(
+            "sub_id",
+            "centroid_id",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.col("centroid"), F.lit(0.0), lambda a, x: a + x * x
+                    )
+                ),
+                4,
+            ).alias("c_norm"),
+        )
+        .orderBy("sub_id", "centroid_id")
+    )
+
+
+@q(
+    "pq_adc_recall",
+    f"""
+    WITH {_PQ_TRAIN_CTES},
+    a2 AS ({_pq_assign_sql("c2")}),
+    lut AS (
+      SELECT s.vec_id AS query_id, s.sub_id, c.cid, {_PQ_DIST} AS d
+      FROM (SELECT * FROM subv WHERE vec_id < 5) s
+      JOIN c2 c ON s.sub_id = c.sub_id
+    ),
+    adist AS (
+      SELECT l.query_id, cd.vec_id AS neighbor_id,
+             round(sum(l.d), 6) AS adist
+      FROM a2 cd JOIN lut l ON cd.sub_id = l.sub_id AND cd.cid = l.cid
+      WHERE cd.vec_id != l.query_id
+      GROUP BY l.query_id, cd.vec_id
+    ),
+    approx AS (
+      SELECT * FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adist ASC, neighbor_id) AS rank
+        FROM adist
+      ) WHERE rank <= 10
+    ),
+    exact AS (
+      SELECT * FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_SQL_L2SQ} ASC, c.vec_id) AS rank
+        FROM embeddings c,
+             (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+        WHERE c.vec_id != q.vec_id
+      ) WHERE rank <= 10
+    )
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(a.neighbor_id) / 10.0, 6) AS recall
+    FROM exact e LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+    "vector",
+    "quantization",
+    "pq",
+    "adc",
+    "recall",
+    "llm",
+)
+def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over PQ codes (similarity.pq_encode + pq_adc_topk):
+    the scan side touches only the byte codes — the float corpus is
+    read once at encode time, never at query time — and recall@10 is
+    measured against the exact squared-L2 top-k."""
+    from milvus_cdc_spark.analytics import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = similarity.pq_train(emb, m=_PQ_M, k=_PQ_K, iters=2, dim=64)
+    codes = similarity.pq_encode(emb, cb, m=_PQ_M, dim=64)
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = similarity.pq_adc_topk(codes, cb, queries, k=10, m=_PQ_M, dim=64)
+    exact = similarity.metric_topk(emb, queries, metric="l2", k=10)
+    hits = exact.alias("e").join(
+        approx.alias("a"),
+        (F.col("e.query_id") == F.col("a.query_id"))
+        & (F.col("e.neighbor_id") == F.col("a.neighbor_id")),
+        "left",
+    )
+    return (
+        hits.groupBy(F.col("e.query_id").alias("query_id"))
+        .agg(
+            F.count(F.col("a.neighbor_id")).alias("n_hits"),
+            F.round(F.count(F.col("a.neighbor_id")) / 10.0, 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

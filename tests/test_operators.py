@@ -902,3 +902,60 @@ def test_pack_sequences_sharded_conserves_and_matches_per_shard(spark):
         merged = {(r.pack_id, r.n_chunks, r.pack_tokens)
                   for r in out if r.shard_id == sid}
         assert solo == merged
+
+
+def test_pq_train_encode_adc_roundtrip(spark, sf_dir):
+    """Product quantization: (1) codebooks are deterministic across runs
+    and per-subspace member counts sum to N; (2) every vector encodes to
+    exactly m codes in [0, k); (3) the ADC distance reported by
+    pq_adc_topk equals a driver-side mirror computed from the collected
+    codebooks and codes (sum over subspaces of squared L2 from the query
+    subvector to the doc's assigned codeword, rounded to 6)."""
+    from milvus_cdc_spark import catalog
+    from milvus_cdc_spark.analytics.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    m, k, dim = 4, 8, 64
+    d_sub = dim // m
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+
+    def run():
+        rows = pq_train(emb, m=m, k=k, iters=2, dim=dim).collect()
+        return {
+            (r.sub_id, r.centroid_id): (tuple(r.centroid), r.n_members)
+            for r in rows
+        }
+
+    a, b = run(), run()
+    assert a == b  # bit-identical across runs
+    for s in range(m):
+        counts = [mm for (sub, _), (_, mm) in a.items() if sub == s]
+        assert sum(counts) == n and all(c > 0 for c in counts)
+
+    cb = pq_train(emb, m=m, k=k, iters=2, dim=dim)
+    codes = pq_encode(emb, cb, m=m, dim=dim).collect()
+    per_vec = {}
+    for r in codes:
+        assert 0 <= r.code < k
+        per_vec.setdefault(r.vec_id, {})[r.sub_id] = r.code
+    assert all(len(subs) == m for subs in per_vec.values())
+    assert len(per_vec) == n
+
+    queries = emb.filter(F.col("vec_id") < 2)
+    qvecs = {r.vec_id: r.embedding for r in queries.collect()}
+    topk = pq_adc_topk(
+        pq_encode(emb, cb, m=m, dim=dim), cb, queries, k=5, m=m, dim=dim
+    ).collect()
+    assert len(topk) == 10  # 2 queries x 5
+    for r in topk:
+        q = qvecs[r.query_id]
+        expect = 0.0
+        for s in range(m):
+            cent, _ = a[(s, per_vec[r.neighbor_id][s])]
+            qs = q[s * d_sub:(s + 1) * d_sub]
+            expect += sum((float(x) - c) ** 2 for x, c in zip(qs, cent))
+        assert abs(r.adist - round(expect, 6)) < 1e-6, (r, expect)

@@ -381,3 +381,26 @@ def test_keyset_pagination_pushes_cursor_and_takes_ordered(spark, sf_dir):
     plan = audit.formatted_plan(df)
     assert any("o_orderdate" in p for p in audit.pushed_filters(plan))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_adc_scan_side_stays_on_codes(spark, sf_dir):
+    """ADC search: the per-query lookup table broadcasts onto the byte
+    codes (BroadcastHashJoin), nothing degenerates to a cartesian
+    product, and the (query, doc) distance sum partial-aggregates
+    map-side before its one shuffle — at 100 TB the float corpus is
+    read at encode time only, never per query."""
+    df = suite.QUERIES["pq_adc_recall"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()  # map-side combine on the adist sum
+
+
+def test_pq_train_broadcasts_codebooks(spark, sf_dir):
+    """PQ training mirrors the IVF plan contract: the m*k codebook side
+    broadcasts; the corpus never joins by shuffle."""
+    df = suite.QUERIES["pq_codebooks"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
