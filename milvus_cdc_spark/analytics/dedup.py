@@ -385,3 +385,76 @@ def near_dup_pipeline(
     band_rows = minhash_bands(df, id_col, text_col, k, bands, shingle_n, shingles=sh)
     pairs = candidate_pairs(band_rows, id_col)
     return jaccard_pairs(df, pairs, id_col, text_col, shingle_n, shingles=sh)
+
+
+def embedding_near_dup(
+    vectors: DataFrame,
+    threshold: float = 0.98,
+    n_bands: int = 8,
+    band_dims: int = 8,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: sign-LSH banding for
+    candidates, exact cosine for the verdict — the vector-space twin of
+    the MinHash pipeline above (candidates from buckets, verify exactly,
+    never all-pairs).
+
+    Candidate generation uses the signs of the RAW dimensions, grouped
+    into ``n_bands`` contiguous bands of ``band_dims`` dims: two vectors
+    are candidates iff some band's sign pattern matches exactly (the
+    banding trick over 1-bit SimHash-style sketches; for near-identical
+    vectors a band survives unless a near-zero dimension flips).
+    Deterministic and engine-portable — no random hyperplanes, so the
+    DuckDB oracle reproduces buckets bit-for-bit.
+
+    Scale: the only shuffles are the (band, bucket) self-join and the
+    two verify joins keyed on doc id. 2^band_dims buckets per band must
+    scale with the corpus — size ``band_dims ~ log2(n_docs /
+    target_bucket)`` so bucket groups stay bounded and the within-bucket
+    pair explosion never goes quadratic; candidates are verified with
+    one JVM-side cosine, rounded to 6dp before the threshold so both
+    engines agree at the boundary.
+
+    Returns (doc_a, doc_b, cosine) with doc_a < doc_b, cosine >=
+    threshold.
+    """
+    from milvus_cdc_spark.functions import vector as vecf
+
+    vec = F.col(vec_col)
+    band_cols = []
+    for b in range(n_bands):
+        bits: F.Column | None = None
+        for i in range(band_dims):
+            t = F.when(
+                F.element_at(vec, b * band_dims + i + 1) >= 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            bits = t if bits is None else bits + t
+        band_cols.append(bits)
+    buckets = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
+    )
+    cand = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(F.col("x._id").alias("doc_a"), F.col("y._id").alias("doc_b"))
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("doc_a"), vec.alias("_va"))
+    vb = vectors.select(F.col(id_col).alias("doc_b"), vec.alias("_vb"))
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(vecf.cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -2747,6 +2747,108 @@ def dispatcher_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection — the vector-space member of
+# the dedup family (exact / MinHash+LSH / SimHash / winnowing /
+# embedding-cosine). The fixture embeddings are random (max pairwise
+# cosine ~0.51), so the query builds the standard honest dup corpus:
+# every vector plus a deterministically perturbed replica (+-0.02 on a
+# (vec_id + dim) % 3 pattern, replica id = vec_id + 100000), then runs
+# sign-band LSH candidates + exact cosine verify at 0.98. Both engines
+# compute identical buckets (signs of raw dims) and cosines (rounded 6).
+# ---------------------------------------------------------------------------
+
+_END_BD, _END_NB = 8, 8  # band_dims, n_bands
+
+
+def _emb_nd_band(b: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN embedding[{b * _END_BD + i + 1}] >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(_END_BD)
+    )
+
+
+_EMB_ND_BANDS = ", ".join(f"({_emb_nd_band(b)}) AS bb{b}" for b in range(_END_NB))
+_EMB_ND_ARMS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, bb{b} AS bucket FROM banded"
+    for b in range(_END_NB)
+)
+
+_ORACLE_EMB_NEAR_DUP = f"""
+    WITH aug AS (
+      SELECT vec_id AS doc_id, embedding::DOUBLE[] AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(
+               list_zip(embedding::DOUBLE[], generate_series(1, 64)),
+               p -> p[1] + 0.02 * ((vec_id + p[2]) % 3 - 1))
+      FROM embeddings
+    ),
+    banded AS (SELECT doc_id, {_EMB_ND_BANDS} FROM aug),
+    buckets AS ({_EMB_ND_ARMS}),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM buckets x
+      JOIN buckets y ON x.band = y.band AND x.bucket = y.bucket
+                    AND x.doc_id < y.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             round(
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                       p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(a.embedding, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.embedding, x -> x * x)))),
+               6) AS cosine
+      FROM cand c
+      JOIN aug a ON c.doc_a = a.doc_id
+      JOIN aug b ON c.doc_b = b.doc_id
+    )
+    SELECT doc_a, doc_b, cosine
+    FROM verified WHERE cosine >= 0.98
+    ORDER BY doc_a, doc_b
+"""
+
+
+@q(
+    "embedding_near_dup",
+    _ORACLE_EMB_NEAR_DUP,
+    "dedup",
+    "embedding",
+    "cosine",
+    "lsh",
+    "llm",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (dedup.embedding_near_dup): sign-band
+    LSH candidates over an original + perturbed-replica corpus, exact
+    cosine verify >= 0.98. Finds each of the N (original, replica)
+    pairs; candidate generation stays banded — never all-pairs."""
+    from milvus_cdc_spark.analytics import dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    replicas = emb.select(
+        (F.col("vec_id") + 100000).alias("doc_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double")
+            + 0.02 * (((F.col("vec_id") + i + 1) % 3) - 1),
+        ).alias("embedding"),
+    )
+    aug = base.unionAll(replicas)
+    return dedup.embedding_near_dup(
+        aug, threshold=0.98, n_bands=_END_NB, band_dims=_END_BD
+    ).orderBy("doc_a", "doc_b")
+
+
 # Extended inventories (register additional QUERIES entries).
 from milvus_cdc_spark import suite_relational  # noqa: E402,F401  (import-for-effect)
 from milvus_cdc_spark import suite_search  # noqa: E402,F401  (import-for-effect)

@@ -959,3 +959,29 @@ def test_pq_train_encode_adc_roundtrip(spark, sf_dir):
             qs = q[s * d_sub:(s + 1) * d_sub]
             expect += sum((float(x) - c) ** 2 for x, c in zip(qs, cent))
         assert abs(r.adist - round(expect, 6)) < 1e-6, (r, expect)
+
+
+def test_embedding_near_dup_banding_and_verify(spark):
+    """Sign-band LSH near-dup: an exact duplicate and a tiny-perturbation
+    near-dup are found; an orthogonal vector is not; a sign-flipped
+    vector shares no band so it is never even a candidate."""
+    from milvus_cdc_spark.analytics.dedup import embedding_near_dup
+
+    dim = 16
+    base = [float((i % 5) + 1) / 5.0 for i in range(dim)]
+    near = list(base)
+    near[3] += 0.01  # same signs, cosine ~1
+    flipped = [-x for x in base]  # every sign differs -> no shared band
+    ortho = [0.0] * dim
+    ortho[0] = 1.0
+    rows = [(0, base), (1, list(base)), (2, near), (3, flipped), (4, ortho)]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    got = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in embedding_near_dup(
+            df, threshold=0.98, n_bands=4, band_dims=4
+        ).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    assert (0, 2) in got and got[(0, 2)] > 0.99
+    assert all(3 not in pair and 4 not in pair for pair in got)
