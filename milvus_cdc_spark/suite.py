@@ -39,6 +39,10 @@ QUERIES: dict[str, QuerySpec] = {}
 
 def q(name: str, oracle: str | None, *tags: str):
     def deco(fn):
+        # a duplicate name would silently shadow the earlier query in the
+        # registry (and its correctness history) — fail loudly instead
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name!r}")
         QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, tags=tags)
         return fn
 
@@ -2813,7 +2817,7 @@ _ORACLE_EMB_NEAR_DUP = f"""
 
 
 @q(
-    "embedding_near_dup",
+    "banded_cosine_near_dup",
     _ORACLE_EMB_NEAR_DUP,
     "dedup",
     "embedding",
@@ -2821,7 +2825,7 @@ _ORACLE_EMB_NEAR_DUP = f"""
     "lsh",
     "llm",
 )
-def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def banded_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup (dedup.embedding_near_dup): sign-band
     LSH candidates over an original + perturbed-replica corpus, exact
     cosine verify >= 0.98. Finds each of the N (original, replica)
