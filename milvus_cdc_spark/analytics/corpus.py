@@ -204,3 +204,62 @@ def pack_sequences(
         )
         .orderBy("shard_id", "pack_id")
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-set decontamination by n-gram overlap (the GPT-3 appendix
+    / Dodge et al. C4 audit procedure): a training document is
+    contaminated if it shares any word n-gram with the held-out
+    evaluation corpus. Real pipelines use 8-13 grams; the fixture corpus
+    draws from a tiny vocabulary, so callers pick ``n`` to match their
+    data's collision floor.
+
+    Plan: distinct (doc, shingle) rows on the train side, distinct
+    shingles on the eval side, one equi-join on the shingle string, one
+    count per doc. Eval benchmark sets are tiny next to a 100 TB train
+    corpus — Catalyst broadcasts the eval side automatically under the
+    threshold; the train side never shuffles anything wider than
+    (doc_id, shingle).
+
+    Returns (id, n_hits) for contaminated docs only — n_hits counts the
+    DISTINCT overlapping n-grams of that doc.
+    """
+    from milvus_cdc_spark.analytics.dedup import shingle_rows
+
+    tr = shingle_rows(train, id_col, text_col, n).distinct()
+    ev = shingle_rows(eval_df, id_col, text_col, n).select("s").distinct()
+    return tr.join(ev, "s").groupBy(id_col).agg(F.count("*").alias("n_hits"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram repetition statistics — the signal behind the
+    Gopher/MassiveText repetition filters (Rae et al. 2021, table A1):
+    heavily repeated n-grams mark boilerplate and spam.
+
+    Two-level aggregate: (doc, shingle) counts first, then per-doc
+    sum/count/max — both stages partial-aggregate map-side, so the only
+    corpus-wide shuffles carry compact count rows.
+
+    Returns (id, total, n_distinct, top): total n-grams, distinct
+    n-grams, and the count of the single most frequent n-gram.
+    """
+    from milvus_cdc_spark.analytics.dedup import shingle_rows
+
+    sh = shingle_rows(df, id_col, text_col, n)
+    per = sh.groupBy(id_col, "s").agg(F.count("*").alias("c"))
+    return per.groupBy(id_col).agg(
+        F.sum("c").alias("total"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top"),
+    )

@@ -225,3 +225,36 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
     empty = F.array().cast("array<string>")
     return F.array_sort(F.array_distinct(F.when(k > 0, grams).otherwise(empty)))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data pipeline hygiene). Patterns are kept to
+# the RE2-compatible subset (no backreferences, no lookaround) so the
+# DuckDB oracle evaluates the IDENTICAL regex strings: Java's regex
+# engine and RE2 agree on these.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\+\d[\d ]{7,}\d"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, IPv4 addresses, and +international phone-number
+    runs with typed placeholders. Pure column expression (three chained
+    regexp_replace calls, whole-stage codegen) — order is email → ip →
+    phone; the patterns are mutually non-overlapping on the placeholder
+    tokens they introduce."""
+    out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")
+
+
+def pii_counts(text: Column) -> Column:
+    """struct(n_emails, n_ips, n_phones) occurrence counts on the raw
+    text (counted independently, before any redaction)."""
+    return F.struct(
+        F.regexp_count(text, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(text, F.lit(PII_IPV4)).alias("n_ips"),
+        F.regexp_count(text, F.lit(PII_PHONE)).alias("n_phones"),
+    )

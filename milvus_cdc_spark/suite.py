@@ -2853,6 +2853,213 @@ def banded_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+# ---------------------------------------------------------------------------
+# Training-data hygiene: n-gram decontamination, Gopher-style repetition
+# flags, and PII redaction — the corpus-prep steps between dedup and
+# packing. Decontamination uses n=3 because the fixture vocabulary is
+# tiny (real pipelines use 8-13 grams; the operator takes n); the PII
+# query injects deterministic synthetic PII (the fixture corpus has
+# none) exactly like the near-dup queries construct replica corpora.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ngram_decontamination",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) - 2 > 0
+                    THEN list_distinct(list_transform(
+                           generate_series(1, len(toks) - 2),
+                           i -> array_to_string(toks[i:i+2], ' ')))
+                    ELSE [] END) AS s
+      FROM base
+    ),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM sh t JOIN ev ON t.s = ev.s
+    WHERE t.doc_id % 97 != 0
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    "corpus",
+    "decontamination",
+    "llm",
+)
+def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram overlap (corpus.decontaminate): docs with
+    doc_id % 97 == 0 play the held-out benchmark; every other doc
+    reports how many of its distinct 3-grams appear in that set."""
+    from milvus_cdc_spark.analytics import corpus as corpus_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corpus_ops.decontaminate(tr, ev, n=3)
+        .select("doc_id", F.col("n_hits").cast("bigint").alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "gopher_repetition_flags",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) - 1 > 0
+                    THEN list_transform(
+                           generate_series(1, len(toks) - 1),
+                           i -> array_to_string(toks[i:i+1], ' '))
+                    ELSE [] END) AS s
+      FROM base
+    ),
+    per AS (SELECT doc_id, s, count(*) AS c FROM sh GROUP BY doc_id, s),
+    agg AS (
+      SELECT doc_id, sum(c) AS total, count(*) AS nd, max(c) AS top
+      FROM per GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(total AS BIGINT) AS n_2grams,
+           round(1 - nd / total::DOUBLE, 6) AS dup_frac,
+           round(top / total::DOUBLE, 6) AS top_frac,
+           (round(1 - nd / total::DOUBLE, 6) > 0.10
+            OR round(top / total::DOUBLE, 6) > 0.10) AS flagged
+    FROM agg
+    ORDER BY doc_id
+    """,
+    "corpus",
+    "quality",
+    "repetition",
+    "llm",
+)
+def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition filter signals
+    (corpus.repetition_stats, 2-grams): duplicate-2-gram fraction and
+    top-2-gram fraction per doc, flagged above 0.10 — thresholds sized
+    to the fixture distribution (Rae et al. 2021 use character-mass
+    cutoffs on web text). Flags compare the ROUNDED fractions so both
+    engines agree at the boundary."""
+    from milvus_cdc_spark.analytics import corpus as corpus_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = corpus_ops.repetition_stats(docs, n=2)
+    dup_frac = F.round(1 - F.col("n_distinct") / F.col("total"), 6)
+    top_frac = F.round(F.col("top") / F.col("total"), 6)
+    return (
+        stats.select(
+            "doc_id",
+            F.col("total").cast("bigint").alias("n_2grams"),
+            dup_frac.alias("dup_frac"),
+            top_frac.alias("top_frac"),
+            ((dup_frac > 0.10) | (top_frac > 0.10)).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PII_SQL = """
+    WITH aug AS (
+      SELECT doc_id, source,
+             text
+             || CASE WHEN doc_id % 5 = 0
+                THEN ' contact u' || doc_id::VARCHAR || '@example.com'
+                ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.1'
+                ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                THEN ' call +1 555 01' || lpad((doc_id % 100)::VARCHAR, 2, '0')
+                ELSE '' END AS text
+      FROM documents
+    ),
+    cnt AS (
+      SELECT source,
+             len(regexp_extract_all(text, '@EMAIL@')) AS e,
+             len(regexp_extract_all(text, '@IPV4@')) AS i,
+             len(regexp_extract_all(text, '@PHONE@')) AS p,
+             length(text) - length(
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '@EMAIL@', '<EMAIL>', 'g'),
+                 '@IPV4@', '<IP>', 'g'),
+                 '@PHONE@', '<PHONE>', 'g')) AS delta
+      FROM aug
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (e + i + p > 0) AS BIGINT) AS docs_with_pii,
+           CAST(sum(e) AS BIGINT) AS n_emails,
+           CAST(sum(i) AS BIGINT) AS n_ips,
+           CAST(sum(p) AS BIGINT) AS n_phones,
+           CAST(sum(delta) AS BIGINT) AS chars_removed
+    FROM cnt
+    GROUP BY source
+    ORDER BY source
+""".replace("@EMAIL@", text.PII_EMAIL).replace("@IPV4@", text.PII_IPV4).replace(
+    "@PHONE@", text.PII_PHONE
+)
+
+
+@q("pii_redaction_stats", _PII_SQL, "corpus", "pii", "redaction", "llm")
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions.text.redact_pii / pii_counts) over a
+    corpus with deterministic synthetic PII injected (emails on
+    doc_id%5, IPv4 on %7, +international phones on %11): per-source doc
+    counts, occurrence counts per category, and net characters removed
+    by redaction. The regex strings are the RE2-compatible subset, so
+    Spark (Java regex) and DuckDB (RE2) evaluate the identical
+    patterns."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" contact u"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".1")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" call +1 555 01"),
+                F.lpad((did % 100).cast("string"), 2, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    aug = docs.select("doc_id", "source", injected.alias("text"))
+    c = text.pii_counts(F.col("text"))
+    delta = F.length("text") - F.length(text.redact_pii(F.col("text")))
+    per = aug.select("source", c.alias("c"), delta.alias("delta"))
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(
+                (
+                    (F.col("c.n_emails") + F.col("c.n_ips") + F.col("c.n_phones"))
+                    > 0
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("docs_with_pii"),
+            F.sum("c.n_emails").cast("bigint").alias("n_emails"),
+            F.sum("c.n_ips").cast("bigint").alias("n_ips"),
+            F.sum("c.n_phones").cast("bigint").alias("n_phones"),
+            F.sum("delta").cast("bigint").alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
 # Extended inventories (register additional QUERIES entries).
 from milvus_cdc_spark import suite_relational  # noqa: E402,F401  (import-for-effect)
 from milvus_cdc_spark import suite_search  # noqa: E402,F401  (import-for-effect)

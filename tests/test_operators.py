@@ -985,3 +985,64 @@ def test_embedding_near_dup_banding_and_verify(spark):
     assert (0, 1) in got and got[(0, 1)] == 1.0
     assert (0, 2) in got and got[(0, 2)] > 0.99
     assert all(3 not in pair and 4 not in pair for pair in got)
+
+
+def test_decontaminate_ngram_overlap(spark):
+    """A train doc sharing a 3-gram with the eval set is reported with
+    the DISTINCT overlap count; disjoint docs are absent."""
+    from milvus_cdc_spark.analytics.corpus import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),       # shares 2 distinct 3-grams
+            (2, "the quick brown the quick brown"),  # duplicate shingle counts once
+            (3, "completely different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "see the quick brown fox run")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.n_hits for r in decontaminate(train, ev, n=3).collect()}
+    assert got == {1: 2, 2: 1}  # doc1: 'the quick brown'+'quick brown fox'
+
+
+def test_repetition_stats_counts(spark):
+    """2-gram totals / distincts / top counts per doc."""
+    from milvus_cdc_spark.analytics.corpus import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.total, r.n_distinct, r.top)
+        for r in repetition_stats(df, n=2).collect()
+    }
+    # doc1 2-grams: 'a b','b a','a b','b a' -> total 4, distinct 2, top 2
+    assert got == {1: (4, 2, 2), 2: (2, 2, 1)}
+
+
+def test_redact_pii_patterns(spark):
+    """Email / IPv4 / phone redaction and counting; plain text untouched."""
+    from milvus_cdc_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-am.ple.org now"),
+            (2, "host 192.168.0.1 and 10.0.0.255 up"),
+            (3, "call +44 20 7946 0958 today"),
+            (4, "no pii at all 12.34 end"),
+        ],
+        "id long, t string",
+    )
+    rows = df.select(
+        "id",
+        redact_pii(F.col("t")).alias("red"),
+        pii_counts(F.col("t")).alias("c"),
+    ).collect()
+    by = {r.id: r for r in rows}
+    assert by[1].red == "mail <EMAIL> now" and by[1].c.n_emails == 1
+    assert by[2].red == "host <IP> and <IP> up" and by[2].c.n_ips == 2
+    assert by[3].red == "call <PHONE> today" and by[3].c.n_phones == 1
+    assert by[4].red == "no pii at all 12.34 end"
+    assert (by[4].c.n_emails, by[4].c.n_ips, by[4].c.n_phones) == (0, 0, 0)
