@@ -206,14 +206,31 @@ def phrase_match(
     id_col: str = "doc_id",
     text_col: str = "text",
     analyzer: str = "standard",
+    slop: int = 0,
 ) -> DataFrame:
-    """Milvus PhraseMatch parity (``phrase_match(text, 'w1 w2')``, slop=0):
-    documents where the words occur consecutively, via positional postings.
+    """Milvus PhraseMatch parity (``phrase_match(text, 'w1 w2', slop)``):
+    documents where the words occur as a phrase, via positional postings.
 
-    posexplode keeps the token position; each adjacent word pair joins on
-    (doc, pos+1). Postings are filtered to the phrase's words BEFORE the
-    self-join, so the join sides are posting-list-sized, not corpus-sized —
-    the classic positional inverted-index plan.
+    posexplode keeps the token position; word occurrences join on the
+    doc id with position predicates. Postings are filtered to the
+    phrase's words BEFORE the self-join, so the join sides are
+    posting-list-sized, not corpus-sized — the classic positional
+    inverted-index plan.
+
+    Slop semantics (tantivy/Lucene sloppy phrase, which Milvus 2.5's
+    PHRASE_MATCH exposes):
+
+    - two-word phrases use the exact Lucene move count — ``p2-p1-1``
+      in order, ``p1-p2+1`` reversed (so slop >= 2 admits the reversed
+      adjacent phrase) — matched iff moves <= slop;
+    - longer phrases use the in-order span rule (positions strictly
+      increasing, total extra gaps ``span - (n-1) <= slop``), a
+      documented simplification: Lucene's full move-count for 3+ terms
+      can exceed the span gap, so this is a superset of exact-Lucene
+      matches for in-order occurrences and excludes reordered ones.
+      The per-step bound ``pos_i <= pos0 + i + slop`` prunes each join
+      without excluding any qualifying assignment (positions increase,
+      so the final-span bound implies every intermediate one).
 
     ``analyzer`` applies to both sides (the phrase via
     text.analyze_terms) — note an analyzer that DROPS words (english
@@ -227,6 +244,22 @@ def phrase_match(
         F.col(id_col),
         F.posexplode(_word_tokens(F.col(text_col), analyzer)).alias("pos", "tok"),
     )
+    if len(phrase) == 2 and slop > 0:
+        a = toks.filter(F.col("tok") == phrase[0]).select(
+            F.col(id_col), F.col("pos").alias("p1")
+        )
+        b = toks.filter(F.col("tok") == phrase[1]).select(
+            F.col(id_col).alias("_bid"), F.col("pos").alias("p2")
+        )
+        moves = F.when(
+            F.col("p2") > F.col("p1"), F.col("p2") - F.col("p1") - 1
+        ).otherwise(F.col("p1") - F.col("p2") + 1)
+        return (
+            a.join(b, F.col(id_col) == F.col("_bid"))
+            .filter(moves <= slop)
+            .select(id_col)
+            .distinct()
+        )
     matched = toks.filter(F.col("tok") == phrase[0]).select(
         F.col(id_col), F.col("pos").alias("pos0")
     )
@@ -234,9 +267,13 @@ def phrase_match(
         nxt = toks.filter(F.col("tok") == word).select(
             F.col(id_col).alias("_nxt_id"), F.col("pos").alias(f"pos{i}")
         )
+        if slop == 0:
+            pos_pred = F.col(f"pos{i}") == F.col(f"pos{i-1}") + 1
+        else:
+            pos_pred = (F.col(f"pos{i}") > F.col(f"pos{i-1}")) & (
+                F.col(f"pos{i}") <= F.col("pos0") + i + slop
+            )
         matched = matched.join(
-            nxt,
-            (F.col(id_col) == F.col("_nxt_id"))
-            & (F.col(f"pos{i}") == F.col(f"pos{i-1}") + 1),
+            nxt, (F.col(id_col) == F.col("_nxt_id")) & pos_pred
         ).drop("_nxt_id")
     return matched.select(id_col).distinct()

@@ -1553,3 +1553,33 @@ def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@q(
+    "phrase_match_slop",
+    f"""
+    WITH toks AS ({_SQL_POS_TOKS})
+    SELECT DISTINCT a.doc_id
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+    WHERE a.tok = 'fast' AND b.tok = 'sort'
+      AND (CASE WHEN b.pos > a.pos THEN b.pos - a.pos - 1
+                ELSE a.pos - b.pos + 1 END) <= 2
+    ORDER BY a.doc_id
+    """,
+    "text",
+    "inverted-index",
+    "phrase-match",
+    "slop",
+    "llm",
+)
+def phrase_match_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy phrase match "fast sort"~2 (Milvus PHRASE_MATCH slop
+    param): Lucene two-term move count — one intervening word, or the
+    reversed adjacent phrase, both qualify. Posting-sized join, exactly
+    the slop=0 plan plus a move-count predicate."""
+    from milvus_cdc_spark.analytics import textrank
+
+    docs = _t(spark, sf_dir, "documents")
+    return textrank.phrase_match(docs, ["fast", "sort"], slop=2).orderBy(
+        "doc_id"
+    )

@@ -1046,3 +1046,37 @@ def test_redact_pii_patterns(spark):
     assert by[3].red == "call <PHONE> today" and by[3].c.n_phones == 1
     assert by[4].red == "no pii at all 12.34 end"
     assert (by[4].c.n_emails, by[4].c.n_ips, by[4].c.n_phones) == (0, 0, 0)
+
+
+def test_phrase_match_slop_semantics(spark):
+    """Sloppy phrase matching: two-term Lucene move counts (gap and
+    reversal) and the in-order span rule for three terms."""
+    from milvus_cdc_spark.analytics.textrank import phrase_match
+
+    df = spark.createDataFrame(
+        [
+            (1, "fast sort now"),        # adjacent
+            (2, "fast merge sort"),      # one gap -> moves 1
+            (3, "sort fast"),            # reversed adjacent -> moves 2
+            (4, "fast a b c sort"),      # moves 3
+            (5, "nothing here"),
+            (6, "one two three"),        # 3-term exact
+            (7, "one x two three"),      # 3-term span gap 1
+            (8, "three two one"),        # reordered -> excluded (span rule)
+        ],
+        "doc_id long, text string",
+    )
+    two = lambda s: {
+        r.doc_id for r in phrase_match(df, ["fast", "sort"], slop=s).collect()
+    }
+    assert two(0) == {1}
+    assert two(1) == {1, 2}
+    assert two(2) == {1, 2, 3}
+    assert two(3) == {1, 2, 3, 4}
+    three = lambda s: {
+        r.doc_id
+        for r in phrase_match(df, ["one", "two", "three"], slop=s).collect()
+    }
+    assert three(0) == {6}
+    assert three(1) == {6, 7}
+    assert 8 not in three(4)
