@@ -263,3 +263,83 @@ def repetition_stats(
         F.count("*").alias("n_distinct"),
         F.max("c").alias("top"),
     )
+
+
+def temperature_weights(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    budget_frac: float = 0.5,
+    strat_col: str = "source",
+) -> DataFrame:
+    """Temperature-based multinomial mixture weights (the XLM/mT5
+    sampling rule, Conneau & Lample 2019 §3.1): source s draws with
+    p_s = n_s^alpha / sum_t n_t^alpha — alpha < 1 upweights small
+    sources, alpha = 1 is proportional, alpha = 0 uniform. Converts the
+    target budget (``budget_frac`` of the corpus) into the per-source
+    ``rate_permille`` dim that ``stratified_sample`` consumes, capped
+    at 1000 (a source cannot yield more docs than it has).
+
+    Plan: one map-side-combined count per source, a 1-row total, a
+    broadcast of that scalar onto the catalog-sized source dim — the
+    corpus is scanned once, everything after is driver-sized.
+
+    Returns (source, n_docs, p_s rounded to 6, rate_permille).
+    """
+    counts = docs.groupBy(strat_col).agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(
+        F.sum(F.pow("n_docs", F.lit(alpha))).alias("_z"),
+        F.sum("n_docs").alias("_n_total"),
+    )
+    p = F.pow("n_docs", F.lit(alpha)) / F.col("_z")
+    rate = F.least(
+        F.lit(1000.0),
+        F.round(F.lit(1000.0 * budget_frac) * F.col("_n_total") * p / F.col("n_docs"), 0),
+    ).cast("bigint")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            strat_col,
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.round(p, 6).alias("p_s"),
+            rate.alias("rate_permille"),
+        )
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Language-model quality scoring, unigram edition — the shape of
+    the CCNet perplexity filter (Wenzek et al. 2020): fit token
+    frequencies on the corpus, score each document by its average
+    negative log-likelihood in nats (lower = more typical text; spam
+    and boilerplate sit in the tails). A real pipeline swaps the
+    unigram table for KenLM scores; the Spark plan is identical — a
+    per-token probability lookup join plus one per-doc aggregate.
+
+    Plan: one token explode (corpus scan), one map-side-combined term
+    count, a 1-row total broadcast, one probability-lookup equi-join on
+    the token (Catalyst broadcasts the frequency table when the vocab
+    fits, shuffles both sides keyed by token when it doesn't), one
+    per-doc avg. No driver-side state at any corpus size.
+
+    Returns (id, n_toks, avg_nll rounded to 6).
+    """
+    from milvus_cdc_spark.functions import text as textf
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(textf.tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    tot = freq.agg(F.sum("tf").alias("_t"))
+    scored = toks.join(freq, "tok").crossJoin(F.broadcast(tot))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_toks"),
+            F.round(F.avg(-F.log(F.col("tf") / F.col("_t"))), 6).alias("avg_nll"),
+        )
+    )

@@ -2188,3 +2188,115 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chunks").cast("bigint"),
         F.col("pack_tokens").cast("bigint"),
     ).orderBy("shard_id", "pack_id")
+
+
+_SQL_DOC_HASH = """
+      ((strpos('0123456789abcdef',
+               substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 256
+       + (strpos('0123456789abcdef',
+                 substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) * 16
+       + (strpos('0123456789abcdef',
+                 substr(md5(CAST(d.doc_id AS VARCHAR)), 3, 1)) - 1)) % 1000
+"""
+
+
+@q(
+    "temperature_mixing_rates",
+    f"""
+    WITH counts AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT sum(pow(n_docs, 0.7)) AS z, sum(n_docs) AS n_total FROM counts
+    ),
+    w AS (
+      SELECT c.source, c.n_docs,
+             pow(c.n_docs, 0.7) / t.z AS p,
+             least(1000, round(1000 * 0.5 * t.n_total
+                               * (pow(c.n_docs, 0.7) / t.z) / c.n_docs))
+               AS rate
+      FROM counts c, tot t
+    ),
+    gated AS (
+      SELECT d.source, {_SQL_DOC_HASH} AS h FROM documents d
+    ),
+    kept AS (
+      SELECT g.source, count(*) AS n_kept
+      FROM gated g JOIN w ON g.source = w.source
+      WHERE g.h < w.rate
+      GROUP BY g.source
+    )
+    SELECT w.source,
+           CAST(w.n_docs AS BIGINT) AS n_docs,
+           round(w.p, 6) AS p_s,
+           CAST(w.rate AS BIGINT) AS rate_permille,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM w LEFT JOIN kept k ON w.source = k.source
+    ORDER BY w.source
+    """,
+    "llm",
+    "sampling",
+    "data-mixing",
+    "temperature",
+    "pipeline",
+)
+def temperature_mixing_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling (alpha=0.7) to half the corpus
+    (corpus.temperature_weights), then the deterministic hash gate
+    applies those rates (corpus.stratified_sample) — per-source target
+    probability, permille rate, and actually-kept count."""
+    from milvus_cdc_spark.analytics import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    w = corpus.temperature_weights(docs, alpha=0.7, budget_frac=0.5)
+    kept = (
+        corpus.stratified_sample(docs, w.select("source", "rate_permille"))
+        .groupBy("source")
+        .agg(F.count("*").alias("_k"))
+    )
+    return (
+        w.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "p_s",
+            "rate_permille",
+            F.coalesce(F.col("_k"), F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "unigram_logprob_quality",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                t -> t != '')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+    tot AS (SELECT sum(tf) AS t FROM freq),
+    scored AS (
+      SELECT k.doc_id, -ln(f.tf / tt.t) AS nll
+      FROM toks k JOIN freq f ON k.tok = f.tok, tot tt
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_toks,
+           round(avg(nll), 6) AS avg_nll
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    "llm",
+    "quality",
+    "perplexity",
+    "pipeline",
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM average negative log-likelihood per document
+    (corpus.unigram_logprob) — the CCNet perplexity-filter shape with
+    the corpus itself as the LM."""
+    from milvus_cdc_spark.analytics import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.unigram_logprob(docs).orderBy("doc_id")

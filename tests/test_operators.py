@@ -1080,3 +1080,42 @@ def test_phrase_match_slop_semantics(spark):
     assert three(0) == {6}
     assert three(1) == {6, 7}
     assert 8 not in three(4)
+
+
+def test_temperature_weights_math(spark):
+    """alpha=1 is proportional (all rates equal the budget fraction);
+    alpha=0 is uniform across sources; rates cap at 1000."""
+    from milvus_cdc_spark.analytics.corpus import temperature_weights
+
+    rows = [(i, "big") for i in range(90)] + [(i + 100, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    w1 = {r.source: r for r in temperature_weights(df, alpha=1.0, budget_frac=0.5).collect()}
+    assert w1["big"].rate_permille == 500 and w1["small"].rate_permille == 500
+    assert abs(w1["big"].p_s - 0.9) < 1e-6
+
+    w0 = {r.source: r for r in temperature_weights(df, alpha=0.0, budget_frac=0.5).collect()}
+    # uniform p=0.5 each; small source's share (25 docs) exceeds its 10 -> cap
+    assert w0["small"].rate_permille == 1000
+    assert w0["big"].rate_permille == 278  # round(1000*50*0.5/90)
+
+
+def test_unigram_logprob_score(spark):
+    """Docs of common tokens score lower NLL than docs of rare tokens;
+    the score equals the hand-computed average."""
+    import math
+
+    from milvus_cdc_spark.analytics.corpus import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a a b rare")],
+        "doc_id long, text string",
+    )
+    # tf: a=6, b=1, rare=1; T=8
+    got = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    nll_a = -math.log(6 / 8)
+    exp1 = round(nll_a, 6)
+    exp2 = round((2 * nll_a + 2 * -math.log(1 / 8)) / 4, 6)
+    assert got[1].n_toks == 4 and abs(got[1].avg_nll - exp1) < 1e-6
+    assert got[2].n_toks == 4 and abs(got[2].avg_nll - exp2) < 1e-6
+    assert got[1].avg_nll < got[2].avg_nll
