@@ -87,6 +87,19 @@ HEADLINE_R5 = [
     "vocab_build",               # distributed token-id ranking
 ]
 
+#: Round-5 second-session additions (alphabetized; earlier subtotals
+#: stay comparable — r5_subtotal covers everything up to HEADLINE_R5).
+HEADLINE_R5B = [
+    "banded_cosine_near_dup",    # sign-band LSH + cosine verify
+    "gopher_repetition_flags",   # n-gram repetition filter signals
+    "ngram_decontamination",     # train/eval n-gram overlap
+    "phrase_match_slop",         # sloppy phrase match (Lucene moves)
+    "pii_redaction_stats",       # regex PII scrubbing
+    "pq_adc_recall",             # PQ train + encode + ADC search
+    "temperature_mixing_rates",  # multinomial temperature sampling
+    "unigram_logprob_quality",   # unigram-LM avg NLL scoring
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -100,7 +113,7 @@ def main() -> None:
     # code) are identical across scale factors, so this compiles each
     # query's stages without touching the measured data — the timed runs
     # then reflect steady-state engine speed, not one-time JIT cost.
-    all_queries = HEADLINE + HEADLINE_R2 + HEADLINE_R4 + HEADLINE_R5
+    all_queries = HEADLINE + HEADLINE_R2 + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R5B
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/"):
         for name in all_queries:
@@ -131,6 +144,13 @@ def main() -> None:
         sum(timings.get(n, 0.0) for n in HEADLINE + HEADLINE_R2 + HEADLINE_R4),
         3,
     )
+    r5_subtotal = round(
+        sum(
+            timings.get(n, 0.0)
+            for n in HEADLINE + HEADLINE_R2 + HEADLINE_R4 + HEADLINE_R5
+        ),
+        3,
+    )
     print(
         json.dumps(
             {
@@ -146,6 +166,7 @@ def main() -> None:
                 "r1_subtotal": r1_subtotal,
                 "r3_subtotal": r3_subtotal,
                 "r4_subtotal": r4_subtotal,
+                "r5_subtotal": r5_subtotal,
             }
         )
     )
