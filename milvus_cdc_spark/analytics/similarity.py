@@ -904,3 +904,177 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite IVF_PQ (the Milvus IVF_PQ index type, knowhere IVF-PQ /
+# Jégou et al. TPAMI 2011 §IV): coarse k-means lists + product
+# quantization of the RESIDUAL (vector minus its coarse centroid);
+# queries probe n_probe lists and rank candidates by ADC over the byte
+# codes. The coarse step prunes the candidate set (only probed lists are
+# touched), the PQ step shrinks what's stored 32x — together the config
+# that makes billion-vector search fit one machine's memory, and on
+# Spark the config where query cost is proportional to probed-list size,
+# never corpus size.
+# ---------------------------------------------------------------------------
+
+
+def _l2_assign_one(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest coarse centroid per vector by squared L2 (ties → lower
+    centroid id) — min-of-struct aggregate, so the corpus x k candidate
+    frame partial-aggregates map-side before its one shuffle."""
+    cen = centroids.select(
+        F.col("centroid_id").alias("coarse_id"), F.col("centroid").alias("_cc")
+    )
+    j = vectors.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_vv"),
+    ).crossJoin(F.broadcast(cen))
+    dist = F.aggregate(
+        F.zip_with(F.col("_vv"), F.col("_cc"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        j.withColumn("_dist", dist)
+        .groupBy(id_col)
+        .agg(F.min(F.struct(F.col("_dist"), F.col("coarse_id"))).alias("_b"))
+        .select(id_col, F.col("_b.coarse_id").alias("coarse_id"))
+    )
+
+
+def ivf_pq_build(
+    vectors: DataFrame,
+    k_coarse: int = 8,
+    coarse_iters: int = 2,
+    m: int = 4,
+    k_pq: int = 16,
+    pq_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train the full IVF_PQ index: coarse Lloyd k-means, residual
+    computation, per-subspace PQ codebooks on the residuals, byte codes.
+
+    Returns (coarse, assigned, codebooks, codes):
+    coarse (centroid_id, centroid, n_members); assigned (id, coarse_id);
+    codebooks (sub_id, centroid_id, centroid, n_members); codes
+    (id, sub_id, code). All deterministic (lowest-id seeding, 6-decimal
+    mean rounding) — a serial engine reproduces every table exactly.
+    """
+    coarse = ivf_train(
+        vectors, k=k_coarse, iters=coarse_iters, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    assigned = _l2_assign_one(vectors, coarse, id_col, vec_col)
+    resid = (
+        vectors.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_vv"),
+        )
+        .join(assigned, id_col)
+        .join(
+            F.broadcast(
+                coarse.select(
+                    F.col("centroid_id").alias("coarse_id"),
+                    F.col("centroid").alias("_cc"),
+                )
+            ),
+            "coarse_id",
+        )
+        .select(
+            F.col(id_col),
+            F.zip_with(F.col("_vv"), F.col("_cc"), lambda a, b: a - b).alias(
+                vec_col
+            ),
+        )
+    )
+    codebooks = pq_train(
+        resid, m=m, k=k_pq, iters=pq_iters, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    codes = pq_encode(resid, codebooks, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
+    return coarse, assigned, codebooks, codes
+
+
+def ivf_pq_adc_topk(
+    queries: DataFrame,
+    coarse: DataFrame,
+    assigned: DataFrame,
+    codebooks: DataFrame,
+    codes: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF_PQ query path: probe the ``n_probe`` nearest coarse lists,
+    rank list members by ADC over residual codes.
+
+    The per-query lookup table has n_probe x m x k_pq rows (residual of
+    the query against each probed centroid, per subspace, per codeword)
+    — catalog-sized, broadcast onto the codes. A document joins at most
+    one LUT row per (sub, query): it lives in exactly one coarse list,
+    and only if that list is probed — candidate cost is probed-list
+    size, never corpus size. One map-side-combined sum keyed
+    (query, doc), rounded to 6dp, ascending with neighbor_id ties —
+    the Milvus L2 contract.
+    """
+    d_sub = dim // m
+    cen = coarse.select(
+        F.col("centroid_id").alias("coarse_id"), F.col("centroid").alias("_cc")
+    )
+    qj = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
+    ).crossJoin(F.broadcast(cen))
+    qdist = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_cc"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_qdist").asc(), F.col("coarse_id").asc()
+    )
+    probes = (
+        qj.withColumn("_qdist", qdist)
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_probe)
+    )
+    qres = F.zip_with(F.col("_qv"), F.col("_cc"), lambda a, b: a - b)
+    slices = F.array(*[F.slice(qres, s * d_sub + 1, d_sub) for s in range(m)])
+    lut_base = probes.select(
+        "query_id", "coarse_id", F.posexplode(slices).alias("sub_id", "qv")
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = lut_base.join(
+        codebooks.select("sub_id", F.col("centroid_id").alias("code"), "centroid"),
+        "sub_id",
+    ).select("query_id", "coarse_id", "sub_id", "code", d.alias("d"))
+    cc = codes.join(assigned, id_col)
+    scored = (
+        cc.join(F.broadcast(lut), ["coarse_id", "sub_id", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.round(F.sum("d"), 6).alias("adist"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adist")
+    )

@@ -1583,3 +1583,188 @@ def phrase_match_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank.phrase_match(docs, ["fast", "sort"], slop=2).orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite IVF_PQ (Milvus index_type=IVF_PQ): coarse k-means lists +
+# PQ over the RESIDUAL, queries probe n_probe lists, ADC ranks the
+# probed candidates. The oracle reproduces the ENTIRE index build —
+# coarse Lloyd (kc*), L2 list assignment, residuals, per-subspace
+# residual k-means (pc*), byte codes (pa2) — then the probe + LUT +
+# ADC query path, CTE-for-stage against the Spark plan.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_KC, _IVFPQ_NPROBE = 8, 2
+_IVFPQ_RESID = ", ".join(
+    f"(v.embedding[{j + 1}] - c.d{j}) AS r{j}" for j in range(_KM_DIM)
+)
+_IVFPQ_SUBV = " UNION ALL ".join(
+    "SELECT vec_id, {s} AS sub_id, {cols} FROM resid".format(
+        s=s,
+        cols=", ".join(
+            f"r{s * _PQ_DSUB + i} AS v{i}" for i in range(_PQ_DSUB)
+        ),
+    )
+    for s in range(_PQ_M)
+)
+_IVFPQ_QSUB = " UNION ALL ".join(
+    "SELECT query_id, coarse_id, {s} AS sub_id, {cols} FROM qres".format(
+        s=s,
+        cols=", ".join(
+            f"r{s * _PQ_DSUB + i} AS v{i}" for i in range(_PQ_DSUB)
+        ),
+    )
+    for s in range(_PQ_M)
+)
+
+
+def _ivfpq_km_assign(cent_cte: str, out_id: str, src: str, rn_bound: int) -> str:
+    return f"""
+      SELECT * FROM (
+        SELECT v.vec_id AS {out_id}, c.centroid_id AS coarse_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_KM_DIST} ASC, c.centroid_id)
+                 AS rn
+        FROM {src} v CROSS JOIN {cent_cte} c
+      ) WHERE rn <= {rn_bound}
+    """
+
+
+@q(
+    "ivf_pq_recall",
+    f"""
+    WITH kc0 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+             {_KM_INIT}
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_IVFPQ_KC})
+    ),
+    ka0 AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT v.vec_id, c.centroid_id, v.embedding,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_KM_DIST} ASC, c.centroid_id)
+                 AS rn
+        FROM embeddings v CROSS JOIN kc0 c
+      ) WHERE rn = 1
+    ),
+    kc1 AS MATERIALIZED (SELECT centroid_id, {_KM_AVG} FROM ka0 GROUP BY centroid_id),
+    ka1 AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT v.vec_id, c.centroid_id, v.embedding,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_KM_DIST} ASC, c.centroid_id)
+                 AS rn
+        FROM embeddings v CROSS JOIN kc1 c
+      ) WHERE rn = 1
+    ),
+    kc2 AS MATERIALIZED (SELECT centroid_id, {_KM_AVG} FROM ka1 GROUP BY centroid_id),
+    kassign AS MATERIALIZED ({_ivfpq_km_assign("kc2", "vec_id", "embeddings", 1)}),
+    resid AS MATERIALIZED (
+      SELECT v.vec_id, a.coarse_id, {_IVFPQ_RESID}
+      FROM embeddings v
+      JOIN kassign a ON v.vec_id = a.vec_id
+      JOIN kc2 c ON a.coarse_id = c.centroid_id
+    ),
+    subv AS MATERIALIZED ({_IVFPQ_SUBV}),
+    pc0 AS MATERIALIZED (
+      SELECT sub_id,
+             row_number() OVER (PARTITION BY sub_id ORDER BY vec_id) - 1
+               AS cid,
+             {_PQ_VCOLS}
+      FROM subv
+      WHERE vec_id IN (SELECT vec_id FROM embeddings
+                       ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    pa0 AS MATERIALIZED ({_pq_assign_sql("pc0")}),
+    pc1 AS MATERIALIZED (SELECT sub_id, cid, {_PQ_AVG} FROM pa0 GROUP BY sub_id, cid),
+    pa1 AS MATERIALIZED ({_pq_assign_sql("pc1")}),
+    pc2 AS MATERIALIZED (SELECT sub_id, cid, {_PQ_AVG} FROM pa1 GROUP BY sub_id, cid),
+    pa2 AS MATERIALIZED ({_pq_assign_sql("pc2")}),
+    qprobe AS MATERIALIZED ({_ivfpq_km_assign(
+        "kc2", "query_id",
+        "(SELECT * FROM embeddings WHERE vec_id < 5)", _IVFPQ_NPROBE)}),
+    qres AS MATERIALIZED (
+      SELECT p.query_id, p.coarse_id, {_IVFPQ_RESID}
+      FROM qprobe p
+      JOIN embeddings v ON v.vec_id = p.query_id
+      JOIN kc2 c ON p.coarse_id = c.centroid_id
+    ),
+    qsub AS MATERIALIZED ({_IVFPQ_QSUB}),
+    lut AS MATERIALIZED (
+      SELECT s.query_id, s.coarse_id, s.sub_id, c.cid AS code,
+             {_PQ_DIST} AS d
+      FROM qsub s JOIN pc2 c ON s.sub_id = c.sub_id
+    ),
+    adist AS MATERIALIZED (
+      SELECT l.query_id, cd.vec_id AS neighbor_id,
+             round(sum(l.d), 6) AS adist
+      FROM pa2 cd
+      JOIN kassign ka ON cd.vec_id = ka.vec_id
+      JOIN lut l ON ka.coarse_id = l.coarse_id
+              AND cd.sub_id = l.sub_id AND cd.cid = l.code
+      WHERE cd.vec_id != l.query_id
+      GROUP BY l.query_id, cd.vec_id
+    ),
+    approx AS (
+      SELECT * FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adist ASC, neighbor_id) AS rank
+        FROM adist
+      ) WHERE rank <= 10
+    ),
+    exact AS (
+      SELECT * FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_SQL_L2SQ} ASC, c.vec_id) AS rank
+        FROM embeddings c,
+             (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+        WHERE c.vec_id != q.vec_id
+      ) WHERE rank <= 10
+    )
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(a.neighbor_id) / 10.0, 6) AS recall
+    FROM exact e LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+    "vector",
+    "quantization",
+    "ivf-pq",
+    "adc",
+    "recall",
+    "llm",
+)
+def ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite IVF_PQ (similarity.ivf_pq_build + ivf_pq_adc_topk,
+    k_coarse=8, m=4, k_pq=16, n_probe=2): probe-pruned ADC over
+    residual byte codes, recall@10 vs exact squared-L2."""
+    from milvus_cdc_spark.analytics import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coarse, assigned, cb, codes = similarity.ivf_pq_build(
+        emb, k_coarse=_IVFPQ_KC, m=_PQ_M, k_pq=_PQ_K, dim=64
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = similarity.ivf_pq_adc_topk(
+        queries, coarse, assigned, cb, codes,
+        k=10, n_probe=_IVFPQ_NPROBE, m=_PQ_M, dim=64,
+    )
+    exact = similarity.metric_topk(emb, queries, metric="l2", k=10)
+    hits = exact.alias("e").join(
+        approx.alias("a"),
+        (F.col("e.query_id") == F.col("a.query_id"))
+        & (F.col("e.neighbor_id") == F.col("a.neighbor_id")),
+        "left",
+    )
+    return (
+        hits.groupBy(F.col("e.query_id").alias("query_id"))
+        .agg(
+            F.count(F.col("a.neighbor_id")).alias("n_hits"),
+            F.round(F.count(F.col("a.neighbor_id")) / 10.0, 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

@@ -77,14 +77,25 @@ def build_dirs(sf_dir: str, work: str) -> tuple[str, str]:
         f"COPY ({' UNION ALL '.join(doc_reps)}) TO '{x10}/documents.parquet' "
         "(FORMAT PARQUET)"
     )
-    # embeddings x10: shifted vec_id only — k-means/clustering cost scales
-    # with row count; repeated vectors don't change the plan shape
+    # embeddings x10: shifted vec_id AND deterministically perturbed
+    # values (replica 0 keeps the originals). Exact copies would be
+    # near-duplicates of each other (cosine 1.0), so the banded
+    # near-dup query's pair count would grow ~SCALE² instead of the
+    # linear growth an honestly-bigger corpus shows — the same salting
+    # rationale as the documents table. k-means/PQ cost depends only on
+    # row count, so the perturbation doesn't distort those ratios.
     max_vec = con.sql(f"SELECT max(vec_id)+1 FROM '{emb_src}'").fetchone()[0]
-    emb_reps = " UNION ALL ".join(
-        f"SELECT * REPLACE (vec_id + {i * max_vec} AS vec_id) "
-        f"FROM '{emb_src}'"
-        for i in range(SCALE)
-    )
+    emb_reps_l = [f"SELECT * FROM '{emb_src}'"]
+    for i in range(1, SCALE):
+        emb_reps_l.append(
+            f"SELECT * REPLACE (vec_id + {i * max_vec} AS vec_id, "
+            f"list_transform(list_zip(embedding::DOUBLE[], "
+            f"generate_series(1, 64)), "
+            f"p -> p[1] + 0.3 * ((vec_id * 7 + {i} * 13 + p[2]) % 5 - 2)) "
+            f"AS embedding) "
+            f"FROM '{emb_src}'"
+        )
+    emb_reps = " UNION ALL ".join(emb_reps_l)
     con.sql(
         f"COPY ({emb_reps}) TO '{x10}/embeddings.parquet' (FORMAT PARQUET)"
     )
@@ -118,6 +129,11 @@ def queries():
         # not multiply with data size, only per-round work may
         "near_dup_clusters": suite.QUERIES["near_dup_clusters"].fn,
         "ivf_kmeans_build": suite.QUERIES["ivf_kmeans_build"].fn,
+        # round-5 second-session additions
+        "pq_adc_recall": suite.QUERIES["pq_adc_recall"].fn,
+        "banded_cosine_near_dup": suite.QUERIES["banded_cosine_near_dup"].fn,
+        "ngram_decontamination": suite.QUERIES["ngram_decontamination"].fn,
+        "unigram_logprob_quality": suite.QUERIES["unigram_logprob_quality"].fn,
     }
 
 

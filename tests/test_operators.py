@@ -1119,3 +1119,38 @@ def test_unigram_logprob_score(spark):
     assert got[1].n_toks == 4 and abs(got[1].avg_nll - exp1) < 1e-6
     assert got[2].n_toks == 4 and abs(got[2].avg_nll - exp2) < 1e-6
     assert got[1].avg_nll < got[2].avg_nll
+
+
+def test_ivf_pq_probe_pruning_and_determinism(spark, sf_dir):
+    """IVF_PQ: (1) the build is deterministic across runs; (2) every
+    corpus vector gets one coarse list and m codes; (3) every ADC
+    result's coarse list is among its query's probed lists — candidates
+    never leak from unprobed lists."""
+    from milvus_cdc_spark import catalog
+    from milvus_cdc_spark.analytics import similarity as S
+
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    coarse, assigned, cb, codes = S.ivf_pq_build(emb, k_coarse=4, m=4, k_pq=8)
+    coarse2, assigned2, cb2, codes2 = S.ivf_pq_build(emb, k_coarse=4, m=4, k_pq=8)
+    assert sorted(map(tuple, assigned.collect())) == sorted(
+        map(tuple, assigned2.collect())
+    )
+    assert sorted(map(tuple, codes.collect())) == sorted(map(tuple, codes2.collect()))
+    assert assigned.count() == n and codes.count() == n * 4
+
+    q = emb.filter(F.col("vec_id") < 3)
+    topk = S.ivf_pq_adc_topk(q, coarse, assigned, cb, codes, k=5, n_probe=2)
+    rows = topk.collect()
+    assert len(rows) == 15
+    probes = {}  # query -> probed coarse ids (top-2 by L2, tie on id)
+    cents = {r.centroid_id: r.centroid for r in coarse.collect()}
+    for r in q.collect():
+        d = sorted(
+            (sum((float(x) - c) ** 2 for x, c in zip(r.embedding, cv)), cid)
+            for cid, cv in cents.items()
+        )
+        probes[r.vec_id] = {cid for _, cid in d[:2]}
+    lists = {r.vec_id: r.coarse_id for r in assigned.collect()}
+    for r in rows:
+        assert lists[r.neighbor_id] in probes[r.query_id]

@@ -404,3 +404,15 @@ def test_pq_train_broadcasts_codebooks(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_pq_lut_broadcasts_onto_codes(spark, sf_dir):
+    """IVF_PQ query path: the probe LUT broadcasts onto the byte codes,
+    nothing degenerates to a cartesian product, and the ADC sum
+    partial-aggregates map-side — query cost tracks probed-list size,
+    never corpus size."""
+    df = suite.QUERIES["ivf_pq_recall"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
