@@ -68,3 +68,30 @@ def streaming_dedupe(
     pipelines to suppress duplicate documents at the door.
     """
     return stream.withWatermark(ts_col, watermark).dropDuplicates(keys)
+
+
+def fingerprint_gate(
+    stream: DataFrame,
+    history_fps: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingestion-time exact-dedup gate: drop incoming documents whose
+    normalized-text fingerprint already exists in the historical index —
+    a stream-static LEFT ANTI join, the streaming twin of
+    ``analytics.dedup.fingerprint_dedup``.
+
+    The static side is a one-column fingerprint dim; Spark broadcasts it
+    under the threshold and re-plans per micro-batch, so updates to the
+    historical index are picked up between batches. Stateless — no
+    watermark, no state store; duplicates WITHIN the stream are the
+    watermarked ``streaming_dedupe``'s job, composing after this gate.
+    At 100 TB of history the fingerprint dim outgrows a broadcast and
+    the same plan degrades gracefully to a shuffled anti join keyed on
+    the fingerprint.
+    """
+    from milvus_cdc_spark.functions.text import fingerprint
+
+    fp = stream.withColumn("fingerprint", fingerprint(F.col(text_col)))
+    return fp.join(
+        F.broadcast(history_fps.select("fingerprint")), "fingerprint", "left_anti"
+    )

@@ -513,3 +513,73 @@ def ddl_op_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("route")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ingestion-time dedup gate: a file stream of incoming documents anti-
+# joins the static historical fingerprint index — re-crawled duplicates
+# (deterministic replicas of historical docs, the same construction the
+# near-dup queries use) are dropped; genuinely new docs pass. The
+# converged kept-set equals the batch anti join, so DuckDB oracles it.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "streaming_fingerprint_gate",
+    """
+    WITH hist AS (
+      SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS fp
+      FROM documents WHERE doc_id < 200
+    ),
+    incoming AS (
+      SELECT doc_id, source, text FROM documents WHERE doc_id >= 200
+      UNION ALL
+      SELECT doc_id + 100000, source, text FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+    FROM incoming
+    WHERE md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+          NOT IN (SELECT fp FROM hist)
+    GROUP BY source
+    ORDER BY source
+    """,
+    "streaming",
+    "dedup",
+    "stream-static",
+    "llm",
+)
+def streaming_fingerprint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static anti-join dedup gate (streaming.joins
+    .fingerprint_gate): history = docs < 200; the stream carries docs
+    >= 200 plus re-crawled replicas of every doc_id % 10 == 0 —
+    replicas of HISTORICAL docs are dropped, replicas of new docs pass
+    (within-stream dedup is streaming_dedupe's job)."""
+    from milvus_cdc_spark.analytics.dedup import fingerprint_dedup
+    from milvus_cdc_spark.streaming.joins import fingerprint_gate
+
+    docs = catalog.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    hist = fingerprint_dedup(docs.filter(F.col("doc_id") < 200)).select(
+        "fingerprint"
+    )
+    incoming = docs.filter(F.col("doc_id") >= 200).unionAll(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "source", "text"
+        )
+    )
+    stage = tempfile.mkdtemp(prefix="docs_gate_") + "/files"
+    incoming.repartition(4).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    kept = fingerprint_gate(stream, hist)
+    out = _run_to_memory(kept.select("source"), "append")
+    return (
+        out.groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_kept"))
+        .orderBy("source")
+    )

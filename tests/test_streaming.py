@@ -1399,3 +1399,43 @@ def test_msg_count_tool(spark):
     }
     assert windowed["ch_0"].n_msgs == 1  # just the delete
     assert windowed["ch_1"].n_msgs == 1  # upsert; d-collection insert scoped out
+
+
+def test_fingerprint_gate_drops_known_passes_new(spark):
+    """Stream-static dedup gate: docs whose fingerprint is in the
+    history drop (whitespace/case variants too — normalized
+    fingerprint); new docs pass."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from milvus_cdc_spark.analytics.dedup import fingerprint_dedup
+    from milvus_cdc_spark.streaming.joins import fingerprint_gate
+
+    hist_docs = spark.createDataFrame(
+        [(1, "known doc one"), (2, "known doc two")], "doc_id long, text string"
+    )
+    hist = fingerprint_dedup(hist_docs).select("fingerprint")
+    incoming = spark.createDataFrame(
+        [
+            (10, "known doc one"),       # exact dup -> drop
+            (11, "  KNOWN   doc two "),  # normalized dup -> drop
+            (12, "fresh document"),      # new -> keep
+        ],
+        "doc_id long, text string",
+    )
+    stage = tempfile.mkdtemp(prefix="gate_test_") + "/files"
+    incoming.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(incoming.schema).parquet(stage)
+    q = (
+        fingerprint_gate(stream, hist)
+        .select("doc_id")
+        .writeStream.format("memory")
+        .queryName("gate_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    kept = {r.doc_id for r in spark.table("gate_out").collect()}
+    assert kept == {12}
