@@ -258,3 +258,19 @@ def pii_counts(text: Column) -> Column:
         F.regexp_count(text, F.lit(PII_IPV4)).alias("n_ips"),
         F.regexp_count(text, F.lit(PII_PHONE)).alias("n_phones"),
     )
+
+
+#: GPT-2-style byte-pair pre-tokenizer pattern (Radford et al. 2019,
+#: the regex every BPE tokenizer runs before merges), restricted to the
+#: lookahead-free ASCII subset so Java regex and RE2 (DuckDB) agree:
+#: contraction suffixes, space-prefixed letter runs, digit runs,
+#: punctuation runs, residual whitespace.
+BPE_PRETOKEN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9']+|\s+"
+
+
+def bpe_pretoken_count(text: Column) -> Column:
+    """Number of BPE pre-tokens in ``text`` (lowered) — the unit LLM
+    token budgets are denominated in before merges; a closer proxy for
+    real tokenizer counts than whitespace words (contractions and
+    punctuation split off). Pure regexp_count — codegen, no UDF."""
+    return F.regexp_count(F.lower(text), F.lit(BPE_PRETOKEN))

@@ -2300,3 +2300,43 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return corpus.unigram_logprob(docs).orderBy("doc_id")
+
+
+_BPE_SQL = """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_extract_all(lower(text), '@PAT@'))) AS BIGINT)
+             AS n_pretokens,
+           round(avg(len(regexp_extract_all(lower(text), '@PAT@'))), 6)
+             AS avg_pretokens
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+""".replace("@PAT@", "''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9'']+|\\s+")
+
+
+@q(
+    "bpe_pretoken_stats",
+    _BPE_SQL,
+    "llm",
+    "tokenization",
+    "bpe",
+    "pipeline",
+)
+def bpe_pretoken_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source BPE pre-token counts (functions.text.bpe_pretoken_count,
+    the GPT-2 pre-tokenizer regex) — the token-budget denomination for
+    mixture planning; one scan, map-side-combined aggregate."""
+    from milvus_cdc_spark.functions import text as textf
+
+    docs = _t(spark, sf_dir, "documents")
+    c = textf.bpe_pretoken_count(F.col("text"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(c).cast("bigint").alias("n_pretokens"),
+            F.round(F.avg(c), 6).alias("avg_pretokens"),
+        )
+        .orderBy("source")
+    )

@@ -1154,3 +1154,26 @@ def test_ivf_pq_probe_pruning_and_determinism(spark, sf_dir):
     lists = {r.vec_id: r.coarse_id for r in assigned.collect()}
     for r in rows:
         assert lists[r.neighbor_id] in probes[r.query_id]
+
+
+def test_bpe_pretoken_count_splits(spark):
+    """GPT-2 pre-tokenizer: contractions split off, punctuation and
+    digit runs count separately, whitespace runs collapse to one."""
+    from milvus_cdc_spark.functions.text import bpe_pretoken_count
+
+    df = spark.createDataFrame(
+        [
+            (1, "don't stop"),      # don + 't + ' stop' -> 3
+            (2, "hello, world!"),   # hello + ',' + ' world' + '!' -> 4
+            (3, "abc 123 x"),       # abc + ' 123' + ' x' -> 3
+            (4, "a   b"),           # a + ' b' (run: ' b' consumes? '  ' + ...)
+        ],
+        "id long, t string",
+    )
+    got = {r.id: r.n for r in df.select("id", bpe_pretoken_count(F.col("t")).alias("n")).collect()}
+    assert got[1] == 3
+    assert got[2] == 4
+    assert got[3] == 3
+    # 'a   b': 'a' then ' ?[a-z]+' matches ' b' only after '\s+' eats
+    # the residual run: 'a', '  ' (ws run), ' b' -> 3
+    assert got[4] == 3
