@@ -119,6 +119,43 @@ def queries():
         return corpus.pack_sequences(ch, seq_len=128, n_shards=32)
 
     _ = F
+
+    def banded_near_dup_scaled(spark, d):
+        """The suite query pins 8 bands x 8 dims for its oracle; a fixed
+        2^8-bucket band means bucket occupancy grows linearly with the
+        corpus and within-bucket pairs QUADRATICALLY (measured: 350M
+        candidate pairs at 10x). Like IVF nlist, the banding must be
+        sized to the corpus — here 4 bands x 16 dims (2^16 buckets)
+        once the corpus outgrows ~5k vectors; that keeps buckets
+        bounded and the join linear, at slightly lower band recall for
+        borderline near-dups (sign-flip tolerance drops from 8 to 4
+        chances)."""
+        from pyspark.sql import functions as FF
+
+        from milvus_cdc_spark.analytics import dedup
+
+        emb = catalog.load_table(spark, d, "embeddings")
+        n = emb.count()
+        n_bands, band_dims = (8, 8) if n <= 5000 else (4, 16)
+        base = emb.select(
+            FF.col("vec_id").alias("doc_id"),
+            FF.transform(FF.col("embedding"), lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+        replicas = emb.select(
+            (FF.col("vec_id") + 10_000_000).alias("doc_id"),
+            FF.transform(
+                FF.col("embedding"),
+                lambda x, i: x.cast("double")
+                + 0.02 * (((FF.col("vec_id") + i + 1) % 3) - 1),
+            ).alias("embedding"),
+        )
+        return dedup.embedding_near_dup(
+            base.unionAll(replicas), threshold=0.98,
+            n_bands=n_bands, band_dims=band_dims,
+        )
+
     return {
         "near_dup_pairs": suite.QUERIES["near_dup_pairs"].fn,
         "winnowing_fingerprints": suite.QUERIES["winnowing_fingerprints"].fn,
@@ -131,7 +168,7 @@ def queries():
         "ivf_kmeans_build": suite.QUERIES["ivf_kmeans_build"].fn,
         # round-5 second-session additions
         "pq_adc_recall": suite.QUERIES["pq_adc_recall"].fn,
-        "banded_cosine_near_dup": suite.QUERIES["banded_cosine_near_dup"].fn,
+        "banded_cosine_near_dup": banded_near_dup_scaled,
         "ngram_decontamination": suite.QUERIES["ngram_decontamination"].fn,
         "unigram_logprob_quality": suite.QUERIES["unigram_logprob_quality"].fn,
     }

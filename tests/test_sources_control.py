@@ -339,3 +339,47 @@ def test_credentials_scrubbed_on_read(spark, tmp_path):
     # persisted meta retains the real value for resume
     with open(reg.meta_path) as f:
         assert json.load(f)[spec.task_id]["connect_params"]["sasl.password"] == "hunter2"
+
+
+def test_position_tool_roundtrips(tmp_path):
+    """position_tool: native position and MessageIdData roundtrips, and
+    the per-channel listing over a positions parquet layout."""
+    import subprocess
+    import sys as _sys
+
+    import duckdb
+
+    def run(*args):
+        out = subprocess.run(
+            [_sys.executable, "/root/repo/scripts/position_tool.py", *args],
+            capture_output=True, text=True, check=True,
+        )
+        import json
+
+        return [json.loads(line) for line in out.stdout.strip().splitlines()]
+
+    ts = 1700000000000 << 18 | 5
+    [enc] = run("encode", "chan-a", str(ts))
+    [dec] = run("decode", enc["position"])
+    assert dec["channel"] == "chan-a" and dec["ts"] == ts and dec["logical"] == 5
+    assert dec["physical_time"].startswith("2023-11-14")
+
+    [mid] = run("encode-msgid", "9", "77", "2")
+    [mdec] = run("decode-msgid", mid["msgid"])
+    assert mdec == {"ledger_id": 9, "entry_id": 77, "partition": 2, "batch_index": -1}
+
+    pos_dir = tmp_path / "positions"
+    for bid, (ch, pts, n) in enumerate(
+        [("ch-0", 100 << 18, 3), ("ch-0", 200 << 18, 2), ("ch-1", 150 << 18, 7)]
+    ):
+        d = pos_dir / f"batch_id={bid}"
+        d.mkdir(parents=True)
+        duckdb.connect().execute(
+            f"COPY (SELECT '{ch}' AS vchannel, {pts}::BIGINT AS position_ts, "
+            f"{n}::BIGINT AS n_msgs) TO '{d}/part.parquet' (FORMAT PARQUET)"
+        )
+    rows = run("list", str(pos_dir))
+    assert [(r["vchannel"], r["position_ts"], r["n_msgs"]) for r in rows] == [
+        ("ch-0", 200 << 18, 5),
+        ("ch-1", 150 << 18, 7),
+    ]
