@@ -91,11 +91,14 @@ HEADLINE_R5 = [
 #: stay comparable — r5_subtotal covers everything up to HEADLINE_R5).
 HEADLINE_R5B = [
     "banded_cosine_near_dup",    # sign-band LSH + cosine verify
+    "bpe_pretoken_stats",        # GPT-2 pre-tokenizer counting
     "gopher_repetition_flags",   # n-gram repetition filter signals
+    "ivf_pq_recall",             # composite IVF_PQ probe + ADC
     "ngram_decontamination",     # train/eval n-gram overlap
     "phrase_match_slop",         # sloppy phrase match (Lucene moves)
     "pii_redaction_stats",       # regex PII scrubbing
     "pq_adc_recall",             # PQ train + encode + ADC search
+    "quality_filter_funnel",     # composite quality filter funnel
     "temperature_mixing_rates",  # multinomial temperature sampling
     "unigram_logprob_quality",   # unigram-LM avg NLL scoring
 ]

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from milvus_cdc_spark.suite import _SQL_COSINE, _t, q
+from milvus_cdc_spark.suite import _SQL_COSINE, _SQL_TOKS, _t, q
 
 # ---------------------------------------------------------------------------
 # Correlated EXISTS (TPC-H Q4 shape): orders that have at least one late
@@ -2339,4 +2339,86 @@ def bpe_pretoken_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(c), 6).alias("avg_pretokens"),
         )
         .orderBy("source")
+    )
+
+
+@q(
+    "quality_filter_funnel",
+    f"""
+    WITH toks2 AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) - 1 > 0
+                    THEN list_transform(generate_series(1, len(toks) - 1),
+                                        i -> array_to_string(toks[i:i+1], ' '))
+                    ELSE [] END) AS s
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    ),
+    rep AS (
+      SELECT doc_id, round(max(c) / sum(c)::DOUBLE, 6) AS top_frac
+      FROM (SELECT doc_id, s, count(*) AS c FROM toks2 GROUP BY doc_id, s)
+      GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT d.doc_id, d.lang,
+             len(list_filter(string_split_regex(trim(d.text), '\\s+'),
+                             x -> x != '')) AS n_words,
+             round(len(list_filter(
+                     string_split_regex(trim(lower(d.text)), '\\s+'),
+                     x -> list_contains(['the','a','of','and','to'], x)))::DOUBLE
+                   / greatest(len(list_filter(
+                       string_split_regex(trim(lower(d.text)), '\\s+'),
+                       x -> x != '')), 1), 6) AS stop_r,
+             coalesce(r.top_frac, 0.0) AS top_frac
+      FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id
+    ),
+    verdicts AS (
+      SELECT CASE
+               WHEN lang != 'en' THEN 'drop_non_english'
+               WHEN n_words < 20 THEN 'drop_too_short'
+               WHEN stop_r < 0.05 THEN 'drop_low_stopword'
+               WHEN top_frac > 0.10 THEN 'drop_repetitive'
+               ELSE 'kept'
+             END AS stage
+      FROM sig
+    )
+    SELECT stage, CAST(count(*) AS BIGINT) AS n_docs
+    FROM verdicts GROUP BY stage ORDER BY stage
+    """,
+    "llm",
+    "quality",
+    "filter-funnel",
+    "pipeline",
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb/C4-style composite quality filter with first-failing-rule
+    attribution: language gate, minimum length, stopword floor (the C4
+    'natural text' heuristic), repetition ceiling (Gopher) — each doc is
+    charged to the FIRST rule it fails, so the funnel shows where the
+    corpus is lost. One scan plus the 2-gram aggregate; every signal is
+    a column expression."""
+    from milvus_cdc_spark.analytics import corpus as corpus_ops
+    from milvus_cdc_spark.functions import text as textf
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = corpus_ops.repetition_stats(docs, n=2).select(
+        "doc_id", F.round(F.col("top") / F.col("total"), 6).alias("top_frac")
+    )
+    sig = docs.join(rep, "doc_id", "left").select(
+        "lang",
+        textf.token_count(F.col("text")).alias("n_words"),
+        F.round(textf.stopword_ratio(F.col("text")), 6).alias("stop_r"),
+        F.coalesce(F.col("top_frac"), F.lit(0.0)).alias("top_frac"),
+    )
+    stage = (
+        F.when(F.col("lang") != "en", "drop_non_english")
+        .when(F.col("n_words") < 20, "drop_too_short")
+        .when(F.col("stop_r") < 0.05, "drop_low_stopword")
+        .when(F.col("top_frac") > 0.10, "drop_repetitive")
+        .otherwise("kept")
+    )
+    return (
+        sig.select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("stage")
     )
