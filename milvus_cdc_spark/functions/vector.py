@@ -285,3 +285,41 @@ def binary_dequantize(q: Column, centroid: Column) -> Column:
         centroid,
         lambda b, c: c + F.when(b, q["scale"]).otherwise(-q["scale"]),
     )
+
+
+def substructure_words(q: Column, c: Column) -> Column:
+    """Milvus SUBSTRUCTURE distance over packed BinaryVectors:
+    1 - |q AND c| / |c| — zero iff the STORED vector ``c`` is a
+    substructure of the query (every set bit of c appears in q); the
+    chemical-fingerprint containment search (knowhere SUBSTRUCTURE).
+    All-zero ``c`` is trivially contained → distance 0. Exact-integer
+    popcounts, one division — bit-identical IEEE across engines."""
+    and_cnt = F.aggregate(
+        F.zip_with(q, c, lambda x, y: F.bit_count(x.bitwiseAND(y))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    c_cnt = F.aggregate(
+        c, F.lit(0), lambda acc, w: acc + F.bit_count(w)
+    )
+    return F.when(c_cnt == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - and_cnt.cast("double") / c_cnt.cast("double")
+    )
+
+
+def superstructure_words(q: Column, c: Column) -> Column:
+    """Milvus SUPERSTRUCTURE distance: 1 - |q AND c| / |q| — zero iff
+    the stored vector CONTAINS the query (c is a superstructure of q):
+    'find molecules containing my fragment'. All-zero query matches
+    everything at distance 0."""
+    and_cnt = F.aggregate(
+        F.zip_with(q, c, lambda x, y: F.bit_count(x.bitwiseAND(y))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    q_cnt = F.aggregate(
+        q, F.lit(0), lambda acc, w: acc + F.bit_count(w)
+    )
+    return F.when(q_cnt == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - and_cnt.cast("double") / q_cnt.cast("double")
+    )

@@ -1768,3 +1768,88 @@ def ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# SUBSTRUCTURE / SUPERSTRUCTURE binary metrics (Milvus metric_type for
+# BinaryVector, the chemical-fingerprint containment search): distance
+# 1 - |q AND c|/|q| is zero iff the stored vector CONTAINS the query.
+# The query masks alternating bits out of three stored fingerprints —
+# each original is a strict superstructure of its masked fragment and
+# must rank at distance 0.
+# ---------------------------------------------------------------------------
+
+_SQL_SUPER = """
+  (1.0 - (bit_count(q.w0 & c.w0) + bit_count(q.w1 & c.w1))::DOUBLE
+       / greatest(bit_count(q.w0) + bit_count(q.w1), 1))
+"""
+
+
+@q(
+    "superstructure_search",
+    f"""
+    WITH packed AS (
+      SELECT vec_id, {_SQL_W0} AS w0, {_SQL_W1} AS w1 FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id,
+             w0 & 1431655765 AS w0, w1 & 1431655765 AS w1
+      FROM packed WHERE vec_id < 3
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round({_SQL_SUPER}, 6) AS distance
+      FROM packed c, q
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, distance,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY distance ASC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, distance
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+    "vector",
+    "search",
+    "metric-type",
+    "superstructure",
+    "llm",
+)
+def superstructure_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUPERSTRUCTURE top-k (vector.superstructure_words): queries are
+    alternating-bit fragments (mask 0x55555555) of three stored
+    fingerprints; each original contains its fragment and ranks first
+    at distance 0. Broadcast query side, popcount word math JVM-side."""
+    from pyspark.sql import Window
+
+    from milvus_cdc_spark.functions import vector as vecf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    packed = emb.select(
+        "vec_id", vecf.sign_words_i64(F.col("embedding"), 64).alias("words")
+    )
+    mask = 0x55555555
+    q = packed.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform(F.col("words"), lambda w: w.bitwiseAND(F.lit(mask))).alias(
+            "qwords"
+        ),
+    )
+    scored = packed.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            vecf.superstructure_words(F.col("qwords"), F.col("words")), 6
+        ).alias("distance"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "rank", "neighbor_id", "distance")
+        .orderBy("query_id", "rank")
+    )

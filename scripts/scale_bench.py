@@ -84,6 +84,11 @@ def build_dirs(sf_dir: str, work: str) -> tuple[str, str]:
     # linear growth an honestly-bigger corpus shows — the same salting
     # rationale as the documents table. k-means/PQ cost depends only on
     # row count, so the perturbation doesn't distort those ratios.
+    # The noise must be hash-diffused per (vec, replica, dim): a periodic
+    # arithmetic pattern (e.g. (vec*7 + i*13 + dim) % 5) collapses every
+    # replica's SIGN pattern into a handful of classes — measured: the
+    # banded near-dup query's buckets go quadratic again, exactly what
+    # the perturbation exists to prevent.
     max_vec = con.sql(f"SELECT max(vec_id)+1 FROM '{emb_src}'").fetchone()[0]
     emb_reps_l = [f"SELECT * FROM '{emb_src}'"]
     for i in range(1, SCALE):
@@ -91,7 +96,7 @@ def build_dirs(sf_dir: str, work: str) -> tuple[str, str]:
             f"SELECT * REPLACE (vec_id + {i * max_vec} AS vec_id, "
             f"list_transform(list_zip(embedding::DOUBLE[], "
             f"generate_series(1, 64)), "
-            f"p -> p[1] + 0.3 * ((vec_id * 7 + {i} * 13 + p[2]) % 5 - 2)) "
+            f"p -> p[1] + 0.1 * ((hash(vec_id, {i}, p[2]) % 5)::BIGINT - 2)) "
             f"AS embedding) "
             f"FROM '{emb_src}'"
         )

@@ -1177,3 +1177,41 @@ def test_bpe_pretoken_count_splits(spark):
     # 'a   b': 'a' then ' ?[a-z]+' matches ' b' only after '\s+' eats
     # the residual run: 'a', '  ' (ws run), ' b' -> 3
     assert got[4] == 3
+
+
+def test_substructure_superstructure_semantics(spark):
+    """Containment distances over packed binary words: a fragment is at
+    distance 0 from its superstructure; disjoint sets at 1; zero
+    denominators follow the trivial-containment convention."""
+    from milvus_cdc_spark.functions.vector import (
+        substructure_words,
+        superstructure_words,
+    )
+
+    rows = [
+        # q,          c
+        ([0b0101, 0], [0b1111, 0], "frag_in_super"),
+        ([0b1111, 0], [0b0101, 0], "super_of_frag"),
+        ([0b0011, 0], [0b1100, 0], "disjoint"),
+        ([0, 0], [0b1111, 0], "empty_q"),
+        ([0b1111, 0], [0, 0], "empty_c"),
+    ]
+    df = spark.createDataFrame(
+        [(n, q, c) for q, c, n in rows],
+        "name string, q array<bigint>, c array<bigint>",
+    )
+    got = {
+        r.name: (r.sub, r.sup)
+        for r in df.select(
+            "name",
+            substructure_words(F.col("q"), F.col("c")).alias("sub"),
+            superstructure_words(F.col("q"), F.col("c")).alias("sup"),
+        ).collect()
+    }
+    # q={0,2} c={0..3}: sub = 1 - 2/4 = 0.5 ; sup = 1 - 2/2 = 0 (c contains q)
+    assert got["frag_in_super"] == (0.5, 0.0)
+    # q={0..3} c={0,2}: sub = 0 (q contains c) ; sup = 1 - 2/4 = 0.5
+    assert got["super_of_frag"] == (0.0, 0.5)
+    assert got["disjoint"] == (1.0, 1.0)
+    assert got["empty_q"] == (1.0, 0.0)   # empty q: contained by anything
+    assert got["empty_c"] == (0.0, 1.0)   # empty c: contained in anything
