@@ -15,7 +15,7 @@ Scoring is then a map-only pass. Nothing is collected to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from milvus_cdc_spark.functions import text as textf
@@ -137,19 +137,42 @@ def fulltext_search(
     terms: list[str],
     id_col: str = "doc_id",
     analyzer: str | None = None,
+    drop_ratio_search: float = 0.0,
 ) -> DataFrame:
     """Query the sparse BM25 index: the score is the sparse dot product
     Σ_t idf(t)·weight(d,t) over the query's posting lists — identical to
     ``bm25_scores`` run directly (tested), but touching only |terms|
     posting lists of a prebuilt index instead of re-scanning text.
-    ``analyzer`` must match the index build's."""
+    ``analyzer`` must match the index build's.
+
+    ``drop_ratio_search`` is the Milvus sparse search knob (milvus.io
+    SPARSE_INVERTED_INDEX params): drop the smallest
+    ``floor(ratio * nnz)`` entries of the QUERY vector before searching
+    — for a BM25 query the entry values are the term idfs, so the
+    lowest-idf (most common, least selective) terms are skipped and
+    their posting lists never read. Ties break on the term string, so
+    the drop set is deterministic cross-engine. The query vector is
+    |terms| rows — the ranking window is explicitly catalog-sized.
+    """
     if analyzer is not None:
         from milvus_cdc_spark.functions.text import analyze_terms
 
         terms = sorted(set(analyze_terms(terms, analyzer)))
+    postings = index.filter(F.col("tok").isin(terms))
+    if drop_ratio_search > 0.0:
+        qvec = postings.select("tok", "idf").distinct()
+        w = Window.orderBy(F.col("idf").asc(), F.col("tok").asc())
+        keep = (
+            qvec.withColumn("_r", F.row_number().over(w))
+            .withColumn("_n", F.count("*").over(Window.partitionBy()))
+            .filter(
+                F.col("_r") > F.floor(F.lit(drop_ratio_search) * F.col("_n"))
+            )
+            .select("tok")
+        )
+        postings = postings.join(F.broadcast(keep), "tok")
     return (
-        index.filter(F.col("tok").isin(terms))
-        .groupBy(id_col)
+        postings.groupBy(id_col)
         .agg(F.sum(F.col("idf") * F.col("weight")).alias("bm25"))
     )
 

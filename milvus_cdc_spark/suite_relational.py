@@ -2422,3 +2422,68 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .orderBy("stage")
     )
+
+
+@q(
+    "fulltext_drop_ratio",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                        t -> t <> '')) AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM toks WHERE tok IN ('batch', 'data', 'query', 'merge')
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    qvec AS (
+      SELECT tok, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf,
+             row_number() OVER (
+               ORDER BY ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) ASC, tok ASC
+             ) AS r,
+             count(*) OVER () AS n
+      FROM dfreq CROSS JOIN stats
+    ),
+    keep AS (SELECT tok FROM qvec WHERE r > floor(0.3 * n)),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
+      FROM tf
+      JOIN keep USING (tok)
+      JOIN dfreq USING (tok)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 4) AS bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 15
+    """,
+    "text",
+    "bm25",
+    "sparse",
+    "drop-ratio",
+    "llm",
+)
+def fulltext_drop_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse search with drop_ratio_search=0.3 over a 4-term BM25 query
+    (textrank.fulltext_search): the lowest-idf term's posting list is
+    skipped entirely — the Milvus SPARSE_INVERTED_INDEX search knob."""
+    from milvus_cdc_spark.analytics.textrank import bm25_index, fulltext_search
+
+    docs = _t(spark, sf_dir, "documents")
+    index = bm25_index(docs)
+    scored = fulltext_search(
+        index, ["batch", "data", "query", "merge"], drop_ratio_search=0.3
+    )
+    return (
+        scored.select("doc_id", F.round("bm25", 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(15)
+    )
