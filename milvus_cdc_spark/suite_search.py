@@ -1853,3 +1853,90 @@ def superstructure_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "neighbor_id", "distance")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# search_iterator parity (milvus.io Search Iterator): iterating a search
+# result does NOT re-rank from offset 0 — the cursor is the last row's
+# (distance, id) and the next page applies a keyset predicate on the
+# scored frame. Page 2 of query vec 0's cosine ranking: the cursor is
+# derived in-query (rank-5 row) so the oracle mirrors it exactly; the
+# page materializes via TakeOrderedAndProject, cost O(page), not
+# O(offset + page).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "search_iterator_page",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT c.vec_id AS neighbor_id, {_SQL_COSINE} AS sim
+      FROM embeddings c, q WHERE c.vec_id != q.vec_id
+    ),
+    cur AS (
+      SELECT neighbor_id AS cid, sim AS csim FROM (
+        SELECT neighbor_id, sim,
+               row_number() OVER (ORDER BY sim DESC, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn = 5
+    )
+    SELECT s.neighbor_id, s.sim
+    FROM scored s, cur
+    WHERE s.sim < cur.csim OR (s.sim = cur.csim AND s.neighbor_id > cur.cid)
+    ORDER BY s.sim DESC, s.neighbor_id
+    LIMIT 5
+    """,
+    "vector",
+    "search",
+    "iterator",
+    "keyset",
+    "llm",
+)
+def search_iterator_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second page (rows 6-10) of a cosine search via the iterator's
+    (distance, id) keyset cursor — never re-ranks the first page."""
+    from pyspark.sql import Window
+
+    from milvus_cdc_spark.functions import vector as vecf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "neighbor_id",
+            F.round(vecf.cosine(F.col("cvec"), F.col("qvec")), 6).alias("sim"),
+        )
+    )
+    # cursor = the page-1 tail row. TakeOrderedAndProject (orderBy+limit)
+    # + a 5-row min-of-struct — NOT a global row_number window, which
+    # would funnel the whole scored frame through one task. Under the
+    # page order (sim desc, id asc) the last row is the lexicographic
+    # min of (sim, -id).
+    cur = (
+        scored.orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+        .limit(5)
+        .agg(
+            F.min(
+                F.struct(F.col("sim"), (-F.col("neighbor_id")).alias("nid"))
+            ).alias("_b")
+        )
+        .select(
+            F.col("_b.sim").alias("_csim"), (-F.col("_b.nid")).alias("_cid")
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(cur))
+        .filter(
+            (F.col("sim") < F.col("_csim"))
+            | ((F.col("sim") == F.col("_csim")) & (F.col("neighbor_id") > F.col("_cid")))
+        )
+        .select("neighbor_id", "sim")
+        .orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+        .limit(5)
+    )
