@@ -1078,3 +1078,50 @@ def ivf_pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adist")
     )
+
+
+def decay_rerank(
+    ranked: DataFrame,
+    field: str,
+    function: str = "gauss",
+    origin: float = 0.0,
+    scale: float = 1.0,
+    offset: float = 0.0,
+    decay: float = 0.5,
+    score_col: str = "sim",
+) -> DataFrame:
+    """Milvus 2.6 decay ranker (milvus.io Decay Ranker: gauss / exp /
+    linear): multiply each candidate's similarity by a decay of its
+    distance from ``origin`` on a numeric ``field`` — freshness-aware
+    ranking without re-indexing. Elasticsearch-compatible forms:
+
+    - gauss:  exp(-max(0, |x-origin| - offset)^2 / (2 sigma^2)),
+      sigma^2 = -scale^2 / (2 ln(decay))
+    - exp:    exp(ln(decay)/scale * max(0, |x-origin| - offset))
+    - linear: max(0, (s - max(0, |x-origin| - offset)) / s),
+      s = scale / (1 - decay)
+
+    At ``|x-origin| <= offset`` the multiplier is 1; at distance
+    ``offset + scale`` it is exactly ``decay``. Pure column math on an
+    already-ranked frame — rescore + re-sort only, candidate set
+    unchanged. Returns the input columns plus ``decayed_score``
+    (rounded to 6dp for cross-engine rank stability).
+    """
+    import math
+
+    x = F.col(field).cast("double")
+    dist = F.greatest(F.lit(0.0), F.abs(x - F.lit(float(origin))) - F.lit(float(offset)))
+    if function == "gauss":
+        sigma2 = -(scale * scale) / (2.0 * math.log(decay))
+        mult = F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+    elif function == "exp":
+        lam = math.log(decay) / scale
+        mult = F.exp(F.lit(lam) * dist)
+    elif function == "linear":
+        s = scale / (1.0 - decay)
+        mult = F.greatest(F.lit(0.0), (F.lit(s) - dist) / F.lit(s))
+    else:
+        raise ValueError(f"unknown decay function: {function}")
+    return ranked.withColumn(
+        "decayed_score", F.round(F.col(score_col) * mult, 6)
+    )

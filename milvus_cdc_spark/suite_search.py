@@ -1940,3 +1940,73 @@ def search_iterator_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Milvus 2.6 decay ranker (gauss form): rescale cosine hits by their
+# distance from an origin on a numeric field — freshness/recency-aware
+# ranking as a pure rescoring pass. The sigma^2 constant is computed
+# once in Python and injected into BOTH the Spark plan and the oracle
+# SQL as the identical double literal, so the engines exponentiate the
+# same number.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_DECAY_SIGMA2 = -(200.0 * 200.0) / (2.0 * _math.log(0.5))
+
+
+@q(
+    "decay_reranked_search",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT c.vec_id AS neighbor_id, {_SQL_COSINE} AS sim
+      FROM embeddings c, q WHERE c.vec_id != q.vec_id
+    ),
+    top AS (
+      SELECT * FROM (
+        SELECT neighbor_id, sim,
+               row_number() OVER (ORDER BY sim DESC, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn <= 10
+    ),
+    rescored AS (
+      SELECT neighbor_id, sim,
+             round(sim * exp(
+               -(greatest(0.0, abs(CAST(neighbor_id AS DOUBLE) - 0.0) - 50.0)
+                 * greatest(0.0, abs(CAST(neighbor_id AS DOUBLE) - 0.0) - 50.0))
+               / {2.0 * _DECAY_SIGMA2!r}), 6) AS decayed_score
+      FROM top
+    )
+    SELECT neighbor_id, sim, decayed_score
+    FROM rescored
+    ORDER BY decayed_score DESC, neighbor_id
+    LIMIT 5
+    """,
+    "vector",
+    "search",
+    "rerank",
+    "decay",
+    "llm",
+)
+def decay_reranked_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gauss decay rerank (similarity.decay_rerank) of the cosine top-10
+    for query vec 0 on the neighbor_id axis (origin 0, offset 50,
+    scale 200, decay 0.5): hits within 50 keep their score, a hit at
+    250 is halved — the final order interleaves similarity with
+    'recency'."""
+    from milvus_cdc_spark.analytics import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") == 0)
+    top = similarity.brute_force_topk(emb, queries, k=10)
+    rescored = similarity.decay_rerank(
+        top, field="neighbor_id", function="gauss",
+        origin=0.0, scale=200.0, offset=50.0, decay=0.5,
+    )
+    return (
+        rescored.select("neighbor_id", "sim", "decayed_score")
+        .orderBy(F.col("decayed_score").desc(), F.col("neighbor_id").asc())
+        .limit(5)
+    )

@@ -1215,3 +1215,38 @@ def test_substructure_superstructure_semantics(spark):
     assert got["disjoint"] == (1.0, 1.0)
     assert got["empty_q"] == (1.0, 0.0)   # empty q: contained by anything
     assert got["empty_c"] == (0.0, 1.0)   # empty c: contained in anything
+
+
+def test_decay_rerank_forms(spark):
+    """Decay ranker contract: multiplier is 1 inside the offset, exactly
+    `decay` at distance offset+scale, for all three forms; linear hits 0
+    past its support."""
+    from milvus_cdc_spark.analytics.similarity import decay_rerank
+
+    df = spark.createDataFrame(
+        [(0.0, 1.0), (50.0, 1.0), (250.0, 1.0), (1000.0, 1.0)],
+        "x double, sim double",
+    )
+    for fn in ("gauss", "exp", "linear"):
+        got = {
+            r.x: r.decayed_score
+            for r in decay_rerank(
+                df, field="x", function=fn,
+                origin=0.0, scale=200.0, offset=50.0, decay=0.5,
+            ).collect()
+        }
+        assert got[0.0] == 1.0 and got[50.0] == 1.0, fn
+        assert abs(got[250.0] - 0.5) < 1e-6, fn  # offset + scale -> decay
+        assert got[1000.0] < 0.1, fn
+    lin = {
+        r.x: r.decayed_score
+        for r in decay_rerank(
+            df, field="x", function="linear",
+            origin=0.0, scale=200.0, offset=50.0, decay=0.5,
+        ).collect()
+    }
+    assert lin[1000.0] == 0.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decay_rerank(df, field="x", function="nope")
