@@ -157,3 +157,50 @@ def ttl_visible(alive: DataFrame, ttl_props: DataFrame) -> DataFrame:
         )
         .orderBy("collection")
     )
+
+
+def read_your_writes(ops: DataFrame, session_col: str = "session") -> DataFrame:
+    """Milvus **Session** consistency level (read-your-writes): each
+    client session reads at guarantee_ts = the last timestamp IT wrote
+    — later writers' ops are invisible, its own are always visible
+    (pymilvus ConsistencyLevel.Session; the proxy tracks the
+    session's last write ts and sends it as guarantee_ts).
+
+    Plan: per-session cutoffs are a catalog-sized aggregate broadcast
+    back onto the op-log; the replay is one conditional aggregate keyed
+    (session, collection, pk). Like ``read_at_levels`` the session
+    dimension multiplies per-row work by its tiny cardinality (number
+    of concurrent clients) but adds no extra shuffle.
+
+    Returns (session, guarantee_ts, alive_pks, total_inserts).
+    """
+    from milvus_cdc_spark.operators.filters import insert_like
+
+    cuts = ops.groupBy(session_col).agg(F.max("ts").alias("_g"))
+    seen = ops.drop(session_col).crossJoin(
+        F.broadcast(cuts.select(F.col(session_col).alias("_reader"), "_g"))
+    ).filter(F.col("ts") <= F.col("_g"))
+    is_ins = insert_like()
+    agg = seen.groupBy("_reader", "_g", "collection", "pk").agg(
+        F.max(F.when(is_ins, F.col("ts"))).alias("_li"),
+        F.max(F.when(F.col("op_type") == "delete", F.col("ts"))).alias("_ld"),
+        F.sum(F.when(is_ins, F.col("num_rows")).otherwise(F.lit(0))).alias("_n"),
+    )
+    alive = agg.filter(
+        F.col("_li").isNotNull()
+        & (F.col("_ld").isNull() | (F.col("_li") >= F.col("_ld")))
+    )
+    return (
+        alive.groupBy("_reader", "_g")
+        .agg(
+            F.count("*").alias("alive_pks"),
+            F.sum("_n").alias("total_inserts"),
+        )
+        .select(
+            F.col("_reader").alias(session_col),
+            F.col("_g").cast("bigint").alias("guarantee_ts"),
+            "alive_pks",
+            F.col("total_inserts").cast("bigint").alias("total_inserts"),
+        )
+        .orderBy(session_col)
+    )

@@ -193,3 +193,50 @@ def growing_sealed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("collection")
     )
+
+
+# ---------------------------------------------------------------------------
+# Session consistency (read-your-writes): four synthetic client sessions
+# (pk % 4 — which client inserted which rows) each read at the last ts
+# THEY wrote. The session with the latest write sees the most state; an
+# early-finishing session's read excludes later writers' ops.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "session_consistency_read",
+    f"""
+    WITH ops AS ({oplog.ORACLE_OPLOG_SQL}),
+    s AS (SELECT *, pk % 4 AS session FROM ops),
+    cuts AS (SELECT session AS reader, max(ts) AS g FROM s GROUP BY session),
+    seen AS (
+      SELECT c.reader, c.g, o.collection, o.pk, o.op_type, o.ts, o.num_rows
+      FROM s o CROSS JOIN cuts c
+      WHERE o.ts <= c.g
+    ),
+    agg AS (
+      SELECT reader, g, collection, pk,
+             max(CASE WHEN op_type = 'insert' THEN ts END) AS li,
+             max(CASE WHEN op_type = 'delete' THEN ts END) AS ld,
+             sum(CASE WHEN op_type = 'insert' THEN num_rows ELSE 0 END) AS n
+      FROM seen GROUP BY 1, 2, 3, 4
+    )
+    SELECT reader AS session,
+           CAST(g AS BIGINT) AS guarantee_ts,
+           count(*) AS alive_pks,
+           CAST(sum(n) AS BIGINT) AS total_inserts
+    FROM agg
+    WHERE li IS NOT NULL AND (ld IS NULL OR li >= ld)
+    GROUP BY reader, g
+    ORDER BY session
+    """,
+    "cdc",
+    "consistency",
+    "session",
+    "read-your-writes",
+)
+def session_consistency_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem")).withColumn(
+        "session", F.col("pk") % 4
+    )
+    return consistency.read_your_writes(ops)
