@@ -628,3 +628,49 @@ def compile_expr(
     p = _Parser(expr, fields, meta_col, frozenset(json_fields))
     out = p.parse()
     return out if isinstance(out, Column) else out.col
+
+
+def render_expr_template(expr: str, params: dict) -> str:
+    """pymilvus parameterized-expression parity: substitute ``{name}``
+    placeholders with typed literals before compiling — the client-side
+    half of ``client.query(filter="id in {ids}", filter_params={"ids":
+    [1, 2]})``. Values render into the grammar this module parses:
+
+    - str → double-quoted with ``\\`` and ``\"`` escaped (Go-style,
+      matching the string-literal rules the parser implements)
+    - bool → ``true`` / ``false`` (checked before int: bool is an int
+      subclass in Python)
+    - int / float → decimal literal
+    - list/tuple → ``[item, item, ...]`` rendered recursively
+
+    Unknown placeholders and unused params both raise — a typo'd
+    parameter must never silently compile into a different filter.
+    """
+    import re as _re
+
+    def render(v) -> str:
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        if isinstance(v, str):
+            escaped = v.replace("\\", "\\\\").replace('"', '\\"')
+            return f'"{escaped}"'
+        if isinstance(v, (list, tuple)):
+            return "[" + ", ".join(render(x) for x in v) + "]"
+        raise ExprError(f"unsupported template param type: {type(v).__name__}")
+
+    used: set[str] = set()
+
+    def sub(m) -> str:
+        name = m.group(1)
+        if name not in params:
+            raise ExprError(f"missing template param {name!r} in {expr!r}")
+        used.add(name)
+        return render(params[name])
+
+    out = _re.sub(r"\{([A-Za-z_][A-Za-z0-9_]*)\}", sub, expr)
+    unused = set(params) - used
+    if unused:
+        raise ExprError(f"unused template params {sorted(unused)} in {expr!r}")
+    return out

@@ -230,3 +230,41 @@ def test_filtered_topk_accepts_expr_string(spark, sf_dir):
     assert sorted(map(tuple, via_str.collect())) == sorted(
         map(tuple, via_col.collect())
     )
+
+
+def test_render_expr_template(spark):
+    """pymilvus filter_params parity: typed substitution composing with
+    the compiler; unknown/unused params raise."""
+    import pytest
+
+    from milvus_cdc_spark.functions.expr import (
+        ExprError,
+        compile_expr,
+        render_expr_template,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "B1", 4.0, True), (2, "B2", 9.5, False), (3, 'B"3', 1.0, True)],
+        "id long, brand string, size double, live boolean",
+    )
+    r = render_expr_template
+    assert r("id in {ids}", {"ids": [1, 3]}) == "id in [1, 3]"
+    assert r("size > {s} and live == {l}", {"s": 2.5, "l": True}) == (
+        "size > 2.5 and live == true"
+    )
+    tmpl = r('brand == {b}', {"b": 'B"3'})
+    assert tmpl == 'brand == "B\\"3"'
+
+    def ids(expr, params):
+        c = compile_expr(render_expr_template(expr, params), df)
+        return sorted(x.id for x in df.filter(c).collect())
+
+    assert ids("id in {ids}", {"ids": [1, 3]}) == [1, 3]
+    assert ids("brand == {b}", {"b": 'B"3'}) == [3]
+    assert ids("size > {s} and live == {l}", {"s": 2.0, "l": True}) == [1]
+    with pytest.raises(ExprError):
+        r("id in {missing}", {})
+    with pytest.raises(ExprError):
+        r("id > 1", {"extra": 5})
+    with pytest.raises(ExprError):
+        r("id == {x}", {"x": object()})
