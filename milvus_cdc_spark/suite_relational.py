@@ -2487,3 +2487,57 @@ def fulltext_drop_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(15)
     )
+
+
+@q(
+    "clustering_compaction_stats",
+    """
+    WITH mx AS (SELECT CAST(max(l_orderkey) AS BIGINT) AS mx FROM lineitem),
+    w AS (SELECT mx, greatest(1, CAST(ceil((mx + 1) / 16.0) AS BIGINT)) AS width FROM mx),
+    b AS (
+      SELECT CAST(floor(CAST(l.l_orderkey AS BIGINT) / w.width) AS BIGINT)
+               AS bucket_id,
+             CAST(l.l_orderkey AS BIGINT) AS k,
+             w.mx AS mx
+      FROM lineitem l CROSS JOIN w
+    ),
+    stats AS (
+      SELECT bucket_id, CAST(count(*) AS BIGINT) AS n_rows,
+             min(k) AS min_key, max(k) AS max_key, any_value(mx) AS mx
+      FROM b GROUP BY bucket_id
+    )
+    SELECT bucket_id, n_rows, min_key, max_key,
+           NOT (max_key < CAST(floor(mx / 4.0) AS BIGINT)
+                OR min_key > CAST(floor(mx / 3.0) AS BIGINT)) AS would_scan
+    FROM stats
+    ORDER BY bucket_id
+    """,
+    "cdc",
+    "clustering-key",
+    "compaction",
+    "pruning",
+)
+def clustering_compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-compaction PartitionStats (operators.clustering): 16
+    range segments of lineitem's clustering key with per-segment key
+    zone maps, plus the pruning verdict for a key BETWEEN max/4 AND
+    max/3 scan — only the intersecting segments would be read."""
+    from milvus_cdc_spark.operators import clustering
+
+    li = _t(spark, sf_dir, "lineitem")
+    stats = clustering.range_bucket_stats(li, "l_orderkey", n_buckets=16)
+    mx = li.agg(F.max("l_orderkey").cast("bigint").alias("_m"))
+    return (
+        stats.crossJoin(F.broadcast(mx))
+        .select(
+            "bucket_id",
+            "n_rows",
+            "min_key",
+            "max_key",
+            clustering.prune_verdict(
+                F.floor(F.col("_m") / 4.0).cast("bigint"),
+                F.floor(F.col("_m") / 3.0).cast("bigint"),
+            ).alias("would_scan"),
+        )
+        .orderBy("bucket_id")
+    )

@@ -1250,3 +1250,22 @@ def test_decay_rerank_forms(spark):
 
     with _pytest.raises(ValueError):
         decay_rerank(df, field="x", function="nope")
+
+
+def test_clustering_range_buckets_and_pruning(spark):
+    """Range-bucket stats partition the key space; pruning keeps exactly
+    the buckets whose zone intersects the predicate."""
+    from milvus_cdc_spark.operators.clustering import (
+        prune_verdict,
+        range_bucket_stats,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    stats = range_bucket_stats(df, "k", n_buckets=4)
+    rows = {r.bucket_id: r for r in stats.collect()}
+    assert len(rows) == 4
+    assert sum(r.n_rows for r in rows.values()) == 100
+    assert rows[0].min_key == 0 and rows[3].max_key == 99
+    # predicate [30, 40] intersects buckets 1 ([25..49]) only
+    kept = stats.filter(prune_verdict(30, 40)).select("bucket_id").collect()
+    assert {r.bucket_id for r in kept} == {1}
