@@ -1125,3 +1125,77 @@ def decay_rerank(
     return ranked.withColumn(
         "decayed_score", F.round(F.col(score_col) * mult, 6)
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    pairwise: DataFrame,
+    k: int = 3,
+    lam: float = 0.7,
+    id_col: str = "neighbor_id",
+    sim_col: str = "sim",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98)
+    diversified reranking of a small candidate pool: greedily pick
+    argmax of ``lam·sim(q,d) − (1−lam)·max_{s∈S} sim(d,s)`` — relevance
+    traded against redundancy with what's already selected.
+
+    ``candidates`` is (id, sim) — a top-N pool (N ~ tens; MMR reranks a
+    pool, never a corpus); ``pairwise`` is (a, b, psim) candidate-
+    candidate similarities (N² rows — pool-sized). The greedy loop
+    unrolls into the PLAN (k driver-side iterations, each a broadcast
+    of the 1-row pick via TakeOrderedAndProject — no collects, no
+    global sort); ties break on the id, and the empty-selection
+    penalty is 0 so pick 1 is pure relevance.
+
+    Returns (rank, id, mmr_score rounded 6).
+    """
+    remaining = candidates.select(
+        F.col(id_col).alias("_id"), F.col(sim_col).alias("_sim")
+    )
+    pw = pairwise.select(
+        F.col("a").alias("_pa"), F.col("b").alias("_pb"), F.col("psim").alias("_ps")
+    )
+    picks: list[DataFrame] = []
+    selected: DataFrame | None = None
+    for rank in range(1, k + 1):
+        if selected is None:
+            mmr = remaining.withColumn(
+                "_mmr", F.round(F.lit(lam) * F.col("_sim"), 6)
+            )
+        else:
+            pen = (
+                pw.join(
+                    F.broadcast(selected.select(F.col("_id").alias("_pb"))),
+                    "_pb",
+                )
+                .groupBy("_pa")
+                .agg(F.max("_ps").alias("_pen"))
+            )
+            mmr = (
+                remaining.join(pen, remaining["_id"] == pen["_pa"], "left")
+                .withColumn(
+                    "_mmr",
+                    F.round(
+                        F.lit(lam) * F.col("_sim")
+                        - F.lit(1.0 - lam) * F.coalesce(F.col("_pen"), F.lit(0.0)),
+                        6,
+                    ),
+                )
+                .select("_id", "_sim", "_mmr")
+            )
+        pick = (
+            mmr.orderBy(F.col("_mmr").desc(), F.col("_id").asc())
+            .limit(1)
+            .select("_id", F.lit(rank).alias("rank"), F.col("_mmr"))
+        )
+        picks.append(pick)
+        sel_ids = pick.select("_id")
+        selected = sel_ids if selected is None else selected.unionAll(sel_ids)
+        remaining = remaining.join(F.broadcast(sel_ids), "_id", "left_anti")
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out.select(
+        "rank", F.col("_id").alias(id_col), F.col("_mmr").alias("mmr_score")
+    )

@@ -2010,3 +2010,101 @@ def decay_reranked_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("decayed_score").desc(), F.col("neighbor_id").asc())
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified reranking (Carbonell & Goldstein SIGIR'98) of a top-8
+# cosine pool, k=3, lambda=0.7 — the greedy argmax unrolls into three
+# CTE steps in the oracle exactly as it unrolls into the Spark plan.
+# ---------------------------------------------------------------------------
+
+
+def _sql_cos(xe: str, ye: str) -> str:
+    return f"""
+      round(
+        list_sum(list_transform(list_zip({xe}, {ye}), p -> p[1] * p[2]))
+        / (sqrt(list_sum(list_transform({xe}, x -> x * x)))
+           * sqrt(list_sum(list_transform({ye}, x -> x * x)))), 6)
+    """
+
+
+@q(
+    "mmr_diversified_search",
+    f"""
+    WITH cand0 AS (
+      SELECT c.vec_id AS id, {_SQL_COSINE} AS sim, c.embedding::DOUBLE[] AS emb
+      FROM embeddings c,
+           (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0) q
+      WHERE c.vec_id != q.vec_id
+    ),
+    cand AS (
+      SELECT id, sim, emb FROM (
+        SELECT id, sim, emb, row_number() OVER (ORDER BY sim DESC, id) AS rn
+        FROM cand0
+      ) WHERE rn <= 8
+    ),
+    pair AS (
+      SELECT x.id AS a, y.id AS b, {_sql_cos("x.emb", "y.emb")} AS psim
+      FROM cand x JOIN cand y ON x.id != y.id
+    ),
+    s1 AS (
+      SELECT id, round(0.7 * sim, 6) AS mmr FROM cand
+      ORDER BY round(0.7 * sim, 6) DESC, id LIMIT 1
+    ),
+    m2 AS (
+      SELECT c.id, round(0.7 * c.sim - 0.3 * p.psim, 6) AS mmr
+      FROM cand c JOIN pair p ON p.a = c.id AND p.b = (SELECT id FROM s1)
+      WHERE c.id != (SELECT id FROM s1)
+    ),
+    s2 AS (SELECT id, mmr FROM m2 ORDER BY mmr DESC, id LIMIT 1),
+    m3 AS (
+      SELECT c.id,
+             round(0.7 * c.sim - 0.3 * max(p.psim), 6) AS mmr
+      FROM cand c JOIN pair p ON p.a = c.id
+       AND p.b IN ((SELECT id FROM s1), (SELECT id FROM s2))
+      WHERE c.id NOT IN ((SELECT id FROM s1), (SELECT id FROM s2))
+      GROUP BY c.id, c.sim
+    ),
+    s3 AS (SELECT id, mmr FROM m3 ORDER BY mmr DESC, id LIMIT 1)
+    SELECT 1 AS rank, id AS neighbor_id, mmr AS mmr_score FROM s1
+    UNION ALL
+    SELECT 2, id, mmr FROM s2
+    UNION ALL
+    SELECT 3, id, mmr FROM s3
+    ORDER BY rank
+    """,
+    "vector",
+    "search",
+    "rerank",
+    "mmr",
+    "diversity",
+    "llm",
+)
+def mmr_diversified_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (lambda=0.7, k=3) over the cosine top-8 of query vec 0
+    (similarity.mmr_rerank): relevance traded against redundancy; the
+    greedy loop unrolls into the plan, one broadcast 1-row pick per
+    step, no collects."""
+    from milvus_cdc_spark.analytics import similarity
+    from milvus_cdc_spark.functions import vector as vecf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") == 0)
+    cand = similarity.brute_force_topk(emb, queries, k=8).select(
+        "neighbor_id", "sim"
+    )
+    vecs = emb.select("vec_id", "embedding")
+    cv = cand.join(vecs, cand["neighbor_id"] == vecs["vec_id"]).select(
+        F.col("neighbor_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    pairwise = (
+        cv.alias("x")
+        .crossJoin(F.broadcast(cv.alias("y")))
+        .filter(F.col("x.cid") != F.col("y.cid"))
+        .select(
+            F.col("x.cid").alias("a"),
+            F.col("y.cid").alias("b"),
+            F.round(vecf.cosine(F.col("x.cemb"), F.col("y.cemb")), 6).alias("psim"),
+        )
+    )
+    return similarity.mmr_rerank(cand, pairwise, k=3, lam=0.7).orderBy("rank")

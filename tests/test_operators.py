@@ -1269,3 +1269,24 @@ def test_clustering_range_buckets_and_pruning(spark):
     # predicate [30, 40] intersects buckets 1 ([25..49]) only
     kept = stats.filter(prune_verdict(30, 40)).select("bucket_id").collect()
     assert {r.bucket_id for r in kept} == {1}
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    """MMR: with two near-identical top candidates, pick 2 skips the
+    redundant twin in favor of a diverse lower-relevance candidate."""
+    from milvus_cdc_spark.analytics.similarity import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [(1, 0.95), (2, 0.94), (3, 0.80)], "neighbor_id long, sim double"
+    )
+    # 1 and 2 are near-duplicates (psim 0.99); 3 is orthogonal to both
+    pairs = [(1, 2, 0.99), (2, 1, 0.99), (1, 3, 0.0), (3, 1, 0.0),
+             (2, 3, 0.0), (3, 2, 0.0)]
+    pw = spark.createDataFrame(pairs, "a long, b long, psim double")
+    got = [
+        (r.rank, r.neighbor_id)
+        for r in mmr_rerank(cand, pw, k=3, lam=0.7).orderBy("rank").collect()
+    ]
+    # pick1 = 1 (max sim); pick2: cand2 mmr = .7*.94-.3*.99 = .361 <
+    # cand3 mmr = .7*.8-0 = .56 -> 3; pick3 = 2
+    assert got == [(1, 1), (2, 3), (3, 2)]
