@@ -3068,32 +3068,31 @@ from milvus_cdc_spark import suite_streaming_ext  # noqa: E402,F401  (import-for
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness checks the FIRST 50
-# registry entries, so the front of the dict is curated. Round 5 completes
-# the rotation begun in round 4: after r4, 101 of the 129 registry entries
-# had at least one hard driver row; the remaining 28 (verified green by
-# scripts/verify_local.py in r4) fill this window so that EVERY registry
-# query has a driver check in some round. The window keeps 10 regression
-# anchors (one per broad family, driver-green in r1-r4), 6 backfill
-# slots with oldest-checked queries (last driver row r3) chosen for
-# family spread, and the 6 new-in-r5 surfaces — 34 first-time rows
-# total. A green CORRECTNESS_r05 leaves every registry query with a
-# hard driver row in some round. Entries behind the window remain
-# covered by pytest + scripts/verify_local.py. Names listed here but
-# not (yet) registered are skipped, so the list can lead registration.
+# registry entries, so the front of the dict is curated. Round 5 (second
+# session) maximizes first-time driver evidence: the 28 queries that had
+# never had a driver row through r4 stay, the six first-session r5
+# surfaces stay, and TEN of this session's twenty new oracle-checked
+# queries take the slots previously spent re-checking r3/r4-green
+# anchors — 44 first-time rows total. Six regression anchors remain
+# (one per broad family, driver-green r1-r4). Everything displaced
+# (consistency_levels_read, db_scoped_remap, barrier_ready,
+# multimodal_features, schema_hydration, dedup_exact, bm25_topk,
+# streaming_positions, lifetime_asof_apply, diff_reconcile) has a
+# cumulative driver-green row from an earlier round, and the ten
+# remaining second-session queries behind the window are
+# scripts/verify_local.py-green at sf0.001/0.01/0.1 — slated for the
+# r6 rotation. Names listed here but not (yet) registered are skipped,
+# so the list can lead registration.
 # ---------------------------------------------------------------------------
 
 PRIORITY: tuple[str, ...] = (
-    # -- 10 regression anchors (driver-green through r4) --
+    # -- 6 regression anchors (driver-green through r4) --
     "q1_pricing_summary",        # flagship; TPC-H Q1 agg
     "cdc_replay_summary",        # A7/K1 replay
     "streaming_cdc_apply",       # K1/T6 executed stream
-    "consistency_levels_read",   # guarantee_ts read semantics
     "near_dup_pairs",            # LLM MinHash + LSH + Jaccard
-    "db_scoped_remap",           # P2 per-DB scoping + P4 db-wildcard remap
     "timetick_heartbeat",        # T1
-    "barrier_ready",             # A1/T3
     "sequence_packing",          # shard-partitioned packing (fixed r4)
-    "multimodal_features",       # §2.10 Arrow UDF surface
     # -- 28 first-ever driver checks (never in CORRECTNESS_r01-r04) --
     # dedup / fingerprinting
     "near_dup_clusters",         # connected-components clustering
@@ -3127,20 +3126,24 @@ PRIORITY: tuple[str, ...] = (
     "nested_semi_promo_suppliers",  # TPC-H Q20-style nested semi
     "rank_analytics",            # rank/dense_rank/percent_rank family
     "error_spike_detection",     # events anomaly window
-    # -- 12 backfill: oldest driver rows (last checked r3), family spread --
-    "schema_hydration",          # S1/S3/S4 metadata hydration
-    "dedup_exact",               # exact fingerprint dedup
-    "bm25_topk",                 # BM25 retrieval
-    "streaming_positions",       # K6/T6 positions write-back
-    "lifetime_asof_apply",       # P9/J7 as-of lifetime join
-    "diff_reconcile",            # J8 data-diff reconciliation
-    # -- new-in-r5 surfaces (first-ever driver rows) --
+    # -- first-session r5 surfaces (first-ever driver rows) --
     "partition_drop_replay",     # bulk-drop replay semantics
     "channel_msg_counts",        # msg_count tool surface
     "ivf_kmeans_build",          # IVF build: deterministic Lloyd k-means
     "analyzer_token_stats",      # analyzer_params surface
     "fulltext_sparse_search",    # BM25 sparse posting index
     "hybrid_dense_fulltext_rrf", # dense + full-text RRF hybrid
+    # -- second-session r5 surfaces (first-ever driver rows) --
+    "ivf_pq_recall",             # composite IVF_PQ probe + ADC
+    "pq_adc_recall",             # PQ train + encode + ADC search
+    "banded_cosine_near_dup",    # sign-band LSH + cosine verify
+    "ngram_decontamination",     # train/eval n-gram overlap
+    "unigram_logprob_quality",   # unigram-LM avg NLL scoring
+    "quality_filter_funnel",     # composite quality filter funnel
+    "streaming_fingerprint_gate",  # stream-static ingestion dedup gate
+    "session_consistency_read",  # Session level read-your-writes
+    "phrase_match_slop",         # sloppy phrase match (Lucene moves)
+    "temperature_mixing_rates",  # multinomial temperature sampling
 )
 
 
