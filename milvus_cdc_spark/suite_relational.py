@@ -2541,3 +2541,157 @@ def clustering_compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: ordered funnel conversion and weekly cohort retention
+# — the two queries every product-analytics workload runs over an event
+# stream. Both are conditional-aggregate + self-join plans keyed on
+# user_id: per-user rows are tiny (one per step), the event scan is
+# shared, and nothing shuffles wider than (user, step-ts).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "event_funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_full_funnel,
+           round((SELECT count(*) FROM c)
+                 / greatest((SELECT count(*) FROM v), 1)::DOUBLE, 6)
+             AS click_rate,
+           round((SELECT count(*) FROM p)
+                 / greatest((SELECT count(*) FROM c), 1)::DOUBLE, 6)
+             AS purchase_rate
+    """,
+    "events",
+    "funnel",
+    "analytics",
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view → click → purchase funnel, each step within 7 days
+    of the previous step's FIRST occurrence: per-step user counts and
+    step conversion rates."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    nv = v.agg(F.count("*").alias("n_view"))
+    nc = c.agg(F.count("*").alias("n_view_click"))
+    np_ = p.agg(F.count("*").alias("n_full_funnel"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            F.col("n_view").cast("bigint").alias("n_view"),
+            F.col("n_view_click").cast("bigint").alias("n_view_click"),
+            F.col("n_full_funnel").cast("bigint").alias("n_full_funnel"),
+            F.round(
+                F.col("n_view_click") / F.greatest(F.col("n_view"), F.lit(1)), 6
+            ).alias("click_rate"),
+            F.round(
+                F.col("n_full_funnel")
+                / F.greatest(F.col("n_view_click"), F.lit(1)),
+                6,
+            ).alias("purchase_rate"),
+        )
+    )
+
+
+@q(
+    "cohort_retention",
+    """
+    WITH cohort AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cw
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT c.cw, c.user_id,
+             CAST(floor((epoch(e.ts) - epoch(c.cw)) / 604800.0) AS BIGINT)
+               AS week_offset
+      FROM events e JOIN cohort c ON e.user_id = c.user_id
+      WHERE e.ts >= c.cw
+    )
+    SELECT CAST(cw AS DATE) AS cohort_week, week_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM active
+    WHERE week_offset <= 3
+    GROUP BY cw, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    "events",
+    "cohort",
+    "retention",
+    "analytics",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly signup-cohort retention matrix: distinct users of each
+    signup-week cohort active (any event) at week offsets 0-3. Offsets
+    compute from epoch seconds, so both engines bucket identically."""
+    ev = _t(spark, sf_dir, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cw"))
+    )
+    active = (
+        ev.join(cohort, "user_id")
+        .filter(F.col("ts") >= F.col("cw"))
+        .select(
+            "cw",
+            "user_id",
+            F.floor(
+                (F.unix_timestamp("ts") - F.unix_timestamp("cw")) / 604800.0
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        active.filter(F.col("week_offset") <= 3)
+        .groupBy(F.col("cw").cast("date").alias("cohort_week"), "week_offset")
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
