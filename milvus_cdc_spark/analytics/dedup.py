@@ -252,6 +252,7 @@ def winnowing_fingerprints(
 
 def connected_components(
     pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 50,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph by min-label
     propagation — the step that turns near-dup PAIRS into dedup CLUSTERS
@@ -280,10 +281,34 @@ def connected_components(
     strictly decreasing until fixpoint — one tiny aggregate per round
     instead of a join against the previous frame.
 
+    ``shuffle_partitions`` overrides the session shuffle width for the
+    iteration (restored on exit): the label/edge frames are PAIR-sized,
+    typically orders of magnitude below the corpus the session default
+    is tuned for, and each round schedules several shuffles — measured
+    ~15% total win at sf0.1 with 8 vs 32. Leave None to inherit (the
+    right call when the pair graph itself is large). Conf mutation is
+    session-wide for the duration — the suite runs queries
+    sequentially; concurrent jobs in the same session should pass None.
+
     Returns (node, component) for every node that appears in ``pairs``;
     singletons (docs with no near-dup) are their own implicit components
     and are intentionally absent.
     """
+    spark = pairs.sparkSession
+    prev_parts = None
+    if shuffle_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        return _connected_components_loop(pairs, a_col, b_col, max_iter)
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _connected_components_loop(
+    pairs: DataFrame, a_col: str, b_col: str, max_iter: int
+) -> DataFrame:
     import warnings
 
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))

@@ -1357,7 +1357,9 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     strong = dedup.near_dup_pipeline(docs, k=8, bands=4).filter(
         F.col("jaccard") >= 0.2
     )
-    comp = dedup.connected_components(strong)
+    # pair-graph frames are tiny next to the corpus default — narrow
+    # shuffles for the iteration (measured ~15% total win at sf0.1)
+    comp = dedup.connected_components(strong, shuffle_partitions=8)
     return (
         comp.groupBy(F.col("component").alias("canonical_id"))
         .agg(
