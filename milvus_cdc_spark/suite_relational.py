@@ -2695,3 +2695,61 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@q(
+    "dataset_card_summary",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x != '')) AS n_tokens,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             lang
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(n_tokens), 6) AS avg_tokens,
+           round(count(*) FILTER (lang = 'en') / count(*)::DOUBLE, 6)
+             AS pct_en,
+           CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups
+    FROM toks
+    GROUP BY source
+    ORDER BY source
+    """,
+    "llm",
+    "dataset-card",
+    "corpus",
+    "pipeline",
+)
+def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card (the summary block of a data-card /
+    datasheet): doc and token counts, language mix, exact-duplicate
+    rate — one scan, one map-side-combined aggregate per source; the
+    dup count reuses the dedup fingerprint contract."""
+    from milvus_cdc_spark.functions import text as textf
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        "lang",
+        textf.token_count(F.col("text")).alias("n_tokens"),
+        textf.fingerprint(F.col("text")).alias("fp"),
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            F.round(
+                F.sum((F.col("lang") == "en").cast("int")) / F.count("*"), 6
+            ).alias("pct_en"),
+            (F.count("*") - F.countDistinct("fp"))
+            .cast("bigint")
+            .alias("n_exact_dups"),
+        )
+        .orderBy("source")
+    )
