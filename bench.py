@@ -103,6 +103,22 @@ HEADLINE_R5B = [
     "unigram_logprob_quality",   # unigram-LM avg NLL scoring
 ]
 
+#: Round-5 third-batch additions (alphabetized; r5b_subtotal keeps the
+#: earlier sets comparable).
+HEADLINE_R5C = [
+    "clustering_compaction_stats",  # zone-map pruning stats
+    "cohort_retention",             # weekly cohort retention
+    "dataset_card_summary",         # per-source data card
+    "decay_reranked_search",        # 2.6 decay ranker
+    "event_funnel_conversion",      # ordered funnel
+    "fulltext_drop_ratio",          # sparse drop_ratio_search
+    "ivf_pq_recall",                # composite IVF_PQ
+    "mmr_diversified_search",       # MMR diversification
+    "search_iterator_page",         # keyset iterator page
+    "session_consistency_read",     # Session consistency level
+    "superstructure_search",        # containment metric search
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -116,7 +132,8 @@ def main() -> None:
     # code) are identical across scale factors, so this compiles each
     # query's stages without touching the measured data — the timed runs
     # then reflect steady-state engine speed, not one-time JIT cost.
-    all_queries = HEADLINE + HEADLINE_R2 + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R5B
+    all_queries = (HEADLINE + HEADLINE_R2 + HEADLINE_R4 + HEADLINE_R5
+                   + HEADLINE_R5B + HEADLINE_R5C)
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/"):
         for name in all_queries:
@@ -154,6 +171,14 @@ def main() -> None:
         ),
         3,
     )
+    r5b_subtotal = round(
+        sum(
+            timings.get(n, 0.0)
+            for n in HEADLINE + HEADLINE_R2 + HEADLINE_R4 + HEADLINE_R5
+            + HEADLINE_R5B
+        ),
+        3,
+    )
     print(
         json.dumps(
             {
@@ -170,6 +195,7 @@ def main() -> None:
                 "r3_subtotal": r3_subtotal,
                 "r4_subtotal": r4_subtotal,
                 "r5_subtotal": r5_subtotal,
+                "r5b_subtotal": r5b_subtotal,
             }
         )
     )
