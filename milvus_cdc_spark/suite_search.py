@@ -2108,3 +2108,67 @@ def mmr_diversified_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return similarity.mmr_rerank(cand, pairwise, k=3, lam=0.7).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space domain drift: per-label centroid distance from the
+# global centroid — the embedding-analytics check a data pipeline runs
+# to spot domains drifting away from the corpus (or an ingestion batch
+# whose embedding distribution shifted). Centroids round to 6dp per
+# dimension BEFORE the distance (the ivf_train contract), so the
+# distance arithmetic is exact cross-engine.
+# ---------------------------------------------------------------------------
+
+_DRIFT_DIST = " + ".join(
+    f"(l.d{i} - g.d{i}) * (l.d{i} - g.d{i})" for i in range(_KM_DIM)
+)
+
+
+@q(
+    "label_centroid_drift",
+    f"""
+    WITH per_label AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, {_KM_AVG}
+      FROM embeddings GROUP BY label
+    ),
+    global_c AS (SELECT {_KM_AVG} FROM embeddings)
+    SELECT l.label, l.n_vecs,
+           round(sqrt({_DRIFT_DIST}), 6) AS drift
+    FROM per_label l CROSS JOIN global_c g
+    ORDER BY l.label
+    """,
+    "vector",
+    "analytics",
+    "drift",
+    "llm",
+)
+def label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid L2 distance from the global
+    centroid: one map-side-combined aggregate per side, 1-row global
+    broadcast — embedding-distribution drift monitoring at corpus
+    scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def cent(df, *keys):
+        return df.groupBy(*keys).agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.array(
+                *[
+                    F.round(F.avg(F.element_at(F.col("embedding"), i + 1)), 6)
+                    for i in range(_KM_DIM)
+                ]
+            ).alias("c"),
+        )
+
+    per_label = cent(emb, "label")
+    global_c = cent(emb).select(F.col("c").alias("gc"))
+    dist = F.aggregate(
+        F.zip_with(F.col("c"), F.col("gc"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        per_label.crossJoin(F.broadcast(global_c))
+        .select("label", "n_vecs", F.round(F.sqrt(dist), 6).alias("drift"))
+        .orderBy("label")
+    )
