@@ -2753,3 +2753,98 @@ def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@q(
+    "pipeline_stage_accounting",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x != '')) AS n_tokens,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    en AS (SELECT * FROM base WHERE lang = 'en'),
+    q AS (SELECT * FROM en WHERE n_tokens >= 20),
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) - 2 > 0
+                    THEN list_distinct(list_transform(
+                           generate_series(1, len(toks) - 2),
+                           i -> array_to_string(toks[i:i+2], ' ')))
+                    ELSE [] END) AS s
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    ),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    contaminated AS (
+      SELECT DISTINCT t.doc_id
+      FROM sh t JOIN ev ON t.s = ev.s
+      WHERE t.doc_id % 97 != 0
+    ),
+    dc AS (
+      SELECT * FROM q
+      WHERE doc_id % 97 != 0
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    uq AS (
+      SELECT * FROM (
+        SELECT doc_id, fp,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM dc
+      ) WHERE rn = 1
+    )
+    SELECT '1_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM base
+    UNION ALL SELECT '2_lang_en', CAST(count(*) AS BIGINT) FROM en
+    UNION ALL SELECT '3_quality', CAST(count(*) AS BIGINT) FROM q
+    UNION ALL SELECT '4_decontaminated', CAST(count(*) AS BIGINT) FROM dc
+    UNION ALL SELECT '5_unique', CAST(count(*) AS BIGINT) FROM uq
+    ORDER BY stage
+    """,
+    "llm",
+    "pipeline",
+    "accounting",
+    "funnel",
+)
+def pipeline_stage_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline accounting: raw -> language
+    gate -> quality floor -> n-gram decontamination (corpus.decontaminate
+    against the doc_id%97 eval set) -> exact dedup; one row per stage
+    with surviving doc counts — the per-stage loss report every corpus
+    build publishes."""
+    from milvus_cdc_spark.analytics import corpus as corpus_ops
+    from milvus_cdc_spark.functions import text as textf
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        textf.token_count(F.col("text")).alias("n_tokens"),
+        textf.fingerprint(F.col("text")).alias("fp"),
+    )
+    en = base.filter(F.col("lang") == "en")
+    q_ = en.filter(F.col("n_tokens") >= 20)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    contaminated = corpus_ops.decontaminate(tr, ev, n=3).select("doc_id")
+    dc = (
+        q_.filter(F.col("doc_id") % 97 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    uq = dc.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    def stage(name, df):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        ).select("stage", "n_docs")
+
+    return (
+        stage("1_raw", base)
+        .unionAll(stage("2_lang_en", en))
+        .unionAll(stage("3_quality", q_))
+        .unionAll(stage("4_decontaminated", dc))
+        .unionAll(stage("5_unique", uq))
+        .orderBy("stage")
+    )
