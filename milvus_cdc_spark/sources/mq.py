@@ -13,19 +13,32 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from milvus_cdc_spark.sources import kafka, pulsar
+from milvus_cdc_spark.sources import filebroker, kafka, pulsar
 
 
 def read_oplog_stream(
     spark: SparkSession, connect_params: dict, topic: str, **kwargs
 ) -> DataFrame:
-    """Route to the configured broker: ``{"pulsar": {...}}`` or
-    ``{"kafka": {...}}`` (exactly one, like cdc.yaml's mq block)."""
+    """Route to the configured broker: ``{"pulsar": {...}}``,
+    ``{"kafka": {...}}``, or ``{"file": {...}}`` (exactly one, like
+    cdc.yaml's mq block; ``file`` is the executed directory-backed
+    emulator sharing the envelope parse with the broker arms)."""
     pulsar_cfg = connect_params.get("pulsar")
     kafka_cfg = connect_params.get("kafka")
-    if bool(pulsar_cfg) == bool(kafka_cfg):
+    file_cfg = connect_params.get("file")
+    n_cfg = sum(1 for c in (pulsar_cfg, kafka_cfg, file_cfg) if c)
+    if n_cfg != 1:
         raise ValueError(
-            "connect_params must configure exactly one of 'pulsar' or 'kafka'"
+            "connect_params must configure exactly one of "
+            "'pulsar', 'kafka', or 'file'"
+        )
+    if file_cfg:
+        return filebroker.read_oplog_stream(
+            spark,
+            file_cfg["root"],
+            topic,
+            start_ts=file_cfg.get("start_ts"),
+            **kwargs,
         )
     if pulsar_cfg:
         return pulsar.read_oplog_stream(

@@ -383,3 +383,55 @@ def test_position_tool_roundtrips(tmp_path):
         ("ch-0", 200 << 18, 5),
         ("ch-1", 150 << 18, 7),
     ]
+
+
+def test_file_broker_executes_envelope_and_seek(spark, tmp_path):
+    """The file-broker arm of the S5 dispatch EXECUTES the shared
+    envelope parse end-to-end: ops serialized with the Kafka sink
+    projection, streamed back through mq.read_oplog_stream({'file':..}),
+    equal to the originals; start_ts seeks strictly past the position."""
+    from pyspark.sql import functions as F
+
+    from milvus_cdc_spark import catalog, oplog
+    from milvus_cdc_spark.sources import mq
+    from milvus_cdc_spark.sources.kafka import oplog_to_kafka_value
+
+    ops = oplog.derive_oplog(
+        catalog.load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    ).limit(200)
+    topic = tmp_path / "broker" / "oplog-topic"
+    topic.mkdir(parents=True)
+    vals = oplog_to_kafka_value(ops).select("value")
+    vals.coalesce(2).write.mode("overwrite").text(str(topic))
+
+    def drain(params):
+        stream = mq.read_oplog_stream(spark, params, "oplog-topic")
+        import uuid
+
+        sink = f"fb_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream.writeStream.format("memory").queryName(sink)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return spark.table(sink)
+
+    got = drain({"file": {"root": str(tmp_path / "broker")}})
+    assert got.count() == ops.count()
+    orig = {tuple(r) for r in ops.select("collection", "pk", "ts", "op_type").collect()}
+    back = {tuple(r) for r in got.select("collection", "pk", "ts", "op_type").collect()}
+    assert orig == back
+
+    mid_ts = ops.approxQuantile("ts", [0.5], 0.0)[0]
+    seeked = drain({"file": {"root": str(tmp_path / "broker"), "start_ts": int(mid_ts)}})
+    expect = ops.filter(F.col("ts") > int(mid_ts)).count()
+    assert seeked.count() == expect
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        mq.read_oplog_stream(spark, {}, "t")
+    with pytest.raises(ValueError):
+        mq.read_oplog_stream(
+            spark, {"file": {"root": "x"}, "kafka": {"address": "y"}}, "t"
+        )
