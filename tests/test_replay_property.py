@@ -211,3 +211,71 @@ def test_analyze_column_matches_python_mirror(spark, texts):
         ]
         want = [analyze_terms([t], analyzer) for t in texts]
         assert got == want, (analyzer, texts)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 second-session properties
+# ---------------------------------------------------------------------------
+
+slop_docs = st.lists(
+    st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+             min_size=2, max_size=8),
+    min_size=1, max_size=6,
+)
+
+
+@given(slop_docs)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_phrase_slop_monotone(spark, docs):
+    """Sloppy phrase matching is monotone in slop: every doc matched at
+    slop s is matched at slop s+1 (two-term move counts only relax)."""
+    from milvus_cdc_spark.analytics.textrank import phrase_match
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    prev: set = set()
+    for s in (0, 1, 2, 3):
+        cur = {
+            r.doc_id
+            for r in phrase_match(df, ["alpha", "beta"], slop=s).collect()
+        }
+        assert prev <= cur, (s, prev, cur)
+        prev = cur
+
+
+source_counts = st.lists(st.integers(min_value=1, max_value=500),
+                         min_size=1, max_size=6)
+
+
+@given(source_counts, st.sampled_from([0.0, 0.3, 0.7, 1.0]))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_temperature_weights_invariants(spark, counts, alpha):
+    """Temperature weights: probabilities sum to 1, rates stay in
+    [0, 1000], and the expected kept total never exceeds the corpus
+    (each source contributes at most what it has)."""
+    from milvus_cdc_spark.analytics.corpus import temperature_weights
+
+    rows = [
+        (i * 10_000 + j, f"s{i}")
+        for i, n in enumerate(counts)
+        for j in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    w = temperature_weights(df, alpha=alpha, budget_frac=0.5).collect()
+    assert abs(sum(r.p_s for r in w) - 1.0) < 1e-4
+    total = sum(counts)
+    expected = 0.0
+    for r in w:
+        assert 0 <= r.rate_permille <= 1000
+        expected += r.n_docs * r.rate_permille / 1000.0
+    assert expected <= total + 1e-6
