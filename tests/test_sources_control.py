@@ -435,3 +435,48 @@ def test_file_broker_executes_envelope_and_seek(spark, tmp_path):
         mq.read_oplog_stream(
             spark, {"file": {"root": "x"}, "kafka": {"address": "y"}}, "t"
         )
+
+
+def test_stream_tail_parquet_and_jsonlines(spark, tmp_path):
+    """stream_tail: last-n-per-channel over both the parquet op-log and
+    a file-broker JSON-line topic, newest first, channel scoping."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    from milvus_cdc_spark import catalog, oplog
+    from milvus_cdc_spark.sources.kafka import oplog_to_kafka_value
+
+    ops = oplog.derive_oplog(
+        catalog.load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    ).limit(100)
+    pq = tmp_path / "oplog_pq"
+    ops.coalesce(1).write.mode("overwrite").parquet(str(pq))
+    topic = tmp_path / "topic"
+    topic.mkdir()
+    oplog_to_kafka_value(ops).select("value").coalesce(1).write.mode(
+        "overwrite"
+    ).text(str(topic))
+
+    def run(*args):
+        out = subprocess.run(
+            [_sys.executable, "/root/repo/scripts/stream_tail.py", *args],
+            capture_output=True, text=True, check=True,
+        )
+        return [_json.loads(l) for l in out.stdout.strip().splitlines()]
+
+    rows = run(str(pq), "--n=3")
+    per_ch: dict = {}
+    for r in rows:
+        per_ch.setdefault(r["vchannel"], []).append(r["ts"])
+    assert all(len(v) <= 3 for v in per_ch.values())
+    assert all(v == sorted(v, reverse=True) for v in per_ch.values())
+
+    jrows = run(str(topic), "--json", "--n=3")
+    assert {(r["vchannel"], r["ts"]) for r in jrows} == {
+        (r["vchannel"], r["ts"]) for r in rows
+    }
+
+    one = run(str(pq), "--n=2", f"--channel={rows[0]['vchannel']}")
+    assert {r["vchannel"] for r in one} == {rows[0]["vchannel"]}
+    assert len(one) <= 2
