@@ -239,4 +239,4 @@ def session_consistency_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem")).withColumn(
         "session", F.col("pk") % 4
     )
-    return consistency.read_your_writes(ops)
+    return consistency.read_your_writes(ops, session_ids=(0, 1, 2, 3))

@@ -1290,3 +1290,23 @@ def test_mmr_rerank_prefers_diversity(spark):
     # pick1 = 1 (max sim); pick2: cand2 mmr = .7*.94-.3*.99 = .361 <
     # cand3 mmr = .7*.8-0 = .56 -> 3; pick3 = 2
     assert got == [(1, 1), (2, 3), (3, 2)]
+
+
+def test_read_your_writes_paths_agree(spark, sf_dir):
+    """Session-consistency: the column-expansion fast path (known
+    session ids) returns exactly the generic row-multiplication path's
+    result."""
+    from milvus_cdc_spark import catalog, oplog
+    from milvus_cdc_spark.operators import consistency
+
+    ops = oplog.derive_oplog(
+        catalog.load_table(spark, sf_dir, "lineitem")
+    ).withColumn("session", F.col("pk") % 3)
+    a = sorted(map(tuple, consistency.read_your_writes(ops).collect()))
+    b = sorted(
+        map(
+            tuple,
+            consistency.read_your_writes(ops, session_ids=(0, 1, 2)).collect(),
+        )
+    )
+    assert a == b and len(a) == 3
