@@ -483,3 +483,99 @@ def embedding_near_dup(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semdedup(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication
+    by k-means clustering + within-cluster cosine pruning.
+
+    1. Cluster the embeddings with the deterministic distributed Lloyd
+       k-means (``similarity.ivf_train``: k lowest-id seeds, squared-L2
+       assignment, 6-dp-rounded means between iterations).
+    2. Assign every vector to its nearest FINAL centroid by squared L2
+       (ties → lower centroid id).
+    3. Within each cluster, order members farthest-from-centroid first
+       (the paper keeps the examples with LOW similarity to the
+       centroid; ties → lower id). A member is pruned iff some
+       earlier-in-order member of the same cluster has cosine >=
+       ``threshold`` with it.
+
+    The only quadratic surface is the within-cluster pair join — that is
+    inherent to SemDeDup, and the mitigation is the paper's own: ``k``
+    scales with the corpus (they use k=50,000 on LAION) so cluster sizes
+    stay bounded; the join key is centroid_id, so only same-cluster
+    groups ever expand, and the keep-order predicate halves the pairs.
+    Everything is JVM-side column algebra (sequential-fold distances →
+    bit-identical across engines); no UDFs, no collects.
+
+    Returns one row per vector: (id, centroid_id, d2_micro, pruned)
+    where d2_micro = round(squared-L2-to-centroid * 1e6) as BIGINT
+    (integer micro-units so downstream averages are order-independent).
+    """
+    from milvus_cdc_spark.analytics import similarity
+    from milvus_cdc_spark.functions import vector as vecf
+
+    cent = similarity.ivf_train(
+        vectors, k=k, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    v = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    j = v.crossJoin(F.broadcast(cent.select("centroid_id", "centroid")))
+    # sequential left-to-right fold == a serial engine's '+' chain, so the
+    # raw double is bit-identical in DuckDB and safe to compare/order on
+    d2 = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("_d2").asc(), F.col("centroid_id"))
+    assigned = (
+        j.withColumn("_d2", d2)
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("_id", "centroid_id", "_v", "_d2")
+    )
+    a = assigned.select(
+        F.col("centroid_id"),
+        F.col("_id").alias("_ida"),
+        F.col("_v").alias("_va"),
+        F.col("_d2").alias("_d2a"),
+    )
+    b = assigned.select(
+        F.col("centroid_id"),
+        F.col("_id").alias("_idb"),
+        F.col("_v").alias("_vb"),
+        F.col("_d2").alias("_d2b"),
+    )
+    keep_before = (F.col("_d2a") > F.col("_d2b")) | (
+        (F.col("_d2a") == F.col("_d2b")) & (F.col("_ida") < F.col("_idb"))
+    )
+    pruned_ids = (
+        a.join(b, on=["centroid_id"])
+        .filter(keep_before)
+        .filter(F.round(vecf.cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .select(F.col("_idb").alias("_pid"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            pruned_ids, assigned["_id"] == pruned_ids["_pid"], "left"
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "centroid_id",
+            # floor(x + 0.5), not round(): identical half-up in every engine
+            F.floor(F.col("_d2") * 1e6 + 0.5).cast("bigint").alias("d2_micro"),
+            F.col("_pid").isNotNull().alias("pruned"),
+        )
+    )

@@ -2856,6 +2856,132 @@ def banded_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al., arXiv:2303.09540): k-means cluster the
+# embedding space, then prune within-cluster semantic duplicates by
+# cosine — the cluster-then-dedup scale pattern (pairwise work bounded
+# per cluster, k scales with the corpus). Runs on the same original +
+# perturbed-replica corpus the banded near-dup query builds, so every
+# replica should be pruned against its original inside their shared
+# cluster. The oracle reproduces the ENTIRE pipeline (2-iteration Lloyd
+# k-means with 6-dp-rounded means, final squared-L2 assignment,
+# farthest-first keep order, cosine >= 0.98 prune) in MATERIALIZED CTEs.
+# ---------------------------------------------------------------------------
+
+_SD_DIM, _SD_K = 64, 8
+_SD_INIT = ", ".join(f"embedding[{i + 1}] AS d{i}" for i in range(_SD_DIM))
+_SD_AVG = ", ".join(
+    f"round(avg(embedding[{i + 1}]), 6) AS d{i}" for i in range(_SD_DIM)
+)
+_SD_DIST = " + ".join(
+    f"(v.embedding[{i + 1}] - c.d{i}) * (v.embedding[{i + 1}] - c.d{i})"
+    for i in range(_SD_DIM)
+)
+
+
+def _sd_assign(cent: str) -> str:
+    return f"""
+      SELECT doc_id, centroid_id, embedding, d2 FROM (
+        SELECT v.doc_id, c.centroid_id, v.embedding, {_SD_DIST} AS d2,
+               row_number() OVER (PARTITION BY v.doc_id
+                                  ORDER BY {_SD_DIST} ASC, c.centroid_id)
+                 AS rn
+        FROM aug v CROSS JOIN {cent} c
+      ) WHERE rn = 1
+    """
+
+
+_ORACLE_SEMDEDUP = f"""
+    WITH aug AS MATERIALIZED (
+      SELECT vec_id AS doc_id, embedding::DOUBLE[] AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(
+               list_zip(embedding::DOUBLE[], generate_series(1, {_SD_DIM})),
+               p -> p[1] + 0.02 * ((vec_id + p[2]) % 3 - 1))
+      FROM embeddings
+    ),
+    c0 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY doc_id) - 1 AS centroid_id, {_SD_INIT}
+      FROM (SELECT * FROM aug ORDER BY doc_id LIMIT {_SD_K})
+    ),
+    a0 AS MATERIALIZED ({_sd_assign("c0")}),
+    c1 AS MATERIALIZED (SELECT centroid_id, {_SD_AVG} FROM a0 GROUP BY centroid_id),
+    a1 AS MATERIALIZED ({_sd_assign("c1")}),
+    c2 AS MATERIALIZED (SELECT centroid_id, {_SD_AVG} FROM a1 GROUP BY centroid_id),
+    asg AS MATERIALIZED ({_sd_assign("c2")}),
+    pruned AS MATERIALIZED (
+      SELECT DISTINCT b.doc_id
+      FROM asg a JOIN asg b
+        ON a.centroid_id = b.centroid_id
+       AND (a.d2 > b.d2 OR (a.d2 = b.d2 AND a.doc_id < b.doc_id))
+      WHERE round(
+              list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                      p -> p[1] * p[2]))
+              / (sqrt(list_sum(list_transform(a.embedding, x -> x * x)))
+                 * sqrt(list_sum(list_transform(b.embedding, x -> x * x)))),
+              6) >= 0.98
+    )
+    SELECT s.centroid_id,
+           count(*) AS n_members,
+           CAST(sum(CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pruned,
+           round(sum(CAST(floor(s.d2 * 1e6 + 0.5) AS BIGINT)) / count(*) / 1e6, 4)
+             AS avg_d2
+    FROM asg s LEFT JOIN pruned p ON s.doc_id = p.doc_id
+    GROUP BY s.centroid_id
+    ORDER BY s.centroid_id
+"""
+
+
+@q(
+    "semdedup_prune",
+    _ORACLE_SEMDEDUP,
+    "dedup",
+    "embedding",
+    "semdedup",
+    "kmeans",
+    "llm",
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the original + perturbed-replica corpus
+    (dedup.semdedup): deterministic Lloyd k-means (k=8, 2 iterations),
+    within-cluster farthest-first keep order, cosine >= 0.98 prune.
+    Per-cluster summary: member count, pruned count, mean squared-L2 to
+    centroid (integer-micro averaged, so summation order can't drift)."""
+    from milvus_cdc_spark.analytics import dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    replicas = emb.select(
+        (F.col("vec_id") + 100000).alias("doc_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double")
+            + 0.02 * (((F.col("vec_id") + i + 1) % 3) - 1),
+        ).alias("embedding"),
+    )
+    aug = base.unionAll(replicas)
+    marked = dedup.semdedup(
+        aug, k=_SD_K, iters=2, dim=_SD_DIM, threshold=0.98, id_col="doc_id"
+    )
+    return (
+        marked.groupBy("centroid_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.col("pruned").cast("int")).cast("bigint").alias("n_pruned"),
+            F.round(F.sum("d2_micro") / F.count("*") / 1e6, 4).alias("avg_d2"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Training-data hygiene: n-gram decontamination, Gopher-style repetition
 # flags, and PII redaction — the corpus-prep steps between dedup and
 # packing. Decontamination uses n=3 because the fixture vocabulary is

@@ -1310,3 +1310,45 @@ def test_read_your_writes_paths_agree(spark, sf_dir):
         )
     )
     assert a == b and len(a) == 3
+
+
+def test_semdedup_prunes_replica_keeps_farthest(spark):
+    """SemDeDup on a tiny hand-built space: two tight groups around
+    opposite corners plus one isolated vector. Within each cosine-dup
+    group exactly the farthest-from-centroid member is kept (the
+    paper's keep-low-centroid-similarity rule) and the rest pruned;
+    the isolated vector is never pruned."""
+    from milvus_cdc_spark.analytics.dedup import semdedup
+
+    dim = 4
+
+    def v(base, eps):
+        return [float(b) + e for b, e in zip(base, eps)]
+
+    rows = [
+        # group A: near (1,0,0,0); ids 0,1,2 — k-means seeds come from
+        # the two lowest ids, so A and B each seed a cluster
+        (0, v([1, 0, 0, 0], [0.00, 0.00, 0.0, 0.0])),
+        (1, v([1, 0, 0, 0], [0.01, 0.00, 0.0, 0.0])),
+        (2, v([1, 0, 0, 0], [0.00, 0.02, 0.0, 0.0])),
+        # group B: near (0,0,0,-1); ids 3,4
+        (3, v([0, 0, 0, -1], [0.00, 0.00, 0.0, 0.00])),
+        (4, v([0, 0, 0, -1], [0.00, 0.00, 0.0, 0.01])),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {
+        r.vec_id: (r.centroid_id, r.pruned)
+        for r in semdedup(df, k=2, iters=2, dim=dim, threshold=0.99).collect()
+    }
+    assert len(out) == 5
+    # each group is one cluster
+    assert out[0][0] == out[1][0] == out[2][0]
+    assert out[3][0] == out[4][0]
+    assert out[0][0] != out[3][0]
+    # per group exactly one member survives (all pairwise cosines are
+    # >= 0.99 within a group), and it is the farthest from the centroid
+    for group in ([0, 1, 2], [3, 4]):
+        kept = [i for i in group if not out[i][1]]
+        assert len(kept) == 1, (group, out)
+    # group A: centroid ~ mean; id 2 (off-axis by 0.02) is farthest
+    assert not out[2][1] and out[0][1] and out[1][1]
