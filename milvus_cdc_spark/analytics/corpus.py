@@ -343,3 +343,95 @@ def unigram_logprob(
             F.round(F.avg(-F.log(F.col("tf") / F.col("_t"))), 6).alias("avg_nll"),
         )
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., arXiv:2302.03169: Data
+    Selection for Language Models via Importance Resampling): score each
+    document by how much more likely its hashed n-gram features are
+    under a TARGET domain's distribution than under the raw corpus's.
+
+    Features are unigrams plus word bigrams, hashed into ``n_buckets``
+    md5 buckets (the paper's hashed n-gram generative model; md5 keeps
+    the bucketing engine-portable). Both bucket distributions get
+    Laplace smoothing: p[b] = (count[b] + 1) / (total + n_buckets).
+    A document's importance weight is sum over its features of
+    log(p_target[bucket] / p_raw[bucket]) — accumulated in integer
+    micro-nats (per-bucket log-ratio -> floor(x*1e6 + 0.5) BIGINT, then
+    an exact integer sum) so float summation order can never drift
+    across engines.
+
+    Plan: one token explode + lead() bigram window (both reusing the
+    id-keyed partitioning), one n_buckets-sized count aggregate with
+    map-side partial, a broadcast of the bucket dim (n_buckets rows)
+    back onto the feature stream, one per-doc sum. The bucket table is
+    fixed-size regardless of corpus size — at 100 TB nothing but the
+    two corpus-keyed shuffles grows.
+
+    Returns one row per doc: (id, is_target, n_feats, score_micro)
+    where score_micro > 0 means "more target-like than raw".
+    """
+    from pyspark.sql import Window
+
+    from milvus_cdc_spark.functions import text as textf
+
+    toks = docs.select(
+        F.col(id_col),
+        target_pred.cast("boolean").alias("is_target"),
+        F.posexplode(textf.tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    nxt = F.lead("tok").over(w)
+    bigrams = (
+        toks.select(F.col(id_col), "is_target", "tok", nxt.alias("_nxt"))
+        .filter(F.col("_nxt").isNotNull())
+        .select(
+            F.col(id_col),
+            "is_target",
+            F.concat_ws(" ", "tok", "_nxt").alias("feat"),
+        )
+    )
+    feats = toks.select(
+        F.col(id_col), "is_target", F.col("tok").alias("feat")
+    ).unionAll(bigrams)
+    hexd = "0123456789abcdef"
+    md5 = F.md5(F.col("feat"))
+
+    def _nib(i: int) -> Column:
+        return (F.instr(F.lit(hexd), F.substring(md5, i, 1)) - 1).cast("bigint")
+
+    feats = feats.withColumn("bucket", (_nib(1) * 16 + _nib(2)) % n_buckets)
+    counts = feats.groupBy("bucket").agg(
+        F.sum(F.col("is_target").cast("bigint")).alias("tgt_n"),
+        F.sum((~F.col("is_target")).cast("bigint")).alias("raw_n"),
+    )
+    tot = counts.agg(
+        F.sum("tgt_n").alias("_tt"), F.sum("raw_n").alias("_rt")
+    )
+    lam = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(
+            (
+                F.log((F.col("tgt_n") + 1) / (F.col("_tt") + n_buckets))
+                - F.log((F.col("raw_n") + 1) / (F.col("_rt") + n_buckets))
+            )
+            * 1e6
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("lam_micro"),
+    )
+    return (
+        feats.join(F.broadcast(lam), "bucket")
+        .groupBy(id_col, "is_target")
+        .agg(
+            F.count("*").cast("bigint").alias("n_feats"),
+            F.sum("lam_micro").cast("bigint").alias("score_micro"),
+        )
+    )

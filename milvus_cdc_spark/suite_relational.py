@@ -2848,3 +2848,105 @@ def pipeline_stage_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage("5_unique", uq))
         .orderBy("stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al., arXiv:2302.03169): hashed
+# n-gram importance weights for target-domain data selection. Target =
+# the English slice; every non-target doc scores sum over its unigram +
+# bigram features of log(p_target[bucket] / p_raw[bucket]) over 256 md5
+# buckets, accumulated in integer micro-nats (exact integer sums — no
+# float-order drift). The oracle mirrors the whole model: counts,
+# Laplace smoothing, per-bucket log-ratio micro, per-doc integer sum.
+# ---------------------------------------------------------------------------
+
+_DSIR_SQL = """
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, source, (lang = 'en') AS is_target,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t != '') AS toks
+      FROM documents
+    ),
+    feats AS MATERIALIZED (
+      SELECT doc_id, source, is_target, feat,
+             (strpos('0123456789abcdef', substr(md5(feat), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(feat), 2, 1)) - 1)
+               AS bucket
+      FROM (
+        SELECT doc_id, source, is_target, unnest(toks) AS feat FROM base
+        UNION ALL
+        SELECT doc_id, source, is_target,
+               unnest(CASE WHEN len(toks) - 1 > 0
+                      THEN list_transform(
+                             generate_series(1, len(toks) - 1),
+                             i -> array_to_string(toks[i:i+1], ' '))
+                      ELSE [] END)
+        FROM base
+      )
+    ),
+    counts AS (
+      SELECT bucket,
+             sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tgt_n,
+             sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS raw_n
+      FROM feats GROUP BY bucket
+    ),
+    tot AS (SELECT sum(tgt_n) AS tt, sum(raw_n) AS rt FROM counts),
+    lam AS (
+      SELECT bucket,
+             CAST(floor((ln((tgt_n + 1) / (tt + 256))
+                         - ln((raw_n + 1) / (rt + 256))) * 1e6 + 0.5)
+                  AS BIGINT) AS lam_micro
+      FROM counts CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT f.doc_id, f.source, f.is_target,
+             count(*) AS n_feats, sum(l.lam_micro) AS score_micro
+      FROM feats f JOIN lam l ON f.bucket = l.bucket
+      GROUP BY f.doc_id, f.source, f.is_target
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN score_micro > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_selected,
+           round(sum(score_micro) / sum(n_feats) / 1e6, 6) AS avg_lr
+    FROM scored
+    WHERE NOT is_target
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@q(
+    "dsir_importance_selection",
+    _DSIR_SQL,
+    "llm",
+    "dsir",
+    "importance-sampling",
+    "data-selection",
+    "pipeline",
+)
+def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed n-gram importance weights (corpus.dsir_weights):
+    target = lang='en' docs; per-source summary of the NON-target docs —
+    how many score target-like (importance weight > 0) and the mean
+    per-feature log-ratio in nats."""
+    from milvus_cdc_spark.analytics import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = corpus.dsir_weights(docs, F.col("lang") == "en", n_buckets=256)
+    src = docs.select("doc_id", "source")
+    return (
+        scores.filter(~F.col("is_target"))
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("score_micro") > 0).cast("int"))
+            .cast("bigint")
+            .alias("n_selected"),
+            F.round(
+                F.sum("score_micro") / F.sum("n_feats") / 1e6, 6
+            ).alias("avg_lr"),
+        )
+        .orderBy("source")
+    )

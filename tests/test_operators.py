@@ -1352,3 +1352,29 @@ def test_semdedup_prunes_replica_keeps_farthest(spark):
         assert len(kept) == 1, (group, out)
     # group A: centroid ~ mean; id 2 (off-axis by 0.02) is farthest
     assert not out[2][1] and out[0][1] and out[1][1]
+
+
+def test_dsir_weights_separate_target_like_docs(spark):
+    """DSIR: raw docs written in the target slice's vocabulary must
+    outscore raw docs written in a disjoint vocabulary (positive vs
+    negative summed log-ratio), and feature counts are unigrams +
+    bigrams = 2*len - 1 per doc."""
+    from milvus_cdc_spark.analytics.corpus import dsir_weights
+
+    rows = [
+        # target domain: "alpha beta" language
+        (0, "alpha beta alpha beta alpha", True),
+        (1, "beta alpha beta alpha beta", True),
+        # raw, target-like
+        (2, "alpha beta alpha beta", False),
+        # raw, out-of-domain vocabulary
+        (3, "zig zag zig zag zork", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, tgt boolean")
+    out = {
+        r.doc_id: r
+        for r in dsir_weights(df, F.col("tgt"), n_buckets=64).collect()
+    }
+    assert out[2].score_micro > 0 > out[3].score_micro
+    assert out[2].n_feats == 4 + 3 and out[3].n_feats == 5 + 4
+    assert out[0].is_target and not out[2].is_target
