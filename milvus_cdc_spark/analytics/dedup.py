@@ -579,3 +579,75 @@ def semdedup(
             F.col("_pid").isNotNull().alias("pruned"),
         )
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Duplicated-span coverage per document — the measurable core of
+    exact substring deduplication (Lee et al., arXiv:2107.06499:
+    Deduplicating Training Data Makes Language Models Better). The
+    suffix-array formulation finds every substring of >= N tokens that
+    appears twice anywhere in the corpus; the distributed equivalent at
+    n-gram granularity: a token position is DUPLICATED if some n-gram
+    covering it occurs >= 2 times corpus-wide (intra-doc repetition
+    counts, exactly as in the paper). A span of t >= n duplicated
+    tokens is covered by its t-n+1 duplicated n-grams, so n-gram
+    coverage and substring coverage agree for spans >= n.
+
+    Plan: one token explode (id-keyed repartition BEFORE the explosion,
+    as shingle_rows), lead() n-gram assembly reusing that partitioning,
+    one gram-keyed count shuffle (md5 key keeps rows narrow, map-side
+    partial counts), the dup-gram join back, a bounded sequence()
+    explode (n rows per dup occurrence), and one id-keyed distinct.
+    Nothing is quadratic at any corpus size; real pipelines raise n
+    (the paper uses 50) which only shrinks the dup set.
+
+    Returns per doc: (id, n_toks, dup_tokens) — dup_tokens = distinct
+    token positions covered by some duplicated n-gram.
+    """
+    toks = docs.repartition(n_partitions, F.col(id_col)).select(
+        F.col(id_col),
+        F.posexplode(textf.tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    last = F.lead("tok", n - 1).over(w)
+    grams = (
+        toks.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.md5(F.concat_ws(" ", *parts)).alias("g"),
+            last.alias("_t"),
+        )
+        .filter(F.col("_t").isNotNull())
+        .drop("_t")
+    )
+    dupg = grams.groupBy("g").agg(F.count("*").alias("_n")).filter(F.col("_n") >= 2)
+    covered = (
+        grams.join(dupg.select("g"), "g")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias(
+                "cpos"
+            ),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("dup_tokens"))
+    )
+    n_toks = toks.groupBy(id_col).agg(F.count("*").cast("bigint").alias("n_toks"))
+    return (
+        docs.select(F.col(id_col))
+        .join(n_toks, id_col, "left")
+        .join(covered, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_toks"), F.lit(0)).alias("n_toks"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+        )
+    )

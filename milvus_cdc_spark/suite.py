@@ -3033,6 +3033,82 @@ def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate coverage (Lee et al., arXiv:2107.06499):
+# fraction of token positions covered by an n-gram that occurs >= 2
+# times corpus-wide — the distributed n-gram formulation of the
+# suffix-array substring dedup. n=3 for the fixture's tiny vocabulary
+# (the paper's production setting is 50-token spans; the operator takes
+# n and larger n only SHRINKS the dup set).
+# ---------------------------------------------------------------------------
+
+_DUPSPAN_N = 3
+
+_ORACLE_DUPSPANS = f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents
+    ),
+    grams AS MATERIALIZED (
+      SELECT doc_id, unnest(generate_series(1, len(toks) - {_DUPSPAN_N - 1}))
+               AS pos, toks
+      FROM base
+      WHERE len(toks) >= {_DUPSPAN_N}
+    ),
+    hashed AS MATERIALIZED (
+      SELECT doc_id, pos,
+             md5(array_to_string(toks[pos:pos + {_DUPSPAN_N - 1}], ' ')) AS g
+      FROM grams
+    ),
+    dupg AS (SELECT g FROM hashed GROUP BY g HAVING count(*) >= 2),
+    cov AS (
+      SELECT DISTINCT doc_id, cpos FROM (
+        SELECT h.doc_id,
+               unnest(generate_series(h.pos, h.pos + {_DUPSPAN_N - 1})) AS cpos
+        FROM hashed h JOIN dupg USING (g)
+      )
+    ),
+    per_doc AS (SELECT doc_id, count(*) AS dup_tokens FROM cov GROUP BY doc_id)
+    SELECT b.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(b.toks)) AS BIGINT) AS n_toks,
+           CAST(sum(coalesce(p.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+           round(sum(coalesce(p.dup_tokens, 0)) / sum(len(b.toks)), 6)
+             AS dup_frac
+    FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id
+    GROUP BY b.source
+    ORDER BY b.source
+"""
+
+
+@q(
+    "duplicate_span_coverage",
+    _ORACLE_DUPSPANS,
+    "dedup",
+    "substring",
+    "llm",
+    "pipeline",
+)
+def duplicate_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span token coverage (dedup.duplicate_spans, n=3):
+    per-source totals of tokens covered by a corpus-duplicated n-gram —
+    the exact-substring-dedup loss report."""
+    from milvus_cdc_spark.analytics import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = dedup.duplicate_spans(docs, n=_DUPSPAN_N)
+    return (
+        spans.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_toks"),
+            F.sum("dup_tokens").cast("bigint").alias("dup_tokens"),
+            F.round(F.sum("dup_tokens") / F.sum("n_toks"), 6).alias("dup_frac"),
+        )
+        .orderBy("source")
+    )
+
+
 @q(
     "gopher_repetition_flags",
     f"""

@@ -1378,3 +1378,24 @@ def test_dsir_weights_separate_target_like_docs(spark):
     assert out[2].score_micro > 0 > out[3].score_micro
     assert out[2].n_feats == 4 + 3 and out[3].n_feats == 5 + 4
     assert out[0].is_target and not out[2].is_target
+
+
+def test_duplicate_spans_coverage_semantics(spark):
+    """Duplicate-span coverage: a 3-gram shared by two docs marks its 3
+    positions in each; intra-doc repetition counts; overlapping dup
+    grams don't double-count positions; short docs report 0."""
+    from milvus_cdc_spark.analytics.dedup import duplicate_spans
+
+    rows = [
+        (0, "a b c x y z"),      # "a b c" shared with doc 1
+        (1, "q a b c r s"),
+        (2, "u v u v u v u v"),  # intra-doc repeated 3-grams cover all
+        (3, "one two"),          # shorter than n -> no grams
+        (4, "p1 p2 p3 p4"),      # unique grams -> 0 covered
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: (r.n_toks, r.dup_tokens)
+           for r in duplicate_spans(df, n=3).collect()}
+    assert out[0] == (6, 3) and out[1] == (6, 3)
+    assert out[2] == (8, 8)
+    assert out[3] == (2, 0) and out[4] == (4, 0)
