@@ -435,3 +435,87 @@ def dsir_weights(
             F.sum("lam_micro").cast("bigint").alias("score_micro"),
         )
     )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated bigram-LM quality scoring — one rung up from
+    ``unigram_logprob`` toward the CCNet/KenLM perplexity filter
+    (Wenzek et al. 2020 fit a 5-gram KenLM; the plan shape is the same
+    at any order). Fit bigram and unigram tables on the corpus, then
+    score each document's average negative log-likelihood over its
+    bigram transitions with the fixed-weight interpolation
+
+        p(cur | prev) = (4 * p_bigram + 1 * p_unigram) / 5
+
+    (integer 4/1/5 weights, NOT a 0.8 float literal: 1 - 0.8 is
+    0.19999999999999996 in binary, and two engines spelling the blend
+    differently would drift at the last ulp).
+
+    Cross-engine exactness: the NLL of each distinct (prev, cur) TYPE
+    is one deterministic double -> floor(nll * 1e6 + 0.5) BIGINT in the
+    bigram dim; per-document scores are exact integer sums of those
+    micro-nats, so aggregation order cannot drift.
+
+    Plan: one token explode + lead() pairing (id-keyed partitioning
+    reused), two vocabulary-keyed count aggregates (map-side partial),
+    the probability dim joined back on (prev, cur) — Catalyst broadcasts
+    it when the vocabulary fits, hash-shuffles both sides otherwise —
+    and one per-doc sum. No driver state at any corpus size.
+
+    Returns (id, n_bigrams, nll_micro_sum) for docs with >= 1 bigram.
+    """
+    from pyspark.sql import Window
+
+    from milvus_cdc_spark.functions import text as textf
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(textf.tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    big = (
+        toks.select(
+            F.col(id_col),
+            F.col("tok").alias("prev"),
+            F.lead("tok").over(w).alias("cur"),
+        )
+        .filter(F.col("cur").isNotNull())
+    )
+    c2 = big.groupBy("prev", "cur").agg(F.count("*").alias("n2"))
+    ctx = c2.groupBy("prev").agg(F.sum("n2").alias("nctx"))
+    c1 = toks.groupBy("tok").agg(F.count("*").alias("n1"))
+    tot = c1.agg(F.sum("n1").alias("_t"))
+    dim = (
+        c2.join(ctx, "prev")
+        .join(c1.withColumnRenamed("tok", "cur"), "cur")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "prev",
+            "cur",
+            F.floor(
+                -F.log(
+                    (
+                        4 * (F.col("n2") / F.col("nctx"))
+                        + F.col("n1") / F.col("_t")
+                    )
+                    / 5
+                )
+                * 1e6
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("nll_micro"),
+        )
+    )
+    return (
+        big.join(dim, ["prev", "cur"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("nll_micro").cast("bigint").alias("nll_micro_sum"),
+        )
+    )

@@ -2950,3 +2950,79 @@ def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram-LM scoring (CCNet / Wenzek et al. 2020 shape, one
+# rung up from the unigram query): per-doc average NLL over bigram
+# transitions, p = (4*p_bigram + p_unigram)/5 with integer blend
+# weights and per-type micro-nat NLLs so neither the blend literal nor
+# the summation order can drift between engines.
+# ---------------------------------------------------------------------------
+
+_BIGRAM_LM_SQL = """
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, pos, toks[pos] AS tok FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           t -> t != '') AS toks,
+               unnest(generate_series(1, len(list_filter(
+                 string_split_regex(trim(lower(text)), '\\s+'),
+                 t -> t != '')))) AS pos
+        FROM documents
+      )
+    ),
+    big AS MATERIALIZED (
+      SELECT a.doc_id, a.tok AS prev, b.tok AS cur
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    c2 AS (SELECT prev, cur, count(*) AS n2 FROM big GROUP BY prev, cur),
+    ctx AS (SELECT prev, sum(n2) AS nctx FROM c2 GROUP BY prev),
+    c1 AS (SELECT tok, count(*) AS n1 FROM toks GROUP BY tok),
+    tot AS (SELECT sum(n1) AS t FROM c1),
+    dim AS MATERIALIZED (
+      SELECT c2.prev, c2.cur,
+             CAST(floor(-ln((4 * (c2.n2 / ctx.nctx) + c1.n1 / tot.t) / 5)
+                        * 1e6 + 0.5) AS BIGINT) AS nll_micro
+      FROM c2 JOIN ctx ON c2.prev = ctx.prev
+              JOIN c1 ON c2.cur = c1.tok
+              CROSS JOIN tot
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(d.nll_micro) / count(*) / 1e6, 6) AS avg_nll
+    FROM big b JOIN dim d ON b.prev = d.prev AND b.cur = d.cur
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+"""
+
+
+@q(
+    "bigram_lm_quality",
+    _BIGRAM_LM_SQL,
+    "llm",
+    "quality",
+    "perplexity",
+    "bigram",
+    "pipeline",
+)
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM average NLL per document
+    (corpus.bigram_logprob) — the CCNet perplexity-filter shape with the
+    corpus itself as the LM; micro-nat integer sums divided only at the
+    end."""
+    from milvus_cdc_spark.analytics import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        corpus.bigram_logprob(docs)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("nll_micro_sum") / F.col("n_bigrams") / 1e6, 6
+            ).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )

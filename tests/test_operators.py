@@ -1399,3 +1399,24 @@ def test_duplicate_spans_coverage_semantics(spark):
     assert out[0] == (6, 3) and out[1] == (6, 3)
     assert out[2] == (8, 8)
     assert out[3] == (2, 0) and out[4] == (4, 0)
+
+
+def test_bigram_logprob_prefers_frequent_transitions(spark):
+    """Bigram LM: a doc made of the corpus's dominant transition scores
+    a lower NLL than a doc of rare transitions; token-pair counts are
+    n_tokens - 1; single-token docs drop (no transitions)."""
+    from milvus_cdc_spark.analytics.corpus import bigram_logprob
+
+    rows = [
+        (0, "go go go go go go"),
+        (1, "go go go go go go"),
+        (2, "go stop wait stop go"),
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0].n_bigrams == 5 and out[2].n_bigrams == 4
+    nll = lambda r: r.nll_micro_sum / r.n_bigrams
+    assert nll(out[0]) < nll(out[2])
+    assert out[0].nll_micro_sum == out[1].nll_micro_sum
