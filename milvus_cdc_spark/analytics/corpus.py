@@ -519,3 +519,149 @@ def bigram_logprob(
             F.sum("nll_micro").cast("bigint").alias("nll_micro_sum"),
         )
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 4,
+    text_col: str = "text",
+) -> list[tuple[int, str, str, int]]:
+    """BPE merge-rule training (Sennrich et al., ACL 2016) as an
+    iterative DataFrame computation: start from character symbols plus
+    an end-of-word marker, and ``n_merges`` times (a) count adjacent
+    symbol pairs weighted by word frequency, (b) pick the most frequent
+    pair (ties -> lexicographically smallest), (c) merge its
+    occurrences greedily left-to-right.
+
+    Greedy left-to-right matters for runs of a self-adjacent pair
+    ("aaaa" under merge (a,a) becomes "aa aa", never "a aa a"), and
+    naive string replace diverges there because consecutive matches
+    share their delimiter. This implementation is EXACT: mark mergeable
+    positions, group consecutive mergeable positions into islands
+    (gaps-and-islands: pos minus running mergeable count), and merge
+    the odd-indexed island members only — pure window algebra, no UDF,
+    identical in any engine.
+
+    Scale: after the initial word-count aggregation (the only
+    corpus-sized pass) every iteration runs over the DISTINCT-WORD
+    table — vocabulary-sized, not corpus-sized — with one pair-count
+    aggregate and one per-word rebuild per merge. The only driver
+    traffic is the single argmax row per iteration. State is persisted
+    per step and the previous step unpersisted, so lineage stays flat.
+
+    Returns the learned merge table [(merge_idx, left, right, count)];
+    the final symbol state is discarded (rerun ``bpe_apply``-style
+    encoding with the merge table to tokenize).
+    """
+    from pyspark.sql import Window
+
+    from milvus_cdc_spark.functions import text as textf
+
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    words = (
+        docs.select(F.explode(textf.tokens(F.lower(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            "word",
+            "freq",
+            F.concat(F.concat_ws(" ", chars), F.lit(" </w>")).alias("sym"),
+        )
+        .persist()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for k in range(n_merges):
+            wnd = Window.partitionBy("word").orderBy("pos")
+            rows = words.select(
+                "word",
+                "freq",
+                F.posexplode(F.split("sym", " ")).alias("pos", "s"),
+            ).select(
+                "word", "freq", "pos", "s", F.lead("s").over(wnd).alias("nxt")
+            )
+            top = (
+                rows.filter(F.col("nxt").isNotNull())
+                .groupBy("s", "nxt")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "s", "nxt")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            x, y, cnt = top[0].s, top[0].nxt, int(top[0].cnt)
+            merges.append((k, x, y, cnt))
+            mg = (F.col("s") == x) & (F.col("nxt") == y)
+            cum = F.sum(mg.cast("int")).over(
+                wnd.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            marked = rows.select(
+                "word", "freq", "pos", "s", mg.alias("mg"), cum.alias("cum")
+            )
+            chosen = (
+                marked.filter("mg")
+                .select("word", "pos", (F.col("pos") - F.col("cum")).alias("grp"))
+                .withColumn(
+                    "ridx",
+                    F.row_number().over(
+                        Window.partitionBy("word", "grp").orderBy("pos")
+                    ),
+                )
+                .filter(F.col("ridx") % 2 == 1)
+                .select("word", "pos")
+            )
+            ch = chosen.select(
+                F.col("word").alias("_cw"), F.col("pos").alias("_cp")
+            )
+            sk = chosen.select(
+                F.col("word").alias("_sw"), F.col("pos").alias("_sp")
+            )
+            rebuilt = (
+                marked.join(
+                    ch,
+                    (F.col("word") == F.col("_cw"))
+                    & (F.col("pos") == F.col("_cp")),
+                    "left",
+                )
+                .join(
+                    sk,
+                    (F.col("word") == F.col("_sw"))
+                    & (F.col("pos") - 1 == F.col("_sp")),
+                    "left",
+                )
+                .filter(F.col("_sp").isNull())
+                .select(
+                    "word",
+                    "freq",
+                    "pos",
+                    F.when(F.col("_cp").isNotNull(), F.lit(x + y))
+                    .otherwise(F.col("s"))
+                    .alias("s"),
+                )
+            )
+            nxt_words = (
+                rebuilt.groupBy("word")
+                .agg(
+                    F.min("freq").alias("freq"),
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("pos", "s"))
+                            ),
+                            lambda p: p.s,
+                        ),
+                    ).alias("sym"),
+                )
+                .persist()
+            )
+            nxt_words.count()  # materialize before dropping the parent
+            words.unpersist()
+            words = nxt_words
+    finally:
+        words.unpersist()
+    return merges

@@ -3026,3 +3026,114 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (Sennrich et al., ACL 2016): n iterations of
+# most-frequent-adjacent-pair merging over the word-frequency table,
+# exact greedy left-to-right merge semantics (gaps-and-islands windows
+# — see corpus.bpe_train). The oracle replays every iteration in
+# MATERIALIZED CTEs: pair counts, deterministic argmax (count desc,
+# pair asc), island-parity merge, per-word symbol rebuild.
+# ---------------------------------------------------------------------------
+
+_BPE_N_MERGES = 4
+
+
+def _bpe_step_sql(k: int) -> str:
+    return f"""
+    p{k} AS MATERIALIZED (
+      SELECT word, freq, pos, syms[pos] AS s,
+             lead(syms[pos]) OVER (PARTITION BY word ORDER BY pos) AS nxt
+      FROM (
+        SELECT word, freq, string_split(sym, ' ') AS syms,
+               unnest(generate_series(1, len(string_split(sym, ' ')))) AS pos
+        FROM w{k}
+      )
+    ),
+    best{k} AS MATERIALIZED (
+      SELECT s AS x, nxt AS y, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM p{k} WHERE nxt IS NOT NULL
+      GROUP BY s, nxt ORDER BY cnt DESC, x, y LIMIT 1
+    ),
+    m{k} AS MATERIALIZED (
+      SELECT word, freq, pos, s, mg,
+             sum(CASE WHEN mg THEN 1 ELSE 0 END)
+               OVER (PARTITION BY word ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM (
+        SELECT p.word, p.freq, p.pos, p.s,
+               COALESCE(p.s = b.x AND p.nxt = b.y, FALSE) AS mg
+        FROM p{k} p CROSS JOIN best{k} b
+      )
+    ),
+    c{k} AS MATERIALIZED (
+      SELECT word, pos FROM (
+        SELECT word, pos,
+               row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS ridx
+        FROM (SELECT word, pos, pos - cum AS grp FROM m{k} WHERE mg)
+      ) WHERE ridx % 2 = 1
+    ),
+    w{k + 1} AS MATERIALIZED (
+      SELECT m.word, min(m.freq) AS freq,
+             string_agg(CASE WHEN ch.pos IS NOT NULL THEN b.x || b.y
+                             ELSE m.s END, ' ' ORDER BY m.pos) AS sym
+      FROM m{k} m
+      CROSS JOIN best{k} b
+      LEFT JOIN c{k} ch ON m.word = ch.word AND m.pos = ch.pos
+      LEFT JOIN c{k} sk ON m.word = sk.word AND m.pos - 1 = sk.pos
+      WHERE sk.pos IS NULL
+      GROUP BY m.word
+    )"""
+
+
+_BPE_TRAIN_SQL = (
+    """
+    WITH w0 AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             array_to_string(
+               list_transform(generate_series(1, length(word)),
+                              i -> substr(word, i, 1)), ' ')
+               || ' </w>' AS sym
+      FROM (
+        SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
+                                                     '\\s+'),
+                                  t -> t != '')) AS word
+        FROM documents
+      )
+      GROUP BY word
+    ),
+    """
+    + ",\n".join(_bpe_step_sql(k) for k in range(_BPE_N_MERGES))
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_idx, x AS left_sym,"
+        f" y AS right_sym, cnt AS pair_count FROM best{k}"
+        for k in range(_BPE_N_MERGES)
+    )
+    + "\n    ORDER BY merge_idx"
+)
+
+
+@q(
+    "bpe_merge_training",
+    _BPE_TRAIN_SQL,
+    "llm",
+    "tokenization",
+    "bpe",
+    "iterative",
+    "pipeline",
+)
+def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 4 BPE merge rules on the corpus
+    (corpus.bpe_train): per merge, the pair chosen and its weighted
+    count. The iterative argmax/merge loop runs distributed; only the
+    1-row argmax reaches the driver per step."""
+    from milvus_cdc_spark.analytics import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = corpus.bpe_train(docs, n_merges=_BPE_N_MERGES)
+    return spark.createDataFrame(
+        [(int(k), x, y, int(c)) for k, x, y, c in merges],
+        "merge_idx bigint, left_sym string, right_sym string, pair_count bigint",
+    ).orderBy("merge_idx")

@@ -1420,3 +1420,22 @@ def test_bigram_logprob_prefers_frequent_transitions(spark):
     nll = lambda r: r.nll_micro_sum / r.n_bigrams
     assert nll(out[0]) < nll(out[2])
     assert out[0].nll_micro_sum == out[1].nll_micro_sum
+
+
+def test_bpe_train_greedy_run_semantics(spark):
+    """BPE: greedy left-to-right merging of a self-adjacent pair —
+     'aaaa' under merge (a,a) must become 'aa aa' (both pairs), the
+    case naive string replace gets wrong; merge order follows
+    (count desc, pair asc) with deterministic ties."""
+    from milvus_cdc_spark.analytics.corpus import bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest low low"), (1, "aaaa aaaa aa")],
+        "doc_id bigint, text string",
+    )
+    got = bpe_train(docs, n_merges=4)
+    # (a,a): 3 in-run pairs x2 'aaaa' + 1 in 'aa' = 7; then (l,o)=(o,w)=5
+    # ties break lexicographically; then aa</w> (3: two aaaa remnants +
+    # aa) beats low</w>? both 3 -> 'aa' < 'low'
+    assert got == [(0, "a", "a", 7), (1, "l", "o", 5),
+                   (2, "lo", "w", 5), (3, "aa", "</w>", 3)]
