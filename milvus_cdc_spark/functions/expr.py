@@ -40,7 +40,8 @@ array_length`` over ARRAY fields; ``json_contains / json_contains_all /
 json_contains_any`` over JSON paths; ``text_match(field, 'a b c')``
 (OR-of-terms over the shared alnum analyzer) and
 ``phrase_match(field, 'w1 w2')`` (consecutive terms, slop=0) over text
-fields.
+fields; ``random_sample(p)`` (Milvus 2.6) as a deterministic md5-nibble
+keep-gate over the caller-declared ``sample_key`` column.
 
 Typing rules (JSON is stringly-typed on extraction):
 
@@ -171,6 +172,7 @@ class _Parser:
         fields: dict[str, Column],
         meta_col: Column | None,
         json_fields: frozenset[str],
+        sample_key: Column | None = None,
     ):
         self.src = src
         self.toks = _tokenize(src)
@@ -178,6 +180,7 @@ class _Parser:
         self.fields = fields
         self.meta_col = meta_col
         self.json_fields = json_fields
+        self.sample_key = sample_key
 
     # -- token helpers ------------------------------------------------------
     def peek(self) -> _Tok:
@@ -530,7 +533,35 @@ class _Parser:
                 )
             slop = args[2] if len(args) == 3 else 0
             return _Val(self._phrase_match(args[0], args[1], slop))
+        if fn == "random_sample":
+            need(1)
+            return _Val(self._random_sample(args[0], t.pos))
         raise ExprError(f"unknown function {fn!r} at position {t.pos} in {self.src!r}")
+
+    def _random_sample(self, p, pos: int) -> Column:
+        """Milvus 2.6 RANDOM_SAMPLE(p): keep ~fraction p of the rows
+        that pass the rest of the filter. Milvus samples with an RNG per
+        query; this engine substitutes the deterministic md5-nibble gate
+        (``corpus.portable_nibble_hash % 1000 < round(p*1000)``) over
+        the caller-declared ``sample_key`` — the same documented
+        determinism trade every sampling operator here makes, so the
+        result is reproducible and oracle-checkable. Resolution is 1‰,
+        matching the stratified-mixing gate."""
+        from milvus_cdc_spark.analytics.corpus import sample_gate
+
+        if not isinstance(p, (int, float)) or isinstance(p, bool) or not (
+            0 < float(p) < 1
+        ):
+            raise ExprError(
+                f"random_sample needs a literal fraction in (0, 1) at position "
+                f"{pos} in {self.src!r}"
+            )
+        if self.sample_key is None:
+            raise ExprError(
+                f"random_sample at position {pos} needs compile_expr("
+                f"sample_key=...) — no row-identity column was provided"
+            )
+        return sample_gate(self.sample_key, F.lit(int(round(float(p) * 1000))))
 
     def _match_args(self, field, query, fn: str):
         from milvus_cdc_spark.functions.text import word_tokens
@@ -607,6 +638,7 @@ def compile_expr(
     fields: dict[str, Column] | DataFrame,
     meta_col: Column | None = None,
     json_fields: tuple[str, ...] = (),
+    sample_key: Column | None = None,
 ) -> Column:
     """Compile a Milvus filter-expression string to a Spark boolean Column.
 
@@ -625,7 +657,7 @@ def compile_expr(
     """
     if isinstance(fields, DataFrame):
         fields = {c: fields[c] for c in fields.columns}
-    p = _Parser(expr, fields, meta_col, frozenset(json_fields))
+    p = _Parser(expr, fields, meta_col, frozenset(json_fields), sample_key)
     out = p.parse()
     return out if isinstance(out, Column) else out.col
 

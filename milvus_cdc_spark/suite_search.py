@@ -2172,3 +2172,58 @@ def label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "n_vecs", F.round(F.sqrt(dist), 6).alias("drift"))
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Milvus 2.6 RANDOM_SAMPLE(p) filter function: the engine substitutes
+# the deterministic md5-nibble permille gate for Milvus's per-query RNG
+# (documented determinism trade — reproducible, oracle-checkable). The
+# gate composes with ordinary predicates inside one compiled expression.
+# ---------------------------------------------------------------------------
+
+_RS_NIB = (
+    "((strpos('0123456789abcdef', substr(md5(CAST(p_partkey AS VARCHAR)), 1, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(p_partkey AS VARCHAR)), 2, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(p_partkey AS VARCHAR)), 3, 1)) - 1))"
+)
+
+
+@q(
+    "random_sample_filter",
+    f"""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(p_partkey) AS BIGINT) AS sum_pk
+    FROM part
+    WHERE p_size > 20 AND ({_RS_NIB} % 1000) < 250
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    "expr",
+    "random-sample",
+    "search",
+    "compiler",
+)
+def random_sample_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANDOM_SAMPLE inside a compiled Milvus filter
+    (functions.expr.compile_expr sample_key=p_partkey): `p_size > 20 and
+    random_sample(0.25)` — per-brand kept counts. The gate is a pure
+    column predicate, so it pushes into the scan with the rest of the
+    filter."""
+    from milvus_cdc_spark.functions.expr import compile_expr
+
+    p = _t(spark, sf_dir, "part")
+    pred = compile_expr(
+        "p_size > 20 and random_sample(0.25)",
+        p,
+        sample_key=F.col("p_partkey"),
+    )
+    return (
+        p.filter(pred)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.sum("p_partkey").cast("bigint").alias("sum_pk"),
+        )
+        .orderBy("p_brand")
+    )

@@ -268,3 +268,28 @@ def test_render_expr_template(spark):
         r("id > 1", {"extra": 5})
     with pytest.raises(ExprError):
         r("id == {x}", {"x": object()})
+
+
+def test_random_sample_gate(ent):
+    """random_sample(p): deterministic md5-nibble permille gate over the
+    declared sample_key — reproducible across calls, composes with other
+    predicates, rejects out-of-range fractions and a missing key."""
+    from milvus_cdc_spark.analytics.corpus import portable_nibble_hash
+
+    key = F.col("id")
+    kept = ids(ent, "random_sample(0.5)", sample_key=key)
+    again = ids(ent, "random_sample(0.5)", sample_key=key)
+    assert kept == again  # deterministic, not an RNG
+    expected = sorted(
+        r.id
+        for r in ent.filter((portable_nibble_hash(key) % 1000) < 500)
+        .select("id")
+        .collect()
+    )
+    assert kept == expected
+    both = ids(ent, "size > 5 and random_sample(0.5)", sample_key=key)
+    assert both == sorted(set(kept) & set(ids(ent, "size > 5")))
+    with pytest.raises(ExprError):
+        ids(ent, "random_sample(1.5)", sample_key=key)
+    with pytest.raises(ExprError):
+        ids(ent, "random_sample(0.5)")  # no sample_key declared
