@@ -416,3 +416,39 @@ def test_ivf_pq_lut_broadcasts_onto_codes(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_semdedup_joins_are_keyed_not_cartesian(spark, sf_dir):
+    """SemDeDup: the only cross join is the broadcast of the k-row
+    centroid set (assignment); the within-cluster pair join is an
+    EQUI-join on centroid_id — never an unkeyed cartesian over the
+    corpus."""
+    df = suite.QUERIES["semdedup_prune"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # the centroid cross joins must be broadcast-built (k rows)
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_duplicate_spans_no_single_partition(spark, sf_dir):
+    """Duplicate-span coverage: gram counting, dup-gram join, and the
+    coverage distinct are all key-partitioned; the whole-corpus plan
+    has no SinglePartition funnel (the per-source rollup is the final
+    few-row aggregate)."""
+    from milvus_cdc_spark.analytics.dedup import duplicate_spans
+    from milvus_cdc_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = audit.formatted_plan(duplicate_spans(docs, n=3))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_bucket_dim_is_broadcast(spark, sf_dir):
+    """DSIR: the n_buckets-row log-ratio dim must broadcast back onto
+    the feature stream (it is fixed-size at any corpus scale); the only
+    SinglePartition exchange is the 1-row totals merge."""
+    df = suite.QUERIES["dsir_importance_selection"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
