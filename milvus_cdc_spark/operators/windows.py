@@ -165,3 +165,35 @@ def last_sent_lag(df: DataFrame, partition_keys: list[str], ts_col: str) -> Data
     return df.withColumn("prev_ts", F.lag(F.col(ts_col)).over(w)).withColumn(
         "gap", F.col(ts_col) - F.coalesce(F.col("prev_ts"), F.col(ts_col))
     )
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 3600,
+) -> DataFrame:
+    """Gap-based sessionization: assign every event a per-user
+    ``session_id`` that increments whenever the gap to the previous
+    event exceeds ``gap_seconds`` — the per-EVENT twin of Spark's
+    ``session_window`` aggregate (which can only aggregate, not label
+    the rows for downstream per-event work).
+
+    Gaps compare in integer MICROSECONDS (``unix_micros``), never in
+    truncated seconds or float epochs — the sub-second boundary events
+    would otherwise classify differently across engines.
+
+    Plan: one ``lag`` + one running-sum window over the same
+    (user, ts) partitioning — a single user-keyed shuffle, each task
+    handling complete users; at 100 TB this is the canonical
+    partition-parallel window (skewed power users are bounded by any
+    single user's event count, not the corpus).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    new_sess = (
+        prev_us.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - prev_us) > gap_seconds * 1_000_000)
+    ).cast("int")
+    sid = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return events.withColumn("session_id", sid)

@@ -3137,3 +3137,76 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(k), x, y, int(c)) for k, x, y, c in merges],
         "merge_idx bigint, left_sym string, right_sym string, pair_count bigint",
     ).orderBy("merge_idx")
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization (windows.sessionize): per-event session ids
+# from a 30-minute inactivity gap, then per-user session stats. The
+# per-EVENT labeling complements the session_window AGGREGATE the
+# streaming suite covers. Gap compares in integer microseconds.
+# ---------------------------------------------------------------------------
+
+_SESSIONIZE_SQL = """
+    WITH labeled AS (
+      SELECT user_id, ts,
+             sum(CASE WHEN prev_us IS NULL
+                        OR epoch_us(ts) - prev_us > 1800 * 1000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (
+        SELECT user_id, ts,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                 AS prev_us
+        FROM events
+      )
+    ),
+    sess AS (
+      SELECT user_id, session_id, count(*) AS n_events,
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+      FROM labeled GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(max(n_events) AS BIGINT) AS max_session_events,
+           round(sum(dur_us) / count(*) / 1e6, 3) AS avg_session_sec
+    FROM sess GROUP BY user_id ORDER BY user_id
+"""
+
+
+@q(
+    "event_sessionization",
+    _SESSIONIZE_SQL,
+    "events",
+    "sessionization",
+    "window",
+    "analytics",
+)
+def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session stats from gap-based per-event session labeling
+    (windows.sessionize, 30-minute gap): session count, event totals,
+    largest session, mean session duration (integer-microsecond sums
+    divided once at the end)."""
+    from milvus_cdc_spark.operators import windows
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    labeled = windows.sessionize(ev, gap_seconds=1800)
+    sess = labeled.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+        ).alias("dur_us"),
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.max("n_events").cast("bigint").alias("max_session_events"),
+            F.round(F.sum("dur_us") / F.count("*") / 1e6, 3).alias(
+                "avg_session_sec"
+            ),
+        )
+        .orderBy("user_id")
+    )

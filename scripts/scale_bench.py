@@ -161,6 +161,34 @@ def queries():
             n_bands=n_bands, band_dims=band_dims,
         )
 
+    def semdedup_scaled(spark, d):
+        """SemDeDup's quadratic surface is WITHIN-cluster pairs, so k
+        must scale with the corpus (the paper uses k=50k on LAION). A
+        fixed k=8 at 10x data grows clusters 10x and pair work 100x;
+        scaling k ~ n/500 keeps expected cluster size constant and the
+        pair join linear. Centroids stay broadcastable at any realistic
+        k (k rows x dim doubles)."""
+        from pyspark.sql import functions as FF
+
+        from milvus_cdc_spark.analytics import dedup
+
+        emb = catalog.load_table(spark, d, "embeddings")
+        n = emb.count()
+        k = max(8, n // 500)
+        return dedup.semdedup(
+            emb.select(
+                FF.col("vec_id").alias("doc_id"),
+                FF.transform(
+                    FF.col("embedding"), lambda x: x.cast("double")
+                ).alias("embedding"),
+            ),
+            k=k,
+            iters=2,
+            dim=64,
+            threshold=0.98,
+            id_col="doc_id",
+        )
+
     return {
         "near_dup_pairs": suite.QUERIES["near_dup_pairs"].fn,
         "winnowing_fingerprints": suite.QUERIES["winnowing_fingerprints"].fn,
@@ -176,6 +204,14 @@ def queries():
         "banded_cosine_near_dup": banded_near_dup_scaled,
         "ngram_decontamination": suite.QUERIES["ngram_decontamination"].fn,
         "unigram_logprob_quality": suite.QUERIES["unigram_logprob_quality"].fn,
+        # round-5 third-session additions
+        "duplicate_span_coverage": suite.QUERIES["duplicate_span_coverage"].fn,
+        "bigram_lm_quality": suite.QUERIES["bigram_lm_quality"].fn,
+        "dsir_importance_selection": suite.QUERIES[
+            "dsir_importance_selection"
+        ].fn,
+        "bpe_merge_training": suite.QUERIES["bpe_merge_training"].fn,
+        "semdedup_scaled_k": semdedup_scaled,
     }
 
 
@@ -197,12 +233,15 @@ def main() -> None:
     results = []
     for name, fn in queries().items():
         fn(spark, x1).count()  # warm codegen/JIT per query shape
+        spark.catalog.clearCache()  # drop query-lifetime persists
         t0 = time.time()
         n1 = fn(spark, x1).count()
         t1 = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
         t0 = time.time()
         n10 = fn(spark, x10).count()
         t10 = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
         row = {
             "query": name,
             "t_1x": t1,

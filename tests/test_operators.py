@@ -1439,3 +1439,26 @@ def test_bpe_train_greedy_run_semantics(spark):
     # aa) beats low</w>? both 3 -> 'aa' < 'low'
     assert got == [(0, "a", "a", 7), (1, "l", "o", 5),
                    (2, "lo", "w", 5), (3, "aa", "</w>", 3)]
+
+
+def test_sessionize_gap_boundaries(spark):
+    """Sessionize: a gap of exactly gap_seconds stays in-session (strict
+    > breaks), sub-second boundaries compare in microseconds, and
+    session ids restart per user."""
+    from datetime import datetime, timedelta
+
+    from milvus_cdc_spark.operators.windows import sessionize
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + timedelta(seconds=600)),             # same session
+        (1, t0 + timedelta(seconds=600 + 600)),       # exactly the gap: stays
+        (1, t0 + timedelta(seconds=1200 + 600, microseconds=1)),  # 1us over
+        (2, t0),                                      # other user restarts
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    out = sessionize(df, gap_seconds=600)
+    got = sorted((r.user_id, r.ts, r.session_id) for r in out.collect())
+    sids = [s for (_, _, s) in got]
+    assert sids == [1, 1, 1, 2, 1]
