@@ -493,6 +493,8 @@ def semdedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    band_dims: int | None = None,
+    n_bands: int = 4,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication
     by k-means clustering + within-cluster cosine pruning.
@@ -508,11 +510,23 @@ def semdedup(
        earlier-in-order member of the same cluster has cosine >=
        ``threshold`` with it.
 
-    The only quadratic surface is the within-cluster pair join — that is
-    inherent to SemDeDup, and the mitigation is the paper's own: ``k``
-    scales with the corpus (they use k=50,000 on LAION) so cluster sizes
-    stay bounded; the join key is centroid_id, so only same-cluster
-    groups ever expand, and the keep-order predicate halves the pairs.
+    The quadratic surface is the within-cluster pair join. Two levers,
+    both measured in scripts/scale_bench.py:
+
+    - the paper's own: scale ``k`` with the corpus (they use k=50,000 on
+      LAION) so cluster sizes stay bounded. But k ∝ n makes the n x k
+      broadcast ASSIGNMENT quadratic in turn (measured 11.8x at 10x
+      data) — fine up to moderate k, not the 100 TB shape alone;
+    - ``band_dims``: keep k moderate and generate within-cluster
+      candidates by sign-band LSH instead of all-pairs — the join key
+      becomes (centroid, band, bucket) and only sign-colliding members
+      pair up, the same sub-quadratic trick as ``embedding_near_dup``
+      (and the same recall trade: a near-dup pair is missed iff every
+      band has a sign flip; near-identical vectors flip only near-zero
+      dims). Size ``band_dims ~ log2(cluster_size)`` as the corpus
+      grows. This is the 100 TB path: assignment stays n x k with small
+      k, candidates stay bucket-bounded.
+
     Everything is JVM-side column algebra (sequential-fold distances →
     bit-identical across engines); no UDFs, no collects.
 
@@ -560,9 +574,46 @@ def semdedup(
     keep_before = (F.col("_d2a") > F.col("_d2b")) | (
         (F.col("_d2a") == F.col("_d2b")) & (F.col("_ida") < F.col("_idb"))
     )
+    if band_dims is None:
+        cand = a.join(b, on=["centroid_id"])
+    else:
+        # banded candidates: only sign-colliding cluster members pair up
+        # — the within-cluster twin of embedding_near_dup's LSH. The
+        # bucket join and the distinct carry bare id pairs (vectors and
+        # d2 join back after), so the shuffle stays narrow.
+        vec = F.col("_v")
+        bands = []
+        for bb in range(n_bands):
+            bits: F.Column | None = None
+            for i in range(band_dims):
+                t = F.when(
+                    F.element_at(vec, bb * band_dims + i + 1) >= 0,
+                    F.lit(1 << i),
+                ).otherwise(F.lit(0))
+                bits = t if bits is None else bits + t
+            bands.append(bits)
+        buckets = assigned.select(
+            F.col("_id"),
+            F.col("centroid_id"),
+            F.posexplode(F.array(*bands)).alias("_band", "_bucket"),
+        )
+        cand_ids = (
+            buckets.select("centroid_id", "_band", "_bucket", F.col("_id").alias("_ida"))
+            .join(
+                buckets.select(
+                    "centroid_id", "_band", "_bucket", F.col("_id").alias("_idb")
+                ),
+                on=["centroid_id", "_band", "_bucket"],
+            )
+            .filter(F.col("_ida") != F.col("_idb"))
+            .select("centroid_id", "_ida", "_idb")
+            .distinct()
+        )
+        cand = cand_ids.join(a, ["centroid_id", "_ida"]).join(
+            b, ["centroid_id", "_idb"]
+        )
     pruned_ids = (
-        a.join(b, on=["centroid_id"])
-        .filter(keep_before)
+        cand.filter(keep_before)
         .filter(F.round(vecf.cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
         .select(F.col("_idb").alias("_pid"))
         .distinct()

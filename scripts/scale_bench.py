@@ -162,19 +162,21 @@ def queries():
         )
 
     def semdedup_scaled(spark, d):
-        """SemDeDup's quadratic surface is WITHIN-cluster pairs, so k
-        must scale with the corpus (the paper uses k=50k on LAION). A
-        fixed k=8 at 10x data grows clusters 10x and pair work 100x;
-        scaling k ~ n/500 keeps expected cluster size constant and the
-        pair join linear. Centroids stay broadcastable at any realistic
-        k (k rows x dim doubles)."""
+        """SemDeDup's quadratic surface is WITHIN-cluster pairs. Scaling
+        k ~ n keeps pair work linear but makes the n x k assignment
+        quadratic (measured 11.8x at 10x data with k = n/500). The 100
+        TB shape keeps k moderate and generates within-cluster
+        candidates by sign-band LSH (band_dims) instead of all-pairs —
+        assignment stays n x k, candidates stay bucket-bounded; bucket
+        count scales with the corpus exactly as in the banded cosine
+        query."""
         from pyspark.sql import functions as FF
 
         from milvus_cdc_spark.analytics import dedup
 
         emb = catalog.load_table(spark, d, "embeddings")
         n = emb.count()
-        k = max(8, n // 500)
+        n_bands, band_dims = (8, 8) if n <= 5000 else (4, 16)
         return dedup.semdedup(
             emb.select(
                 FF.col("vec_id").alias("doc_id"),
@@ -182,11 +184,13 @@ def queries():
                     FF.col("embedding"), lambda x: x.cast("double")
                 ).alias("embedding"),
             ),
-            k=k,
+            k=8,
             iters=2,
             dim=64,
             threshold=0.98,
             id_col="doc_id",
+            band_dims=band_dims,
+            n_bands=n_bands,
         )
 
     return {
@@ -211,7 +215,7 @@ def queries():
             "dsir_importance_selection"
         ].fn,
         "bpe_merge_training": suite.QUERIES["bpe_merge_training"].fn,
-        "semdedup_scaled_k": semdedup_scaled,
+        "semdedup_banded": semdedup_scaled,
     }
 
 

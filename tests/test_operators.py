@@ -1462,3 +1462,26 @@ def test_sessionize_gap_boundaries(spark):
     got = sorted((r.user_id, r.ts, r.session_id) for r in out.collect())
     sids = [s for (_, _, s) in got]
     assert sids == [1, 1, 1, 2, 1]
+
+
+def test_semdedup_banded_matches_exact_on_tight_dups(spark):
+    """Banded SemDeDup candidates: near-identical replicas collide in
+    at least one sign band, so the banded path prunes exactly what the
+    all-pairs path prunes on a replica corpus (recall loss only hits
+    borderline pairs straddling sign flips)."""
+    from milvus_cdc_spark.analytics.dedup import semdedup
+
+    base = [(i, [((i * 7 + j) % 5) - 2.0 + 0.1 * j for j in range(16)])
+            for i in range(12)]
+    reps = [(i + 100, [v + 0.001 for v in vec]) for i, vec in base]
+    df = spark.createDataFrame(
+        base + reps, "vec_id bigint, embedding array<double>"
+    )
+    kw = dict(k=2, iters=2, dim=16, threshold=0.999)
+    exact = {r.vec_id: r.pruned for r in semdedup(df, **kw).collect()}
+    banded = {
+        r.vec_id: r.pruned
+        for r in semdedup(df, band_dims=8, n_bands=2, **kw).collect()
+    }
+    assert exact == banded
+    assert sum(exact.values()) >= 12  # every replica pair pruned one side
