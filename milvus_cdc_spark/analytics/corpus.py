@@ -521,6 +521,103 @@ def bigram_logprob(
     )
 
 
+def _bpe_word_table(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq, sym) — the BPE working state: corpus word counts with
+    each word as space-separated character symbols + an end-of-word
+    marker. The ONLY corpus-sized pass in the BPE family; everything
+    after runs over the distinct-word table."""
+    from milvus_cdc_spark.functions import text as textf
+
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    return (
+        docs.select(F.explode(textf.tokens(F.lower(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            "word",
+            "freq",
+            F.concat(F.concat_ws(" ", chars), F.lit(" </w>")).alias("sym"),
+        )
+    )
+
+
+def _bpe_symbol_rows(words: DataFrame) -> DataFrame:
+    """Explode the symbol strings to (word, freq, pos, s, nxt) rows."""
+    from pyspark.sql import Window
+
+    wnd = Window.partitionBy("word").orderBy("pos")
+    return words.select(
+        "word",
+        "freq",
+        F.posexplode(F.split("sym", " ")).alias("pos", "s"),
+    ).select("word", "freq", "pos", "s", F.lead("s").over(wnd).alias("nxt"))
+
+
+def _bpe_apply_merge(rows: DataFrame, x: str, y: str) -> DataFrame:
+    """One greedy left-to-right merge of the adjacent pair (x, y) over
+    exploded symbol rows -> the rebuilt (word, freq, sym) table.
+
+    Exact greedy semantics via gaps-and-islands: mark mergeable
+    positions, group consecutive ones (pos minus running mergeable
+    count), merge the odd island members only — so a run like
+    "a a a a" under (a, a) becomes "aa aa", which naive string replace
+    gets wrong (consecutive matches share their delimiter)."""
+    from pyspark.sql import Window
+
+    wnd = Window.partitionBy("word").orderBy("pos")
+    mg = (F.col("s") == x) & (F.col("nxt") == y)
+    cum = F.sum(mg.cast("int")).over(wnd.rowsBetween(Window.unboundedPreceding, 0))
+    marked = rows.select(
+        "word", "freq", "pos", "s", mg.alias("mg"), cum.alias("cum")
+    )
+    chosen = (
+        marked.filter("mg")
+        .select("word", "pos", (F.col("pos") - F.col("cum")).alias("grp"))
+        .withColumn(
+            "ridx",
+            F.row_number().over(Window.partitionBy("word", "grp").orderBy("pos")),
+        )
+        .filter(F.col("ridx") % 2 == 1)
+        .select("word", "pos")
+    )
+    ch = chosen.select(F.col("word").alias("_cw"), F.col("pos").alias("_cp"))
+    sk = chosen.select(F.col("word").alias("_sw"), F.col("pos").alias("_sp"))
+    rebuilt = (
+        marked.join(
+            ch,
+            (F.col("word") == F.col("_cw")) & (F.col("pos") == F.col("_cp")),
+            "left",
+        )
+        .join(
+            sk,
+            (F.col("word") == F.col("_sw")) & (F.col("pos") - 1 == F.col("_sp")),
+            "left",
+        )
+        .filter(F.col("_sp").isNull())
+        .select(
+            "word",
+            "freq",
+            "pos",
+            F.when(F.col("_cp").isNotNull(), F.lit(x + y))
+            .otherwise(F.col("s"))
+            .alias("s"),
+        )
+    )
+    return rebuilt.groupBy("word").agg(
+        F.min("freq").alias("freq"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda p: p.s,
+            ),
+        ).alias("sym"),
+    )
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 4,
@@ -531,16 +628,7 @@ def bpe_train(
     an end-of-word marker, and ``n_merges`` times (a) count adjacent
     symbol pairs weighted by word frequency, (b) pick the most frequent
     pair (ties -> lexicographically smallest), (c) merge its
-    occurrences greedily left-to-right.
-
-    Greedy left-to-right matters for runs of a self-adjacent pair
-    ("aaaa" under merge (a,a) becomes "aa aa", never "a aa a"), and
-    naive string replace diverges there because consecutive matches
-    share their delimiter. This implementation is EXACT: mark mergeable
-    positions, group consecutive mergeable positions into islands
-    (gaps-and-islands: pos minus running mergeable count), and merge
-    the odd-indexed island members only — pure window algebra, no UDF,
-    identical in any engine.
+    occurrences greedily left-to-right (``_bpe_apply_merge``).
 
     Scale: after the initial word-count aggregation (the only
     corpus-sized pass) every iteration runs over the DISTINCT-WORD
@@ -550,39 +638,13 @@ def bpe_train(
     per step and the previous step unpersisted, so lineage stays flat.
 
     Returns the learned merge table [(merge_idx, left, right, count)];
-    the final symbol state is discarded (rerun ``bpe_apply``-style
-    encoding with the merge table to tokenize).
+    ``bpe_apply`` encodes a corpus with it.
     """
-    from pyspark.sql import Window
-
-    from milvus_cdc_spark.functions import text as textf
-
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length("word")),
-        lambda i: F.col("word").substr(i, F.lit(1)),
-    )
-    words = (
-        docs.select(F.explode(textf.tokens(F.lower(F.col(text_col)))).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-        .select(
-            "word",
-            "freq",
-            F.concat(F.concat_ws(" ", chars), F.lit(" </w>")).alias("sym"),
-        )
-        .persist()
-    )
+    words = _bpe_word_table(docs, text_col).persist()
     merges: list[tuple[int, str, str, int]] = []
     try:
         for k in range(n_merges):
-            wnd = Window.partitionBy("word").orderBy("pos")
-            rows = words.select(
-                "word",
-                "freq",
-                F.posexplode(F.split("sym", " ")).alias("pos", "s"),
-            ).select(
-                "word", "freq", "pos", "s", F.lead("s").over(wnd).alias("nxt")
-            )
+            rows = _bpe_symbol_rows(words)
             top = (
                 rows.filter(F.col("nxt").isNotNull())
                 .groupBy("s", "nxt")
@@ -595,73 +657,31 @@ def bpe_train(
                 break
             x, y, cnt = top[0].s, top[0].nxt, int(top[0].cnt)
             merges.append((k, x, y, cnt))
-            mg = (F.col("s") == x) & (F.col("nxt") == y)
-            cum = F.sum(mg.cast("int")).over(
-                wnd.rowsBetween(Window.unboundedPreceding, 0)
-            )
-            marked = rows.select(
-                "word", "freq", "pos", "s", mg.alias("mg"), cum.alias("cum")
-            )
-            chosen = (
-                marked.filter("mg")
-                .select("word", "pos", (F.col("pos") - F.col("cum")).alias("grp"))
-                .withColumn(
-                    "ridx",
-                    F.row_number().over(
-                        Window.partitionBy("word", "grp").orderBy("pos")
-                    ),
-                )
-                .filter(F.col("ridx") % 2 == 1)
-                .select("word", "pos")
-            )
-            ch = chosen.select(
-                F.col("word").alias("_cw"), F.col("pos").alias("_cp")
-            )
-            sk = chosen.select(
-                F.col("word").alias("_sw"), F.col("pos").alias("_sp")
-            )
-            rebuilt = (
-                marked.join(
-                    ch,
-                    (F.col("word") == F.col("_cw"))
-                    & (F.col("pos") == F.col("_cp")),
-                    "left",
-                )
-                .join(
-                    sk,
-                    (F.col("word") == F.col("_sw"))
-                    & (F.col("pos") - 1 == F.col("_sp")),
-                    "left",
-                )
-                .filter(F.col("_sp").isNull())
-                .select(
-                    "word",
-                    "freq",
-                    "pos",
-                    F.when(F.col("_cp").isNotNull(), F.lit(x + y))
-                    .otherwise(F.col("s"))
-                    .alias("s"),
-                )
-            )
-            nxt_words = (
-                rebuilt.groupBy("word")
-                .agg(
-                    F.min("freq").alias("freq"),
-                    F.concat_ws(
-                        " ",
-                        F.transform(
-                            F.array_sort(
-                                F.collect_list(F.struct("pos", "s"))
-                            ),
-                            lambda p: p.s,
-                        ),
-                    ).alias("sym"),
-                )
-                .persist()
-            )
+            nxt_words = _bpe_apply_merge(rows, x, y).persist()
             nxt_words.count()  # materialize before dropping the parent
             words.unpersist()
             words = nxt_words
     finally:
         words.unpersist()
     return merges
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode the corpus vocabulary with an already-learned merge list:
+    apply each (left, right) rule in training order, greedy
+    left-to-right — the production tokenization step (train once,
+    encode everywhere), and unlike training it needs NO driver traffic
+    at all: the rules are literals baked into the plan, so the whole
+    encode is one lazy DataFrame chain over the vocabulary table.
+
+    Returns (word, freq, sym) with ``sym`` the final space-separated
+    symbol segmentation of each word.
+    """
+    words = _bpe_word_table(docs, text_col)
+    for x, y in merges:
+        words = _bpe_apply_merge(_bpe_symbol_rows(words), x, y)
+    return words

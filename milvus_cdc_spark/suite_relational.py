@@ -3210,3 +3210,64 @@ def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_BPE_ENCODE_SQL = (
+    """
+    WITH w0 AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             array_to_string(
+               list_transform(generate_series(1, length(word)),
+                              i -> substr(word, i, 1)), ' ')
+               || ' </w>' AS sym
+      FROM (
+        SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
+                                                     '\\s+'),
+                                  t -> t != '')) AS word
+        FROM documents
+      )
+      GROUP BY word
+    ),
+    """
+    + ",\n".join(_bpe_step_sql(k) for k in range(_BPE_N_MERGES))
+    + f"""
+    SELECT s AS symbol,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+           CAST(sum(freq) AS BIGINT) AS total_count
+    FROM (SELECT word, freq, unnest(string_split(sym, ' ')) AS s
+          FROM w{_BPE_N_MERGES})
+    GROUP BY s ORDER BY s
+    """
+)
+
+
+@q(
+    "bpe_encode_vocab",
+    _BPE_ENCODE_SQL,
+    "llm",
+    "tokenization",
+    "bpe",
+    "pipeline",
+)
+def bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the 4 learned BPE merges
+    (corpus.bpe_train -> corpus.bpe_apply) and report the resulting
+    symbol vocabulary: per symbol, the distinct words containing it and
+    its corpus-weighted total count. The encode itself is one lazy plan
+    with the rules baked in as literals — zero driver traffic."""
+    from milvus_cdc_spark.analytics import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [(x, y) for _, x, y, _ in corpus.bpe_train(docs, _BPE_N_MERGES)]
+    enc = corpus.bpe_apply(docs, merges)
+    sym = enc.select(
+        "word", "freq", F.explode(F.split("sym", " ")).alias("symbol")
+    )
+    return (
+        sym.groupBy("symbol")
+        .agg(
+            F.countDistinct("word").cast("bigint").alias("n_words"),
+            F.sum("freq").cast("bigint").alias("total_count"),
+        )
+        .orderBy("symbol")
+    )

@@ -121,6 +121,9 @@ def main():
         try:
             sdf = spec.fn(spark, sf_dir)
             spdf = sdf.toPandas()
+            # drop query-lifetime persists (shingle/posting caches):
+            # a 160+-query session would otherwise accumulate them all
+            spark.catalog.clearCache()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1

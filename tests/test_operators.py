@@ -1485,3 +1485,21 @@ def test_semdedup_banded_matches_exact_on_tight_dups(spark):
     }
     assert exact == banded
     assert sum(exact.values()) >= 12  # every replica pair pruned one side
+
+
+def test_bpe_apply_reproduces_training_state(spark):
+    """bpe_apply with the rules bpe_train just learned reproduces the
+    training loop's final segmentation (the train/encode consistency
+    contract)."""
+    from milvus_cdc_spark.analytics.corpus import bpe_apply, bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest low low"), (1, "aaaa aaaa aa")],
+        "doc_id bigint, text string",
+    )
+    merges = [(x, y) for _, x, y, _ in bpe_train(docs, n_merges=4)]
+    got = {r.word: r.sym for r in bpe_apply(docs, merges).collect()}
+    assert got["low"] == "low </w>"
+    assert got["aaaa"] == "aa aa</w>"
+    assert got["aa"] == "aa</w>"
+    assert got["lower"] == "low e r </w>"
