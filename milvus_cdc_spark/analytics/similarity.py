@@ -1199,3 +1199,61 @@ def mmr_rerank(
     return out.select(
         "rank", F.col("_id").alias(id_col), F.col("_mmr").alias("mmr_score")
     )
+
+
+def hashed_embedding(
+    docs: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic text embedding by the hashing trick (Weinberger et
+    al., ICML 2009: Feature Hashing for Large Scale Multitask Learning):
+    every token hashes to a dimension (md5 nibble pair mod dim) and to a
+    sign (+-1 from another nibble); the document vector is the signed
+    token-count histogram. The model-free analog of a server-side
+    embedding function (Milvus 2.6 attaches text-embedding Functions to
+    collections): it turns the engine's whole vector-search surface —
+    cosine top-k, IVF, banding, SemDeDup — into a text pipeline with no
+    external model, and its cosine is a known unbiased kernel estimate.
+
+    Components are exact INTEGERS (signed counts), so dot products and
+    squared norms are integer math — deterministic in any engine; the
+    one float op is the final cosine division.
+
+    Plan: one token explode, one (doc, dim)-keyed count aggregate,
+    then ``dim`` conditional sums assemble the vector per doc (the
+    SimHash codegen shape) — two corpus-keyed shuffles total, vector
+    width fixed at any corpus size.
+
+    Returns (id, vec array<bigint>).
+    """
+    from milvus_cdc_spark.functions import text as textf
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(textf.tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    md5 = F.md5(F.col("tok"))
+    hexd = "0123456789abcdef"
+
+    def _nib(i: int):
+        return (F.instr(F.lit(hexd), F.substring(md5, i, 1)) - 1).cast("bigint")
+
+    hashed = toks.select(
+        F.col(id_col),
+        ((_nib(1) * 16 + _nib(2)) % dim).alias("d"),
+        F.when(_nib(3) >= 8, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
+    )
+    sums = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("d") == i, F.col("sign")).otherwise(0))
+            .cast("bigint")
+            .alias(f"_v{i}")
+            for i in range(dim)
+        ]
+    )
+    return sums.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_v{i}") for i in range(dim)]).alias("vec"),
+    )

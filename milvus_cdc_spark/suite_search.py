@@ -2227,3 +2227,116 @@ def random_sample_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed text embedding + cosine search (the hashing trick, Weinberger
+# et al. ICML'09): the model-free analog of Milvus 2.6 text-embedding
+# Functions — text feeds the vector-search surface with no external
+# model. Components are exact signed integer counts, so dot/norms are
+# integer math in both engines; the single float op is the final
+# cosine. The oracle rebuilds the 64 conditional sums symbolically.
+# ---------------------------------------------------------------------------
+
+_HE_DIM = 64
+_HE_SUMS = ", ".join(
+    f"CAST(sum(CASE WHEN d = {i} THEN sign ELSE 0 END) AS BIGINT) AS v{i}"
+    for i in range(_HE_DIM)
+)
+_HE_N2 = " + ".join(f"v{i} * v{i}" for i in range(_HE_DIM))
+_HE_DOT = " + ".join(f"q.v{i} * c.v{i}" for i in range(_HE_DIM))
+
+
+@q(
+    "hashed_embedding_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                t -> t != '')) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1))
+               % {_HE_DIM} AS d,
+             CASE WHEN strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1
+                       >= 8
+                  THEN 1 ELSE -1 END AS sign
+      FROM toks
+    ),
+    sums AS MATERIALIZED (
+      SELECT doc_id, {_HE_SUMS} FROM hashed GROUP BY doc_id
+    ),
+    withn AS MATERIALIZED (
+      SELECT *, {_HE_N2} AS n2 FROM sums
+    ),
+    scored AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+             round(({_HE_DOT}) / sqrt(CAST(q.n2 AS DOUBLE) * c.n2), 6)
+               AS cosine
+      FROM withn q JOIN withn c
+        ON q.doc_id IN (0, 1, 2) AND c.doc_id != q.doc_id
+       AND q.n2 > 0 AND c.n2 > 0
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, rnk, neighbor_id, cosine
+    FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+    "vector",
+    "embedding",
+    "hashing-trick",
+    "search",
+    "llm",
+)
+def hashed_embedding_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embed every document with the 64-dim hashing trick
+    (similarity.hashed_embedding), then cosine top-5 neighbors for query
+    docs 0-2 — text-to-vector-search with zero external models; integer
+    dot/norm arithmetic end to end."""
+    from milvus_cdc_spark.analytics import similarity
+    from milvus_cdc_spark.functions import vector as vecf
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = similarity.hashed_embedding(docs, dim=_HE_DIM)
+    n2 = F.aggregate(
+        F.col("vec"), F.lit(0).cast("bigint"), lambda a, x: a + x * x
+    )
+    withn = emb.select("doc_id", "vec", n2.alias("n2")).filter(F.col("n2") > 0)
+    q_side = withn.filter(F.col("doc_id").isin(0, 1, 2)).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("vec").alias("qv"),
+        F.col("n2").alias("qn2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("vec"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    scored = (
+        withn.join(F.broadcast(q_side), F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            F.round(
+                dot / F.sqrt((F.col("qn2") * F.col("n2")).cast("double")), 6
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "rnk", "neighbor_id", "cosine")
+        .orderBy("query_id", "rnk")
+    )

@@ -1503,3 +1503,21 @@ def test_bpe_apply_reproduces_training_state(spark):
     assert got["aaaa"] == "aa aa</w>"
     assert got["aa"] == "aa</w>"
     assert got["lower"] == "low e r </w>"
+
+
+def test_hashed_embedding_properties(spark):
+    """Hashing-trick embedding: identical texts embed identically, token
+    order is irrelevant (bag model), a doc's squared norm is bounded by
+    its token count squared, and vectors are integer-valued."""
+    from milvus_cdc_spark.analytics.similarity import hashed_embedding
+
+    docs = spark.createDataFrame(
+        [(0, "red green blue"), (1, "blue green red"), (2, "red red red"),
+         (3, "")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: list(r.vec) for r in hashed_embedding(docs, dim=16).collect()}
+    assert out[0] == out[1]                       # bag-of-words
+    assert sum(abs(v) for v in out[2]) == 3       # 3 tokens, one bucket +-3
+    assert all(isinstance(v, int) for v in out[0])
+    assert 3 not in out                # token-less doc -> no vector row
