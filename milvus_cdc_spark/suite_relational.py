@@ -3271,3 +3271,99 @@ def bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005): the
+# fixed-size mergeable frequency sketch — at 100 TB the d x w table
+# merges by cell addition in Spark's partial aggregation and broadcasts
+# for estimation, replacing a full-key-space groupBy. Estimates are
+# md5-seeded and bit-identical across engines; CMS always OVERcounts.
+# ---------------------------------------------------------------------------
+
+_CMS_D, _CMS_W = 4, 256
+
+
+def _cms_bucket_sql(seed: int) -> str:
+    h = f"md5('{seed}:' || tok)"
+    nib = "(strpos('0123456789abcdef', substr(%s, {i}, 1)) - 1)" % h
+    return (
+        f"(({nib.format(i=1)} * 256 + {nib.format(i=2)} * 16 "
+        f"+ {nib.format(i=3)}) %% {_CMS_W})"
+    ).replace("%%", "%")
+
+
+_CMS_CELL_ARMS = " UNION ALL ".join(
+    f"SELECT {r} AS row, {_cms_bucket_sql(r)} AS bucket FROM toks"
+    for r in range(_CMS_D)
+)
+_CMS_PROBE_ARMS = " UNION ALL ".join(
+    f"SELECT tok, c, {r} AS row, {_cms_bucket_sql(r)} AS bucket FROM cand"
+    for r in range(_CMS_D)
+)
+
+
+@q(
+    "cms_heavy_hitters",
+    f"""
+    WITH toks AS MATERIALIZED (
+      SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
+                                                   '\\s+'),
+                                t -> t != '')) AS tok
+      FROM documents
+    ),
+    cells AS MATERIALIZED (
+      SELECT row, bucket, count(*) AS cnt
+      FROM ({_CMS_CELL_ARMS}) GROUP BY row, bucket
+    ),
+    cand AS MATERIALIZED (
+      SELECT tok, count(*) AS c FROM toks GROUP BY tok
+      ORDER BY c DESC, tok LIMIT 20
+    ),
+    est AS (
+      SELECT p.tok, p.c, min(coalesce(s.cnt, 0)) AS est
+      FROM ({_CMS_PROBE_ARMS}) p
+      LEFT JOIN cells s ON p.row = s.row AND p.bucket = s.bucket
+      GROUP BY p.tok, p.c
+    )
+    SELECT tok AS token,
+           CAST(c AS BIGINT) AS exact_count,
+           CAST(est AS BIGINT) AS cms_estimate,
+           CAST(est - c AS BIGINT) AS overcount
+    FROM est
+    ORDER BY exact_count DESC, token
+    """,
+    "llm",
+    "sketch",
+    "count-min",
+    "heavy-hitters",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min estimates for the 20 most frequent corpus tokens
+    (analytics/sketches.cms_build/cms_estimate, d=4, w=256): exact
+    count, sketch estimate, and the guaranteed-nonnegative overcount."""
+    from milvus_cdc_spark.analytics import sketches
+    from milvus_cdc_spark.functions import text as textf
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(textf.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    sketch = sketches.cms_build(toks, "tok", d=_CMS_D, w=_CMS_W)
+    cand = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(20)
+    )
+    est = sketches.cms_estimate(sketch, cand, "tok", d=_CMS_D, w=_CMS_W)
+    return (
+        cand.join(est, "tok")
+        .select(
+            F.col("tok").alias("token"),
+            F.col("c").cast("bigint").alias("exact_count"),
+            F.col("est").cast("bigint").alias("cms_estimate"),
+            (F.col("est") - F.col("c")).cast("bigint").alias("overcount"),
+        )
+        .orderBy(F.col("exact_count").desc(), "token")
+    )

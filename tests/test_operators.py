@@ -1521,3 +1521,33 @@ def test_hashed_embedding_properties(spark):
     assert sum(abs(v) for v in out[2]) == 3       # 3 tokens, one bucket +-3
     assert all(isinstance(v, int) for v in out[0])
     assert 3 not in out                # token-less doc -> no vector row
+
+
+def test_cms_never_undercounts_and_is_mergeable(spark):
+    """Count-Min: estimates >= exact counts always; a sketch built on
+    the union equals cell-wise sum of per-half sketches (the merge
+    property partial aggregation exploits)."""
+    from milvus_cdc_spark.analytics.sketches import cms_build, cms_estimate
+
+    rows = [(w,) for w in ("a b c a b a " * 20).split()] + [("rare",)]
+    items = spark.createDataFrame(rows, "item string")
+    sk = cms_build(items, d=3, w=16)
+    cand = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("rare",), ("absent",)], "item string"
+    )
+    est = {r.item: r.est for r in cms_estimate(sk, cand, d=3, w=16).collect()}
+    exact = {"a": 60, "b": 40, "c": 20, "rare": 1, "absent": 0}
+    for k, v in exact.items():
+        assert est[k] >= v, (k, est[k], v)
+    half1 = cms_build(items.limit(60), d=3, w=16)
+    half2 = cms_build(
+        spark.createDataFrame(rows[60:], "item string"), d=3, w=16
+    )
+    merged = (
+        half1.unionAll(half2)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    a = {(r.row, r.bucket): r.cnt for r in sk.collect()}
+    b = {(r.row, r.bucket): r.cnt for r in merged.collect()}
+    assert a == b
