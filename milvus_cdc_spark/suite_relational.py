@@ -3367,3 +3367,158 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("exact_count").desc(), "token")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join reduction (runtime-filter idea): a 16-word
+# bloom over a dim-side key set broadcasts in kilobytes and prunes the
+# fact stream MAP-SIDE before any join — false positives possible (and
+# reported), false negatives impossible. Linear counting (Whang TODS
+# 1990): the md5-seeded bitmap distinct estimator whose ESTIMATE is
+# engine-portable, unlike HLL register layouts.
+# ---------------------------------------------------------------------------
+
+_BF_H, _BF_WORDS = 3, 16
+_BF_M = 63 * _BF_WORDS
+
+
+def _bf_pos_sql(expr: str, h: int) -> str:
+    md5 = f"md5('{1000 + h}:' || CAST({expr} AS VARCHAR))"
+    nib = "(strpos('0123456789abcdef', substr(%s, {i}, 1)) - 1)" % md5
+    return (
+        f"(({nib.format(i=1)} * 256 + {nib.format(i=2)} * 16 "
+        f"+ {nib.format(i=3)}) % {_BF_M})"
+    )
+
+
+_BF_DIM_ARMS = " UNION ALL ".join(
+    f"SELECT {_bf_pos_sql('s_suppkey', h)} AS p FROM dim" for h in range(_BF_H)
+)
+_BF_PROBE_ARMS = " UNION ALL ".join(
+    f"SELECT sk, {h} AS h, {_bf_pos_sql('sk', h)} AS p FROM probe_keys"
+    for h in range(_BF_H)
+)
+
+
+@q(
+    "bloom_semi_join_reduction",
+    f"""
+    WITH dim AS (SELECT s_suppkey FROM supplier WHERE s_nationkey = 5),
+    words AS MATERIALIZED (
+      SELECT p // 63 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+      FROM ({_BF_DIM_ARMS}) GROUP BY p // 63
+    ),
+    probe_keys AS (SELECT DISTINCT l_suppkey AS sk FROM lineitem),
+    hits AS (
+      SELECT pr.sk, pr.h
+      FROM ({_BF_PROBE_ARMS}) pr
+      JOIN words w ON pr.p // 63 = w.word_idx
+                  AND (w.bits & (CAST(1 AS BIGINT) << CAST(pr.p % 63 AS INT)))
+                      != 0
+    ),
+    pass AS (
+      SELECT sk FROM hits GROUP BY sk HAVING count(*) = {_BF_H}
+    )
+    SELECT CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_suppkey IN (SELECT sk FROM pass)) AS BIGINT)
+             AS n_bloom_pass,
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_suppkey IN (SELECT s_suppkey FROM dim)) AS BIGINT)
+             AS n_exact,
+           CAST((SELECT count(*) FROM pass
+                 WHERE sk NOT IN (SELECT s_suppkey FROM dim)) AS BIGINT)
+             AS fp_keys
+    """,
+    "sketch",
+    "bloom",
+    "semi-join",
+    "runtime-filter",
+)
+def bloom_semi_join_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gate the lineitem fact stream by nation-5 suppliers
+    (sketches.bloom_build + bloom_might_contain): total rows, rows
+    passing the map-side bloom, rows passing the exact semi-join, and
+    the false-positive key count. The collected bloom is <= 16 words at
+    any corpus size."""
+    from milvus_cdc_spark.analytics import sketches
+
+    sup = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 5)
+    li = _t(spark, sf_dir, "lineitem")
+    bloom = sketches.bloom_build(
+        sup.select(F.col("s_suppkey").alias("key")),
+        n_hashes=_BF_H,
+        n_words=_BF_WORDS,
+    )
+    words = [(r.word_idx, r.bits) for r in bloom.collect()]
+    gate = sketches.bloom_might_contain(
+        F.col("l_suppkey"), words, n_hashes=_BF_H, n_words=_BF_WORDS
+    )
+    passed = li.filter(gate)
+    exact = li.join(
+        F.broadcast(sup.select("s_suppkey")),
+        li["l_suppkey"] == F.col("s_suppkey"),
+        "left_semi",
+    )
+    fp = (
+        passed.select(F.col("l_suppkey").alias("sk"))
+        .distinct()
+        .join(
+            F.broadcast(sup.select("s_suppkey")),
+            F.col("sk") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    n_rows = li.count()
+    n_pass = passed.count()
+    n_exact = exact.count()
+    n_fp = fp.count()
+    return spark.createDataFrame(
+        [(n_rows, n_pass, n_exact, n_fp)],
+        "n_rows bigint, n_bloom_pass bigint, n_exact bigint, fp_keys bigint",
+    )
+
+
+@q(
+    "linear_counting_distinct_parts",
+    """
+    WITH pos AS (
+      SELECT DISTINCT
+        ((strpos('0123456789abcdef',
+                 substr(md5('7:' || CAST(l_partkey AS VARCHAR)), 1, 1)) - 1)
+           * 256
+         + (strpos('0123456789abcdef',
+                   substr(md5('7:' || CAST(l_partkey AS VARCHAR)), 2, 1)) - 1)
+           * 16
+         + (strpos('0123456789abcdef',
+                   substr(md5('7:' || CAST(l_partkey AS VARCHAR)), 3, 1)) - 1))
+          % 65536 AS p
+      FROM lineitem
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_set,
+           round(-65536 * ln((65536 - count(*)) / 65536.0), 2) AS estimate,
+           CAST((SELECT count(DISTINCT l_partkey) FROM lineitem) AS BIGINT)
+             AS exact_distinct
+    FROM pos
+    """,
+    "sketch",
+    "linear-counting",
+    "approx-distinct",
+)
+def linear_counting_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-counting estimate of distinct part keys in lineitem
+    (sketches.linear_counting_distinct, m=65536) against the exact
+    distinct count — the portable approximate-distinct twin of
+    approx_count_distinct, with a bit-identical bitmap in both
+    engines."""
+    from milvus_cdc_spark.analytics import sketches
+
+    li = _t(spark, sf_dir, "lineitem")
+    lc = sketches.linear_counting_distinct(
+        li.select(F.col("l_partkey").alias("item")), n_bits=65536
+    )
+    exact = li.agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("exact_distinct")
+    )
+    return lc.crossJoin(exact)

@@ -1551,3 +1551,39 @@ def test_cms_never_undercounts_and_is_mergeable(spark):
     a = {(r.row, r.bucket): r.cnt for r in sk.collect()}
     b = {(r.row, r.bucket): r.cnt for r in merged.collect()}
     assert a == b
+
+
+def test_bloom_no_false_negatives(spark):
+    """Bloom filter: every inserted key passes (no false negatives);
+    the collected word table stays within n_words rows; a disjoint
+    probe set passes only at the (small) false-positive rate."""
+    from milvus_cdc_spark.analytics.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    keys = spark.createDataFrame([(i,) for i in range(50)], "key bigint")
+    words = [
+        (r.word_idx, r.bits)
+        for r in bloom_build(keys, n_hashes=3, n_words=16).collect()
+    ]
+    assert len(words) <= 16
+    probe = spark.createDataFrame([(i,) for i in range(200)], "k bigint")
+    gate = bloom_might_contain(F.col("k"), words, n_hashes=3, n_words=16)
+    passed = {r.k for r in probe.filter(gate).collect()}
+    assert set(range(50)) <= passed          # no false negatives
+    fp = passed - set(range(50))
+    assert len(fp) < 75, fp                  # bounded false positives
+
+
+def test_linear_counting_tracks_cardinality(spark):
+    """Linear counting: the estimate lands near the true cardinality at
+    low load factor and is exact-ish for tiny sets."""
+    from milvus_cdc_spark.analytics.sketches import linear_counting_distinct
+
+    items = spark.createDataFrame(
+        [(i % 300,) for i in range(3000)], "item bigint"
+    )
+    row = linear_counting_distinct(items, n_bits=4096).collect()[0]
+    assert row.n_set <= 300
+    assert abs(row.estimate - 300) < 30, row
