@@ -3367,3 +3367,85 @@ def get_oracles() -> dict[str, str]:
         for name in _ordered_names()
         if QUERIES[name].oracle
     }
+
+
+# ---------------------------------------------------------------------------
+# Mid-stream schema evolution (AlterCollection adds a field while
+# replication runs — server/model DDL path): early op batches lack the
+# new column, later ones carry it. The apply path reads the staged
+# batches with parquet mergeSchema and replays LWW; rows written before
+# the DDL surface the new field as NULL, never as a read error or a
+# dropped batch. The oracle mirrors with UNION ALL BY NAME.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "schema_evolution_apply",
+    """
+    WITH ops AS (
+      SELECT o_orderkey AS pk, o_custkey AS val, CAST(NULL AS VARCHAR) AS tag,
+             0 AS ts
+      FROM orders WHERE o_orderkey % 4 = 0
+      UNION ALL BY NAME
+      SELECT o_orderkey AS pk, o_custkey + 1 AS val,
+             o_orderpriority AS tag, 1 AS ts
+      FROM orders WHERE o_orderkey % 8 = 0
+    ),
+    latest AS (
+      SELECT pk, val, tag,
+             row_number() OVER (PARTITION BY pk ORDER BY ts DESC) AS rn
+      FROM ops
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pks,
+           CAST(sum(CASE WHEN tag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pre_ddl,
+           CAST(sum(CASE WHEN tag IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_post_ddl,
+           CAST(sum(val) AS BIGINT) AS sum_val
+    FROM latest WHERE rn = 1
+    """,
+    "cdc",
+    "ddl",
+    "schema-evolution",
+    "mergeSchema",
+)
+def schema_evolution_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay across a mid-stream schema change: batch 0 is written
+    WITHOUT the `tag` column, batch 1 (later ts) WITH it; the reader
+    unions the staged batches with parquet mergeSchema=true and LWW
+    picks the newest row per pk. Pre-DDL survivors carry NULL tag —
+    exactly Spark's schema-merge contract, no manual column fixup."""
+    import tempfile
+
+    orders = _t(spark, sf_dir, "orders")
+    stage = tempfile.mkdtemp(prefix="schema_evo_") + "/ops"
+    b0 = orders.filter(F.col("o_orderkey") % 4 == 0).select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_custkey").alias("val"),
+        F.lit(0).alias("ts"),
+    )
+    b1 = orders.filter(F.col("o_orderkey") % 8 == 0).select(
+        F.col("o_orderkey").alias("pk"),
+        (F.col("o_custkey") + 1).alias("val"),
+        F.col("o_orderpriority").alias("tag"),
+        F.lit(1).alias("ts"),
+    )
+    b0.write.mode("overwrite").parquet(stage + "/batch=0")
+    b1.write.mode("overwrite").parquet(stage + "/batch=1")
+    ops = spark.read.option("mergeSchema", "true").parquet(
+        stage + "/batch=0", stage + "/batch=1"
+    )
+    w = Window.partitionBy("pk").orderBy(F.col("ts").desc())
+    latest = (
+        ops.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    return latest.agg(
+        F.count("*").cast("bigint").alias("n_pks"),
+        F.sum(F.col("tag").isNull().cast("int")).cast("bigint").alias(
+            "n_pre_ddl"
+        ),
+        F.sum(F.col("tag").isNotNull().cast("int")).cast("bigint").alias(
+            "n_post_ddl"
+        ),
+        F.sum("val").cast("bigint").alias("sum_val"),
+    )
