@@ -2340,3 +2340,92 @@ def hashed_embedding_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rnk", "neighbor_id", "cosine")
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (MRL) truncated-dimension search (Kusupati et al., NeurIPS
+# 2022): MRL-trained embeddings keep most of their signal in their
+# prefix, so ANN can run on the first d' dims at d'/d the cost and
+# rerank/verify at full width. Recall@3 of 16-of-64-dim cosine search
+# vs the full-width exact top-3 — the dimension-truncation analog of
+# the SQ8/PQ/binary quantization recall queries.
+# ---------------------------------------------------------------------------
+
+_MRL_D = 16
+_MRL_COSINE = f"""
+  round(
+    list_sum(list_transform(
+        list_zip((c.embedding::DOUBLE[])[1:{_MRL_D}],
+                 (q.embedding::DOUBLE[])[1:{_MRL_D}]),
+        p -> p[1] * p[2]))
+    / (sqrt(list_sum(list_transform((c.embedding::DOUBLE[])[1:{_MRL_D}],
+                                    x -> x * x)))
+       * sqrt(list_sum(list_transform((q.embedding::DOUBLE[])[1:{_MRL_D}],
+                                      x -> x * x)))),
+    6)
+"""
+
+
+@q(
+    "mrl_truncated_recall",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    approx AS (
+      SELECT * FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 {_MRL_COSINE} DESC, c.vec_id) AS rank
+        FROM embeddings c, q WHERE c.vec_id != q.vec_id
+      ) WHERE rank <= 3
+    ),
+    exact AS (
+      SELECT * FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 {_SQL_COSINE} DESC, c.vec_id) AS rank
+        FROM embeddings c, q WHERE c.vec_id != q.vec_id
+      ) WHERE rank <= 3
+    )
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(a.neighbor_id) / 3.0, 6) AS recall
+    FROM exact e LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+    "vector",
+    "matryoshka",
+    "truncation",
+    "recall",
+    "llm",
+)
+def mrl_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of cosine search on the first 16 of 64 dims vs the
+    full-width exact top-3 (similarity.brute_force_topk over F.slice).
+    The truncated pass is the cheap candidate stage of an MRL funnel;
+    full-width rerank restores the tail."""
+    from milvus_cdc_spark.analytics import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    trunc = emb.select(
+        "vec_id", F.slice(F.col("embedding"), 1, _MRL_D).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    q_trunc = trunc.filter(F.col("vec_id") < 5)
+    approx = similarity.brute_force_topk(trunc, q_trunc, k=3)
+    exact = similarity.brute_force_topk(emb, queries, k=3)
+    hits = exact.alias("e").join(
+        approx.alias("a"),
+        (F.col("e.query_id") == F.col("a.query_id"))
+        & (F.col("e.neighbor_id") == F.col("a.neighbor_id")),
+        "left",
+    )
+    return (
+        hits.groupBy(F.col("e.query_id").alias("query_id"))
+        .agg(
+            F.count(F.col("a.neighbor_id")).alias("n_hits"),
+            F.round(F.count(F.col("a.neighbor_id")) / 3.0, 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
