@@ -685,3 +685,172 @@ def bpe_apply(
     for x, y in merges:
         words = _bpe_apply_merge(_bpe_symbol_rows(words), x, y)
     return words
+
+
+def pseudo_lines(
+    docs: DataFrame,
+    width: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-width pseudo-lines for an unpunctuated corpus: consecutive
+    ``width``-token windows (the last one ragged). The C4 pipeline
+    (Raffel et al. 2020, §2.2) deduplicates at LINE granularity; the
+    fixture corpus carries no newlines, so fixed-width token windows
+    stand in for lines — the Spark plan is identical either way (swap
+    this splitter for ``split(text, '\\n')``).
+
+    Pure column algebra — tokenize, slice, posexplode — so the line
+    stream inherits the scan's partitioning; no shuffle happens before
+    the caller's aggregate.
+
+    Returns (id, line_id, line_text).
+    """
+    from milvus_cdc_spark.functions import text as textf
+
+    arr = textf.tokens(F.lower(F.col(text_col)))
+    n_lines = F.ceil(F.size(arr) / F.lit(width)).cast("int")
+    # Spark's sequence(0, -1) yields a DESCENDING [0, -1] rather than an
+    # empty array — guard the zero-token case explicitly.
+    lines = F.when(
+        F.size(arr) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.concat_ws(" ", F.slice(arr, i * width + 1, width)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(lines).alias("line_id", "line_text"),
+    )
+
+
+def line_level_dedup(
+    docs: DataFrame,
+    width: int = 10,
+    max_occurrences: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide line-level exact deduplication accounting — the C4
+    "discard any line occurring more than once in the corpus" step
+    (Raffel et al. 2020 §2.2; also the MassiveText line-dedup filter),
+    over :func:`pseudo_lines` windows.
+
+    A line survives iff its corpus-wide occurrence count is at most
+    ``max_occurrences``. Counting keys on a 16-hex-digit md5 prefix of
+    the line rather than the line text itself, so the corpus-wide
+    count shuffle carries 16-byte keys instead of arbitrary-length
+    strings — at 100 TB that is the difference between shuffling the
+    corpus twice and shuffling a fingerprint table (collision odds at
+    64 bits are negligible, and the hash is engine-portable so the
+    DuckDB oracle reproduces it bit-for-bit).
+
+    Plan: one token-window explode (no pre-shuffle), one count
+    aggregate keyed by the line hash (map-side partial), one equi-join
+    of the (doc, hash) stream back onto the count table, one per-doc
+    aggregate. Two shuffles total, both on compact keys.
+
+    Returns per-doc (id, n_lines, n_kept, kept_ppm) where kept_ppm is
+    the integer parts-per-million of lines surviving the filter.
+    """
+    lines = pseudo_lines(docs, width, id_col, text_col)
+    keyed = lines.select(
+        F.col(id_col), F.substring(F.md5(F.col("line_text")), 1, 16).alias("k")
+    )
+    counts = keyed.groupBy("k").agg(F.count("*").alias("cnt"))
+    kept_flag = (F.col("cnt") <= max_occurrences).cast("int")
+    return (
+        keyed.join(counts, "k")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(kept_flag).cast("bigint").alias("n_kept"),
+        )
+        .withColumn(
+            "kept_ppm", F.expr("n_kept * 1000000 DIV n_lines").cast("bigint")
+        )
+    )
+
+
+def domain_mixture_weights(
+    docs: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DoReMi-flavored domain reweighting (Xie et al. 2023,
+    arXiv:2305.10429): upweight domains whose text the current model
+    finds HARD. The proxy model here is the corpus unigram LM (the same
+    table :func:`unigram_logprob` fits); a domain's difficulty is its
+    average per-token negative log-likelihood, its excess is how far it
+    sits above the corpus-wide average, and the published algorithm's
+    softmax-of-excess-loss update is simplified to a LINEAR share of
+    total positive excess — which keeps every quantity in exact integer
+    micro-nats, so two engines can never drift a weight.
+
+    Plan: one token explode, one vocabulary-sized term-frequency
+    aggregate joined back token-keyed (Catalyst broadcasts it when it
+    fits), one per-domain aggregate (domain cardinality ~ tens), and a
+    1-row broadcast of the corpus totals. Nothing driver-side grows
+    with the corpus.
+
+    Returns per-domain (domain, n_docs, n_toks, avg_nll_micro,
+    excess_micro, weight_ppm); weight_ppm sums to <= 1e6 (floor
+    division) and is 0 for at-or-below-average domains.
+    """
+    from milvus_cdc_spark.functions import text as textf
+
+    toks = docs.select(
+        F.col(domain_col).alias("domain"),
+        F.col(id_col),
+        F.explode(textf.tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    tot = freq.agg(F.sum("tf").alias("_t"))
+    # per-token NLL in integer micro-nats: floor(-ln(tf/total)*1e6 + 0.5)
+    # per row (identical IEEE double math in both engines), then exact
+    # integer sums — the dsir_weights portability contract.
+    nll_micro = F.floor(-F.log(F.col("tf") / F.col("_t")) * 1e6 + F.lit(0.5))
+    per_dom = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("domain")
+        .agg(
+            F.countDistinct(id_col).cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_toks"),
+            F.sum(nll_micro).cast("bigint").alias("_nll_sum"),
+        )
+        .withColumn(
+            "avg_nll_micro", F.expr("_nll_sum DIV n_toks").cast("bigint")
+        )
+    )
+    corpus = per_dom.agg(
+        F.expr("sum(_nll_sum) DIV sum(n_toks)").cast("bigint").alias("_corpus_avg")
+    )
+    ex = per_dom.crossJoin(F.broadcast(corpus)).withColumn(
+        "excess_micro",
+        F.greatest(F.col("avg_nll_micro") - F.col("_corpus_avg"), F.lit(0))
+        .cast("bigint"),
+    )
+    tot_ex = ex.agg(F.sum("excess_micro").alias("_ex_sum"))
+    return (
+        ex.crossJoin(F.broadcast(tot_ex))
+        .withColumn(
+            "weight_ppm",
+            F.when(
+                F.col("_ex_sum") > 0,
+                F.expr("excess_micro * 1000000 DIV _ex_sum"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
+        .select(
+            "domain",
+            "n_docs",
+            "n_toks",
+            "avg_nll_micro",
+            "excess_micro",
+            "weight_ppm",
+        )
+    )

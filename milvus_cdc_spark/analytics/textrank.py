@@ -300,3 +300,54 @@ def phrase_match(
             nxt, (F.col(id_col) == F.col("_nxt_id")) & pos_pred
         ).drop("_nxt_id")
     return matched.select(id_col).distinct()
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k keyword extraction by tf-idf — the classic
+    corpus-statistics summarizer (Salton & Buckley 1988; the shape
+    behind spark.ml's HashingTF/IDF pipeline, computed exactly here).
+
+    The idf factor is the integer ratio ``N * 1e6 DIV df`` (parts per
+    million) rather than a log: a logarithm only rescales the ranking
+    monotonically for a single term, and keeping tf·idf in exact BIGINT
+    arithmetic makes the ranking — and therefore the output — bit-equal
+    across engines (the repo-wide integer-units portability contract).
+    Ties break on the term string ascending.
+
+    Plan: one token explode, one (doc, term) count aggregate
+    (map-side partial), one vocabulary-sized df aggregate joined back
+    term-keyed (broadcast when the vocabulary fits, hash join keyed by
+    term otherwise — never wider than (doc, term, count) rows), a 1-row
+    corpus-size broadcast, and a per-doc top-k window. The window
+    partitions by doc_id — thousands of rows per partition at most, no
+    global sort anywhere.
+
+    Returns (id, rank, term, tf, score) with rank in [1, k], ordered
+    within each doc by score desc, term asc.
+    """
+    n_docs = docs.agg(F.count("*").alias("_n"))
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(textf.tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("idf_ppm", F.expr("_n * 1000000 DIV df"))
+        .withColumn("score", (F.col("tf") * F.col("idf_ppm")).cast("bigint"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", F.col("tf").cast("bigint").alias("tf"), "score")
+    )

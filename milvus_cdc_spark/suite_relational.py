@@ -3522,3 +3522,163 @@ def linear_counting_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFram
         F.countDistinct("l_partkey").cast("bigint").alias("exact_distinct")
     )
     return lc.crossJoin(exact)
+
+
+# ---------------------------------------------------------------------------
+# C4-style corpus line-level deduplication (Raffel et al. 2020 §2.2):
+# discard any "line" occurring more than once corpus-wide. The fixture
+# corpus has no newlines, so fixed-width 10-token windows stand in for
+# lines (analytics/corpus.pseudo_lines); counts key on a 64-bit md5
+# prefix so the corpus-wide shuffle carries fingerprints, not text.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "corpus_line_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS arr FROM documents
+    ),
+    lines AS (
+      SELECT doc_id,
+             array_to_string(list_slice(arr, i * 10 + 1, i * 10 + 10), ' ')
+               AS line_text
+      FROM toks,
+           unnest(generate_series(0, CAST(ceil(len(arr) / 10.0) AS INT) - 1))
+             AS t(i)
+      WHERE len(arr) > 0
+    ),
+    keys AS (
+      SELECT doc_id, substr(md5(line_text), 1, 16) AS k FROM lines
+    ),
+    counts AS (SELECT k, count(*) AS cnt FROM keys GROUP BY k)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN cnt <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN cnt <= 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS kept_ppm
+    FROM keys JOIN counts USING (k)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    "dedup",
+    "line-dedup",
+    "llm",
+)
+def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document survival accounting for C4 line-level dedup over
+    10-token pseudo-lines (corpus.line_level_dedup)."""
+    from milvus_cdc_spark.analytics import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.line_level_dedup(docs, width=10, max_occurrences=1).orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# tf-idf keyword extraction: per-doc top-5 terms, integer idf ratio
+# (N * 1e6 DIV df) so the ranking is bit-equal across engines.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tfidf_keywords",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             (SELECT count(*) FROM documents) * 1000000 // dfq.df AS idf_ppm
+      FROM tf JOIN dfq USING (term)
+    ),
+    ranked AS (
+      SELECT doc_id, term, tf,
+             CAST(tf * idf_ppm AS BIGINT) AS score,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY tf * idf_ppm DESC, term ASC
+             ) AS rn
+      FROM scored
+    )
+    SELECT doc_id, CAST(rn AS INT) AS rank, term,
+           CAST(tf AS BIGINT) AS tf, score
+    FROM ranked WHERE rn <= 5
+    ORDER BY doc_id, rank
+    """,
+    "text",
+    "tfidf",
+    "llm",
+)
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf-idf keywords per document (textrank.tfidf_keywords),
+    integer-ppm idf, ties on the term string."""
+    from milvus_cdc_spark.analytics import textrank
+
+    docs = _t(spark, sf_dir, "documents")
+    return textrank.tfidf_keywords(docs, k=5).orderBy("doc_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-flavored domain mixture reweighting: per-source unigram-LM
+# difficulty in integer micro-nats, linear share of positive excess.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "domain_mixture_weights",
+    f"""
+    WITH toks AS (
+      SELECT source AS domain, doc_id, unnest({_SQL_TOKS}) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+    tot AS (SELECT sum(tf) AS _t FROM freq),
+    per_tok AS (
+      SELECT t.domain, t.doc_id,
+             CAST(floor(-ln(f.tf / (SELECT _t FROM tot)) * 1e6 + 0.5)
+                  AS BIGINT) AS nll_micro
+      FROM toks t JOIN freq f USING (tok)
+    ),
+    per_dom AS (
+      SELECT domain,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_toks,
+             sum(nll_micro) AS _nll_sum
+      FROM per_tok GROUP BY domain
+    ),
+    corpus AS (
+      SELECT sum(_nll_sum) // sum(n_toks) AS _corpus_avg FROM per_dom
+    ),
+    ex AS (
+      SELECT domain, n_docs, n_toks,
+             CAST(_nll_sum // n_toks AS BIGINT) AS avg_nll_micro,
+             CAST(greatest(_nll_sum // n_toks
+                           - (SELECT _corpus_avg FROM corpus), 0) AS BIGINT)
+               AS excess_micro
+      FROM per_dom
+    ),
+    tot_ex AS (SELECT sum(excess_micro) AS _ex_sum FROM ex)
+    SELECT domain, n_docs, n_toks, avg_nll_micro, excess_micro,
+           CAST(CASE WHEN (SELECT _ex_sum FROM tot_ex) > 0
+                THEN excess_micro * 1000000 // (SELECT _ex_sum FROM tot_ex)
+                ELSE 0 END AS BIGINT) AS weight_ppm
+    FROM ex
+    ORDER BY domain
+    """,
+    "llm",
+    "mixing",
+    "doremi",
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source DoReMi-lite mixture weights from unigram-LM excess
+    difficulty (corpus.domain_mixture_weights)."""
+    from milvus_cdc_spark.analytics import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.domain_mixture_weights(docs).orderBy("domain")

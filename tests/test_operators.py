@@ -1587,3 +1587,87 @@ def test_linear_counting_tracks_cardinality(spark):
     row = linear_counting_distinct(items, n_bits=4096).collect()[0]
     assert row.n_set <= 300
     assert abs(row.estimate - 300) < 30, row
+
+
+def test_pseudo_lines_widths_and_ragged_tail(spark):
+    from milvus_cdc_spark.analytics import corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l"),  # 12 toks -> lines of 10 + 2
+            (2, "x y"),  # single ragged line
+            (3, ""),  # no tokens -> no lines
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        (r.doc_id, r.line_id): r.line_text
+        for r in corpus.pseudo_lines(docs, width=10).collect()
+    }
+    assert rows[(1, 0)] == "a b c d e f g h i j"
+    assert rows[(1, 1)] == "k l"
+    assert rows[(2, 0)] == "x y"
+    assert not any(d == 3 for d, _ in rows)
+
+
+def test_line_level_dedup_drops_corpus_repeats(spark):
+    from milvus_cdc_spark.analytics import corpus
+
+    # doc 1 and doc 2 share their first 10-token window; doc 3 is unique
+    shared = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " u1 u2"),
+            (2, shared + " v1 v2"),
+            (3, "w0 w1 w2 w3 w4"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in corpus.line_level_dedup(docs, width=10).collect()
+    }
+    # shared line dropped (count 2), the ragged tails survive
+    assert (out[1].n_lines, out[1].n_kept) == (2, 1)
+    assert (out[2].n_lines, out[2].n_kept) == (2, 1)
+    assert (out[3].n_lines, out[3].n_kept) == (1, 1)
+    assert out[1].kept_ppm == 500000
+    assert out[3].kept_ppm == 1000000
+
+
+def test_tfidf_keywords_ranking_and_ties(spark):
+    from milvus_cdc_spark.analytics import textrank
+
+    # "rare" appears only in doc 1 (high idf); "common" in all docs
+    docs = spark.createDataFrame(
+        [
+            (1, "rare rare common"),
+            (2, "common plain"),
+            (3, "common plain"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = textrank.tfidf_keywords(docs, k=2).collect()
+    top1 = {r.doc_id: r.term for r in out if r.rank == 1}
+    assert top1[1] == "rare"  # tf=2, df=1 -> 2 * 3e6
+    # docs 2/3: plain (df=2) beats common (df=3)
+    assert top1[2] == "plain" and top1[3] == "plain"
+    d1 = {(r.rank): (r.term, r.score) for r in out if r.doc_id == 1}
+    assert d1[1] == ("rare", 2 * 3_000_000)
+    assert d1[2] == ("common", 1 * 1_000_000)
+
+
+def test_domain_mixture_weights_upweights_hard_domain(spark):
+    from milvus_cdc_spark.analytics import corpus
+
+    # domain B uses rare tokens (high NLL) -> positive excess -> all the
+    # weight; domain A is the corpus bulk at/below average -> weight 0
+    rows = [(i, "easy easy easy easy", "A") for i in range(8)]
+    rows += [(100, "hapax1 hapax2 hapax3 hapax4", "B")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {r.domain: r for r in corpus.domain_mixture_weights(docs).collect()}
+    assert out["B"].excess_micro > 0
+    assert out["A"].excess_micro == 0
+    assert out["B"].weight_ppm == 1_000_000
+    assert out["A"].weight_ppm == 0
+    assert out["A"].n_docs == 8 and out["A"].n_toks == 32
