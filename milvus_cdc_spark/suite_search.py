@@ -2429,3 +2429,119 @@ def mrl_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Milvus `get()` — batched primary-key point lookup (MilvusClient.get /
+# query(ids=[...])): an IN-list over the PK with a projected field set.
+# The literal id list compiles to a parquet `In` pushed filter, so at
+# 100 TB the scan prunes row groups on PK min/max statistics and reads
+# only the projected columns — no shuffle at all.
+# ---------------------------------------------------------------------------
+
+_GET_IDS = tuple(i * 37 for i in range(14))  # 0..481, present at every SF
+
+
+@q(
+    "pk_get_by_ids",
+    f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE doc_id IN ({", ".join(str(i) for i in _GET_IDS)})
+    ORDER BY doc_id
+    """,
+    "search",
+    "get",
+    "point-lookup",
+)
+def pk_get_by_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Milvus get(ids=[...], output_fields=[...]) as a pushed IN-list
+    point lookup (tests/test_plans.py asserts the In filter reaches the
+    scan)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id").isin(*_GET_IDS))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Milvus query(filter=expr, output_fields=["count(*)"]) — the count-only
+# query path (milvus.io "Get Entity Count"). The expr goes through the
+# same compiler as the filter surface; count(*) collapses the scan to a
+# partial-count aggregate, never materializing rows.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "expr_count_star",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_entities,
+           CAST(coalesce(sum(p_partkey), 0) AS BIGINT) AS sum_pk
+    FROM part
+    WHERE p_size IN (1, 2, 3)
+       OR (p_retailprice >= 1500 AND p_brand LIKE 'Brand#1%')
+    """,
+    "expr",
+    "query",
+    "count",
+)
+def expr_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(*) with a compiled Milvus filter expression — the
+    query(output_fields=["count(*)"]) surface. The predicate compiles to
+    a Catalyst expression, so the count runs as scan + partial count
+    with the disjunction pushed to parquet."""
+    from milvus_cdc_spark.functions.expr import compile_expr
+
+    p = _t(spark, sf_dir, "part")
+    ent = p.select(
+        F.col("p_partkey").alias("pk"),
+        F.col("p_size").alias("size"),
+        F.col("p_retailprice").alias("price"),
+        F.col("p_brand").alias("brand"),
+    )
+    pred = compile_expr(
+        'size in [1, 2, 3] or (price >= 1500 and brand like "Brand#1%")',
+        ent,
+    )
+    return ent.filter(pred).agg(
+        F.count("*").cast("bigint").alias("n_entities"),
+        F.coalesce(F.sum("pk"), F.lit(0)).cast("bigint").alias("sum_pk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range search, annulus ("ring") form: radius <= sim < range_filter —
+# milvus.io range-search with BOTH bounds (the outer bound excludes
+# self-similar near-exact matches the caller already has).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "range_search_annulus",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_SQL_COSINE} AS sim
+      FROM embeddings c, q
+      WHERE c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, sim
+    FROM scored WHERE sim >= 0.2 AND sim < 0.6
+    ORDER BY query_id, sim DESC, neighbor_id
+    """,
+    "vector",
+    "search",
+    "range-search",
+    "llm",
+)
+def range_search_annulus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from milvus_cdc_spark.analytics import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.range_search(
+        emb, queries, radius=0.2, range_filter=0.6
+    ).orderBy("query_id", F.col("sim").desc(), "neighbor_id")

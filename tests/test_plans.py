@@ -452,3 +452,28 @@ def test_dsir_bucket_dim_is_broadcast(spark, sf_dir):
     plan = audit.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_pk_get_by_ids_pushes_in_list(spark, sf_dir):
+    """Milvus get(): the PK id list must reach the parquet scan as a
+    pushed In filter (row-group pruning on PK min/max at 100 TB), and
+    the scan must read only the projected output fields."""
+    df = suite.QUERIES["pk_get_by_ids"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    pushed = " ".join(audit.pushed_filters(plan))
+    assert "doc_id" in pushed and ("In(" in pushed or "In (" in pushed)
+    cols = audit.read_schema_columns(plan)
+    assert all(
+        set(c) <= {"doc_id", "lang", "source", "n_chars"} for c in cols
+    )
+
+
+def test_expr_count_star_pushes_disjunction(spark, sf_dir):
+    """query(count(*)) with a compiled expr: the disjunctive predicate
+    reaches the scan (Or pushed filter) and the plan is a pure
+    partial+final count — no join, no window."""
+    df = suite.QUERIES["expr_count_star"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    pushed = " ".join(audit.pushed_filters(plan))
+    assert "Or(" in pushed or "p_size" in pushed
+    assert "Join" not in plan
