@@ -117,3 +117,34 @@ def replay_summary(ops: DataFrame) -> DataFrame:
         )
         .orderBy("collection")
     )
+
+
+def fill_defaults(
+    ops: DataFrame,
+    defaults: dict[str, object],
+    not_nullable: tuple[str, ...] = (),
+) -> DataFrame:
+    """Milvus 2.5 nullable / ``default_value`` semantics at apply time
+    (milvus.io "Nullable & Default Value"): a NULL (or absent — parquet
+    mergeSchema surfaces absent as NULL) payload field takes its schema
+    ``default_value``; a nullable field without one stays NULL; a
+    non-nullable field without one makes the ROW invalid — flagged, not
+    thrown, so the caller can quarantine it (control.quarantine) without
+    failing the batch, the same batch-survives contract as the
+    reference's error handling.
+
+    Replication hits this when the downstream schema gained defaulted
+    fields the upstream ops don't carry yet (the AlterCollection window
+    schema_evolution_apply replays).
+
+    Pure per-row column projection (coalesce per defaulted field, one
+    OR-chain for the invalid flag) — no shuffle, partition-preserving at
+    any scale.
+    """
+    out = ops
+    for fld, dv in defaults.items():
+        out = out.withColumn(fld, F.coalesce(F.col(fld), F.lit(dv)))
+    invalid = F.lit(False)
+    for fld in not_nullable:
+        invalid = invalid | F.col(fld).isNull()
+    return out.withColumn("_invalid", invalid)

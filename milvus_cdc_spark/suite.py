@@ -3449,3 +3449,93 @@ def schema_evolution_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("val").cast("bigint").alias("sum_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Milvus 2.5 nullable / default_value fill at apply time: ops that omit
+# a defaulted payload field take the schema default; nullable-no-default
+# stays NULL; NULL in a non-nullable no-default field flags the row
+# invalid (quarantine, not batch failure). Derived payload stream from
+# orders, portable CASE nulls on both sides.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "default_value_fill",
+    """
+    WITH ops AS (
+      SELECT o_orderkey AS pk,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                  ELSE o_orderpriority END AS priority,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE o_custkey END AS qty,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderpriority END AS note,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE o_orderstatus END AS seg
+      FROM orders
+    ),
+    filled AS (
+      SELECT pk,
+             coalesce(priority, '0-MISSING') AS priority,
+             coalesce(qty, -1) AS qty,
+             note, seg,
+             (seg IS NULL) AS invalid
+      FROM ops
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_ops,
+           CAST(sum(CASE WHEN priority = '0-MISSING' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_priority_filled,
+           CAST(sum(CASE WHEN qty = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_qty_filled,
+           CAST(sum(CASE WHEN note IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_note_null,
+           CAST(sum(CASE WHEN invalid THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_invalid,
+           CAST(sum(CASE WHEN invalid THEN pk ELSE 0 END) AS BIGINT)
+             AS sum_invalid_pk
+    FROM filled
+    """,
+    "cdc",
+    "apply",
+    "default-value",
+    "nullable",
+)
+def default_value_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema default_value fill + non-nullable quarantine flag over a
+    derived payload op stream (operators/apply.fill_defaults)."""
+    orders = _t(spark, sf_dir, "orders")
+    ops = orders.select(
+        F.col("o_orderkey").alias("pk"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("priority"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("qty"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("note"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("seg"),
+    )
+    filled = apply_op.fill_defaults(
+        ops, {"priority": "0-MISSING", "qty": -1}, not_nullable=("seg",)
+    )
+    return filled.agg(
+        F.count("*").cast("bigint").alias("n_ops"),
+        F.sum((F.col("priority") == "0-MISSING").cast("int"))
+        .cast("bigint")
+        .alias("n_priority_filled"),
+        F.sum((F.col("qty") == -1).cast("int")).cast("bigint").alias(
+            "n_qty_filled"
+        ),
+        F.sum(F.col("note").isNull().cast("int")).cast("bigint").alias(
+            "n_note_null"
+        ),
+        F.sum(F.col("_invalid").cast("int")).cast("bigint").alias("n_invalid"),
+        F.sum(F.when(F.col("_invalid"), F.col("pk")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_invalid_pk"),
+    )

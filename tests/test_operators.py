@@ -1671,3 +1671,25 @@ def test_domain_mixture_weights_upweights_hard_domain(spark):
     assert out["B"].weight_ppm == 1_000_000
     assert out["A"].weight_ppm == 0
     assert out["A"].n_docs == 8 and out["A"].n_toks == 32
+
+
+def test_fill_defaults_semantics(spark):
+    from milvus_cdc_spark.operators import apply as apply_op
+
+    ops = spark.createDataFrame(
+        [
+            (1, None, None, "A"),  # defaulted + nullable-null, valid
+            (2, "x", 7, None),  # non-nullable null -> invalid
+            (3, "y", None, "B"),  # default fills qty only
+        ],
+        "pk bigint, name string, qty int, seg string",
+    )
+    out = {
+        r.pk: r
+        for r in apply_op.fill_defaults(
+            ops, {"name": "anon", "qty": 0}, not_nullable=("seg",)
+        ).collect()
+    }
+    assert (out[1].name, out[1].qty, out[1]._invalid) == ("anon", 0, False)
+    assert out[2]._invalid is True and out[2].name == "x"
+    assert (out[3].name, out[3].qty) == ("y", 0)
