@@ -3682,3 +3682,94 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return corpus.domain_mixture_weights(docs).orderBy("domain")
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering layout vs single-key vs hash: zone-map pruning
+# effectiveness for a 2-D box predicate (Delta OPTIMIZE ZORDER BY /
+# Hudi space-filling-curve clustering). 64 "files" per layout; the
+# Morton key gives every file a tight rectangle in BOTH dimensions, so
+# the box touches few files; single-key clustering prunes only its own
+# column; hash layout scans everything.
+# ---------------------------------------------------------------------------
+
+
+def _zorder_oracle() -> str:
+    from milvus_cdc_spark.operators.clustering import sql_zorder_key
+
+    z = sql_zorder_key("x", "y", 8)
+    box = "x BETWEEN 32 AND 47 AND y BETWEEN 96 AND 111"
+    hit = "x_max >= 32 AND x_min <= 47 AND y_max >= 96 AND y_min <= 111"
+    return f"""
+    WITH base AS (
+      SELECT l_orderkey, (l_partkey % 256) AS x, (l_suppkey % 256) AS y
+      FROM lineitem
+    ),
+    keyed AS (SELECT *, {z} AS z FROM base),
+    files AS (
+      SELECT 'zorder' AS layout, z >> 10 AS file_id, x, y FROM keyed
+      UNION ALL
+      SELECT 'single', x >> 2, x, y FROM keyed
+      UNION ALL
+      SELECT 'hash', l_orderkey % 64, x, y FROM keyed
+    ),
+    zm AS (
+      SELECT layout, file_id, count(*) AS n_rows,
+             min(x) AS x_min, max(x) AS x_max,
+             min(y) AS y_min, max(y) AS y_max,
+             sum(CASE WHEN {box} THEN 1 ELSE 0 END) AS n_match
+      FROM files GROUP BY layout, file_id
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN {hit} THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_scanned,
+           CAST(sum(CASE WHEN {hit} THEN n_rows ELSE 0 END) AS BIGINT)
+             AS rows_scanned,
+           CAST(sum(n_match) AS BIGINT) AS rows_matching
+    FROM zm GROUP BY layout ORDER BY layout
+    """
+
+
+@q(
+    "zorder_layout_pruning",
+    _zorder_oracle(),
+    "layout",
+    "zorder",
+    "pruning",
+    "scale",
+)
+def zorder_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning for a (part, supplier) box under three file
+    layouts (operators/clustering.zorder_key + layout_pruning_stats)."""
+    from milvus_cdc_spark.operators import clustering
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_orderkey",
+        (F.col("l_partkey") % 256).alias("x"),
+        (F.col("l_suppkey") % 256).alias("y"),
+    )
+    z = clustering.zorder_key(F.col("x"), F.col("y"), 8)
+    box = dict(x_lo=32, x_hi=47, y_lo=96, y_hi=111)
+    zs = clustering.layout_pruning_stats(
+        base, F.shiftright(z, 10), F.col("x"), F.col("y"), layout="zorder", **box
+    )
+    ss = clustering.layout_pruning_stats(
+        base,
+        F.shiftright(F.col("x"), 2),
+        F.col("x"),
+        F.col("y"),
+        layout="single",
+        **box,
+    )
+    hs = clustering.layout_pruning_stats(
+        base,
+        (F.col("l_orderkey") % 64),
+        F.col("x"),
+        F.col("y"),
+        layout="hash",
+        **box,
+    )
+    return zs.unionAll(ss).unionAll(hs).orderBy("layout")

@@ -1693,3 +1693,40 @@ def test_fill_defaults_semantics(spark):
     assert (out[1].name, out[1].qty, out[1]._invalid) == ("anon", 0, False)
     assert out[2]._invalid is True and out[2].name == "x"
     assert (out[3].name, out[3].qty) == ("y", 0)
+
+
+def test_zorder_interleave_and_pruning_wins(spark):
+    from milvus_cdc_spark.operators import clustering
+
+    # bit-interleave spot checks: z(1,0)=1, z(0,1)=2, z(3,3)=15, z(255,255)=65535
+    df = spark.createDataFrame(
+        [(1, 0), (0, 1), (3, 3), (255, 255)], "x int, y int"
+    )
+    zs = [
+        r.z
+        for r in df.select(
+            clustering.zorder_key(F.col("x"), F.col("y"), 8).alias("z")
+        ).collect()
+    ]
+    assert zs == [1, 2, 15, 65535]
+
+    # dense 64x64 grid, 16 files per layout: a 8x8 box must touch fewer
+    # z-order files than hash files, and never miss matches
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).cast("int").alias("x"),
+        (F.col("id") / 64).cast("int").alias("y"),
+        F.col("id").alias("rid"),
+    )
+    z = clustering.zorder_key(F.col("x"), F.col("y"), 6)
+    box = dict(x_lo=8, x_hi=15, y_lo=8, y_hi=15)
+    zstats = clustering.layout_pruning_stats(
+        grid, F.shiftright(z, 8), F.col("x"), F.col("y"), layout="z", **box
+    ).collect()[0]
+    hstats = clustering.layout_pruning_stats(
+        grid, F.col("rid") % 16, F.col("x"), F.col("y"), layout="h", **box
+    ).collect()[0]
+    assert zstats.rows_matching == 64 and hstats.rows_matching == 64
+    assert zstats.n_files == 16 and hstats.n_files == 16
+    assert zstats.files_scanned == 1  # the 16x16 z-tile containing the box
+    assert hstats.files_scanned == 16  # hash layout: every file overlaps
+    assert zstats.rows_scanned < hstats.rows_scanned
