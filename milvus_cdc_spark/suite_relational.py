@@ -3773,3 +3773,103 @@ def zorder_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         **box,
     )
     return zs.unionAll(ss).unionAll(hs).orderBy("layout")
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets (Wenzek et al. 2020 §4.3): split the corpus
+# into head/middle/tail TERCILES of LM difficulty — head (lowest NLL)
+# is the high-quality training pool, tail gets dropped or downsampled.
+# Difficulty is the unigram-LM avg NLL in integer micro-nats; the
+# tercile assignment reuses windows.distributed_ntile (no global-sort
+# SinglePartition exchange at any corpus size).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ccnet_perplexity_buckets",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+    tot AS (SELECT sum(tf) AS _t FROM freq),
+    per_doc AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_toks,
+             CAST(sum(CAST(floor(-ln(f.tf / (SELECT _t FROM tot)) * 1e6
+                                 + 0.5) AS BIGINT))
+                  // count(*) AS BIGINT) AS avg_nll_micro
+      FROM toks t JOIN freq f USING (tok)
+      GROUP BY t.doc_id
+    ),
+    tiled AS (
+      SELECT p.doc_id, d.lang, p.n_toks, p.avg_nll_micro,
+             ntile(3) OVER (ORDER BY p.avg_nll_micro, p.doc_id) AS tile
+      FROM per_doc p JOIN documents d USING (doc_id)
+    )
+    SELECT CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+           lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_toks,
+           min(avg_nll_micro) AS min_nll_micro,
+           max(avg_nll_micro) AS max_nll_micro
+    FROM tiled
+    GROUP BY bucket, lang
+    ORDER BY bucket, lang
+    """,
+    "llm",
+    "quality",
+    "ccnet",
+    "ntile",
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head/middle/tail LM-difficulty terciles per language — CCNet's
+    perplexity bucketing with the exact distributed ntile."""
+    from milvus_cdc_spark.functions import text as textf
+    from milvus_cdc_spark.operators.windows import (
+        distributed_ntile,
+        release_rank_caches,
+    )
+
+    release_rank_caches()
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(textf.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    tot = freq.agg(F.sum("tf").alias("_t"))
+    nll_micro = F.floor(-F.log(F.col("tf") / F.col("_t")) * 1e6 + F.lit(0.5))
+    per_doc = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_toks"),
+            F.sum(nll_micro).cast("bigint").alias("_nll_sum"),
+        )
+        .withColumn(
+            "avg_nll_micro", F.expr("_nll_sum DIV n_toks").cast("bigint")
+        )
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_toks", "avg_nll_micro")
+    )
+    tiled = distributed_ntile(
+        per_doc, 3, ["avg_nll_micro", "doc_id"], tile_col="tile"
+    )
+    bucket = (
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        tiled.select(bucket.alias("bucket"), "lang", "n_toks", "avg_nll_micro")
+        .groupBy("bucket", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_toks"),
+            F.min("avg_nll_micro").alias("min_nll_micro"),
+            F.max("avg_nll_micro").alias("max_nll_micro"),
+        )
+        .orderBy("bucket", "lang")
+    )

@@ -2545,3 +2545,74 @@ def range_search_annulus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.range_search(
         emb, queries, radius=0.2, range_filter=0.6
     ).orderBy("query_id", F.col("sim").desc(), "neighbor_id")
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for embedding-model training (DPR / contrastive
+# fine-tuning): for each anchor, the most-SIMILAR candidates with a
+# DIFFERENT label — maximally confusable negatives. The label-mismatch
+# predicate applies BEFORE ranking (same filter-before-distance contract
+# as filtered search); query side broadcast, corpus never shuffled.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "hard_negative_mining",
+    f"""
+    WITH q AS (SELECT vec_id, label, embedding FROM embeddings
+               WHERE vec_id < 8),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             c.label AS neighbor_label, {_SQL_COSINE} AS sim
+      FROM embeddings c, q
+      WHERE c.vec_id != q.vec_id AND c.label != q.label
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+             ) AS rn
+      FROM scored
+    )
+    SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+           neighbor_label, sim
+    FROM ranked WHERE rn <= 5
+    ORDER BY query_id, rank
+    """,
+    "vector",
+    "search",
+    "hard-negative",
+    "llm",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 hardest negatives (most-similar different-label vectors)
+    per anchor — contrastive-training negative mining."""
+    from pyspark.sql import Window
+
+    from milvus_cdc_spark.functions import vector as vecf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q_side = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    pairs = emb.join(
+        F.broadcast(q_side),
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") != F.col("q_label")),
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.round(vecf.cosine(F.col("embedding"), F.col("q_emb")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", "neighbor_label", "sim")
+        .orderBy("query_id", "rank")
+    )
