@@ -112,7 +112,6 @@ HEADLINE_R5C = [
     "decay_reranked_search",        # 2.6 decay ranker
     "event_funnel_conversion",      # ordered funnel
     "fulltext_drop_ratio",          # sparse drop_ratio_search
-    "ivf_pq_recall",                # composite IVF_PQ
     "mmr_diversified_search",       # MMR diversification
     "search_iterator_page",         # keyset iterator page
     "session_consistency_read",     # Session consistency level
@@ -130,6 +129,17 @@ HEADLINE_R5D = [
     "semdedup_prune",               # k-means + within-cluster cosine
 ]
 
+#: Round-5 fifth-batch additions (alphabetized; r5d_subtotal keeps the
+#: earlier sets comparable).
+HEADLINE_R5E = [
+    "ccnet_perplexity_buckets",     # LM-difficulty terciles (distributed ntile)
+    "corpus_line_dedup",            # C4 line-level dedup over pseudo-lines
+    "domain_mixture_weights",       # DoReMi-lite domain reweighting
+    "hard_negative_mining",         # contrastive hard negatives
+    "tfidf_keywords",               # per-doc top-5 tf-idf terms
+    "zorder_layout_pruning",        # Morton layout zone-map pruning
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -139,7 +149,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     all_queries = (HEADLINE + HEADLINE_R2 + HEADLINE_R4 + HEADLINE_R5
-                   + HEADLINE_R5B + HEADLINE_R5C + HEADLINE_R5D)
+                   + HEADLINE_R5B + HEADLINE_R5C + HEADLINE_R5D
+                   + HEADLINE_R5E)
     warm_dir = "/root/testdata/sf0.001"
     do_warm = os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/")
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -209,6 +220,14 @@ def main() -> None:
         ),
         3,
     )
+    r5d_subtotal = round(
+        sum(
+            timings.get(n, 0.0)
+            for n in HEADLINE + HEADLINE_R2 + HEADLINE_R4 + HEADLINE_R5
+            + HEADLINE_R5B + HEADLINE_R5C + HEADLINE_R5D
+        ),
+        3,
+    )
     print(
         json.dumps(
             {
@@ -227,6 +246,7 @@ def main() -> None:
                 "r5_subtotal": r5_subtotal,
                 "r5b_subtotal": r5b_subtotal,
                 "r5c_subtotal": r5c_subtotal,
+                "r5d_subtotal": r5d_subtotal,
             }
         )
     )
