@@ -351,3 +351,52 @@ def tfidf_keywords(
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "term", F.col("tf").cast("bigint").alias("tf"), "score")
     )
+
+
+def maxscore_search(
+    index: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    candidate_factor: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Two-phase MaxScore/WAND-style retrieval (Turtle & Flood 1995;
+    the Lucene WAND/MAXSCORE family): phase 1 scores every candidate by
+    the SUM OF PER-TERM UPPER BOUNDS (idf · max doc weight of that term
+    — a |terms|-row broadcast), keeps only the top
+    ``candidate_factor · k`` shortlist; phase 2 computes exact BM25 for
+    the shortlist alone. Because ub_score >= exact score for every doc,
+    any doc whose upper bound misses the shortlist can only be a true
+    top-k member if candidate_factor·k docs have HIGHER upper bounds —
+    the pruning is safe in the same probabilistic sense Lucene applies,
+    and exact when the shortlist covers the score gap.
+
+    Scale shape: both top selections are sort+limit —
+    TakeOrderedAndProject (per-partition heaps + driver merge of C
+    rows), NEVER a single-partition global sort; phase 2's expensive
+    aggregation touches candidate_factor·k docs regardless of corpus
+    size, and the shortlist joins back as a broadcast.
+
+    Returns the top-k (id, bm25 rounded to 4).
+    """
+    postings = index.filter(F.col("tok").isin(list(terms)))
+    posting = postings.select(
+        id_col, "tok", (F.col("idf") * F.col("weight")).alias("contrib")
+    )
+    ub = posting.groupBy("tok").agg(F.max("contrib").alias("ub"))
+    cand = (
+        posting.join(F.broadcast(ub), "tok")
+        .groupBy(id_col)
+        .agg(F.round(F.sum("ub"), 6).alias("ub_score"))
+    )
+    shortlist = (
+        cand.orderBy(F.col("ub_score").desc(), F.col(id_col))
+        .limit(candidate_factor * k)
+        .select(id_col)
+    )
+    exact = (
+        posting.join(F.broadcast(shortlist), id_col)
+        .groupBy(id_col)
+        .agg(F.round(F.sum("contrib"), 4).alias("bm25"))
+    )
+    return exact.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)

@@ -3873,3 +3873,160 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# MaxScore/WAND-style pruned retrieval: phase-1 shortlist by per-term
+# upper bounds, phase-2 exact BM25 on the shortlist only. Output = the
+# pruned top-10 with a flag marking membership in the unpruned top-10
+# (the recall evidence the pruning claim rests on).
+# ---------------------------------------------------------------------------
+
+_MAXSCORE_SQL_BASE = """
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM toks WHERE tok IN ('join', 'batch', 'filter')
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    posting AS (
+      SELECT tf.doc_id, tf.tok,
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+               AS contrib
+      FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    )
+"""
+
+
+@q(
+    "maxscore_pruned_search",
+    f"""
+    WITH {_MAXSCORE_SQL_BASE},
+    ub AS (SELECT tok, max(contrib) AS ub FROM posting GROUP BY tok),
+    cand AS (
+      SELECT doc_id, round(sum(ub), 6) AS ub_score
+      FROM posting JOIN ub USING (tok) GROUP BY doc_id
+    ),
+    shortlist AS (
+      SELECT doc_id FROM cand ORDER BY ub_score DESC, doc_id LIMIT 30
+    ),
+    exact AS (
+      SELECT p.doc_id, round(sum(contrib), 4) AS bm25
+      FROM posting p JOIN shortlist USING (doc_id)
+      GROUP BY p.doc_id
+    ),
+    topk AS (
+      SELECT doc_id, bm25 FROM exact ORDER BY bm25 DESC, doc_id LIMIT 10
+    ),
+    full_topk AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, round(sum(contrib), 4) AS bm25
+        FROM posting GROUP BY doc_id
+      ) ORDER BY bm25 DESC, doc_id LIMIT 10
+    )
+    SELECT t.doc_id, t.bm25,
+           (f.doc_id IS NOT NULL) AS in_exact_topk
+    FROM topk t LEFT JOIN full_topk f USING (doc_id)
+    ORDER BY t.bm25 DESC, t.doc_id
+    """,
+    "text",
+    "bm25",
+    "wand",
+    "maxscore",
+    "llm",
+)
+def maxscore_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxScore-pruned BM25 top-10 (textrank.maxscore_search) flagged
+    against the unpruned top-10."""
+    from milvus_cdc_spark.analytics.textrank import (
+        bm25_index,
+        fulltext_search,
+        maxscore_search,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    index = bm25_index(docs)
+    terms = ["join", "batch", "filter"]
+    pruned = maxscore_search(index, terms, k=10, candidate_factor=3)
+    full = (
+        fulltext_search(index, terms)
+        .select("doc_id", F.round("bm25", 4).alias("_fb"))
+        .orderBy(F.col("_fb").desc(), "doc_id")
+        .limit(10)
+        .select(F.col("doc_id").alias("_fid"))
+    )
+    return (
+        pruned.join(
+            F.broadcast(full), pruned["doc_id"] == full["_fid"], "left"
+        )
+        .select(
+            "doc_id", "bm25", F.col("_fid").isNotNull().alias("in_exact_topk")
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split: md5-nibble hash of doc_id mod 10
+# (0-7 train, 8 val, 9 test) — reproducible, RNG-free assignment, the
+# split every training pipeline runs before anything else. Counts per
+# (split, source) prove stratification balance.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dataset_split_counts",
+    """
+    WITH hashed AS (
+      SELECT source, n_chars,
+             ((strpos('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 256
+              + (strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16
+              + (strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1))
+               % 10 AS h
+      FROM documents
+    )
+    SELECT CASE WHEN h <= 7 THEN 'train' WHEN h = 8 THEN 'val'
+                ELSE 'test' END AS split,
+           source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM hashed
+    GROUP BY split, source
+    ORDER BY split, source
+    """,
+    "llm",
+    "split",
+    "sampling",
+)
+def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split via the portable nibble hash
+    (corpus.portable_nibble_hash % 10) — per-(split, source) counts."""
+    from milvus_cdc_spark.analytics.corpus import portable_nibble_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    h = portable_nibble_hash(F.col("doc_id")) % 10
+    split = (
+        F.when(h <= 7, "train").when(h == 8, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("split", "source")
+    )

@@ -216,6 +216,13 @@ def queries():
         ].fn,
         "bpe_merge_training": suite.QUERIES["bpe_merge_training"].fn,
         "semdedup_banded": semdedup_scaled,
+        # round-5 fourth-session additions
+        "corpus_line_dedup": suite.QUERIES["corpus_line_dedup"].fn,
+        "tfidf_keywords": suite.QUERIES["tfidf_keywords"].fn,
+        "ccnet_perplexity_buckets": suite.QUERIES[
+            "ccnet_perplexity_buckets"
+        ].fn,
+        "zorder_layout_pruning": suite.QUERIES["zorder_layout_pruning"].fn,
     }
 
 

@@ -1730,3 +1730,39 @@ def test_zorder_interleave_and_pruning_wins(spark):
     assert zstats.files_scanned == 1  # the 16x16 z-tile containing the box
     assert hstats.files_scanned == 16  # hash layout: every file overlaps
     assert zstats.rows_scanned < hstats.rows_scanned
+
+
+def test_maxscore_upper_bound_is_safe(spark):
+    from milvus_cdc_spark.analytics.textrank import (
+        bm25_index,
+        fulltext_search,
+        maxscore_search,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma tok{i} " + "alpha " * (i % 4)) for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    index = bm25_index(docs).persist()
+    terms = ["alpha", "beta"]
+    # with a shortlist as large as the corpus, pruned == exact
+    pruned = {
+        r.doc_id: r.bm25 for r in maxscore_search(index, terms, k=5, candidate_factor=8).collect()
+    }
+    exact = (
+        fulltext_search(index, terms)
+        .selectExpr("doc_id", "round(bm25, 4) AS bm25")
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(5)
+        .collect()
+    )
+    assert pruned == {r.doc_id: r.bm25 for r in exact}
+    index.unpersist()
+
+
+def test_maxscore_shortlist_is_take_ordered(spark, sf_dir):
+    from milvus_cdc_spark import suite
+
+    df = suite.QUERIES["maxscore_pruned_search"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
