@@ -1257,3 +1257,72 @@ def hashed_embedding(
         F.col(id_col),
         F.array(*[F.col(f"_v{i}") for i in range(dim)]).alias("vec"),
     )
+
+
+def silhouette_stats(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified silhouette (Rousseeuw 1987, the centroid-based variant
+    sklearn documents as "silhouette via cluster centers"): per vector,
+    a = L2 distance to its own (nearest) centroid, b = distance to the
+    second-nearest, s = (b - a) / max(a, b) in [-~0, 1] — how cleanly
+    the clustering separates. The per-CLUSTER average is the index
+    build quality signal (low-silhouette clusters are merge/re-train
+    candidates in IVF maintenance).
+
+    s is floored to integer micro-units per row before the per-cluster
+    average (sum DIV count) — both engines see identical doubles (the
+    centroids are round(·, 6) by ivf_train's contract), so the stats
+    are BIGINT-exact cross-engine.
+
+    Plan: one broadcast of the k-row centroid frame onto the corpus,
+    one per-vector rank window (k rows per vector), one k-group
+    aggregate — the same one-pass shape as Lloyd assignment; nothing
+    scales beyond corpus × k.
+
+    Returns (centroid_id, n_members, avg_sil_micro, min_sil_micro,
+    max_sil_micro).
+    """
+    from pyspark.sql import Window
+
+    from milvus_cdc_spark.functions import vector as vecf
+
+    dist = F.sqrt(vecf.l2_squared(F.col(vec_col), F.col("centroid")))
+    pairs = vectors.join(F.broadcast(centroids)).select(
+        F.col(id_col), F.col("centroid_id"), dist.alias("d")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("d").asc(), F.col("centroid_id").asc()
+    )
+    ranked = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    own = ranked.filter(F.col("rn") == 1).select(
+        id_col, F.col("centroid_id").alias("own_id"), F.col("d").alias("a")
+    )
+    second = ranked.filter(F.col("rn") == 2).select(
+        id_col, F.col("d").alias("b")
+    )
+    s = F.when(
+        F.greatest(F.col("a"), F.col("b")) == 0.0, F.lit(0.0)
+    ).otherwise(
+        (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))
+    )
+    scored = own.join(second, id_col).select(
+        F.col("own_id").alias("centroid_id"),
+        F.floor(s * 1e6 + F.lit(0.5)).cast("bigint").alias("s_micro"),
+    )
+    return (
+        scored.groupBy("centroid_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.expr("sum(s_micro) DIV count(*)").cast("bigint").alias(
+                "avg_sil_micro"
+            ),
+            F.min("s_micro").alias("min_sil_micro"),
+            F.max("s_micro").alias("max_sil_micro"),
+        )
+    )

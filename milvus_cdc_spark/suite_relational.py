@@ -4030,3 +4030,83 @@ def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# More-Like-This retrieval (the Lucene/Elasticsearch MLT query): the
+# source document's top tf-idf terms BECOME the BM25 query, source
+# excluded from results. Fully plan-side — the keyword frame is 5 rows
+# joined (broadcast) onto the posting index; no driver collect anywhere.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "more_like_this",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    kw AS (
+      SELECT term FROM (
+        SELECT tf.term,
+               row_number() OVER (
+                 ORDER BY tf.tf * ((SELECT count(*) FROM documents)
+                                   * 1000000 // dfq.df) DESC, tf.term ASC
+               ) AS rn
+        FROM tf JOIN dfq USING (term)
+        WHERE tf.doc_id = 0
+      ) WHERE rn <= 5
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    qtf AS (
+      SELECT doc_id, term AS tok, tf
+      FROM tf WHERE term IN (SELECT term FROM kw)
+    ),
+    qdf AS (SELECT tok, count(*) AS df FROM qtf GROUP BY tok),
+    scored AS (
+      SELECT qtf.doc_id,
+             round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                       * tf * 2.2
+                       / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))),
+                   4) AS bm25
+      FROM qtf JOIN qdf USING (tok) JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      WHERE qtf.doc_id != 0
+      GROUP BY qtf.doc_id
+    )
+    SELECT doc_id, bm25 FROM scored
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    "text",
+    "bm25",
+    "more-like-this",
+    "llm",
+)
+def more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLT for doc 0: its top-5 tf-idf terms queried through the BM25
+    posting index (textrank.tfidf_keywords + bm25_index), source doc
+    excluded, top-10."""
+    from milvus_cdc_spark.analytics.textrank import bm25_index, tfidf_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    kw = (
+        tfidf_keywords(docs, k=5)
+        .filter(F.col("doc_id") == 0)
+        .select(F.col("term").alias("tok"))
+    )
+    index = bm25_index(docs)
+    postings = index.join(F.broadcast(kw), "tok")
+    return (
+        postings.filter(F.col("doc_id") != 0)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("idf") * F.col("weight")), 4).alias("bm25")
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )

@@ -2616,3 +2616,97 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "neighbor_id", "neighbor_label", "sim")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Clustering quality: simplified silhouette per final k-means cluster —
+# the IVF index-build health signal (merge/re-train candidates). The
+# oracle replays the full 2-iteration Lloyd build (same CTE chain as
+# ivf_kmeans_build) then the two-nearest-centroid silhouette, all in
+# integer micro-units.
+# ---------------------------------------------------------------------------
+
+_SIL_DIST_V = " + ".join(
+    f"(v.embedding[{i + 1}] - c.d{i}) * (v.embedding[{i + 1}] - c.d{i})"
+    for i in range(_KM_DIM)
+)
+
+
+@q(
+    "kmeans_silhouette",
+    f"""
+    WITH c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+             {_KM_INIT}
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_KM_K})
+    ),
+    a0 AS (
+      SELECT * FROM (
+        SELECT v.vec_id, c.centroid_id, v.embedding,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_KM_DIST} ASC, c.centroid_id)
+                 AS rn
+        FROM embeddings v CROSS JOIN c0 c
+      ) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT centroid_id, {_KM_AVG} FROM a0 GROUP BY centroid_id
+    ),
+    a1 AS (
+      SELECT * FROM (
+        SELECT v.vec_id, c.centroid_id, v.embedding,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_KM_DIST} ASC, c.centroid_id)
+                 AS rn
+        FROM embeddings v CROSS JOIN c1 c
+      ) WHERE rn = 1
+    ),
+    c2 AS (
+      SELECT centroid_id, {_KM_AVG} FROM a1 GROUP BY centroid_id
+    ),
+    ranked AS (
+      SELECT v.vec_id, c.centroid_id,
+             sqrt({_SIL_DIST_V}) AS d,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY sqrt({_SIL_DIST_V}) ASC,
+                                         c.centroid_id)
+               AS rn
+      FROM embeddings v CROSS JOIN c2 c
+    ),
+    own AS (
+      SELECT vec_id, centroid_id AS own_id, d AS a
+      FROM ranked WHERE rn = 1
+    ),
+    second AS (SELECT vec_id, d AS b FROM ranked WHERE rn = 2),
+    scored AS (
+      SELECT o.own_id AS centroid_id,
+             CAST(floor(CASE WHEN greatest(a, b) = 0 THEN 0.0
+                             ELSE (b - a) / greatest(a, b) END * 1e6 + 0.5)
+                  AS BIGINT) AS s_micro
+      FROM own o JOIN second s USING (vec_id)
+    )
+    SELECT centroid_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(s_micro) // count(*) AS BIGINT) AS avg_sil_micro,
+           min(s_micro) AS min_sil_micro,
+           max(s_micro) AS max_sil_micro
+    FROM scored
+    GROUP BY centroid_id
+    ORDER BY centroid_id
+    """,
+    "vector",
+    "kmeans",
+    "clustering",
+    "quality",
+    "llm",
+)
+def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette over the deterministic Lloyd
+    build (similarity.ivf_train -> silhouette_stats)."""
+    from milvus_cdc_spark.analytics import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = similarity.ivf_train(emb, k=_KM_K, iters=2, dim=_KM_DIM)
+    return similarity.silhouette_stats(
+        emb, cent.select("centroid_id", "centroid")
+    ).orderBy("centroid_id")
