@@ -2710,3 +2710,133 @@ def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.silhouette_stats(
         emb, cent.select("centroid_id", "centroid")
     ).orderBy("centroid_id")
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe recall curve: macro recall@3 vs exact for n_probe in
+# {1, 2, 4} in one result — the index-tuning evidence (milvus.io IVF
+# search params: nprobe trades recall for probed-list cost). Counts are
+# BIGINT-exact: matched / possible in parts-per-million.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_nprobe_oracle() -> str:
+    probe_blocks = []
+    for n in (1, 2, 4):
+        probe_blocks.append(f"""
+    approx_{n} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT s.query_id, s.neighbor_id,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY s.sim DESC, s.neighbor_id) AS rank
+        FROM (
+          SELECT p.vec_id AS query_id, ca.vec_id AS neighbor_id,
+                 {{cos}} AS sim
+          FROM probes p
+          JOIN corpus_assign ca ON ca.centroid_id = p.centroid_id
+          JOIN embeddings c ON c.vec_id = ca.vec_id
+          JOIN embeddings q ON q.vec_id = p.vec_id
+          WHERE p.r <= {n} AND ca.vec_id != p.vec_id
+        ) s
+      ) WHERE rank <= 3
+    ),
+    rec_{n} AS (
+      SELECT {n} AS n_probe,
+             CAST(count(a.neighbor_id) AS BIGINT) AS matched,
+             CAST(count(*) AS BIGINT) AS possible
+      FROM exact_k e LEFT JOIN approx_{n} a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    )""")
+    blocks = ",".join(probe_blocks)
+    cos = _SQL_COSINE
+    sql = f"""
+    WITH cen AS (
+      SELECT vec_id AS centroid_id, embedding FROM embeddings
+      WHERE vec_id BETWEEN 100 AND 115
+    ),
+    corpus_assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT c.vec_id, q.centroid_id,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {cos} DESC, q.centroid_id
+               ) AS r
+        FROM embeddings c,
+             (SELECT centroid_id, vec_id, embedding FROM cen) q
+      ) WHERE r = 1
+    ),
+    probes AS (
+      SELECT c.vec_id, q.centroid_id,
+             row_number() OVER (
+               PARTITION BY c.vec_id
+               ORDER BY {cos} DESC, q.centroid_id
+             ) AS r
+      FROM (SELECT * FROM embeddings WHERE vec_id < 8) c,
+           (SELECT centroid_id, vec_id, embedding FROM cen) q
+    ),
+    exact_k AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos} DESC, c.vec_id) AS rank
+        FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
+        WHERE c.vec_id != q.vec_id
+      ) WHERE rank <= 3
+    ),
+    {blocks}
+    SELECT n_probe, matched, possible,
+           CAST(matched * 1000000 // possible AS BIGINT) AS recall_ppm
+    FROM (SELECT * FROM rec_1 UNION ALL SELECT * FROM rec_2
+          UNION ALL SELECT * FROM rec_4)
+    ORDER BY n_probe
+    """
+    return sql.replace("{cos}", cos)
+
+
+@q(
+    "ivf_nprobe_recall_curve",
+    _ivf_nprobe_oracle(),
+    "vector",
+    "ivf",
+    "nprobe",
+    "recall",
+    "llm",
+)
+def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro recall@3 of IVF search at n_probe 1/2/4 against exact
+    brute force (similarity.ivf_topk) — one row per probe setting."""
+    from milvus_cdc_spark.analytics import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    centroids = emb.filter(F.col("vec_id").between(100, 115))
+    exact = similarity.brute_force_topk(emb, queries, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    outs = []
+    for n in (1, 2, 4):
+        approx = similarity.ivf_topk(
+            emb, queries, centroids, k=3, n_probe=n
+        ).select("query_id", F.col("neighbor_id").alias("_aid"))
+        rec = (
+            exact.join(
+                approx,
+                (exact["query_id"] == approx["query_id"])
+                & (exact["neighbor_id"] == approx["_aid"]),
+                "left",
+            )
+            .agg(
+                F.lit(n).cast("int").alias("n_probe"),
+                F.count("_aid").cast("bigint").alias("matched"),
+                F.count("*").cast("bigint").alias("possible"),
+            )
+            .withColumn(
+                "recall_ppm",
+                F.expr("matched * 1000000 DIV possible").cast("bigint"),
+            )
+        )
+        outs.append(rec)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("n_probe")
