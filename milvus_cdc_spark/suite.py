@@ -3539,3 +3539,56 @@ def default_value_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_invalid_pk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio window energy: the payload as PCM int16 mono, per-window sum of
+# squared samples in numpy (mapInPandas — REAL DSP, not a stub; exact
+# int64 energies). The oracle recomputes each sample from the text
+# bytes (ASCII corpus: code point == byte value, little-endian pairs).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "audio_window_energy",
+    """
+    WITH s AS (
+      SELECT doc_id, text, length(text) // 2 AS n_samples FROM documents
+    ),
+    samples AS (
+      SELECT doc_id, n_samples, i AS k,
+             ascii(substr(text, 2 * i + 1, 1))
+               + 256 * ascii(substr(text, 2 * i + 2, 1)) AS v
+      FROM s, unnest(generate_series(0, CAST(n_samples AS INT) - 1)) AS t(i)
+      WHERE n_samples > 0
+    ),
+    wins AS (
+      SELECT doc_id, k // 256 AS window_id,
+             sum(CAST(v AS BIGINT) * v) AS energy
+      FROM samples GROUP BY doc_id, k // 256
+    )
+    SELECT w.doc_id,
+           CAST(any_value(s.n_samples) AS BIGINT) AS n_samples,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(energy) AS BIGINT) AS total_energy,
+           CAST(max(energy) AS BIGINT) AS max_window_energy
+    FROM wins w JOIN s USING (doc_id)
+    GROUP BY w.doc_id
+    ORDER BY w.doc_id
+    """,
+    "multimodal",
+    "audio",
+    "llm",
+)
+def audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM int16 window energies over the fake media table
+    (multimodal.as_media_table -> audio_energy_features), exact int64."""
+    from milvus_cdc_spark.analytics import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.as_media_table(docs)
+    return (
+        multimodal.audio_energy_features(media, window=256)
+        .filter(F.col("n_samples") > 0)
+        .orderBy("doc_id")
+    )

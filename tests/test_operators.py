@@ -1766,3 +1766,40 @@ def test_maxscore_shortlist_is_take_ordered(spark, sf_dir):
     df = suite.QUERIES["maxscore_pruned_search"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_audio_energy_exact_windows(spark):
+    from milvus_cdc_spark.analytics import multimodal
+
+    # payload "ab" -> one sample 0x6261 = 25185; "abcd" -> 25185, 25699
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, "abcd"), (3, "x")],  # odd byte -> dropped
+        "doc_id bigint, text string",
+    )
+    media = multimodal.as_media_table(docs)
+    out = {
+        r.doc_id: r
+        for r in multimodal.audio_energy_features(media, window=1).collect()
+    }
+    assert out[1].n_samples == 1 and out[1].total_energy == 25185 ** 2
+    assert out[2].n_windows == 2
+    assert out[2].total_energy == 25185 ** 2 + 25699 ** 2
+    assert out[2].max_window_energy == 25699 ** 2
+    assert out[3].n_samples == 0 and out[3].total_energy == 0
+
+
+def test_silhouette_separable_clusters(spark):
+    from milvus_cdc_spark.analytics import similarity
+
+    # two tight, far-apart clusters -> silhouette near 1
+    rows = [(i, [0.0, 0.0, 0.1 * i]) for i in range(3)]
+    rows += [(10 + i, [100.0, 100.0, 0.1 * i]) for i in range(3)]
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.1]), (1, [100.0, 100.0, 0.1])],
+        "centroid_id int, centroid array<double>",
+    )
+    out = {r.centroid_id: r for r in similarity.silhouette_stats(vecs, cents).collect()}
+    assert out[0].n_members == 3 and out[1].n_members == 3
+    assert out[0].avg_sil_micro > 990_000
+    assert out[1].avg_sil_micro > 990_000
