@@ -583,3 +583,83 @@ def streaming_fingerprint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_kept"))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark finalization in APPEND mode: a two-file stream (explicit
+# modification-time order, maxFilesPerTrigger=1) with a 1-hour
+# watermark over daily tumbling windows emits EXACTLY the windows whose
+# end precedes the final watermark (global max event time - 1h) — the
+# newest day stays in state, withheld. Measured Spark behavior this
+# repo pins (probe in tests): with availableNow the admitted late rows
+# of batch 2 are NOT dropped (numRowsDroppedByWatermark == 0); the
+# watermark's observable effect is emission gating, which is what this
+# query oracle-checks.
+# ---------------------------------------------------------------------------
+
+
+def _stage_two_ordered_files(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
+    """Split events into two single-file batches (user_id % 3 != 0 first,
+    the rest second) with explicit mtimes so the file source's batch
+    order is deterministic."""
+    import os
+    import shutil
+
+    ev = catalog.load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="late_events_")
+    stage = tmp + "/files"
+    os.makedirs(stage)
+    parts = [
+        ev.filter(F.col("user_id") % 3 != 0),
+        ev.filter(F.col("user_id") % 3 == 0),
+    ]
+    for i, df in enumerate(parts):
+        d = f"{tmp}/b{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        part = [p for p in os.listdir(d) if p.startswith("part-")][0]
+        dst = f"{stage}/{i:02d}.parquet"
+        shutil.copy(os.path.join(d, part), dst)
+        os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+    return stage, ev
+
+
+@q(
+    "streaming_watermark_finalize",
+    """
+    WITH mx AS (SELECT max(ts) AS m FROM events)
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE date_trunc('day', ts) + INTERVAL 1 DAY
+            <= (SELECT m FROM mx) - INTERVAL 1 HOUR
+    GROUP BY day
+    ORDER BY day
+    """,
+    "streaming",
+    "watermark",
+    "append",
+)
+def streaming_watermark_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode daily aggregate over a deterministic two-batch file
+    stream: emitted set == windows finalized by the final watermark."""
+    stage, ev = _stage_two_ordered_files(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        F.col("w.start").cast("date").alias("day"), "n_events", "total_value"
+    ).orderBy("day")

@@ -1439,3 +1439,33 @@ def test_fingerprint_gate_drops_known_passes_new(spark):
     q.awaitTermination()
     kept = {r.doc_id for r in spark.table("gate_out").collect()}
     assert kept == {12}
+
+
+def test_watermark_finalize_withholds_newest_window(spark, sf_dir):
+    """Pin the availableNow watermark contract the query relies on:
+    append mode emits exactly the windows finalized by the final
+    watermark; the newest day stays in state; and in this two-batch
+    topology Spark 4 admits batch-2 late rows (drop counter zero) —
+    if an upgrade starts dropping them, this test flags the semantic
+    change before the oracle mismatch does."""
+    from milvus_cdc_spark import catalog, suite
+
+    out = suite.QUERIES["streaming_watermark_finalize"].fn(spark, sf_dir)
+    rows = out.collect()
+    ev = catalog.load_table(spark, sf_dir, "events")
+    import pyspark.sql.functions as F
+
+    days = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    n_days = days.count()
+    # all but the newest day emitted, and every emitted day is complete
+    assert len(rows) == n_days - 1
+    per_day = {
+        r.d: r.n
+        for r in ev.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("d")
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    for r in rows:
+        assert r.n_events == per_day[r.day]
