@@ -480,3 +480,27 @@ def test_stream_tail_parquet_and_jsonlines(spark, tmp_path):
     one = run(str(pq), "--n=2", f"--channel={rows[0]['vchannel']}")
     assert {r["vchannel"] for r in one} == {rows[0]["vchannel"]}
     assert len(one) <= 2
+
+
+def test_meta_dump_tool_lists_live_and_dropped(spark, sf_dir):
+    """meta_dump: JSON per collection; dropped collections appear only
+    with --include-dropped; live entries carry hydrated fields."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    def run(*args):
+        out = subprocess.run(
+            [_sys.executable, "/root/repo/scripts/meta_dump.py", *args],
+            capture_output=True, text=True, check=True,
+        )
+        return [json.loads(line) for line in out.stdout.strip().splitlines()]
+
+    live = run(sf_dir)
+    assert live and all("fields" in r and r["fields"] for r in live)
+    assert all(r.get("state") != "dropped" for r in live)
+    both = run(sf_dir, "--include-dropped")
+    dropped = [r for r in both if r.get("state") == "dropped"]
+    assert dropped and len(both) == len(live) + len(dropped)
+    ids = [r["coll_id"] for r in both]
+    assert len(set(ids)) == len(ids)
