@@ -504,3 +504,70 @@ def test_meta_dump_tool_lists_live_and_dropped(spark, sf_dir):
     assert dropped and len(both) == len(live) + len(dropped)
     ids = [r["coll_id"] for r in both]
     assert len(set(ids)) == len(ids)
+
+
+def test_load_cdc_yaml_pulsar_and_kafka(tmp_path):
+    """cdc.yaml loader: reference field names map onto the engine's
+    config + source option builders; exactly-one-broker enforced."""
+    from milvus_cdc_spark.config import load_cdc_yaml, reader_options
+
+    y = tmp_path / "cdc.yaml"
+    y.write_text(
+        """
+address: 0.0.0.0:8444
+maxTaskNum: 100
+metaStoreConfig:
+  storeType: etcd
+  rootPath: cdc-by-dev
+sourceConfig:
+  etcd:
+    address:
+      - http://127.0.0.1:2379
+    rootPath: by-dev
+    metaSubPath: meta
+  readChanLen: 4
+  defaultPartitionName: _default
+  replicateChan: by-dev-replicate-msg
+  pulsar:
+    address: pulsar://localhost:6650
+    webAddress: localhost:80
+    maxMessageSize: 5242880
+    tenant: public
+    namespace: default
+maxNameLength: 256
+batchMode: true
+"""
+    )
+    cfg = load_cdc_yaml(str(y))
+    assert cfg.max_task_num == 100 and cfg.read_chan_len == 4
+    assert cfg.meta_root_path == "cdc-by-dev"
+    assert cfg.source_etcd_address == ("http://127.0.0.1:2379",)
+    assert cfg.replicate_chan == "by-dev-replicate-msg"
+    assert cfg.batch_mode is True
+    assert set(cfg.connect_params) == {"pulsar"}
+    opts = reader_options(cfg, "oplog-topic")
+    assert opts["service.url"] == "pulsar://localhost:6650"
+    assert opts["topic"] == "persistent://public/default/oplog-topic"
+    assert opts["admin.url"] == "localhost:80"
+    assert opts["pulsar.consumer.receiverQueueSize"] == "4"
+
+    y2 = tmp_path / "cdc_kafka.yaml"
+    y2.write_text(
+        """
+sourceConfig:
+  readChanLen: 7
+  kafka:
+    address: 127.0.0.1:9092
+"""
+    )
+    cfg2 = load_cdc_yaml(str(y2))
+    opts2 = reader_options(cfg2, "t")
+    assert opts2["kafka.bootstrap.servers"] == "127.0.0.1:9092"
+    assert opts2["maxOffsetsPerTrigger"] == "7"
+
+    y3 = tmp_path / "cdc_bad.yaml"
+    y3.write_text("sourceConfig: {}\n")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        load_cdc_yaml(str(y3))
