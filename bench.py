@@ -140,6 +140,18 @@ HEADLINE_R5E = [
     "zorder_layout_pruning",        # Morton layout zone-map pruning
 ]
 
+#: Round-5 sixth-batch additions (alphabetized; r5e_subtotal keeps the
+#: earlier sets comparable).
+HEADLINE_R5F = [
+    "audio_window_energy",          # PCM int16 window energies (mapInPandas)
+    "dataset_split_counts",         # deterministic 80/10/10 split
+    "ivf_nprobe_recall_curve",      # nprobe 1/2/4 recall curve
+    "kmeans_silhouette",            # per-cluster simplified silhouette
+    "maxscore_pruned_search",       # WAND-style two-phase retrieval
+    "more_like_this",               # tf-idf keywords -> BM25 MLT
+    "streaming_watermark_finalize", # append-mode emission gating
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -150,7 +162,7 @@ def main() -> None:
 
     all_queries = (HEADLINE + HEADLINE_R2 + HEADLINE_R4 + HEADLINE_R5
                    + HEADLINE_R5B + HEADLINE_R5C + HEADLINE_R5D
-                   + HEADLINE_R5E)
+                   + HEADLINE_R5E + HEADLINE_R5F)
     warm_dir = "/root/testdata/sf0.001"
     do_warm = os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/")
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -228,6 +240,14 @@ def main() -> None:
         ),
         3,
     )
+    r5e_subtotal = round(
+        sum(
+            timings.get(n, 0.0)
+            for n in HEADLINE + HEADLINE_R2 + HEADLINE_R4 + HEADLINE_R5
+            + HEADLINE_R5B + HEADLINE_R5C + HEADLINE_R5D + HEADLINE_R5E
+        ),
+        3,
+    )
     print(
         json.dumps(
             {
@@ -247,6 +267,7 @@ def main() -> None:
                 "r5b_subtotal": r5b_subtotal,
                 "r5c_subtotal": r5c_subtotal,
                 "r5d_subtotal": r5d_subtotal,
+                "r5e_subtotal": r5e_subtotal,
             }
         )
     )
