@@ -279,3 +279,88 @@ def test_temperature_weights_invariants(spark, counts, alpha):
         assert 0 <= r.rate_permille <= 1000
         expected += r.n_docs * r.rate_permille / 1000.0
     assert expected <= total + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Z-order Morton interleave: bijectivity on [0, 2^bits)^2 against an
+# independent python de-interleaver, for arbitrary coordinate pairs.
+# ---------------------------------------------------------------------------
+
+zxy_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=255),
+    ),
+    min_size=1,
+    max_size=24,
+    unique=True,
+)
+
+
+def _deinterleave(z: int, bits: int = 8) -> tuple[int, int]:
+    x = y = 0
+    for i in range(bits):
+        x |= ((z >> (2 * i)) & 1) << i
+        y |= ((z >> (2 * i + 1)) & 1) << i
+    return x, y
+
+
+@given(zxy_strategy)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_zorder_key_is_morton_bijection(spark, pairs):
+    from pyspark.sql import functions as F
+
+    from milvus_cdc_spark.operators.clustering import zorder_key
+
+    df = spark.createDataFrame(pairs, "x int, y int")
+    rows = df.select(
+        "x", "y", zorder_key(F.col("x"), F.col("y"), 8).alias("z")
+    ).collect()
+    assert len({r.z for r in rows}) == len(rows)  # injective on the sample
+    for r in rows:
+        assert _deinterleave(r.z, 8) == (r.x, r.y)
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup invariants vs a brute-force python mirror: n_lines
+# partitions the corpus lines, n_kept counts exactly the globally-unique
+# pseudo-lines, for arbitrary small corpora.
+# ---------------------------------------------------------------------------
+
+corpus_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "dd"]), min_size=0, max_size=14
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(corpus_strategy)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_line_dedup_matches_bruteforce(spark, texts):
+    from collections import Counter
+
+    from milvus_cdc_spark.analytics import corpus
+
+    W = 3
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    out = {
+        r.doc_id: r for r in corpus.line_level_dedup(docs, width=W).collect()
+    }
+    # python mirror
+    lines_by_doc = {}
+    for i, t in enumerate(texts):
+        toks = [w for w in t.strip().lower().split() if w]
+        lines_by_doc[i] = [
+            " ".join(toks[j : j + W]) for j in range(0, len(toks), W)
+        ]
+    counts = Counter(ln for ls in lines_by_doc.values() for ln in ls)
+    for i, ls in lines_by_doc.items():
+        if not ls:
+            assert i not in out
+            continue
+        assert out[i].n_lines == len(ls)
+        assert out[i].n_kept == sum(1 for ln in ls if counts[ln] == 1)
