@@ -240,3 +240,57 @@ def session_consistency_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session", F.col("pk") % 4
     )
     return consistency.read_your_writes(ops, session_ids=(0, 1, 2, 3))
+
+
+# ---------------------------------------------------------------------------
+# ignore_growing read (Milvus search/query param ignore_growing=True:
+# skip in-memory growing segments, serve sealed data only — milvus.io
+# search params). Engine shape: the same batch_to_state/alive_view path
+# as growing_sealed_read, with the growing tail simply never merged.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ignore_growing_read",
+    f"""
+    WITH ops AS ({oplog.ORACLE_OPLOG_SQL}),
+    sealed AS (SELECT * FROM ops WHERE ts <= {SEAL_CUTOFF_TS}),
+    agg AS (
+      SELECT collection, pk,
+             max(CASE WHEN op_type = 'insert' THEN ts END) AS last_insert_ts,
+             max(CASE WHEN op_type = 'delete' THEN ts END) AS last_delete_ts,
+             sum(CASE WHEN op_type = 'insert' THEN num_rows ELSE 0 END)
+               AS n_inserts
+      FROM sealed GROUP BY collection, pk
+    )
+    SELECT collection,
+           count(*)                       AS alive_pks,
+           CAST(sum(n_inserts) AS BIGINT) AS total_inserts,
+           max(last_insert_ts)            AS max_sealed_ts
+    FROM agg
+    WHERE last_insert_ts IS NOT NULL
+      AND (last_delete_ts IS NULL OR last_insert_ts >= last_delete_ts)
+    GROUP BY collection
+    ORDER BY collection
+    """,
+    "cdc",
+    "consistency",
+    "ignore-growing",
+)
+def ignore_growing_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sealed-only read: ignore_growing skips everything past the flush
+    cutoff — the growing tail is never merged into the served state."""
+    from milvus_cdc_spark.streaming.pipeline import alive_view, batch_to_state
+
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"))
+    sealed = batch_to_state(ops.filter(F.col("ts") <= F.lit(SEAL_CUTOFF_TS)))
+    return (
+        alive_view(sealed)
+        .groupBy("collection")
+        .agg(
+            F.count("*").alias("alive_pks"),
+            F.sum("n_inserts").cast("bigint").alias("total_inserts"),
+            F.max("last_insert_ts").alias("max_sealed_ts"),
+        )
+        .orderBy("collection")
+    )

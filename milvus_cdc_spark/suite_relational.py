@@ -4110,3 +4110,90 @@ def more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget epoch plan (the Llama/PaLM data-recipe step): given
+# per-source token inventories, a temperature-0.5 share (sqrt
+# upweighting of small sources), a total token budget of 2x the corpus,
+# and a hard repetition cap of 2.5 epochs, how many tokens of each
+# source does the run actually draw? Everything in exact integer
+# arithmetic: floor(sqrt) shares in ppm, milli-epochs, floor division.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "mixing_epoch_plan",
+    f"""
+    WITH toks AS (
+      SELECT source, CAST(sum(len({_SQL_TOKS})) AS BIGINT) AS avail
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, avail,
+             CAST(floor(sqrt(avail)) AS BIGINT) AS wgt
+      FROM toks
+    ),
+    tot AS (
+      SELECT sum(wgt) AS wsum, sum(avail) AS asum FROM w
+    ),
+    plan AS (
+      SELECT source, avail,
+             CAST(wgt * 1000000 // (SELECT wsum FROM tot) AS BIGINT)
+               AS share_ppm,
+             CAST((2 * (SELECT asum FROM tot))
+                  * (wgt * 1000000 // (SELECT wsum FROM tot))
+                  // 1000000 AS BIGINT) AS desired
+      FROM w
+    )
+    SELECT source, avail, share_ppm, desired,
+           CAST(least(2500, desired * 1000 // avail) AS BIGINT)
+             AS epochs_milli,
+           CAST(avail * least(2500, desired * 1000 // avail) // 1000
+                AS BIGINT) AS planned_tokens
+    FROM plan
+    ORDER BY source
+    """,
+    "llm",
+    "mixing",
+    "epochs",
+)
+def mixing_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch/token plan under a 2x-corpus budget,
+    temperature-0.5 shares, 2.5-epoch repetition cap."""
+    from milvus_cdc_spark.functions import text as textf
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.groupBy("source").agg(
+        F.sum(F.size(textf.tokens(F.lower(F.col("text")))))
+        .cast("bigint")
+        .alias("avail")
+    )
+    w = toks.withColumn(
+        "wgt", F.floor(F.sqrt(F.col("avail"))).cast("bigint")
+    )
+    tot = w.agg(
+        F.sum("wgt").alias("wsum"), F.sum("avail").alias("asum")
+    )
+    plan = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "share_ppm", F.expr("wgt * 1000000 DIV wsum").cast("bigint")
+        )
+        .withColumn(
+            "desired",
+            F.expr("(2 * asum) * share_ppm DIV 1000000").cast("bigint"),
+        )
+    )
+    return plan.select(
+        "source",
+        "avail",
+        "share_ppm",
+        "desired",
+        F.least(F.lit(2500), F.expr("desired * 1000 DIV avail"))
+        .cast("bigint")
+        .alias("epochs_milli"),
+        F.expr("avail * least(2500, desired * 1000 DIV avail) DIV 1000")
+        .cast("bigint")
+        .alias("planned_tokens"),
+    ).orderBy("source")
