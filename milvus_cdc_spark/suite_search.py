@@ -2840,3 +2840,78 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy("n_probe")
+
+
+# ---------------------------------------------------------------------------
+# Milvus 2.6 GEOMETRY filters: POINT entities (WKT roundtrip exercised
+# in-plan) filtered by st_within (bbox), st_dwithin (radius), and
+# st_contains over a literal query polygon — the unrolled even-odd ray
+# cast (functions/geo.py). Points derive deterministically from part.
+# ---------------------------------------------------------------------------
+
+_GEO_TRI = [(-40.0, -40.0), (40.0, -40.0), (0.0, 40.0)]
+
+
+def _geo_oracle() -> str:
+    from milvus_cdc_spark.functions.geo import sql_contains_polygon
+
+    poly = sql_contains_polygon("x", "y", _GEO_TRI)
+    return f"""
+    WITH pts AS (
+      SELECT p_partkey AS pk,
+             CAST((p_partkey % 360) - 180 + 0.5 AS DOUBLE) AS x,
+             CAST(((p_partkey // 7) % 180) - 90 + 0.5 AS DOUBLE) AS y
+      FROM part
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(CASE WHEN x >= -30 AND x <= 10 AND y >= -20 AND y <= 25
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bbox,
+           CAST(sum(CASE WHEN x * x + y * y <= 225.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_radius,
+           CAST(sum(CASE WHEN {poly} THEN 1 ELSE 0 END) AS BIGINT) AS n_poly,
+           CAST(sum(CASE WHEN {poly} THEN pk ELSE 0 END) AS BIGINT)
+             AS sum_pk_poly
+    FROM pts
+    """
+
+
+@q(
+    "geo_point_filters",
+    _geo_oracle(),
+    "geo",
+    "geometry",
+    "filter",
+)
+def geo_point_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bbox / radius / polygon containment counts over derived POINT
+    entities, through a WKT render+parse roundtrip (functions/geo)."""
+    from milvus_cdc_spark.functions import geo
+
+    p = _t(spark, sf_dir, "part")
+    raw = p.select(
+        F.col("p_partkey").alias("pk"),
+        ((F.col("p_partkey") % 360) - 180 + 0.5).cast("double").alias("_x"),
+        (
+            (F.expr("p_partkey DIV 7") % 180) - 90 + 0.5
+        ).cast("double").alias("_y"),
+    )
+    # WKT roundtrip: render the Milvus insert format, parse it back
+    pts = raw.select(
+        "pk", geo.wkt_point(F.col("_x"), F.col("_y")).alias("wkt")
+    ).select(
+        "pk",
+        geo.parse_wkt_point_x(F.col("wkt")).alias("x"),
+        geo.parse_wkt_point_y(F.col("wkt")).alias("y"),
+    )
+    in_box = geo.st_within_bbox(F.col("x"), F.col("y"), -30, -20, 10, 25)
+    near = geo.st_dwithin(F.col("x"), F.col("y"), 0.0, 0.0, 15.0)
+    in_poly = geo.st_contains_polygon(F.col("x"), F.col("y"), _GEO_TRI)
+    return pts.agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.sum(in_box.cast("int")).cast("bigint").alias("n_bbox"),
+        F.sum(near.cast("int")).cast("bigint").alias("n_radius"),
+        F.sum(in_poly.cast("int")).cast("bigint").alias("n_poly"),
+        F.sum(F.when(in_poly, F.col("pk")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_pk_poly"),
+    )

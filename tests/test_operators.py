@@ -1803,3 +1803,26 @@ def test_silhouette_separable_clusters(spark):
     assert out[0].n_members == 3 and out[1].n_members == 3
     assert out[0].avg_sil_micro > 990_000
     assert out[1].avg_sil_micro > 990_000
+
+
+def test_geo_polygon_ray_cast(spark):
+    from milvus_cdc_spark.functions import geo
+
+    square = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]
+    concave = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (2.0, 1.5), (0.0, 4.0)]
+    df = spark.createDataFrame(
+        [(1, 2.0, 2.0), (2, 5.0, 2.0), (3, 2.0, 3.5), (4, 0.5, 0.5)],
+        "pk bigint, x double, y double",
+    )
+    out = {
+        r.pk: (r.sq, r.cv)
+        for r in df.select(
+            "pk",
+            geo.st_contains_polygon(F.col("x"), F.col("y"), square).alias("sq"),
+            geo.st_contains_polygon(F.col("x"), F.col("y"), concave).alias("cv"),
+        ).collect()
+    }
+    assert out[1] == (True, True)    # center
+    assert out[2] == (False, False)  # outside both
+    assert out[3] == (True, False)   # inside square, in the concave notch
+    assert out[4] == (True, True)
