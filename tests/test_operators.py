@@ -1822,7 +1822,7 @@ def test_geo_polygon_ray_cast(spark):
             geo.st_contains_polygon(F.col("x"), F.col("y"), concave).alias("cv"),
         ).collect()
     }
-    assert out[1] == (True, True)    # center
+    assert out[1] == (True, False)   # center of square; inside the notch
     assert out[2] == (False, False)  # outside both
-    assert out[3] == (True, False)   # inside square, in the concave notch
-    assert out[4] == (True, True)
+    assert out[3] == (True, False)   # inside square, above the notch line
+    assert out[4] == (True, True)    # low corner, below the notch
