@@ -536,7 +536,76 @@ class _Parser:
         if fn == "random_sample":
             need(1)
             return _Val(self._random_sample(args[0], t.pos))
+        if fn == "st_within":
+            need(2)
+            return _Val(self._st_within(args[0], args[1], t.pos))
+        if fn == "st_dwithin":
+            need(3)
+            return _Val(self._st_dwithin(args[0], args[1], args[2], t.pos))
         raise ExprError(f"unknown function {fn!r} at position {t.pos} in {self.src!r}")
+
+    def _geo_xy(self, field, pos: int):
+        from milvus_cdc_spark.functions.geo import (
+            parse_wkt_point_x,
+            parse_wkt_point_y,
+        )
+
+        if not isinstance(field, _Val) or field.is_json:
+            raise ExprError(
+                f"geo predicate needs a WKT field at position {pos} in {self.src!r}"
+            )
+        return parse_wkt_point_x(field.col), parse_wkt_point_y(field.col)
+
+    def _st_within(self, field, wkt, pos: int) -> Column:
+        """Milvus 2.6 ST_WITHIN(point_field, 'POLYGON ((...))'): the
+        entity point lies inside the literal query polygon — compiled
+        to the unrolled even-odd ray cast (functions/geo), so the
+        polygon's edges become plan literals exactly like an IN-list."""
+        import re as _re
+
+        from milvus_cdc_spark.functions.geo import st_contains_polygon
+
+        if not isinstance(wkt, str) or not wkt.strip().upper().startswith("POLYGON"):
+            raise ExprError(
+                f"st_within needs a POLYGON WKT literal at position {pos} "
+                f"in {self.src!r}"
+            )
+        pairs = _re.findall(r"(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)", wkt)
+        verts = [(float(a), float(b)) for a, b in pairs]
+        # WKT rings repeat the first vertex as the last — drop the closer
+        if len(verts) >= 2 and verts[0] == verts[-1]:
+            verts = verts[:-1]
+        if len(verts) < 3:
+            raise ExprError(
+                f"st_within polygon needs >= 3 vertices at position {pos} "
+                f"in {self.src!r}"
+            )
+        x, y = self._geo_xy(field, pos)
+        return st_contains_polygon(x, y, verts)
+
+    def _st_dwithin(self, field, wkt, radius, pos: int) -> Column:
+        """Milvus 2.6 ST_DWITHIN(point_field, 'POINT (cx cy)', r):
+        planar distance-within, squared-compare (no sqrt)."""
+        import re as _re
+
+        from milvus_cdc_spark.functions.geo import st_dwithin
+
+        if not isinstance(radius, (int, float)) or isinstance(radius, bool):
+            raise ExprError(
+                f"st_dwithin needs a numeric radius at position {pos} in {self.src!r}"
+            )
+        m = _re.match(
+            r"\s*POINT\s*\(\s*(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s*\)\s*",
+            wkt if isinstance(wkt, str) else "",
+            _re.IGNORECASE,
+        )
+        if not m:
+            raise ExprError(
+                f"st_dwithin needs a POINT WKT literal at position {pos} "
+                f"in {self.src!r}"
+            )
+        x, y = self._geo_xy(field, pos)
+        return st_dwithin(x, y, float(m.group(1)), float(m.group(2)), float(radius))
 
     def _random_sample(self, p, pos: int) -> Column:
         """Milvus 2.6 RANDOM_SAMPLE(p): keep ~fraction p of the rows

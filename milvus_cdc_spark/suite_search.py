@@ -2915,3 +2915,58 @@ def geo_point_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_pk_poly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GEOMETRY predicates through the expr COMPILER: the Milvus filter
+# string `st_within(loc, 'POLYGON (...)') and pk % 2 == 0` compiles to
+# the same unrolled ray cast as the direct-function query — proving the
+# string surface and the function surface agree.
+# ---------------------------------------------------------------------------
+
+
+def _geo_expr_oracle() -> str:
+    from milvus_cdc_spark.functions.geo import sql_contains_polygon
+
+    poly = sql_contains_polygon("x", "y", _GEO_TRI)
+    return f"""
+    WITH pts AS (
+      SELECT p_partkey AS pk,
+             CAST((p_partkey % 360) - 180 + 0.5 AS DOUBLE) AS x,
+             CAST(((p_partkey // 7) % 180) - 90 + 0.5 AS DOUBLE) AS y
+      FROM part
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_match,
+           CAST(coalesce(sum(pk), 0) AS BIGINT) AS sum_pk
+    FROM pts WHERE ({poly}) AND pk % 2 = 0
+    """
+
+
+@q(
+    "expr_geo_filter",
+    _geo_expr_oracle(),
+    "geo",
+    "expr",
+    "compiler",
+)
+def expr_geo_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_within inside a compiled Milvus filter expression."""
+    from milvus_cdc_spark.functions import geo
+    from milvus_cdc_spark.functions.expr import compile_expr
+
+    p = _t(spark, sf_dir, "part")
+    ent = p.select(
+        F.col("p_partkey").alias("pk"),
+        geo.wkt_point(
+            ((F.col("p_partkey") % 360) - 180 + 0.5).cast("double"),
+            ((F.expr("p_partkey DIV 7") % 180) - 90 + 0.5).cast("double"),
+        ).alias("loc"),
+    )
+    wkt = "POLYGON ((-40 -40, 40 -40, 0 40, -40 -40))"
+    pred = compile_expr(
+        f"st_within(loc, '{wkt}') and pk % 2 == 0", ent
+    )
+    return ent.filter(pred).agg(
+        F.count("*").cast("bigint").alias("n_match"),
+        F.coalesce(F.sum("pk"), F.lit(0)).cast("bigint").alias("sum_pk"),
+    )

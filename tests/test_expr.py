@@ -293,3 +293,39 @@ def test_random_sample_gate(ent):
         ids(ent, "random_sample(1.5)", sample_key=key)
     with pytest.raises(ExprError):
         ids(ent, "random_sample(0.5)")  # no sample_key declared
+
+
+def test_expr_st_within_and_dwithin(spark):
+    from pyspark.sql import functions as F
+
+    from milvus_cdc_spark.functions import geo
+    from milvus_cdc_spark.functions.expr import ExprError, compile_expr
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 10.0, 10.0), (3, -1.0, 0.5)],
+        "pk bigint, x double, y double",
+    )
+    ent = df.select(
+        "pk", geo.wkt_point(F.col("x"), F.col("y")).alias("loc")
+    )
+    tri = "POLYGON ((0 0, 4 0, 0 4, 0 0))"
+    got = sorted(
+        r.pk
+        for r in ent.filter(
+            compile_expr(f"st_within(loc, '{tri}')", ent)
+        ).collect()
+    )
+    assert got == [1]
+    got2 = sorted(
+        r.pk
+        for r in ent.filter(
+            compile_expr("st_dwithin(loc, 'POINT (0 0)', 2.0)", ent)
+        ).collect()
+    )
+    assert got2 == [1, 3]
+    import pytest as _pytest
+
+    with _pytest.raises(ExprError):
+        compile_expr("st_within(loc, 'LINESTRING (0 0, 1 1)')", ent)
+    with _pytest.raises(ExprError):
+        compile_expr("st_dwithin(loc, 'POINT (0 0)', true)", ent)
