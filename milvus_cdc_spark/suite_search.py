@@ -2970,3 +2970,87 @@ def expr_geo_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_match"),
         F.coalesce(F.sum("pk"), F.lit(0)).cast("bigint").alias("sum_pk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Geo-fenced ANN: spatial predicate FIRST (st_dwithin against each
+# query's own location), cosine ranking only over the fenced candidates
+# — the "restaurants near me, ranked by embedding" composition Milvus
+# 2.6 geo + vector search serves. Filter-before-distance contract.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "geo_fenced_ann",
+    f"""
+    WITH pts AS (
+      SELECT vec_id, embedding,
+             CAST((vec_id % 100) + 0.5 AS DOUBLE) AS x,
+             CAST(((vec_id // 100) % 100) + 0.5 AS DOUBLE) AS y
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM pts WHERE vec_id < 5),
+    fenced AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_SQL_COSINE} AS sim
+      FROM pts c, q
+      WHERE c.vec_id != q.vec_id
+        AND (c.x - q.x) * (c.x - q.x) + (c.y - q.y) * (c.y - q.y)
+              <= 900.0
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM fenced
+    )
+    SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, sim
+    FROM ranked WHERE rn <= 3
+    ORDER BY query_id, rank
+    """,
+    "geo",
+    "vector",
+    "search",
+    "llm",
+)
+def geo_fenced_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-3 within a 30-unit geo fence of each query point."""
+    from pyspark.sql import Window
+
+    from milvus_cdc_spark.functions import vector as vecf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        "embedding",
+        ((F.col("vec_id") % 100) + 0.5).cast("double").alias("x"),
+        ((F.expr("vec_id DIV 100") % 100) + 0.5).cast("double").alias("y"),
+    )
+    q_side = pts.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("x").alias("qx"),
+        F.col("y").alias("qy"),
+    )
+    dx = F.col("x") - F.col("qx")
+    dy = F.col("y") - F.col("qy")
+    fenced = pts.join(
+        F.broadcast(q_side),
+        (F.col("vec_id") != F.col("query_id"))
+        & ((dx * dx + dy * dy) <= 900.0),
+    )
+    scored = fenced.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(vecf.cosine(F.col("embedding"), F.col("q_emb")), 6).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "rank", "neighbor_id", "sim")
+        .orderBy("query_id", "rank")
+    )
