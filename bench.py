@@ -145,6 +145,8 @@ HEADLINE_R5E = [
 HEADLINE_R5F = [
     "audio_window_energy",          # PCM int16 window energies (mapInPandas)
     "dataset_split_counts",         # deterministic 80/10/10 split
+    "geo_fenced_ann",               # spatial prefilter + cosine rank
+    "geo_point_filters",            # WKT roundtrip + polygon ray cast
     "ivf_nprobe_recall_curve",      # nprobe 1/2/4 recall curve
     "kmeans_silhouette",            # per-cluster simplified silhouette
     "maxscore_pruned_search",       # WAND-style two-phase retrieval
