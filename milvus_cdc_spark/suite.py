@@ -3592,3 +3592,76 @@ def audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_samples") > 0)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Full-datatype envelope roundtrip (tests/testcases/test_cdc_sync_
+# requests.py test_cdc_sync_insert_with_full_datatype_request): every
+# Milvus field type — bool, int8/16/32/64, float, double, varchar,
+# JSON, int array, varchar array, float vector — through the JSON sink
+# envelope (to_json) and back (from_json), proving the serde is
+# lossless. The Spark side checks exact MULTISET equality of whole
+# rows across the roundtrip (group-count full join, null-safe); the
+# oracle's independent claim is that both totals equal the row count —
+# any lossy type surfaces as a driver hash mismatch.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "full_datatype_roundtrip",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_roundtripped
+    FROM part
+    """,
+    "cdc",
+    "serde",
+    "datatypes",
+)
+def full_datatype_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    ent = p.select(
+        (F.col("p_partkey") % 2 == 0).alias("b"),
+        (F.col("p_size") % 127).cast("tinyint").alias("i8"),
+        (F.col("p_partkey") % 32000).cast("smallint").alias("i16"),
+        F.col("p_size").cast("int").alias("i32"),
+        F.col("p_partkey").cast("bigint").alias("i64"),
+        F.col("p_retailprice").cast("float").alias("f"),
+        F.col("p_retailprice").cast("double").alias("d"),
+        F.col("p_brand").alias("s"),
+        F.struct(
+            (F.col("p_size") % 5).alias("grade"), F.col("p_type").alias("t")
+        ).alias("js"),
+        F.array(F.col("p_size"), F.col("p_size") + 1).alias("ia"),
+        F.split(F.col("p_name"), " ").alias("sa"),
+        F.array(
+            *[
+                ((F.col("p_partkey") % (7 + i)) / 10.0).cast("float")
+                for i in range(4)
+            ]
+        ).alias("vec"),
+    )
+    env = ent.select(F.struct(*ent.columns).alias("row")).select(
+        F.to_json("row").alias("payload")
+    )
+    back = env.select(
+        F.from_json(
+            "payload", ent.select(F.struct(*ent.columns).alias("row")).schema["row"].dataType
+        ).alias("row")
+    ).select("row.*")
+    # positional zip via monotonically-increasing ids would be
+    # order-fragile; compare via full-row join instead: every original
+    # row must appear in the parsed set with multiplicity (exact
+    # multiset equality through a group-count join)
+    orig_counts = ent.groupBy(*ent.columns).agg(F.count("*").alias("_n_o"))
+    back_counts = back.groupBy(*back.columns).agg(F.count("*").alias("_n_b"))
+    joined = orig_counts.join(back_counts, ent.columns, "full")
+    both = F.when(
+        F.col("_n_o").eqNullSafe(F.col("_n_b")), F.col("_n_o")
+    ).otherwise(F.lit(0))
+    return joined.agg(
+        F.sum(F.coalesce(F.col("_n_o"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_rows"),
+        F.sum(both).cast("bigint").alias("n_roundtripped"),
+    )
