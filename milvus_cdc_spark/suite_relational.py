@@ -4197,3 +4197,76 @@ def mixing_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("planned_tokens"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# MLM masking plan (BERT-style 15% token masking, Devlin et al. 2019):
+# which tokens of each document get masked is decided by the portable
+# md5-nibble gate over (doc_id, position) — deterministic, RNG-free,
+# reproducible across engines and runs (the same trade every sampling
+# operator here makes). Output: per-doc counts + mask-rate ppm.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "mlm_masking_plan",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, i AS pos
+      FROM (SELECT doc_id, {_SQL_TOKS} AS arr FROM documents),
+           unnest(generate_series(1, len(arr))) AS t(i)
+      WHERE len(arr) > 0
+    ),
+    gated AS (
+      SELECT doc_id, pos,
+             ((strpos('0123456789abcdef',
+                      substr(md5(CAST(doc_id * 1000000 + pos AS VARCHAR)),
+                             1, 1)) - 1) * 256
+              + (strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id * 1000000 + pos AS VARCHAR)),
+                               2, 1)) - 1) * 16
+              + (strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id * 1000000 + pos AS VARCHAR)),
+                               3, 1)) - 1)) % 1000 < 150 AS masked
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_masked,
+           CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS mask_ppm
+    FROM gated
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    "llm",
+    "masking",
+    "mlm",
+)
+def mlm_masking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 15% MLM masking plan via the portable nibble gate
+    over (doc_id, token position)."""
+    from milvus_cdc_spark.analytics.corpus import sample_gate
+    from milvus_cdc_spark.functions import text as textf
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(textf.tokens(F.lower(F.col("text")))).alias("p", "tok"),
+    ).select("doc_id", (F.col("p") + 1).alias("pos"))
+    masked = sample_gate(
+        F.col("doc_id") * 1_000_000 + F.col("pos"), F.lit(150)
+    )
+    return (
+        toks.select("doc_id", masked.cast("int").alias("m"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("m").cast("bigint").alias("n_masked"),
+        )
+        .withColumn(
+            "mask_ppm", F.expr("n_masked * 1000000 DIV n_tokens").cast("bigint")
+        )
+        .orderBy("doc_id")
+    )

@@ -3054,3 +3054,85 @@ def geo_fenced_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "neighbor_id", "sim")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance block (PCA/whitening prep): exact two-pass
+# covariance of the first 8 dimensions in integer micro-units —
+# per-row quantization (floor(x*1e6+0.5)) then exact integer sums, so
+# both engines agree bit-for-bit regardless of float summation order.
+# One map-side-combined aggregate per pass; the 8x8 block is 36 rows.
+# ---------------------------------------------------------------------------
+
+_COV_D = 8
+
+
+def _cov_oracle() -> str:
+    q_cols = ", ".join(
+        f"CAST(floor(embedding[{k + 1}] * 1e6 + 0.5) AS BIGINT) AS v{k}"
+        for k in range(_COV_D)
+    )
+    mean_cols = ", ".join(
+        f"sum(v{k}) // count(*) AS m{k}" for k in range(_COV_D)
+    )
+    pairs = [(i, j) for i in range(_COV_D) for j in range(i, _COV_D)]
+    sums = ", ".join(
+        f"sum((v{i} - m{i}) * (v{j} - m{j})) AS s{i}_{j}" for i, j in pairs
+    )
+    rows = ", ".join(f"({i}, {j}, s{i}_{j})" for i, j in pairs)
+    return f"""
+    WITH q AS (SELECT {q_cols} FROM embeddings),
+    m AS (SELECT {mean_cols} FROM q),
+    s AS (SELECT {sums} FROM q CROSS JOIN m)
+    SELECT CAST(t.i AS INT) AS i, CAST(t.j AS INT) AS j,
+           CAST(t.cov_sum AS BIGINT) AS cov_sum
+    FROM s, (VALUES {rows}) AS t(i, j, cov_sum)
+    ORDER BY i, j
+    """
+
+
+@q(
+    "embedding_covariance_block",
+    _cov_oracle(),
+    "vector",
+    "pca",
+    "covariance",
+    "llm",
+)
+def embedding_covariance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer two-pass covariance sums of embedding dims 0-7."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q_df = emb.select(
+        *[
+            F.floor(F.element_at("embedding", k + 1) * 1e6 + F.lit(0.5))
+            .cast("bigint")
+            .alias(f"v{k}")
+            for k in range(_COV_D)
+        ]
+    )
+    means = q_df.agg(
+        *[
+            F.expr(f"sum(v{k}) DIV count(*)").alias(f"m{k}")
+            for k in range(_COV_D)
+        ]
+    )
+    pairs = [(i, j) for i in range(_COV_D) for j in range(i, _COV_D)]
+    centered = q_df.crossJoin(F.broadcast(means))
+    sums = centered.agg(
+        *[
+            F.sum((F.col(f"v{i}") - F.col(f"m{i}")) * (F.col(f"v{j}") - F.col(f"m{j}")))
+            .cast("bigint")
+            .alias(f"s{i}_{j}")
+            for i, j in pairs
+        ]
+    )
+    stack_args = ", ".join(f"{i}, {j}, s{i}_{j}" for i, j in pairs)
+    return sums.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack_args}) AS (i, j, cov_sum)"
+        )
+    ).select(
+        F.col("i").cast("int"),
+        F.col("j").cast("int"),
+        F.col("cov_sum").cast("bigint"),
+    ).orderBy("i", "j")
