@@ -1371,6 +1371,83 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_savings_report",
+    (_ORACLE_NEAR_DUP_PAIRS_CTE
+    + """,
+    jac AS (
+      SELECT p.a, p.b,
+             round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                   / greatest(len(list_distinct(list_concat(sa.shingles, sb.shingles))), 1),
+                   6) AS jaccard
+      FROM pairs p
+      JOIN sh sa ON p.a = sa.doc_id
+      JOIN sh sb ON p.b = sb.doc_id
+    ),
+    strong AS (SELECT a, b FROM jac WHERE jaccard >= 0.2),
+    edges AS (SELECT a AS src, b AS dst FROM strong
+              UNION SELECT b, a FROM strong),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+      SELECT node, node AS lab FROM nodes
+      UNION
+      SELECT e.dst AS node, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+    dropped AS (SELECT node FROM comp WHERE node != component)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN dr.node IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN dr.node IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(d.n_chars) AS BIGINT) AS chars_total,
+           CAST(sum(CASE WHEN dr.node IS NOT NULL THEN d.n_chars ELSE 0 END)
+                AS BIGINT) AS chars_dropped,
+           CAST(sum(CASE WHEN dr.node IS NOT NULL THEN d.n_chars ELSE 0 END)
+                * 1000000 // sum(d.n_chars) AS BIGINT) AS savings_ppm
+    FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.node
+    """).replace("WITH base AS (", "WITH RECURSIVE base AS (", 1),
+    "dedup",
+    "clustering",
+    "report",
+    "llm",
+)
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION quantified: near-dup clusters -> keep the
+    canonical member per component, drop the rest -> corpus-level
+    doc/byte savings. The drop set is pair-graph-sized, so it broadcasts
+    onto the corpus scan; singletons never enter any join."""
+    from milvus_cdc_spark.analytics import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    strong = dedup.near_dup_pipeline(docs, k=8, bands=4).filter(
+        F.col("jaccard") >= 0.2
+    )
+    comp = dedup.connected_components(strong, shuffle_partitions=8)
+    drop = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("_drop_id")
+    )
+    joined = docs.join(
+        F.broadcast(drop), docs["doc_id"] == drop["_drop_id"], "left"
+    )
+    is_drop = F.col("_drop_id").isNotNull()
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(is_drop.cast("int")).cast("bigint").alias("n_dropped"),
+        F.sum((~is_drop).cast("int")).cast("bigint").alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+        F.sum(F.when(is_drop, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("chars_dropped"),
+        F.expr(
+            "sum(CASE WHEN _drop_id IS NOT NULL THEN n_chars ELSE 0 END) "
+            "* 1000000 DIV sum(n_chars)"
+        )
+        .cast("bigint")
+        .alias("savings_ppm"),
+    )
+
+
+@q(
     "text_quality",
     """
     WITH t AS (
