@@ -315,17 +315,28 @@ def _connected_components_loop(
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().persist()
+    # Seeded init: label(v) = min(v, min neighbor). The node-distinct
+    # pass was a shuffle anyway; folding round 1's HashMin into the same
+    # aggregation is free and typically saves a whole join round (tiny
+    # LSH components converge in 1-2 rounds from this start).
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
+        .select(F.col("src").alias("node"), "label")
         .persist()
     )
     # Convergence tracking: labels are monotonically non-increasing
-    # (every update is a least(...)), so the label SUM strictly decreases
-    # iff ANY label changed — a one-column aggregate on the new frame
-    # replaces a join-against-previous per round.
-    prev_sum = None
+    # (every update is a least(...), and label(v) <= v from the seed
+    # on), so the label SUM strictly decreases iff ANY label changed —
+    # a one-column aggregate on the new frame replaces a
+    # join-against-previous per round. Summing the SEED state up front
+    # (one tiny aggregate on the already-persisted frame) lets round 1
+    # detect that the seed was already the fixpoint — for LSH near-dup
+    # graphs (pairs/triangles whose min neighbor IS the component min)
+    # that halves the round count, and a round costs several shuffles.
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)"))
+    ).collect()[0][0]
     converged = False
     for _ in range(max_iter):
         nbr = (
