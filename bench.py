@@ -154,6 +154,14 @@ HEADLINE_R5F = [
     "streaming_watermark_finalize", # append-mode emission gating
 ]
 
+#: Round-5 seventh-batch additions (alphabetized).
+HEADLINE_R5G = [
+    "dedup_savings_report",         # clusters -> corpus byte savings
+    "embedding_covariance_block",   # exact integer covariance (PCA prep)
+    "full_datatype_roundtrip",      # every field type through the envelope
+    "mlm_masking_plan",             # deterministic 15% MLM mask plan
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -164,7 +172,7 @@ def main() -> None:
 
     all_queries = (HEADLINE + HEADLINE_R2 + HEADLINE_R4 + HEADLINE_R5
                    + HEADLINE_R5B + HEADLINE_R5C + HEADLINE_R5D
-                   + HEADLINE_R5E + HEADLINE_R5F)
+                   + HEADLINE_R5E + HEADLINE_R5F + HEADLINE_R5G)
     warm_dir = "/root/testdata/sf0.001"
     do_warm = os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/")
     spark.range(1000).selectExpr("sum(id)").collect()
