@@ -4270,3 +4270,115 @@ def mlm_masking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Preference-pair construction (DPO/RLHF data prep): within each
+# source, rank documents by LM quality (unigram NLL micro-nats — lower
+# is better) and pair the k-th best with the k-th worst; floor(n/2)
+# pairs per source, the middle document of an odd group unused. All
+# ranking keys are integers; ties break on doc_id.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "preference_pair_builder",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+    tot AS (SELECT sum(tf) AS _t FROM freq),
+    per_doc AS (
+      SELECT t.doc_id,
+             CAST(sum(CAST(floor(-ln(f.tf / (SELECT _t FROM tot)) * 1e6
+                                 + 0.5) AS BIGINT))
+                  // count(*) AS BIGINT) AS nll
+      FROM toks t JOIN freq f USING (tok)
+      GROUP BY t.doc_id
+    ),
+    ranked AS (
+      SELECT d.source, p.doc_id, p.nll,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY p.nll ASC, p.doc_id) AS r_best,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY p.nll DESC, p.doc_id) AS r_worst,
+             count(*) OVER (PARTITION BY d.source) AS n
+      FROM per_doc p JOIN documents d USING (doc_id)
+    )
+    SELECT b.source,
+           CAST(b.r_best AS INT) AS pair_rank,
+           b.doc_id AS chosen_id,
+           w.doc_id AS rejected_id,
+           CAST(w.nll - b.nll AS BIGINT) AS margin_micro
+    FROM ranked b
+    JOIN ranked w
+      ON b.source = w.source AND b.r_best = w.r_worst
+    WHERE b.r_best <= b.n // 2
+    ORDER BY b.source, pair_rank
+    """,
+    "llm",
+    "dpo",
+    "preference",
+)
+def preference_pair_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-vs-worst quality pairing per source — DPO training pairs
+    with integer micro-nat margins."""
+    from pyspark.sql import Window
+
+    from milvus_cdc_spark.functions import text as textf
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(textf.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    tot = freq.agg(F.sum("tf").alias("_t"))
+    nll_micro = F.floor(-F.log(F.col("tf") / F.col("_t")) * 1e6 + F.lit(0.5))
+    per_doc = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(nll_micro).cast("bigint").alias("_s"),
+            F.count("*").alias("_n"),
+        )
+        .withColumn("nll", F.expr("_s DIV _n").cast("bigint"))
+        .select("doc_id", "nll")
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    wb = Window.partitionBy("source").orderBy(F.col("nll").asc(), "doc_id")
+    ww = Window.partitionBy("source").orderBy(F.col("nll").desc(), "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = per_doc.select(
+        "source",
+        "doc_id",
+        "nll",
+        F.row_number().over(wb).alias("r_best"),
+        F.row_number().over(ww).alias("r_worst"),
+        F.count("*").over(wn).alias("n"),
+    )
+    best = ranked.select(
+        "source",
+        F.col("r_best").alias("pair_rank"),
+        F.col("doc_id").alias("chosen_id"),
+        F.col("nll").alias("_bn"),
+        "n",
+    ).filter(F.col("pair_rank") <= F.expr("n DIV 2"))
+    worst = ranked.select(
+        "source",
+        F.col("r_worst").alias("pair_rank"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("nll").alias("_wn"),
+    )
+    return (
+        best.join(worst, ["source", "pair_rank"])
+        .select(
+            "source",
+            F.col("pair_rank").cast("int").alias("pair_rank"),
+            "chosen_id",
+            "rejected_id",
+            (F.col("_wn") - F.col("_bn")).cast("bigint").alias("margin_micro"),
+        )
+        .orderBy("source", "pair_rank")
+    )
