@@ -4382,3 +4382,217 @@ def preference_pair_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "pair_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index drift (the standard production drift
+# monitor): compare the document-length distribution of the corpus's
+# first half vs second half (doc_id split — the "reference vs current
+# window" stand-in) over 8 fixed-width length buckets, per source.
+# PSI = sum over buckets of (p - q) * ln(p / q), accumulated in integer
+# micro-units with Laplace-smoothed bucket shares so empty buckets
+# never divide by zero. PSI > 0.2 is the usual "investigate" line.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "psi_length_drift",
+    """
+    WITH halves AS (
+      SELECT source,
+             CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS win,
+             least(CAST(n_chars // 64 AS INT), 7) AS bucket
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, win, bucket, count(*) AS c
+      FROM halves GROUP BY source, win, bucket
+    ),
+    grid AS (
+      SELECT s.source, b.bucket,
+             coalesce(r.c, 0) + 1 AS rc,
+             coalesce(u.c, 0) + 1 AS cc
+      FROM (SELECT DISTINCT source FROM documents) s
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS bucket) b
+      LEFT JOIN counts r ON r.source = s.source AND r.bucket = b.bucket
+                         AND r.win = 'ref'
+      LEFT JOIN counts u ON u.source = s.source AND u.bucket = b.bucket
+                         AND u.win = 'cur'
+    ),
+    tot AS (
+      SELECT source, sum(rc) AS rt, sum(cc) AS ct FROM grid GROUP BY source
+    ),
+    terms AS (
+      SELECT g.source,
+             CAST(floor((g.rc / t.rt - g.cc / t.ct)
+                        * ln((g.rc / t.rt) / (g.cc / t.ct)) * 1e6 + 0.5)
+                  AS BIGINT) AS term_micro
+      FROM grid g JOIN tot t USING (source)
+    )
+    SELECT source, CAST(sum(term_micro) AS BIGINT) AS psi_micro
+    FROM terms GROUP BY source ORDER BY source
+    """,
+    "llm",
+    "monitoring",
+    "drift",
+    "psi",
+)
+def psi_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PSI of the length distribution, ref vs current half."""
+    docs = _t(spark, sf_dir, "documents")
+    halves = docs.select(
+        "source",
+        F.when(F.col("doc_id") % 2 == 0, "ref").otherwise("cur").alias("win"),
+        F.least(F.expr("CAST(n_chars DIV 64 AS INT)"), F.lit(7)).alias(
+            "bucket"
+        ),
+    )
+    counts = halves.groupBy("source", "win", "bucket").agg(
+        F.count("*").alias("c")
+    )
+    sources = docs.select("source").distinct()
+    buckets = docs.sparkSession.range(8).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    grid = (
+        sources.crossJoin(F.broadcast(buckets))
+        .join(
+            counts.filter(F.col("win") == "ref").select(
+                "source", "bucket", F.col("c").alias("_rc")
+            ),
+            ["source", "bucket"],
+            "left",
+        )
+        .join(
+            counts.filter(F.col("win") == "cur").select(
+                "source", "bucket", F.col("c").alias("_cc")
+            ),
+            ["source", "bucket"],
+            "left",
+        )
+        .select(
+            "source",
+            "bucket",
+            (F.coalesce(F.col("_rc"), F.lit(0)) + 1).alias("rc"),
+            (F.coalesce(F.col("_cc"), F.lit(0)) + 1).alias("cc"),
+        )
+    )
+    tot = grid.groupBy("source").agg(
+        F.sum("rc").alias("rt"), F.sum("cc").alias("ct")
+    )
+    p = F.col("rc") / F.col("rt")
+    q_ = F.col("cc") / F.col("ct")
+    term = F.floor((p - q_) * F.log(p / q_) * 1e6 + F.lit(0.5)).cast("bigint")
+    return (
+        grid.join(tot, "source")
+        .select("source", term.alias("term_micro"))
+        .groupBy("source")
+        .agg(F.sum("term_micro").cast("bigint").alias("psi_micro"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared token-source association (classic feature selection /
+# "what vocabulary marks this source?"): 2x2 contingency per
+# (source, token) on DOCUMENT frequencies, chi2 scaled to exact BIGINT
+# — N * (ad - bc)^2 // product of marginals (doc counts keep every
+# intermediate under 2^63). Top-3 tokens per source.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "chi2_token_source",
+    f"""
+    WITH docs_t AS (
+      SELECT DISTINCT doc_id, source, tok FROM (
+        SELECT doc_id, source, unnest({_SQL_TOKS}) AS tok FROM documents
+      )
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    per_src AS (SELECT source, count(*) AS src_docs FROM documents
+                GROUP BY source),
+    tok_src AS (
+      SELECT source, tok, count(*) AS a FROM docs_t GROUP BY source, tok
+    ),
+    tok_all AS (SELECT tok, count(*) AS t_docs FROM docs_t GROUP BY tok),
+    cells AS (
+      SELECT ts.source, ts.tok,
+             ts.a,
+             p.src_docs - ts.a AS b,
+             ta.t_docs - ts.a AS c,
+             (SELECT n_docs FROM n) - p.src_docs - (ta.t_docs - ts.a) AS d,
+             p.src_docs, ta.t_docs
+      FROM tok_src ts
+      JOIN per_src p USING (source)
+      JOIN tok_all ta USING (tok)
+    ),
+    scored AS (
+      SELECT source, tok,
+             CAST((SELECT n_docs FROM n) * (a * d - b * c) * (a * d - b * c)
+                  // (src_docs * ((SELECT n_docs FROM n) - src_docs)
+                      * t_docs * ((SELECT n_docs FROM n) - t_docs))
+                  AS BIGINT) AS chi2_scaled
+      FROM cells
+      WHERE t_docs < (SELECT n_docs FROM n)
+    ),
+    ranked AS (
+      SELECT source, tok, chi2_scaled,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY chi2_scaled DESC, tok) AS rn
+      FROM scored
+    )
+    SELECT source, CAST(rn AS INT) AS rank, tok, chi2_scaled
+    FROM ranked WHERE rn <= 3
+    ORDER BY source, rank
+    """,
+    "llm",
+    "feature-selection",
+    "chi2",
+)
+def chi2_token_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 chi-squared-associated tokens per source (document-level
+    2x2 contingency, exact integer scaling)."""
+    from pyspark.sql import Window
+
+    from milvus_cdc_spark.functions import text as textf
+
+    docs = _t(spark, sf_dir, "documents")
+    docs_t = docs.select(
+        "doc_id",
+        "source",
+        F.explode(textf.tokens(F.lower(F.col("text")))).alias("tok"),
+    ).distinct()
+    n_docs_df = docs.agg(F.count("*").alias("n_docs"))
+    per_src = docs.groupBy("source").agg(F.count("*").alias("src_docs"))
+    tok_src = docs_t.groupBy("source", "tok").agg(F.count("*").alias("a"))
+    tok_all = docs_t.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("t_docs")
+    )
+    cells = (
+        tok_src.join(F.broadcast(per_src), "source")
+        .join(tok_all, "tok")
+        .crossJoin(F.broadcast(n_docs_df))
+        .filter(F.col("t_docs") < F.col("n_docs"))
+    )
+    scored = cells.select(
+        "source",
+        "tok",
+        F.expr(
+            "CAST(n_docs * ((a * (n_docs - src_docs - (t_docs - a))) "
+            "- (src_docs - a) * (t_docs - a)) "
+            "* ((a * (n_docs - src_docs - (t_docs - a))) "
+            "- (src_docs - a) * (t_docs - a)) "
+            "DIV (src_docs * (n_docs - src_docs) * t_docs "
+            "* (n_docs - t_docs)) AS BIGINT)"
+        ).alias("chi2_scaled"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("chi2_scaled").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("source", F.col("rank").cast("int"), "tok", "chi2_scaled")
+        .orderBy("source", "rank")
+    )
