@@ -156,10 +156,13 @@ HEADLINE_R5F = [
 
 #: Round-5 seventh-batch additions (alphabetized).
 HEADLINE_R5G = [
+    "chi2_token_source",            # chi2 feature selection
     "dedup_savings_report",         # clusters -> corpus byte savings
     "embedding_covariance_block",   # exact integer covariance (PCA prep)
     "full_datatype_roundtrip",      # every field type through the envelope
     "mlm_masking_plan",             # deterministic 15% MLM mask plan
+    "preference_pair_builder",      # DPO best-vs-worst pairs
+    "psi_length_drift",             # PSI drift monitor
 ]
 
 
