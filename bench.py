@@ -165,6 +165,14 @@ HEADLINE_R5G = [
     "psi_length_drift",             # PSI drift monitor
 ]
 
+#: Round-5 eighth-batch additions (alphabetized).
+HEADLINE_R5H = [
+    "hll_distinct_users",           # HyperLogLog m=64 register sketch
+    "knn_label_accuracy",           # leave-one-out 5-NN class accuracy
+    "pagerank_trade_graph",         # 3-iteration integer PageRank
+    "pca_power_iteration",          # distributed covariance + power method
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -175,7 +183,8 @@ def main() -> None:
 
     all_queries = (HEADLINE + HEADLINE_R2 + HEADLINE_R4 + HEADLINE_R5
                    + HEADLINE_R5B + HEADLINE_R5C + HEADLINE_R5D
-                   + HEADLINE_R5E + HEADLINE_R5F + HEADLINE_R5G)
+                   + HEADLINE_R5E + HEADLINE_R5F + HEADLINE_R5G
+                   + HEADLINE_R5H)
     warm_dir = "/root/testdata/sf0.001"
     do_warm = os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/")
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -261,6 +270,15 @@ def main() -> None:
         ),
         3,
     )
+    r5g_subtotal = round(
+        sum(
+            timings.get(n, 0.0)
+            for n in HEADLINE + HEADLINE_R2 + HEADLINE_R4 + HEADLINE_R5
+            + HEADLINE_R5B + HEADLINE_R5C + HEADLINE_R5D + HEADLINE_R5E
+            + HEADLINE_R5F + HEADLINE_R5G
+        ),
+        3,
+    )
     print(
         json.dumps(
             {
@@ -281,6 +299,7 @@ def main() -> None:
                 "r5c_subtotal": r5c_subtotal,
                 "r5d_subtotal": r5d_subtotal,
                 "r5e_subtotal": r5e_subtotal,
+                "r5g_subtotal": r5g_subtotal,
             }
         )
     )

@@ -1,0 +1,112 @@
+"""Iterative graph algorithms as fixed-point DataFrame loops.
+
+``connected_components`` (analytics/dedup.py) covers the label-propagation
+family; this module adds PageRank — the canonical "score flows along
+edges" iteration (Brin & Page, WWW 1998) used in corpus curation for
+link-quality weighting (CommonCrawl harmonic-centrality filtering is the
+same shape).
+
+Design for 100 TB:
+
+- Each iteration is ONE shuffle: join the score frame to the edge list on
+  the source key, then aggregate contributions by destination.  That is
+  the Pregel message-passing step expressed as join+groupBy, which Spark
+  executes with map-side partial aggregation.
+- The edge list is persisted once and reused across iterations; scores
+  are a (node, score) frame that never leaves the cluster.
+- All arithmetic is exact BIGINT in parts-per-10^12 units, so results are
+  bit-identical in any engine (the repo's portable-math contract;
+  ROUND_NOTES.md "hard-won portability lessons").  Divisions only ever
+  see non-negative operands — DuckDB ``//`` (floor) and Spark ``DIV``
+  (truncate) agree there.
+- Iteration count is FIXED (a hyperparameter, not a convergence test), so
+  the whole computation is one lazy plan: no driver actions, no
+  per-round collect, plan depth linear in ``n_iter`` (small: 3-5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Total score mass in integer units: parts-per-10^12 keeps 6+ significant
+# digits after 10^6-node graphs divide it up.
+MASS = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration integer PageRank over a directed edge list.
+
+    ``edges`` must be deduplicated (src, dst) pairs; undirected graphs
+    pass both directions.  Every node appearing as a source or a
+    destination participates.  Dangling nodes (no out-edges) keep their
+    teleport share only — callers who need mass conservation should
+    symmetrize the graph (both directions), which this repo's queries do.
+
+    score_0   = MASS // N                        (uniform)
+    score_t+1 = ((100 - d) * (MASS // N)
+                 + d * sum_{(u,v) in E} score_t(u) // deg(u)) // 100
+
+    with d = ``damping_pct`` (integer percent).  All operands are
+    non-negative BIGINTs, so floor/truncate division agree across
+    engines and the result is exact and portable.
+
+    Returns (node, score) — one row per node, undeclared order.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    # N and the out-degree frame are computed once; deg joins the edge
+    # list a single time so iterations reuse one (src, dst, deg) frame.
+    n_nodes = nodes.count()  # one scalar to the driver (control-sized)
+    base = MASS // n_nodes
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    e_deg = e.join(deg, "src").persist()
+
+    scores = nodes.select("node", F.lit(base).cast("bigint").alias("score"))
+    teleport = F.lit((100 - damping_pct) * base).cast("bigint")
+    for _ in range(n_iter):
+        contrib = (
+            e_deg.join(
+                scores.withColumnRenamed("node", "src"), "src"
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("score DIV deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("incoming"))
+        )
+        scores = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    teleport
+                    + F.lit(damping_pct)
+                    * F.coalesce(F.col("incoming"), F.lit(0).cast("bigint"))
+                ).alias("_num"),
+            )
+            .select(
+                "node", F.expr("_num DIV 100").cast("bigint").alias("score")
+            )
+        )
+    return scores
+
+
+def release(*frames: DataFrame) -> None:
+    """Unpersist helper for callers that materialized the result."""
+    for f in frames:
+        f.unpersist(False)

@@ -139,6 +139,96 @@ def bloom_might_contain(
     return pred
 
 
+def _hll_rho(v: Column, bits: int = 24) -> Column:
+    """Position of the highest set bit from the top of a ``bits``-wide
+    integer, i.e. leading zeros + 1 (Flajolet et al.'s rho).  v == 0 maps
+    to bits + 1.  A chained integer CASE — no log2, no float boundary
+    risk at powers of two."""
+    expr = F.lit(bits + 1)
+    # build from the low end so the final expression checks v >= 2^(bits-1)
+    # first: CASE WHEN v >= 2^(bits-1) THEN 1 ... WHEN v >= 1 THEN bits END
+    chain = F.when(v >= 1, F.lit(bits))
+    for k in range(2, bits + 1):
+        chain = F.when(v >= (1 << (k - 1)), F.lit(bits + 1 - k)).otherwise(
+            chain
+        )
+    return F.coalesce(chain, expr).cast("int")
+
+
+def hll_registers(
+    items: DataFrame, item_col: str = "item", m: int = 64
+) -> DataFrame:
+    """HyperLogLog register table (Flajolet, Fusy, Gandouet & Meunier,
+    AofA 2007): every item hashes to one of ``m`` registers (md5 seed 21)
+    and contributes rho(24-bit md5 seed 23) — the register keeps the MAX.
+
+    The table is FIXED-SIZE (≤ m rows) and merges by per-register max —
+    Spark's partial aggregation does the merge map-side, so a 100 TB scan
+    reduces to m rows before any shuffle.  Unlike engine-native HLL
+    (``approx_count_distinct``) the register layout here is md5-seeded and
+    bit-identical everywhere, so registers AND estimate are
+    oracle-checkable.  Returns (bucket, reg), only non-empty buckets."""
+    md5 = F.md5(F.concat(F.lit("23:"), F.col(item_col).cast("string")))
+
+    def nib(i: int) -> Column:
+        return (F.instr(F.lit(HEX), F.substring(md5, i, 1)) - 1).cast(
+            "bigint"
+        )
+
+    v = nib(1)
+    for i in range(2, 7):
+        v = v * 16 + nib(i)
+    rows = items.select(
+        _bucket(F.col(item_col).cast("string"), 21, m).alias("bucket"),
+        _hll_rho(v).alias("rho"),
+    )
+    return rows.groupBy("bucket").agg(F.max("rho").alias("reg"))
+
+
+def hll_estimate_frame(registers: DataFrame, m: int = 64) -> DataFrame:
+    """Fold a register table into the raw-HLL cardinality estimate.
+
+    The harmonic-mean denominator sum(2^-reg) is kept EXACT by scaling to
+    2^30 integer units: present registers add 2^(30-reg) (reg ≤ 25 for
+    24-bit rho), absent registers add 2^30 each.  The only float op is
+    the final alpha_m * m^2 * 2^30 / denom, a single correctly-rounded
+    IEEE divide of exactly-representable values, rounded to 2dp — the
+    same portability stance as ``linear_counting_distinct``.  Returns one
+    row: (n_set, sum_scaled, estimate)."""
+    alpha_num = hll_alpha_numerator(m)
+    agg = registers.agg(
+        F.count("*").alias("n_set"),
+        F.sum(
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("bigint"),
+                (F.lit(30) - F.col("reg")).cast("int"),
+            )
+        ).alias("present_sum"),
+    )
+    return agg.select(
+        F.col("n_set").cast("bigint").alias("n_set"),
+        (
+            F.coalesce(F.col("present_sum"), F.lit(0))
+            + (F.lit(m) - F.col("n_set")) * F.lit(1 << 30)
+        )
+        .cast("bigint")
+        .alias("sum_scaled"),
+    ).select(
+        "n_set",
+        "sum_scaled",
+        F.round(F.lit(alpha_num) / F.col("sum_scaled"), 2).alias("estimate"),
+    )
+
+
+def hll_alpha_numerator(m: int) -> float:
+    """alpha_m * m^2 * 2^30 as one Python float, shared verbatim by the
+    Spark plan and the SQL oracle so both engines divide the SAME
+    constant (alpha_m = 0.7213 / (1 + 1.079/m), the standard large-m
+    bias correction)."""
+    return 0.7213 / (1 + 1.079 / m) * m * m * float(1 << 30)
+
+
 def linear_counting_distinct(
     items: DataFrame, item_col: str = "item", n_bits: int = 1024
 ) -> DataFrame:

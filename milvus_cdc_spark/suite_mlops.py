@@ -1,0 +1,435 @@
+"""ML-ops / corpus-analytics extensions: iterative graph scoring,
+classifier-style embedding evaluation, fixed-size distinct sketches, and
+spectral (PCA) prep — the remaining "what a training-data platform runs
+nightly" surface on top of the dedup/mixing/quality families.
+
+Every query follows the repo's portable-math contract (integer units,
+sign-split division where operands can be negative, floats only in
+single correctly-rounded final ops) so the DuckDB oracle matches
+bit-for-bit at every scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from milvus_cdc_spark.suite import _SQL_COSINE, _t, q
+
+# ---------------------------------------------------------------------------
+# PageRank over the customer<->supplier trade graph. Corpus-curation
+# relevance: link-based quality weighting (CommonCrawl harmonic
+# centrality) is this exact shape — a fixed-iteration score flow over an
+# edge list. Each iteration is ONE join+groupBy shuffle (the Pregel
+# message step); the edge list builds once from orders |><| lineitem and
+# persists. Integer parts-per-10^12 mass, all divisions non-negative, so
+# floor (DuckDB //) and truncate (Spark DIV) agree — exact cross-engine.
+# Final top-10 is TakeOrderedAndProject (no global sort materialized).
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_MASS = 10**12
+
+
+def _pagerank_oracle() -> str:
+    steps = []
+    prev = "s0"
+    for it in range(1, _PR_ITERS + 1):
+        steps.append(
+            f"""
+    c{it} AS (
+      SELECT e.dst AS node, CAST(sum(s.score // d.deg) AS BIGINT) AS incoming
+      FROM edges e
+      JOIN deg d ON d.src = e.src
+      JOIN {prev} s ON s.node = e.src
+      GROUP BY e.dst
+    ),
+    s{it} AS (
+      SELECT n2.node,
+             CAST((15 * (SELECT base FROM b)
+                   + 85 * coalesce(c{it}.incoming, 0)) // 100 AS BIGINT)
+               AS score
+      FROM nodes n2 LEFT JOIN c{it} ON c{it}.node = n2.node
+    )"""
+        )
+        prev = f"s{it}"
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE year(o_orderdate) = 1995
+    ),
+    edges AS (
+      SELECT 'c' || CAST(ck AS VARCHAR) AS src,
+             's' || CAST(sk AS VARCHAR) AS dst FROM pairs
+      UNION ALL
+      SELECT 's' || CAST(sk AS VARCHAR), 'c' || CAST(ck AS VARCHAR)
+      FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    b AS (SELECT CAST({_PR_MASS} // count(*) AS BIGINT) AS base FROM nodes),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    s0 AS (SELECT node, (SELECT base FROM b) AS score FROM nodes),{",".join(steps)}
+    SELECT node, score FROM {prev}
+    ORDER BY score DESC, node
+    LIMIT 10
+    """
+
+
+@q(
+    "pagerank_trade_graph",
+    _pagerank_oracle(),
+    "graph",
+    "pagerank",
+    "iterative",
+    "llm",
+)
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 nodes of a {_PR_ITERS}-iteration integer PageRank over the
+    symmetrized customer-supplier co-order graph."""
+    from milvus_cdc_spark.analytics import graph
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1995
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    ck = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    sk = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    edges = pairs.select(ck.alias("src"), sk.alias("dst")).union(
+        pairs.select(sk.alias("src"), ck.alias("dst"))
+    )
+    scores = graph.pagerank(edges, n_iter=_PR_ITERS)
+    return scores.orderBy(F.col("score").desc(), F.col("node")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# kNN label accuracy — the standard embedding-quality probe (kNN
+# classifier over the labeled corpus, leave-one-out): 1-in-20 sampled
+# query vectors, exact cosine 5-NN among the rest, majority vote
+# (ties -> smallest label), per-class accuracy in integer basis points.
+# The exact scored frame is the oracle-able baseline; at 100 TB the
+# candidate generator swaps for the bucketed-ANN frame in
+# analytics/similarity.py (identical downstream vote/accuracy algebra).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "knn_label_accuracy",
+    f"""
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+               WHERE vec_id % 20 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS true_label,
+             c.vec_id AS neighbor_id, c.label AS n_label,
+             {_SQL_COSINE} AS sim
+      FROM embeddings c, q
+      WHERE c.vec_id != q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, true_label, n_label,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rn
+      FROM scored
+    ),
+    votes AS (
+      SELECT query_id, true_label, n_label, count(*) AS c
+      FROM ranked WHERE rn <= 5
+      GROUP BY query_id, true_label, n_label
+    ),
+    winner AS (
+      SELECT query_id, true_label, n_label AS pred_label,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY c DESC, n_label) AS vr
+      FROM votes
+    )
+    SELECT true_label AS label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(10000 * sum(CASE WHEN pred_label = true_label
+                                 THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS accuracy_bp
+    FROM winner WHERE vr = 1
+    GROUP BY true_label
+    ORDER BY label
+    """,
+    "vector",
+    "evaluation",
+    "knn",
+    "llm",
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN majority-vote accuracy per label class."""
+    from milvus_cdc_spark.analytics import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    nn = similarity.brute_force_topk(emb, queries, k=5)
+    labeled = nn.join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("n_label"),
+        ),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", "n_label").agg(
+        F.count("*").alias("c")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("c").desc(), F.col("n_label")
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(w))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("n_label").alias("pred_label"))
+    )
+    truth = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    hit = F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    return (
+        pred.join(truth, "query_id")
+        .groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.sum(hit).cast("bigint").alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_correct",
+            F.expr("10000 * n_correct DIV n_queries")
+            .cast("bigint")
+            .alias("accuracy_bp"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct users — the fixed-size mergeable cardinality
+# sketch (vs the repo's linear-counting bitmap, which is exact-small-
+# range; HLL stays accurate at billions with the same 64 registers).
+# Registers are md5-seeded -> bit-identical in both engines; the
+# harmonic denominator is EXACT integer (2^30-scaled); only the final
+# alpha*m^2*2^30 / denom divide is float, with the SAME Python-computed
+# constant interpolated into both sides.
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64
+
+
+def _hll_oracle() -> str:
+    from milvus_cdc_spark.analytics.sketches import hll_alpha_numerator
+
+    rho_cases = " ".join(
+        f"WHEN v >= {1 << (24 - k)} THEN {k}" for k in range(1, 25)
+    )
+    nib = (
+        "(instr('0123456789abcdef', substring({h}, {i}, 1)) - 1)::BIGINT"
+    )
+    h_b = "md5('21:' || CAST(user_id AS VARCHAR))"
+    h_v = "md5('23:' || CAST(user_id AS VARCHAR))"
+    b_nibs = [nib.format(h=h_b, i=i) for i in (1, 2, 3)]
+    v_nibs = [nib.format(h=h_v, i=i) for i in range(1, 7)]
+    v_expr = v_nibs[0]
+    for t in v_nibs[1:]:
+        v_expr = f"({v_expr} * 16 + {t})"
+    return f"""
+    WITH hashed AS (
+      SELECT (({b_nibs[0]} * 256 + {b_nibs[1]} * 16 + {b_nibs[2]})
+              % {_HLL_M}) AS bucket,
+             {v_expr} AS v
+      FROM events
+    ),
+    rho AS (
+      SELECT bucket, CASE {rho_cases} ELSE 25 END AS rho FROM hashed
+    ),
+    regs AS (SELECT bucket, max(rho) AS reg FROM rho GROUP BY bucket),
+    folded AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_set,
+             CAST(coalesce(sum(1::BIGINT << (30 - reg)), 0)
+                  + ({_HLL_M} - count(*)) * {1 << 30} AS BIGINT)
+               AS sum_scaled
+      FROM regs
+    )
+    SELECT n_set, sum_scaled,
+           round({hll_alpha_numerator(_HLL_M)!r} / sum_scaled, 2)
+             AS estimate
+    FROM folded
+    """
+
+
+@q(
+    "hll_distinct_users",
+    _hll_oracle(),
+    "sketch",
+    "hyperloglog",
+    "distinct",
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL(m=64) distinct-user estimate over the events stream."""
+    from milvus_cdc_spark.analytics import sketches
+
+    events = _t(spark, sf_dir, "events")
+    regs = sketches.hll_registers(
+        events.select(F.col("user_id").alias("item")), m=_HLL_M
+    )
+    return sketches.hll_estimate_frame(regs, m=_HLL_M)
+
+
+# ---------------------------------------------------------------------------
+# PCA top principal component: distributed exact-integer covariance of
+# embedding dims 0-7 (the heavy 100 TB stage — one map-side-combined
+# aggregate), then 4 power-method iterations on the 8x8 block.  The
+# iteration is control-sized by construction (dim x dim, never data-
+# sized) and stays in the lazy plan as 8-row joins. Every step is
+# renormalized to integer 1e5 units via sign-split division, so both
+# engines walk the identical integer sequence — no float drift ever.
+# ---------------------------------------------------------------------------
+
+_PCA_D = 8
+_PCA_ITERS = 4
+_PCA_VSCALE = 100000
+
+
+def _ssdiv(x: str, d: str, op: str) -> str:
+    """Sign-split integer division: truncation toward zero in BOTH
+    engines (operands made non-negative before dividing)."""
+    return (
+        f"CASE WHEN {x} < 0 THEN -((-({x})) {op} ({d})) "
+        f"ELSE ({x}) {op} ({d}) END"
+    )
+
+
+def _pca_oracle() -> str:
+    d = _PCA_D
+    q_cols = ", ".join(
+        f"CAST(floor(embedding[{k + 1}] * 1e6 + 0.5) AS BIGINT) AS v{k}"
+        for k in range(d)
+    )
+    mean_cols = ", ".join(
+        _ssdiv(f"sum(v{k})", "count(*)", "//") + f" AS m{k}" for k in range(d)
+    )
+    pairs = [(i, j) for i in range(d) for j in range(i, d)]
+    sums = ", ".join(
+        f"CAST(sum((v{i} - m{i}) * (v{j} - m{j})) AS BIGINT) AS s{i}_{j}, "
+        f"CAST(count(*) AS BIGINT) AS n{i}_{j}"
+        if (i, j) == (0, 0)
+        else f"CAST(sum((v{i} - m{i}) * (v{j} - m{j})) AS BIGINT) AS s{i}_{j}"
+        for i, j in pairs
+    )
+    entries = []
+    for i in range(d):
+        for j in range(d):
+            a, b = min(i, j), max(i, j)
+            entries.append(
+                f"({i}, {j}, "
+                + _ssdiv(f"s{a}_{b}", "n0_0 * 1000000", "//")
+                + ")"
+            )
+    v0_rows = ", ".join(f"({k}, {_PCA_VSCALE})" for k in range(d))
+    steps = []
+    prev = "v0"
+    for it in range(1, _PCA_ITERS + 1):
+        steps.append(
+            f"""
+    w{it} AS (
+      SELECT c.i AS idx, CAST(sum(c.c2 * v.val) AS BIGINT) AS w
+      FROM cmat c JOIN {prev} v ON v.idx = c.j GROUP BY c.i
+    ),
+    m{it} AS (SELECT max(abs(w)) AS ma FROM w{it}),
+    v{it} AS (
+      SELECT idx,
+             CAST({_ssdiv(f"w * {_PCA_VSCALE}", "ma", "//")} AS BIGINT)
+               AS val
+      FROM w{it}, m{it}
+    )"""
+        )
+        prev = f"v{it}"
+    return f"""
+    WITH qv AS (SELECT {q_cols} FROM embeddings),
+    mn AS (SELECT {mean_cols} FROM qv),
+    s AS (SELECT {sums} FROM qv CROSS JOIN mn),
+    cmat AS (
+      SELECT CAST(t.i AS INT) AS i, CAST(t.j AS INT) AS j,
+             CAST(t.c2 AS BIGINT) AS c2
+      FROM s, (VALUES {", ".join(entries)}) AS t(i, j, c2)
+    ),
+    v0 AS (SELECT CAST(t.idx AS INT) AS idx, CAST(t.val AS BIGINT) AS val
+           FROM (VALUES {v0_rows}) AS t(idx, val)),{",".join(steps)}
+    SELECT idx, val AS v_scaled FROM {prev} ORDER BY idx
+    """
+
+
+@q(
+    "pca_power_iteration",
+    _pca_oracle(),
+    "vector",
+    "pca",
+    "spectral",
+    "llm",
+)
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of embedding dims 0-7 after 4 integer
+    power-method iterations (1e5-unit components)."""
+    d = _PCA_D
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        *[
+            F.floor(F.element_at("embedding", k + 1) * 1e6 + F.lit(0.5))
+            .cast("bigint")
+            .alias(f"v{k}")
+            for k in range(d)
+        ]
+    )
+    mn = qv.agg(
+        *[
+            F.expr(_ssdiv(f"sum(v{k})", "count(*)", "DIV")).alias(f"m{k}")
+            for k in range(d)
+        ]
+    )
+    pairs = [(i, j) for i in range(d) for j in range(i, d)]
+    centered = qv.crossJoin(F.broadcast(mn))
+    sums = centered.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        *[
+            F.sum(
+                (F.col(f"v{i}") - F.col(f"m{i}"))
+                * (F.col(f"v{j}") - F.col(f"m{j}"))
+            )
+            .cast("bigint")
+            .alias(f"s{i}_{j}")
+            for i, j in pairs
+        ],
+    )
+    # The dim x dim block is CONTROL-SIZED at any corpus scale (like the
+    # pipeline's touched-bucket list), so the power iteration runs as
+    # exact Python-int arithmetic on the driver — the identical integer
+    # sequence the oracle's unrolled CTEs walk — while the data-sized
+    # covariance aggregate above stays fully distributed.
+    row = sums.collect()[0].asDict()
+    n_scale = row["n_rows"] * 1000000
+
+    def tdiv(x: int, dd: int) -> int:
+        # truncate-toward-zero == DuckDB // and Spark DIV on the
+        # non-negative operands the sign-split produces
+        return -((-x) // dd) if x < 0 else x // dd
+
+    cmat = [
+        [tdiv(row[f"s{min(i, j)}_{max(i, j)}"], n_scale) for j in range(d)]
+        for i in range(d)
+    ]
+    v = [_PCA_VSCALE] * d
+    for _ in range(_PCA_ITERS):
+        w = [sum(cmat[i][j] * v[j] for j in range(d)) for i in range(d)]
+        ma = max(abs(x) for x in w)
+        v = [tdiv(x * _PCA_VSCALE, ma) for x in w]
+    return spark.createDataFrame(
+        [(i, v[i]) for i in range(d)], "idx int, v_scaled bigint"
+    ).orderBy("idx")

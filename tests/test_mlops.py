@@ -1,0 +1,130 @@
+"""Unit tests for the ML-ops surface: integer PageRank, HLL sketch,
+kNN evaluation, and the integer power iteration."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from milvus_cdc_spark.analytics import graph, sketches
+
+
+def _py_pagerank(edges, n_iter=3, damping_pct=85, mass=graph.MASS):
+    """Pure-Python reference of the exact integer recurrence."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    base = mass // n
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    score = {v: base for v in nodes}
+    for _ in range(n_iter):
+        incoming = {v: 0 for v in nodes}
+        for s, d in edges:
+            incoming[d] += score[s] // deg[s]
+        score = {
+            v: ((100 - damping_pct) * base + damping_pct * incoming[v]) // 100
+            for v in nodes
+        }
+    return score
+
+
+def test_pagerank_matches_python_reference(spark):
+    # path + triangle mix, symmetrized
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    edges = pairs + [(d, s) for s, d in pairs]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["score"] for r in graph.pagerank(df, n_iter=3).collect()
+    }
+    assert got == _py_pagerank(edges, n_iter=3)
+
+
+def test_pagerank_mass_is_conserved_on_symmetric_graph(spark):
+    # every node has out-edges, so only integer-floor dust is lost:
+    # total stays within N*100 units of MASS
+    pairs = [(f"n{i}", f"n{(i + 1) % 7}") for i in range(7)]
+    edges = pairs + [(d, s) for s, d in pairs]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    scores = graph.pagerank(df, n_iter=4).collect()
+    total = sum(r["score"] for r in scores)
+    assert abs(total - graph.MASS) <= len(scores) * 100
+
+
+def test_hll_rho_matches_python(spark):
+    vals = [0, 1, 2, 3, 7, 8, 255, 256, 2**22, 2**23, 2**24 - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = [
+        r["rho"]
+        for r in df.select(
+            sketches._hll_rho(F.col("v")).alias("rho")
+        ).collect()
+    ]
+
+    def py_rho(v):
+        return 25 if v == 0 else 24 - v.bit_length() + 1
+
+    assert got == [py_rho(v) for v in vals]
+
+
+def test_hll_registers_match_python_and_estimate_close(spark):
+    n = 2000
+    df = spark.createDataFrame([(f"u{i}",) for i in range(n)], "item string")
+    regs = {
+        r["bucket"]: r["reg"]
+        for r in sketches.hll_registers(df, m=64).collect()
+    }
+    # python mirror of the md5-seeded bucket/rho pipeline
+    expect: dict[int, int] = {}
+    for i in range(n):
+        s = f"u{i}"
+        hb = hashlib.md5(f"21:{s}".encode()).hexdigest()
+        bucket = (
+            int(hb[0], 16) * 256 + int(hb[1], 16) * 16 + int(hb[2], 16)
+        ) % 64
+        hv = hashlib.md5(f"23:{s}".encode()).hexdigest()
+        v = int(hv[:6], 16)
+        rho = 25 if v == 0 else 24 - v.bit_length() + 1
+        expect[bucket] = max(expect.get(bucket, 0), rho)
+    assert regs == expect
+    est = sketches.hll_estimate_frame(
+        sketches.hll_registers(df, m=64), m=64
+    ).collect()[0]
+    # raw HLL (no small-range correction) with m=64: ~13% standard error
+    assert est["estimate"] == pytest.approx(n, rel=0.3)
+
+
+def test_knn_accuracy_bounds(spark, sf_dir):
+    from milvus_cdc_spark.suite import QUERIES
+
+    rows = QUERIES["knn_label_accuracy"].fn(spark, sf_dir).collect()
+    assert rows, "sampled query set must be non-empty"
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n_queries"]
+        assert 0 <= r["accuracy_bp"] <= 10000
+        assert r["accuracy_bp"] == 10000 * r["n_correct"] // r["n_queries"]
+
+
+def test_pca_power_iteration_finds_dominant_direction(spark, sf_dir):
+    np = pytest.importorskip("numpy")
+    from milvus_cdc_spark.suite import QUERIES
+
+    out = QUERIES["pca_power_iteration"].fn(spark, sf_dir).collect()
+    v = np.array([r["v_scaled"] for r in sorted(out, key=lambda r: r["idx"])],
+                 dtype=float)
+    # rebuild the float covariance of dims 0-7 and check the returned
+    # integer direction captures most of the top eigenvalue
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(F.col("embedding"))
+        .collect()
+    )
+    x = np.array([r["embedding"][:8] for r in emb], dtype=float)
+    c = np.cov(x, rowvar=False, bias=True)
+    eigvals = np.linalg.eigvalsh(c)
+    top = eigvals[-1]
+    u = v / np.linalg.norm(v)
+    rayleigh = u @ c @ u
+    assert rayleigh >= 0.85 * top
