@@ -167,10 +167,13 @@ HEADLINE_R5G = [
 
 #: Round-5 eighth-batch additions (alphabetized).
 HEADLINE_R5H = [
+    "compaction_bin_packing",       # segment merge planning
     "hll_distinct_users",           # HyperLogLog m=64 register sketch
     "knn_label_accuracy",           # leave-one-out 5-NN class accuracy
     "pagerank_trade_graph",         # 3-iteration integer PageRank
     "pca_power_iteration",          # distributed covariance + power method
+    "quality_quantile_normalize",   # per-source -> global quantile map
+    "weighted_doc_sample",          # PPS priority sampling
 ]
 
 

@@ -433,3 +433,256 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i, v[i]) for i in range(d)], "idx int, v_scaled bigint"
     ).orderBy("idx")
+
+
+# ---------------------------------------------------------------------------
+# Probability-proportional-to-size document sampling (priority/PPS
+# sampling, Duffield et al. CACM 2007 shape): every doc draws a
+# deterministic md5 uniform and is kept iff u < k * w * 1e6 // W — the
+# inclusion-probability form of weighted sampling, evaluated as a pure
+# column predicate (map-side, no shuffle before the per-source rollup).
+# The corpus total W broadcasts as a 1-row frame. All operands
+# non-negative BIGINT -> exact in both engines. At 100 TB the u*W
+# comparison form would overflow; the divided threshold keeps every
+# intermediate <= k * w * 1e6.
+# ---------------------------------------------------------------------------
+
+_PPS_K = 200
+
+
+def _sql_md5_ppm(seed: str, key: str) -> str:
+    """First six md5 nibbles of '<seed>:' || key as an integer, mod 1e6 —
+    the portable uniform in [0, 1e6)."""
+    h = f"md5('{seed}:' || CAST({key} AS VARCHAR))"
+    nibs = [
+        f"(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)::BIGINT"
+        for i in range(1, 7)
+    ]
+    v = nibs[0]
+    for t in nibs[1:]:
+        v = f"({v} * 16 + {t})"
+    return f"({v} % 1000000)"
+
+
+@q(
+    "weighted_doc_sample",
+    f"""
+    WITH w AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total FROM documents),
+    gated AS (
+      SELECT d.source, d.n_chars,
+             {_sql_md5_ppm("ws", "d.doc_id")} AS u
+      FROM documents d
+    )
+    SELECT g.source,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(g.n_chars) AS BIGINT) AS chars_sampled
+    FROM gated g, w
+    WHERE g.u < {_PPS_K} * g.n_chars * 1000000 // w.total
+    GROUP BY g.source
+    ORDER BY g.source
+    """,
+    "llm",
+    "sampling",
+    "pps",
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPS sample (~{_PPS_K} expected docs, probability proportional to
+    n_chars): per-source kept counts and byte mass."""
+    docs = _t(spark, sf_dir, "documents")
+    total = docs.agg(F.sum("n_chars").cast("bigint").alias("total"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    gated = docs.select(
+        "source", "n_chars", u.alias("u")
+    ).crossJoin(F.broadcast(total))
+    return (
+        gated.filter(
+            F.col("u")
+            < F.expr(f"{_PPS_K} * n_chars * 1000000 DIV total")
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("chars_sampled"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source quantile normalization: map each source's length-score
+# distribution onto the global one (the classic per-domain score
+# calibration step before mixing corpora scored by different raters).
+# Everything runs on the bucketized HISTOGRAM — a (source x 16)-row
+# control-sized frame at any corpus scale — so the windows ride tiny
+# partitions; only the histogram build touches the corpus (one
+# map-side-combined aggregate). Integer ppm CDFs; the mapped bucket is
+# the smallest global bucket whose CDF covers the source CDF.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "quality_quantile_normalize",
+    """
+    WITH h AS (
+      SELECT source, least(CAST(n_chars // 64 AS INT), 15) AS bucket,
+             count(*) AS c
+      FROM documents GROUP BY source, least(CAST(n_chars // 64 AS INT), 15)
+    ),
+    src AS (
+      SELECT source, bucket,
+             CAST(1000000 * sum(c) OVER (PARTITION BY source ORDER BY bucket)
+                  // sum(c) OVER (PARTITION BY source) AS BIGINT) AS cdf_ppm
+      FROM h
+    ),
+    g AS (
+      SELECT bucket,
+             CAST(1000000 * sum(c) OVER (ORDER BY bucket)
+                  // sum(c) OVER () AS BIGINT) AS g_cdf_ppm
+      FROM (SELECT bucket, sum(c) AS c FROM h GROUP BY bucket)
+    )
+    SELECT s.source, s.bucket, s.cdf_ppm,
+           CAST(min(g.bucket) AS INT) AS mapped_bucket
+    FROM src s JOIN g ON g.g_cdf_ppm >= s.cdf_ppm
+    GROUP BY s.source, s.bucket, s.cdf_ppm
+    ORDER BY s.source, s.bucket
+    """,
+    "llm",
+    "calibration",
+    "quantile",
+)
+def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 16-bucket length CDF (ppm) + its global-quantile
+    remapping."""
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.groupBy(
+        "source",
+        F.least(F.expr("CAST(n_chars DIV 64 AS INT)"), F.lit(15)).alias(
+            "bucket"
+        ),
+    ).agg(F.count("*").alias("c"))
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("source")
+    src = h.select(
+        "source",
+        "bucket",
+        F.expr("1000000").cast("bigint").alias("_m"),
+        F.sum("c").over(w_cum).alias("_cum"),
+        F.sum("c").over(w_tot).alias("_tot"),
+    ).select(
+        "source",
+        "bucket",
+        F.expr("_m * _cum DIV _tot").cast("bigint").alias("cdf_ppm"),
+    )
+    gh = h.groupBy("bucket").agg(F.sum("c").alias("c"))
+    wg_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wg_tot = Window.partitionBy()
+    g = gh.select(
+        F.col("bucket").alias("g_bucket"),
+        F.sum("c").over(wg_cum).alias("_cum"),
+        F.sum("c").over(wg_tot).alias("_tot"),
+    ).select(
+        "g_bucket",
+        F.expr("1000000 * _cum DIV _tot").cast("bigint").alias("g_cdf_ppm"),
+    )
+    return (
+        src.join(
+            F.broadcast(g), F.col("g_cdf_ppm") >= F.col("cdf_ppm")
+        )
+        .groupBy("source", "bucket", "cdf_ppm")
+        .agg(F.min("g_bucket").cast("int").alias("mapped_bucket"))
+        .orderBy("source", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compaction bin-packing (Milvus mix-compaction planning: merge small
+# segments up to a target size — datacoord's compaction policy shape).
+# Segments here are (source, doc_id DIV 50) groups; the PLAN is pure
+# metadata work: one row per segment (1 row per ~512 MB at production
+# sizes — control-plane-sized like the positions listing), packed
+# contiguously by cumulative byte offset DIV target. The corpus is
+# touched only by the segment-stats aggregate.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "compaction_bin_packing",
+    """
+    WITH seg AS (
+      SELECT source, CAST(doc_id // 50 AS BIGINT) AS seg_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS bytes
+      FROM documents GROUP BY source, doc_id // 50
+    ),
+    placed AS (
+      SELECT source, seg_id, n_docs, bytes,
+             CAST((sum(bytes) OVER (PARTITION BY source ORDER BY seg_id)
+                   - bytes) // 16384 AS BIGINT) AS bin
+      FROM seg
+    )
+    SELECT source, bin,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(bytes) AS BIGINT) AS bytes
+    FROM placed
+    GROUP BY source, bin
+    ORDER BY source, bin
+    """,
+    "cdc",
+    "compaction",
+    "planning",
+)
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge plan: segments packed into ~16 KB target bins per source by
+    cumulative byte offset."""
+    docs = _t(spark, sf_dir, "documents")
+    seg = docs.groupBy(
+        "source", F.expr("CAST(doc_id DIV 50 AS BIGINT)").alias("seg_id")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("bytes"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("seg_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = seg.select(
+        "source",
+        "seg_id",
+        "n_docs",
+        "bytes",
+        (F.sum("bytes").over(w) - F.col("bytes")).alias("_offset"),
+    ).select(
+        "source",
+        "seg_id",
+        "n_docs",
+        "bytes",
+        F.expr("_offset DIV 16384").cast("bigint").alias("bin"),
+    )
+    return (
+        placed.groupBy("source", "bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_segments"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("bytes").cast("bigint").alias("bytes"),
+        )
+        .orderBy("source", "bin")
+    )

@@ -128,3 +128,46 @@ def test_pca_power_iteration_finds_dominant_direction(spark, sf_dir):
     u = v / np.linalg.norm(v)
     rayleigh = u @ c @ u
     assert rayleigh >= 0.85 * top
+
+def test_weighted_sample_hits_expected_size(spark, sf_dir):
+    from milvus_cdc_spark.suite import QUERIES
+
+    rows = QUERIES["weighted_doc_sample"].fn(spark, sf_dir).collect()
+    n = sum(r["n_sampled"] for r in rows)
+    # expected k=200 inclusions, but the fixture corpus has fewer docs
+    # than 200/E[p] at sf0.001 — just bound it sanely and check
+    # determinism across runs
+    assert n > 0
+    again = QUERIES["weighted_doc_sample"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_quantile_normalize_cdf_properties(spark, sf_dir):
+    from milvus_cdc_spark.suite import QUERIES
+
+    rows = QUERIES["quality_quantile_normalize"].fn(spark, sf_dir).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["bucket"])
+        cdfs = [r["cdf_ppm"] for r in rs]
+        assert cdfs == sorted(cdfs), f"CDF not monotone for {src}"
+        assert cdfs[-1] == 1000000
+        mapped = [r["mapped_bucket"] for r in rs]
+        assert mapped == sorted(mapped), f"mapping not monotone for {src}"
+
+
+def test_compaction_bins_are_contiguous_and_bounded(spark, sf_dir):
+    from milvus_cdc_spark.suite import QUERIES
+
+    rows = QUERIES["compaction_bin_packing"].fn(spark, sf_dir).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        bins = sorted(r["bin"] for r in rs)
+        assert bins == list(range(len(bins))), f"gaps in bins for {src}"
+        # a bin overflows only by the segment that crossed the boundary
+        for r in rs:
+            assert r["n_segments"] >= 1
