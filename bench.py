@@ -169,7 +169,9 @@ HEADLINE_R5G = [
 HEADLINE_R5H = [
     "compaction_bin_packing",       # segment merge planning
     "hll_distinct_users",           # HyperLogLog m=64 register sketch
+    "kcore_prune_rounds",           # iterative degree pruning
     "knn_label_accuracy",           # leave-one-out 5-NN class accuracy
+    "pmi_collocations",             # integer-PMI phrase mining
     "pagerank_trade_graph",         # 3-iteration integer PageRank
     "pca_power_iteration",          # distributed covariance + power method
     "quality_quantile_normalize",   # per-source -> global quantile map

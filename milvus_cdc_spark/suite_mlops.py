@@ -686,3 +686,221 @@ def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining (pointwise mutual information over adjacent
+# token pairs — the classic phrase-detection pass before tokenizer /
+# embedding training, Mikolov et al. 2013 §4). The PMI exponent
+# e^PMI = P(xy)/(P(x)P(y)) is kept as an EXACT integer lift in
+# thousandths — c_xy * N * 1000 // (c_x * c_y) — so no log and no float
+# ever enters; ranking by lift is ranking by PMI (log is monotone).
+# Shapes: token/bigram counts are groupBys with map-side combine; the
+# final top-10 is TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "pmi_collocations",
+    """
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, pos, toks[pos] AS tok FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           t -> t != '') AS toks,
+               unnest(generate_series(1, len(list_filter(
+                 string_split_regex(trim(lower(text)), '\\s+'),
+                 t -> t != '')))) AS pos
+        FROM documents
+      )
+    ),
+    big AS (
+      SELECT a.tok AS w1, b.tok AS w2, count(*) AS c_xy
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.tok, b.tok
+    ),
+    n AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_big FROM big),
+    uni AS (
+      SELECT w1 AS w, CAST(sum(c_xy) AS BIGINT) AS c FROM big GROUP BY w1
+    ),
+    uni2 AS (
+      SELECT w2 AS w, CAST(sum(c_xy) AS BIGINT) AS c FROM big GROUP BY w2
+    ),
+    scored AS (
+      SELECT b.w1, b.w2, CAST(b.c_xy AS BIGINT) AS c_xy,
+             CAST(b.c_xy * n.n_big * 1000 // (u1.c * u2.c) AS BIGINT)
+               AS lift_milli
+      FROM big b
+      JOIN uni u1 ON u1.w = b.w1
+      JOIN uni2 u2 ON u2.w = b.w2
+      CROSS JOIN n
+      WHERE b.c_xy >= 5
+    )
+    SELECT w1, w2, c_xy, lift_milli
+    FROM scored
+    ORDER BY lift_milli DESC, w1, w2
+    LIMIT 10
+    """,
+    "llm",
+    "collocations",
+    "pmi",
+    "text",
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 adjacent-token collocations by integer PMI lift
+    (c_xy >= 5). Unigram marginals are taken over bigram SLOTS (left
+    occurrences for w1, right for w2) so the contingency sums are
+    self-consistent."""
+    from milvus_cdc_spark.functions import text as textf
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(textf.tokens(F.lower(F.col("text")))).alias(
+            "pos", "tok"
+        )
+    )
+    # lead() over the per-doc position — one doc-keyed shuffle, no
+    # positional self-join (same pairing shape as corpus.bigram_logprob)
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("w2", F.lead("tok").over(w_doc))
+        .filter(F.col("w2").isNotNull())
+        .groupBy(F.col("tok").alias("w1"), "w2")
+        .agg(F.count("*").alias("c_xy"))
+    )
+    n = big.agg(F.sum("c_xy").cast("bigint").alias("n_big"))
+    uni = big.groupBy(F.col("w1").alias("w")).agg(
+        F.sum("c_xy").cast("bigint").alias("c1")
+    )
+    uni2 = big.groupBy(F.col("w2").alias("w")).agg(
+        F.sum("c_xy").cast("bigint").alias("c2")
+    )
+    scored = (
+        big.filter(F.col("c_xy") >= 5)
+        .join(uni, big["w1"] == uni["w"])
+        .drop("w")
+        .join(uni2, big["w2"] == uni2["w"])
+        .drop("w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("bigint").alias("c_xy"),
+            F.expr("c_xy * n_big * 1000 DIV (c1 * c2)")
+            .cast("bigint")
+            .alias("lift_milli"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift_milli").desc(), "w1", "w2"
+    ).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition rounds (iterative degree pruning — the spam/-
+# isolate-filtering pass link-analysis pipelines run before centrality
+# scoring). Fixed 3 rounds of "drop nodes with degree < k" over the
+# symmetrized trade graph; each round is one degree groupBy + two
+# semi-joins (edge list against surviving nodes) — all shuffles bounded
+# by the shrinking edge list. Emits the shrinking (nodes, edges) per
+# round; edge counts are DIRECTED rows (symmetric pairs count twice).
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 4
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    steps = []
+    prev = "e0"
+    out_rows = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        steps.append(
+            f"""
+    alive{r} AS (
+      SELECT src AS node FROM {prev} GROUP BY src
+      HAVING count(*) >= {_KCORE_K}
+    ),
+    e{r} AS (
+      SELECT e.src, e.dst FROM {prev} e
+      JOIN alive{r} a ON a.node = e.src
+      JOIN alive{r} b ON b.node = e.dst
+    )"""
+        )
+        out_rows.append(
+            f"SELECT {r} AS round,"
+            f" (SELECT count(*) FROM alive{r}) AS n_nodes,"
+            f" (SELECT count(*) FROM e{r}) AS n_edges"
+        )
+        prev = f"e{r}"
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE year(o_orderdate) = 1995
+    ),
+    e0 AS (
+      SELECT 'c' || CAST(ck AS VARCHAR) AS src,
+             's' || CAST(sk AS VARCHAR) AS dst FROM pairs
+      UNION ALL
+      SELECT 's' || CAST(sk AS VARCHAR), 'c' || CAST(ck AS VARCHAR)
+      FROM pairs
+    ),{",".join(steps)}
+    SELECT CAST(round AS INT) AS round,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges
+    FROM ({" UNION ALL ".join(out_rows)})
+    ORDER BY round
+    """
+
+
+@q(
+    "kcore_prune_rounds",
+    _kcore_oracle(),
+    "graph",
+    "kcore",
+    "iterative",
+)
+def kcore_prune_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nodes/edges surviving each of 3 rounds of degree->=-4 pruning on
+    the 1995 trade graph."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1995
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    ck = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    sk = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    e = pairs.select(ck.alias("src"), sk.alias("dst")).union(
+        pairs.select(sk.alias("src"), ck.alias("dst"))
+    ).persist()
+    spark_ = spark
+    out = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        alive = (
+            e.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("src").alias("node"))
+        )
+        e = (
+            e.join(alive.withColumnRenamed("node", "src"), "src")
+            .join(alive.withColumnRenamed("node", "dst"), "dst")
+            .select("src", "dst")
+            .persist()
+        )
+        counts = e.agg(
+            F.lit(r).cast("int").alias("round"),
+            F.count_distinct("src").cast("bigint").alias("n_nodes"),
+            F.count("*").cast("bigint").alias("n_edges"),
+        )
+        out.append(counts)
+    res = out[0]
+    for f in out[1:]:
+        res = res.unionByName(f)
+    return res.orderBy("round")

@@ -171,3 +171,31 @@ def test_compaction_bins_are_contiguous_and_bounded(spark, sf_dir):
         # a bin overflows only by the segment that crossed the boundary
         for r in rs:
             assert r["n_segments"] >= 1
+
+
+def test_pmi_collocations_ranked_and_thresholded(spark, sf_dir):
+    from milvus_cdc_spark.suite import QUERIES
+
+    rows = QUERIES["pmi_collocations"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    lifts = [r["lift_milli"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert r["c_xy"] >= 5
+        assert r["lift_milli"] >= 0
+
+
+def test_kcore_rounds_shrink_monotonically(spark, sf_dir):
+    from milvus_cdc_spark.suite import QUERIES
+
+    rows = sorted(
+        QUERIES["kcore_prune_rounds"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    nodes = [r["n_nodes"] for r in rows]
+    edges = [r["n_edges"] for r in rows]
+    assert nodes == sorted(nodes, reverse=True)
+    assert edges == sorted(edges, reverse=True)
+    for r in rows:  # symmetric edge list -> even directed-row count
+        assert r["n_edges"] % 2 == 0
