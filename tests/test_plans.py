@@ -477,3 +477,41 @@ def test_expr_count_star_pushes_disjunction(spark, sf_dir):
     pushed = " ".join(audit.pushed_filters(plan))
     assert "Or(" in pushed or "p_size" in pushed
     assert "Join" not in plan
+
+
+def test_pagerank_top10_is_take_ordered(spark, sf_dir):
+    """The final top-10 must be TakeOrderedAndProject — never a global
+    sort of the node-score frame."""
+    df = suite.QUERIES["pagerank_trade_graph"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_pmi_top10_is_take_ordered(spark, sf_dir):
+    """PMI ranking must shortlist via TakeOrderedAndProject; the only
+    single-partition exchange allowed is the 1-row bigram-total merge."""
+    df = suite.QUERIES["pmi_collocations"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_quantile_normalize_windows_ride_the_histogram(spark, sf_dir):
+    """The only partition-less window runs over the 16-bucket GLOBAL
+    histogram (post-aggregate, control-sized) — the corpus-touching
+    stage must be a plain hash aggregate, and the global-bucket dim must
+    broadcast onto the source CDF."""
+    df = suite.QUERIES["quality_quantile_normalize"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # corpus aggregate keys on (source, bucket): hashpartitioning exchange
+    assert "hashpartitioning" in plan.lower()
+
+
+def test_weighted_sample_gate_is_a_scan_side_filter(spark, sf_dir):
+    """The PPS gate evaluates before any shuffle: the only join is the
+    broadcast of the 1-row corpus total, and the plan has no sort-merge
+    join anywhere."""
+    df = suite.QUERIES["weighted_doc_sample"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert "SortMergeJoin" not in plan
