@@ -294,3 +294,78 @@ def ignore_growing_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("collection")
     )
+
+
+# ---------------------------------------------------------------------------
+# P8 tombstone filtering as a data query (the pytest-only predicate made
+# driver-checkable): an etcd-style kv frame synthesized from events —
+# every 7th key tombstoned with the magic bytes 0xE2 0x9B 0xBC
+# (core/util msgpack tombstone constant, operators/filters.py:44) — is
+# screened by filters.not_tombstone; per-type kept/tombstoned counts.
+# The filter is a pure scan-side predicate on the BINARY value column;
+# output carries only BIGINT counts (binary never reaches the driver
+# comparator).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tombstone_metadata_filter",
+    """
+    WITH kv AS (
+      SELECT event_type,
+             CASE WHEN event_id % 7 = 0 THEN encode('⛼')
+                  ELSE encode('v:' || CAST(event_id AS VARCHAR)) END AS value
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN value = encode('⛼') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tombstoned,
+           CAST(sum(CASE WHEN value != encode('⛼') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM kv
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "cdc",
+    "metadata",
+    "tombstone",
+)
+def tombstone_metadata_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone-screened metadata counts per event type; the kept side
+    flows through the SAME filters.not_tombstone predicate the catalog
+    snapshot uses."""
+    from milvus_cdc_spark.operators import filters
+
+    ev = _t(spark, sf_dir, "events")
+    kv = ev.select(
+        "event_type",
+        F.when(
+            F.col("event_id") % 7 == 0, F.lit("⛼").cast("binary")
+        )
+        .otherwise(
+            F.encode(
+                F.concat(F.lit("v:"), F.col("event_id").cast("string")),
+                "utf-8",
+            )
+        )
+        .alias("value"),
+    )
+    kept = filters.not_tombstone(kv).groupBy("event_type").agg(
+        F.count("*").alias("n_kept")
+    )
+    total = kv.groupBy("event_type").agg(F.count("*").alias("n_total"))
+    return (
+        total.join(kept, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n_total").cast("bigint"),
+            (F.col("n_total") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_tombstoned"),
+            F.coalesce(F.col("n_kept"), F.lit(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("event_type")
+    )
