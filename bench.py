@@ -171,7 +171,9 @@ HEADLINE_R5H = [
     "hll_distinct_users",           # HyperLogLog m=64 register sketch
     "kcore_prune_rounds",           # iterative degree pruning
     "knn_label_accuracy",           # leave-one-out 5-NN class accuracy
+    "pearson_quality_length",       # exact-integer-moment Pearson r
     "pmi_collocations",             # integer-PMI phrase mining
+    "source_overlap_matrix",        # cross-source shingle Jaccard
     "pagerank_trade_graph",         # 3-iteration integer PageRank
     "pca_power_iteration",          # distributed covariance + power method
     "quality_quantile_normalize",   # per-source -> global quantile map

@@ -904,3 +904,170 @@ def kcore_prune_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in out[1:]:
         res = res.unionByName(f)
     return res.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Cross-source shingle-overlap matrix (the contamination check run
+# between corpus SOURCES before mixing — ngram_decontamination's
+# train/eval version generalized to all pairs). Shingles travel as
+# 16-byte md5 keys (the repo's count-key contract: the shuffle never
+# carries shingle text); per-shingle source lists are bounded by the
+# source catalog, so the within-shingle pair join is |sources|^2-bounded
+# per key — never corpus-quadratic. Output is the (source x source)
+# matrix in exact integer ppm.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "source_overlap_matrix",
+    """
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, source, pos, toks[pos] AS tok, len(toks) AS n FROM (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           t -> t != '') AS toks,
+               unnest(generate_series(1, len(list_filter(
+                 string_split_regex(trim(lower(text)), '\\s+'),
+                 t -> t != '')))) AS pos
+        FROM documents
+      )
+    ),
+    sh AS (
+      SELECT DISTINCT a.source,
+             md5(a.tok || ' ' || b.tok || ' ' || c.tok) AS k
+      FROM toks a
+      JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    ),
+    per_src AS (SELECT source, count(*) AS c FROM sh GROUP BY source),
+    inter AS (
+      SELECT x.source AS source_a, y.source AS source_b,
+             count(*) AS n_shared
+      FROM sh x JOIN sh y ON x.k = y.k AND x.source < y.source
+      GROUP BY x.source, y.source
+    )
+    SELECT i.source_a, i.source_b,
+           CAST(i.n_shared AS BIGINT) AS n_shared,
+           CAST(i.n_shared * 1000000 // (a.c + b.c - i.n_shared) AS BIGINT)
+             AS jaccard_ppm
+    FROM inter i
+    JOIN per_src a ON a.source = i.source_a
+    JOIN per_src b ON b.source = i.source_b
+    ORDER BY source_a, source_b
+    """,
+    "llm",
+    "contamination",
+    "overlap",
+    "dedup",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 3-gram Jaccard (ppm) between corpus sources."""
+    from milvus_cdc_spark.analytics import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = (
+        dedup.shingle_rows(docs, n=3)
+        .join(F.broadcast(docs.select("doc_id", "source")), "doc_id")
+        .select("source", F.md5(F.col("s")).alias("k"))
+        .distinct()
+    )
+    per_src = sh.groupBy("source").agg(F.count("*").alias("c"))
+    x = sh.select(F.col("source").alias("source_a"), "k")
+    y = sh.select(F.col("source").alias("source_b"), "k")
+    inter = (
+        x.join(y, "k")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        inter.join(
+            F.broadcast(per_src.select(F.col("source").alias("source_a"),
+                                       F.col("c").alias("ca"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(per_src.select(F.col("source").alias("source_b"),
+                                       F.col("c").alias("cb"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.expr("n_shared * 1000000 DIV (ca + cb - n_shared)")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation monitor (corpus-stats drift guard: does doc length
+# still track lexical diversity?): all five moment sums are EXACT
+# BIGINTs from one map-side-combined aggregate per source; the only
+# float work is the final sqrt/divide chain — each step correctly
+# rounded IEEE on exactly-representable integers, so both engines print
+# the identical 6dp value.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "pearson_quality_length",
+    """
+    WITH per_doc AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS x,
+             CAST(len(list_distinct(list_filter(
+               string_split_regex(trim(lower(text)), '\\s+'),
+               t -> t != ''))) AS BIGINT) AS y
+      FROM documents
+    ),
+    moments AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM per_doc GROUP BY source
+    )
+    SELECT source, n,
+           round((n * sxy - sx * sy)
+                 / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                    * sqrt((n * syy - sy * sy)::DOUBLE)), 6) AS corr
+    FROM moments
+    ORDER BY source
+    """,
+    "llm",
+    "monitoring",
+    "correlation",
+)
+def pearson_quality_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Pearson r between doc length and distinct-token count
+    (exact integer moments, one float divide at the end)."""
+    from milvus_cdc_spark.functions import text as textf
+
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.size(F.array_distinct(textf.tokens(F.lower(F.col("text")))))
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    dy = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return m.select(
+        "source", "n", F.round(num / (dx * dy), 6).alias("corr")
+    ).orderBy("source")

@@ -199,3 +199,24 @@ def test_kcore_rounds_shrink_monotonically(spark, sf_dir):
     assert edges == sorted(edges, reverse=True)
     for r in rows:  # symmetric edge list -> even directed-row count
         assert r["n_edges"] % 2 == 0
+
+
+def test_source_overlap_matrix_is_symmetric_complete(spark, sf_dir):
+    from milvus_cdc_spark.suite import QUERIES
+
+    rows = QUERIES["source_overlap_matrix"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r["source_a"] < r["source_b"]  # upper triangle only
+        assert 0 <= r["jaccard_ppm"] <= 1000000
+        assert r["n_shared"] >= 1
+
+
+def test_pearson_corr_in_range(spark, sf_dir):
+    from milvus_cdc_spark.suite import QUERIES
+
+    rows = QUERIES["pearson_quality_length"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["corr"] <= 1.0
+        # length and distinct-token count should correlate positively
+        assert r["corr"] > 0
