@@ -168,6 +168,8 @@ HEADLINE_R5G = [
 #: Round-5 eighth-batch additions (alphabetized).
 HEADLINE_R5H = [
     "compaction_bin_packing",       # segment merge planning
+    "ewma_event_rate",              # integer-weight EWMA monitor
+    "histogram_quantile_sketch",    # mergeable 256-bucket quantiles
     "hll_distinct_users",           # HyperLogLog m=64 register sketch
     "kcore_prune_rounds",           # iterative degree pruning
     "knn_label_accuracy",           # leave-one-out 5-NN class accuracy

@@ -1071,3 +1071,244 @@ def pearson_quality_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "source", "n", F.round(num / (dx * dy), 6).alias("corr")
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantile sketch (the fixed-size alternative to an
+# exact distributed percentile: one <=256-bucket equi-width histogram —
+# the same partial-aggregation shape as CMS/HLL — then p50/p90/p99 by
+# integer interpolation inside the covering bucket). The only windows
+# ride the histogram itself (control-sized at any corpus scale);
+# everything is non-negative BIGINT arithmetic.
+# ---------------------------------------------------------------------------
+
+_HQ_WIDTH = 512
+_HQ_PCTS = (50, 90, 99)
+
+
+@q(
+    "histogram_quantile_sketch",
+    f"""
+    WITH hist AS (
+      SELECT least(CAST(floor(l_extendedprice)::BIGINT // {_HQ_WIDTH} AS BIGINT),
+                   255) AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket, c,
+             CAST(sum(c) OVER (ORDER BY bucket) AS BIGINT) AS cum_c,
+             CAST(sum(c) OVER () AS BIGINT) AS total
+      FROM hist
+    ),
+    pcts AS (SELECT unnest([{", ".join(str(p) for p in _HQ_PCTS)}]) AS p),
+    chosen AS (
+      SELECT p.p, min(cm.bucket) AS bucket
+      FROM pcts p JOIN cum cm
+        ON cm.cum_c * 100 >= p.p * cm.total
+      GROUP BY p.p
+    )
+    SELECT CAST(ch.p AS INT) AS p, CAST(ch.bucket AS INT) AS bucket,
+           CAST(ch.bucket * {_HQ_WIDTH}
+                + ((p.p * cm.total + 99) // 100 - (cm.cum_c - cm.c))
+                  * {_HQ_WIDTH} // cm.c AS BIGINT) AS value_est
+    FROM chosen ch
+    JOIN cum cm ON cm.bucket = ch.bucket
+    JOIN pcts p ON p.p = ch.p
+    ORDER BY p
+    """,
+    "sketch",
+    "quantile",
+    "monitoring",
+)
+def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of l_extendedprice from a 256-bucket mergeable
+    histogram, integer-interpolated within the covering bucket."""
+    li = _t(spark, sf_dir, "lineitem")
+    hist = li.groupBy(
+        F.least(
+            F.expr(f"CAST(floor(l_extendedprice) AS BIGINT) DIV {_HQ_WIDTH}"),
+            F.lit(255).cast("bigint"),
+        ).alias("bucket")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "bucket",
+        "c",
+        F.sum("c").over(w_cum).cast("bigint").alias("cum_c"),
+        F.sum("c").over(Window.partitionBy()).cast("bigint").alias("total"),
+    )
+    pcts = spark.createDataFrame(
+        [(p,) for p in _HQ_PCTS], "p int"
+    )
+    chosen = (
+        F.broadcast(pcts)
+        .join(cum, F.col("cum_c") * 100 >= F.col("p") * F.col("total"))
+        .groupBy("p")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return (
+        chosen.join(cum, "bucket")
+        .select(
+            F.col("p").cast("int"),
+            F.col("bucket").cast("int"),
+            F.expr(
+                f"CAST(bucket * {_HQ_WIDTH} + ((p * total + 99) DIV 100 "
+                f"- (cum_c - c)) * {_HQ_WIDTH} DIV c AS BIGINT)"
+            ).alias("value_est"),
+        )
+        .orderBy("p")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partition-skew report — the diagnostic an operator runs BEFORE
+# choosing a salting factor (the engine's salted_skew_join shows the
+# cure; this measures the disease): rows per hash bucket of the join
+# key, max/expected ratio in milli-units, and the hottest bucket. One
+# map-side-combined count; the 64-row bucket table folds to one row.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "partition_skew_report",
+    """
+    WITH b AS (
+      SELECT l_suppkey % 64 AS bucket, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY l_suppkey % 64
+    ),
+    hot AS (SELECT bucket, c FROM b ORDER BY c DESC, bucket LIMIT 1)
+    SELECT CAST((SELECT count(*) FROM b) AS BIGINT) AS n_buckets,
+           CAST((SELECT sum(c) FROM b) AS BIGINT) AS n_rows,
+           CAST((SELECT max(c) FROM b) AS BIGINT) AS max_rows,
+           CAST((SELECT min(c) FROM b) AS BIGINT) AS min_rows,
+           CAST((SELECT bucket FROM hot) AS BIGINT) AS hottest_bucket,
+           CAST((SELECT max(c) FROM b) * (SELECT count(*) FROM b) * 1000
+                // (SELECT sum(c) FROM b) AS BIGINT) AS skew_milli
+    """,
+    "monitoring",
+    "skew",
+    "operations",
+)
+def partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key hash-bucket skew stats for lineitem.l_suppkey (64
+    buckets): max/expected ratio in milli-units + hottest bucket."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.groupBy((F.col("l_suppkey") % 64).alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    hot = b.orderBy(F.col("c").desc(), "bucket").limit(1).select(
+        F.col("bucket").alias("hottest_bucket")
+    )
+    agg = b.agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_rows"),
+        F.min("c").cast("bigint").alias("min_rows"),
+    )
+    return agg.crossJoin(F.broadcast(hot)).select(
+        "n_buckets",
+        "n_rows",
+        "max_rows",
+        "min_rows",
+        F.col("hottest_bucket").cast("bigint"),
+        F.expr("max_rows * n_buckets * 1000 DIV n_rows")
+        .cast("bigint")
+        .alias("skew_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA throughput monitor (alpha = 0.3 over the last 8 hour-buckets,
+# weights 0.3*0.7^i expanded to EXACT ppm integers in Python — 3*7^i /
+# 10^(i+1) — and the SAME literals embedded in both engines, so no pow()
+# or float decay ever runs in either). Absent hours count zero via the
+# lag dim; per-type EWMA is an exact integer weighted sum.
+# ---------------------------------------------------------------------------
+
+_EWMA_LAGS = 8
+#: floor(0.3 * 0.7^i * 1e6) as exact integers: 3*7^i*10^6 // 10^(i+1)
+_EWMA_W = [3 * 7**i * 10**6 // 10 ** (i + 1) for i in range(_EWMA_LAGS)]
+
+
+@q(
+    "ewma_event_rate",
+    f"""
+    WITH hours AS (
+      SELECT event_type,
+             CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, epoch_ms(ts) // 3600000
+    ),
+    mx AS (SELECT max(h) AS hmax FROM hours),
+    lags AS (
+      SELECT t.lag, t.w FROM (VALUES
+        {", ".join(f"({i}, {w})" for i, w in enumerate(_EWMA_W))}
+      ) AS t(lag, w)
+    ),
+    types AS (SELECT DISTINCT event_type FROM hours),
+    grid AS (
+      SELECT ty.event_type, l.lag, l.w,
+             coalesce(h.c, 0) AS c
+      FROM types ty
+      CROSS JOIN lags l
+      CROSS JOIN mx
+      LEFT JOIN hours h ON h.event_type = ty.event_type
+                       AND h.h = mx.hmax - l.lag
+    )
+    SELECT event_type,
+           CAST(sum(w * c) AS BIGINT) AS ewma_ppm,
+           CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_active_hours
+    FROM grid GROUP BY event_type ORDER BY event_type
+    """,
+    "monitoring",
+    "ewma",
+    "streaming",
+)
+def ewma_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type EWMA (alpha 0.3, 8 hour-lags, exact ppm weights) of
+    event throughput anchored at the newest hour."""
+    ev = _t(spark, sf_dir, "events")
+    hours = ev.groupBy(
+        "event_type",
+        F.expr("CAST(unix_millis(ts) DIV 3600000 AS BIGINT)").alias("h"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    mx = hours.agg(F.max("h").alias("hmax"))
+    lags = spark.createDataFrame(
+        list(enumerate(_EWMA_W)), "lag int, w long"
+    )
+    types = hours.select("event_type").distinct()
+    h2 = hours.select(
+        F.col("event_type").alias("et2"),
+        F.col("h").alias("_h"),
+        F.col("c").alias("_c"),
+    )
+    grid = (
+        types.crossJoin(F.broadcast(lags))
+        .crossJoin(F.broadcast(mx))
+        .join(
+            h2,
+            (F.col("et2") == F.col("event_type"))
+            & (F.col("_h") == F.col("hmax") - F.col("lag")),
+            "left",
+        )
+        .select(
+            "event_type",
+            "lag",
+            "w",
+            F.coalesce(F.col("_c"), F.lit(0)).alias("c"),
+        )
+    )
+    return (
+        grid.groupBy("event_type")
+        .agg(
+            F.sum(F.col("w") * F.col("c")).cast("bigint").alias("ewma_ppm"),
+            F.sum(F.when(F.col("c") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_active_hours"),
+        )
+        .orderBy("event_type")
+    )

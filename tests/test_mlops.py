@@ -220,3 +220,42 @@ def test_pearson_corr_in_range(spark, sf_dir):
         assert -1.0 <= r["corr"] <= 1.0
         # length and distinct-token count should correlate positively
         assert r["corr"] > 0
+
+
+def test_histogram_quantiles_are_ordered_and_bracketed(spark, sf_dir):
+    from milvus_cdc_spark.suite import QUERIES
+
+    rows = sorted(
+        QUERIES["histogram_quantile_sketch"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["p"],
+    )
+    assert [r["p"] for r in rows] == [50, 90, 99]
+    ests = [r["value_est"] for r in rows]
+    assert ests == sorted(ests)
+    for r in rows:  # estimate lies inside its covering bucket
+        lo = r["bucket"] * 512
+        assert lo <= r["value_est"] <= lo + 512
+
+
+def test_skew_report_invariants(spark, sf_dir):
+    from milvus_cdc_spark.suite import QUERIES
+
+    r = QUERIES["partition_skew_report"].fn(spark, sf_dir).collect()[0]
+    assert r["min_rows"] <= r["max_rows"]
+    assert r["skew_milli"] >= 1000  # max >= mean always
+    assert 0 <= r["hottest_bucket"] < 64
+
+
+def test_ewma_weights_are_exact_decay(spark, sf_dir):
+    from milvus_cdc_spark.suite_mlops import _EWMA_W
+
+    # 0.3 * 0.7^i in ppm, floored — check against exact fractions
+    for i, w in enumerate(_EWMA_W):
+        assert w == 3 * 7**i * 10**6 // 10 ** (i + 1)
+    from milvus_cdc_spark.suite import QUERIES
+
+    rows = QUERIES["ewma_event_rate"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["ewma_ppm"] >= 0
+        assert 0 <= r["n_active_hours"] <= 8
