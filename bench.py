@@ -170,6 +170,7 @@ HEADLINE_R5H = [
     "compaction_bin_packing",       # segment merge planning
     "ewma_event_rate",              # integer-weight EWMA monitor
     "histogram_quantile_sketch",    # mergeable 256-bucket quantiles
+    "interval_bucket_join",         # bucketed range-join rewrite
     "hll_distinct_users",           # HyperLogLog m=64 register sketch
     "kcore_prune_rounds",           # iterative degree pruning
     "knn_label_accuracy",           # leave-one-out 5-NN class accuracy

@@ -1312,3 +1312,95 @@ def ewma_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval (range) join via neighbor-bucket expansion — the standard
+# Spark rewrite of the theta-join "t2 BETWEEN t1-6h AND t1+6h": bucket
+# both sides by window width, explode the probe side into its 5 candidate
+# buckets, equi-join on (user, bucket), THEN apply the exact range
+# predicate. The equi-join shuffles hash-partitioned (AQE-skew-safe)
+# instead of falling into BroadcastNestedLoop — the shape that dies at
+# 100 TB. Candidates per row are bounded by per-(user, second) density.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "interval_bucket_join",
+    """
+    WITH err AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS tms
+      FROM events WHERE event_type = 'error'
+    ),
+    clk AS (
+      SELECT user_id, epoch_ms(ts) AS tms
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT e.user_id,
+           CAST(count(*) AS BIGINT) AS n_errors,
+           CAST(sum((SELECT count(*) FROM clk c
+                     WHERE c.user_id = e.user_id
+                       AND c.tms BETWEEN e.tms - 21600000 AND e.tms + 21600000))
+                AS BIGINT) AS n_nearby_clicks
+    FROM err e
+    GROUP BY e.user_id
+    HAVING sum((SELECT count(*) FROM clk c
+                WHERE c.user_id = e.user_id
+                  AND c.tms BETWEEN e.tms - 21600000 AND e.tms + 21600000)) > 0
+    ORDER BY e.user_id
+    """,
+    "join",
+    "range-join",
+    "interval",
+)
+def interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user count of clicks within ±6 h of an error event, via the
+    bucketed range-join rewrite (equi-join on (user, 2s-bucket) with
+    neighbor expansion, exact predicate after)."""
+    ev = _t(spark, sf_dir, "events")
+    tms = F.expr("unix_millis(ts)")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", tms.alias("tms")
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u2"), tms.alias("t2"),
+        F.expr("unix_millis(ts) DIV 21600000").alias("b2"),
+    )
+    # probe side explodes into its 3 candidate 2s-buckets (window is
+    # ±21600000 ms -> bucket, bucket±1 at width 21600000)
+    probe = err.select(
+        "event_id",
+        "user_id",
+        "tms",
+        F.explode(
+            F.array(
+                F.expr("tms DIV 21600000 - 1"),
+                F.expr("tms DIV 21600000"),
+                F.expr("tms DIV 21600000 + 1"),
+            )
+        ).alias("b2"),
+    )
+    matched = (
+        probe.join(
+            clk,
+            (F.col("user_id") == F.col("u2")) & (probe["b2"] == clk["b2"]),
+        )
+        .filter(
+            (F.col("t2") >= F.col("tms") - 21600000)
+            & (F.col("t2") <= F.col("tms") + 21600000)
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("nc"))
+    )
+    return (
+        err.join(matched, "event_id", "left")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_errors"),
+            F.sum(F.coalesce(F.col("nc"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_nearby_clicks"),
+        )
+        .filter(F.col("n_nearby_clicks") > 0)
+        .orderBy("user_id")
+    )

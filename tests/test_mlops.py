@@ -259,3 +259,38 @@ def test_ewma_weights_are_exact_decay(spark, sf_dir):
     for r in rows:
         assert r["ewma_ppm"] >= 0
         assert 0 <= r["n_active_hours"] <= 8
+
+
+def test_interval_join_matches_brute_force(spark, sf_dir):
+    from pyspark.sql import functions as FF
+
+    from milvus_cdc_spark.catalog import load_table
+    from milvus_cdc_spark.suite import QUERIES
+
+    got = {
+        r["user_id"]: (r["n_errors"], r["n_nearby_clicks"])
+        for r in QUERIES["interval_bucket_join"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        FF.expr("unix_millis(ts)").alias("tms"),
+    ).collect()
+    import collections
+
+    clicks = collections.defaultdict(list)
+    for r in ev:
+        if r["event_type"] == "click":
+            clicks[r["user_id"]].append(r["tms"])
+    expect = {}
+    for r in ev:
+        if r["event_type"] != "error":
+            continue
+        ne, nc = expect.get(r["user_id"], (0, 0))
+        near = sum(
+            1
+            for t in clicks.get(r["user_id"], [])
+            if abs(t - r["tms"]) <= 21600000
+        )
+        expect[r["user_id"]] = (ne + 1, nc + near)
+    expect = {u: v for u, v in expect.items() if v[1] > 0}
+    assert got == expect
