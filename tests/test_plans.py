@@ -515,3 +515,13 @@ def test_weighted_sample_gate_is_a_scan_side_filter(spark, sf_dir):
     df = suite.QUERIES["weighted_doc_sample"].fn(spark, sf_dir)
     plan = audit.formatted_plan(df)
     assert "SortMergeJoin" not in plan
+
+
+def test_interval_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The range join must execute as equi-joins on (user, bucket) —
+    never BroadcastNestedLoopJoin, the theta-join shape that dies at
+    scale."""
+    df = suite.QUERIES["interval_bucket_join"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
