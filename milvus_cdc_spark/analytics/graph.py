@@ -33,6 +33,20 @@ from pyspark.sql import functions as F
 # digits after 10^6-node graphs divide it up.
 MASS = 10**12
 
+# Frames persisted by pagerank() for cross-iteration reuse. Callers own
+# the release point (the windows.py _RANK_CACHES pattern): call
+# release_graph_caches() once the returned frame has been materialized.
+# Unlike the rank caches there is no correctness dependency — an
+# unpersisted recompute walks the identical deterministic plan — so a
+# long-lived session may release at any time; it only costs recompute.
+_GRAPH_CACHES: list[DataFrame] = []
+
+
+def release_graph_caches() -> None:
+    """Unpersist edge/node frames cached by prior pagerank() calls."""
+    while _GRAPH_CACHES:
+        _GRAPH_CACHES.pop().unpersist(False)
+
 
 def pagerank(
     edges: DataFrame,
@@ -62,18 +76,21 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).persist()
+    _GRAPH_CACHES.append(e)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
+    _GRAPH_CACHES.append(nodes)
     # N and the out-degree frame are computed once; deg joins the edge
     # list a single time so iterations reuse one (src, dst, deg) frame.
     n_nodes = nodes.count()  # one scalar to the driver (control-sized)
     base = MASS // n_nodes
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     e_deg = e.join(deg, "src").persist()
+    _GRAPH_CACHES.append(e_deg)
 
     scores = nodes.select("node", F.lit(base).cast("bigint").alias("score"))
     teleport = F.lit((100 - damping_pct) * base).cast("bigint")
@@ -104,9 +121,3 @@ def pagerank(
             )
         )
     return scores
-
-
-def release(*frames: DataFrame) -> None:
-    """Unpersist helper for callers that materialized the result."""
-    for f in frames:
-        f.unpersist(False)

@@ -294,3 +294,30 @@ def test_interval_join_matches_brute_force(spark, sf_dir):
         expect[r["user_id"]] = (ne + 1, nc + near)
     expect = {u: v for u, v in expect.items() if v[1] > 0}
     assert got == expect
+
+
+def test_pagerank_property_random_graphs(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    node_ids = st.integers(min_value=0, max_value=9)
+    pair = st.tuples(node_ids, node_ids).filter(lambda p: p[0] != p[1])
+    graphs = st.lists(pair, min_size=1, max_size=20, unique=True)
+
+    @given(graphs)
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(pairs):
+        edges = [(f"n{a}", f"n{b}") for a, b in pairs]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r["node"]: r["score"]
+            for r in graph.pagerank(df, n_iter=2).collect()
+        }
+        graph.release_graph_caches()
+        assert got == _py_pagerank(edges, n_iter=2)
+
+    check()
