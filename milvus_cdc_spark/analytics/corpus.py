@@ -773,6 +773,71 @@ def line_level_dedup(
     )
 
 
+def boilerplate_lines(
+    docs: DataFrame,
+    width: int = 10,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source boilerplate-line accounting — the CCNet/trafilatura
+    "a line repeated across many pages of the same site is chrome, not
+    content" heuristic (Wenzek et al. 2020 §3.1 dedups paragraphs
+    site-wise for exactly this reason), over :func:`pseudo_lines`
+    windows.
+
+    A line is boilerplate WITHIN its group (source/host) when it occurs
+    in at least ``min_docs`` DISTINCT documents of that group — distinct
+    docs, not raw occurrences, so one page repeating its own nav bar
+    ten times doesn't self-promote to boilerplate.
+
+    Scale shape mirrors :func:`line_level_dedup`: the explode inherits
+    the scan partitioning; the occurrence aggregate keys on
+    (group, 64-bit md5 prefix) — compact fingerprints, never the line
+    text; one join back onto the fingerprint stream; one per-group
+    rollup (group cardinality ~ hosts, small). Two shuffles on compact
+    keys plus one tiny rollup.
+
+    Returns per-group (group, n_lines, n_boiler, boiler_ppm,
+    distinct_boiler_lines) ordered by nothing (caller sorts).
+    """
+    lines = pseudo_lines(docs, width, id_col, text_col).join(
+        docs.select(F.col(id_col), F.col(group_col).alias("grp")), id_col
+    )
+    keyed = lines.select(
+        F.col(id_col),
+        F.col("grp"),
+        F.substring(F.md5(F.col("line_text")), 1, 16).alias("k"),
+    )
+    occ = keyed.groupBy("grp", "k").agg(
+        F.countDistinct(F.col(id_col)).alias("ndocs")
+    )
+    boiler = (F.col("ndocs") >= min_docs).cast("int")
+    return (
+        keyed.join(occ, ["grp", "k"])
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(boiler).cast("bigint").alias("n_boiler"),
+            F.countDistinct(F.when(boiler == 1, F.col("k"))).cast(
+                "bigint"
+            ).alias("distinct_boiler_lines"),
+        )
+        .withColumn(
+            "boiler_ppm",
+            F.expr("n_boiler * 1000000 DIV n_lines").cast("bigint"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_lines",
+            "n_boiler",
+            "boiler_ppm",
+            "distinct_boiler_lines",
+        )
+    )
+
+
 def domain_mixture_weights(
     docs: DataFrame,
     domain_col: str = "source",

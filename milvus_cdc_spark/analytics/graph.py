@@ -48,6 +48,88 @@ def release_graph_caches() -> None:
         _GRAPH_CACHES.pop().unpersist(False)
 
 
+def triangle_counts(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Per-node triangle participation over an undirected edge list —
+    the clustering-structure probe (community density, link-spam
+    detection in corpus curation) and the classic "curse of the last
+    reducer" workload.
+
+    Degree orientation (Suri & Vassilvitskii, WWW 2011): orient every
+    undirected edge from its (degree, id)-smaller endpoint to the larger
+    one. Every triangle then has exactly ONE node with two out-edges, so
+    listing wedges among OUT-neighbors and closing them against the
+    oriented edge list counts each triangle exactly once — and the wedge
+    count is bounded by sum(out_deg^2) with out_deg = O(sqrt(m)), not by
+    sum(deg^2), which is what a hub node would otherwise explode (a
+    celebrity node of degree 10^6 contributes zero wedges if all its
+    edges point IN).
+
+    Plan: canonical-edge distinct (one shuffle), degree aggregate (one),
+    two degree joins, the wedge self-join on the spoke node, the closing
+    equi-join on the (v, w) pair — every join a key-partitioned
+    equi-join, nothing driver-side, no cartesian.
+
+    Returns (node, triangles) for nodes in >= 1 triangle.
+    """
+    lo = F.least(F.col(a_col), F.col(b_col))
+    hi = F.greatest(F.col(a_col), F.col(b_col))
+    canon = (
+        edges.filter(F.col(a_col) != F.col(b_col))
+        .select(lo.alias("lo"), hi.alias("hi"))
+        .distinct()
+        .persist()
+    )
+    _GRAPH_CACHES.append(canon)
+    deg = (
+        canon.select(F.col("lo").alias("node"))
+        .union(canon.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    with_deg = (
+        canon.join(deg.withColumnRenamed("node", "lo"), "lo")
+        .withColumnRenamed("deg", "lo_deg")
+        .join(
+            deg.select(F.col("node").alias("hi"), F.col("deg").alias("hi_deg")),
+            "hi",
+        )
+    )
+    lo_first = (F.col("lo_deg") < F.col("hi_deg")) | (
+        (F.col("lo_deg") == F.col("hi_deg")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = with_deg.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("src"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
+        F.when(lo_first, F.col("hi_deg")).otherwise(F.col("lo_deg")).alias(
+            "dst_deg"
+        ),
+    ).persist()
+    _GRAPH_CACHES.append(oriented)
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedge_order = (F.col("o1.dst_deg") < F.col("o2.dst_deg")) | (
+        (F.col("o1.dst_deg") == F.col("o2.dst_deg"))
+        & (F.col("o1.dst") < F.col("o2.dst"))
+    )
+    wedges = o1.join(
+        o2, (F.col("o1.src") == F.col("o2.src")) & wedge_order
+    ).select(
+        F.col("o1.src").alias("u"),
+        F.col("o1.dst").alias("v"),
+        F.col("o2.dst").alias("w"),
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tris = wedges.join(closing, ["v", "w"])
+    return (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("triangles"))
+    )
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 3,

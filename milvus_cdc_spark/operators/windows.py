@@ -157,6 +157,68 @@ def distributed_ntile(df: DataFrame, n: int, order_cols: list[str],
     return local.withColumn(tile_col, tile.cast("int")).drop("_pid", "_lrank")
 
 
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    n_partitions: int = 32,
+    out_col: str = "cum",
+    inclusive: bool = True,
+) -> DataFrame:
+    """Exact global running sum of ``value_col`` in ``order_cols`` order
+    without a single-task global sort.
+
+    An unpartitioned ``sum().over(Window.orderBy(...))`` funnels every row
+    through ONE task (Exchange SinglePartition) — the shape that dies at
+    100 TB. Distributed plan, same answer:
+
+    1. ``repartitionByRange(order_cols)`` — one parallel range shuffle;
+    2. per-partition running sum (window partitioned by ``_pid``);
+    3. per-partition TOTALS (one row per partition) become driver-side
+       cumulative offsets folded back as a literal map — the same
+       zipWithIndex pattern as ``distributed_row_number``.
+
+    ``inclusive=False`` returns the sum of strictly-preceding rows (the
+    ``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING`` frame), which is
+    what rank-statistic algebra (Mann-Whitney AUC, CDF remaps) wants.
+
+    ``order_cols`` must be a total order (include a unique tie-break key)
+    and ``value_col`` must already be exact (integer/decimal) — a float
+    running sum is order-sensitive and breaks the repo's portable-math
+    contract. Cache lifetime: see ``release_rank_caches``.
+    """
+    ranged = df.repartitionByRange(n_partitions, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    frame_end = 0 if inclusive else -1
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, frame_end)
+    )
+    local = ranged.withColumn(
+        "_lsum", F.coalesce(F.sum(F.col(value_col)).over(w), F.lit(0))
+    ).persist()
+    _RANK_CACHES.append(local)
+    totals = {
+        r._pid: r._tot
+        for r in local.groupBy("_pid")
+        .agg(F.sum(F.col(value_col)).alias("_tot"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    if not offsets:
+        offsets = {0: 0}
+    off_map = F.create_map(
+        *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])]
+    )
+    out = F.col("_lsum") + F.coalesce(off_map[F.col("_pid")], F.lit(0))
+    return local.withColumn(out_col, out.cast("bigint")).drop("_pid", "_lsum")
+
+
 def last_sent_lag(df: DataFrame, partition_keys: list[str], ts_col: str) -> DataFrame:
     """W5: per-channel last-sent-ts tracking (ts_manager.go:338-366) — decides
     whether a TimeTick needs emitting. Batch analog: lag() over the channel

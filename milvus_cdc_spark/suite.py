@@ -3347,6 +3347,7 @@ from milvus_cdc_spark import suite_search  # noqa: E402,F401  (import-for-effect
 from milvus_cdc_spark import suite_consistency  # noqa: E402,F401  (import-for-effect)
 from milvus_cdc_spark import suite_streaming_ext  # noqa: E402,F401  (import-for-effect)
 from milvus_cdc_spark import suite_mlops  # noqa: E402,F401  (import-for-effect)
+from milvus_cdc_spark import suite_eval  # noqa: E402,F401  (import-for-effect)
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness checks the FIRST 50

@@ -1,0 +1,369 @@
+"""Evaluation & graph-structure extensions: exact rank-statistic model
+evaluation (Mann-Whitney ROC-AUC), search-quality grading (NDCG@10),
+degree-oriented triangle counting, and per-source boilerplate detection
+— the "score the data and the index, not just build them" surface of a
+training-data platform.
+
+Every query follows the repo's portable-math contract: integer units
+(ppm / micro), divisions only over non-negative operands so DuckDB ``//``
+(floor) and Spark ``DIV`` (truncate) agree, and any transcendental
+constant (the NDCG log2 discounts) is computed ONCE in Python and inlined
+as the same integer literals into both engines — no cross-engine float
+math anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from milvus_cdc_spark.suite import _SQL_COSINE, _SQL_TOKS, _t, q
+
+# ---------------------------------------------------------------------------
+# Exact ROC-AUC via the Mann-Whitney U statistic: does document length
+# predict English? AUC = P(score_pos > score_neg) + 0.5 P(tie), computed
+# WITHOUT the positive x negative pair join (quadratic) and WITHOUT a
+# global sort: aggregate to per-distinct-score (pos, neg) counts, then
+# the new windows.distributed_prefix_sum gives each score the exact
+# count of negatives strictly below it — range shuffle + per-partition
+# running sum + driver-side offsets, no Exchange SinglePartition. The
+# doubled U statistic stays integer under ties (each tie contributes 1
+# instead of 0.5), so the whole computation is exact BIGINT algebra.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "roc_auc_quality",
+    """
+    WITH per AS (
+      SELECT n_chars AS s,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS pos,
+             CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+               AS neg
+      FROM documents GROUP BY n_chars
+    ),
+    c AS (
+      SELECT pos, neg,
+             CAST(coalesce(sum(neg) OVER (
+               ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS neg_below
+      FROM per
+    )
+    SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(neg) AS BIGINT) AS n_neg,
+           CAST(sum(2 * pos * neg_below + pos * neg) AS BIGINT) AS u_stat_x2,
+           CAST(sum(2 * pos * neg_below + pos * neg) * 1000000
+                // (2 * sum(pos) * sum(neg)) AS BIGINT) AS auc_ppm,
+           CAST(2 * (sum(2 * pos * neg_below + pos * neg) * 1000000
+                     // (2 * sum(pos) * sum(neg))) - 1000000 AS BIGINT)
+             AS gini_ppm
+    FROM c
+    """,
+    "eval",
+    "auc",
+    "rank-statistic",
+    "llm",
+)
+def roc_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (doubled Mann-Whitney U, tie-aware) of ``n_chars``
+    as a classifier score for ``lang == 'en'``, in integer ppm."""
+    from milvus_cdc_spark.operators import windows
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy(F.col("n_chars").alias("s")).agg(
+        F.sum((F.col("lang") == "en").cast("int")).cast("bigint").alias("pos"),
+        F.sum((F.col("lang") != "en").cast("int")).cast("bigint").alias("neg"),
+    )
+    cum = windows.distributed_prefix_sum(
+        per, [F.col("s")], "neg", out_col="neg_below", inclusive=False
+    )
+    u2 = F.sum(
+        2 * F.col("pos") * F.col("neg_below") + F.col("pos") * F.col("neg")
+    )
+    out = cum.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        u2.cast("bigint").alias("u_stat_x2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "u_stat_x2",
+        F.expr("u_stat_x2 * 1000000 DIV (2 * n_pos * n_neg)")
+        .cast("bigint")
+        .alias("auc_ppm"),
+        F.expr("2 * (u_stat_x2 * 1000000 DIV (2 * n_pos * n_neg)) - 1000000")
+        .cast("bigint")
+        .alias("gini_ppm"),
+    )
+    windows.release_rank_caches()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Degree-oriented triangle counting (Suri & Vassilvitskii, WWW 2011) over
+# the co-purchase graph: parts co-ordered within the same order (with a
+# quantity floor to keep the graph sparse-realistic). Top-10 parts by
+# triangle participation — the community-density probe. The oracle lists
+# triangles the order-free way (p1 < p2 < p3 canonical edges joined
+# twice); the Spark side lists them via degree orientation — same set of
+# triangles, per-node counts identical, but the oriented wedge space is
+# bounded by sum(out_deg^2) with out_deg = O(sqrt(m)) — the shape that
+# survives hub nodes at 100 TB.
+# ---------------------------------------------------------------------------
+
+_TRI_MIN_QTY = 35
+
+
+@q(
+    "triangle_parts_topk",
+    f"""
+    WITH f AS (
+      SELECT DISTINCT l_orderkey, l_partkey
+      FROM lineitem WHERE l_quantity >= {_TRI_MIN_QTY}
+    ),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM f a JOIN f b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    t AS (
+      SELECT e1.p1 AS x, e1.p2 AS y, e2.p2 AS z
+      FROM e e1
+      JOIN e e2 ON e2.p1 = e1.p2
+      JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+    ),
+    n AS (SELECT unnest([x, y, z]) AS partkey FROM t)
+    SELECT partkey, CAST(count(*) AS BIGINT) AS triangles
+    FROM n GROUP BY partkey
+    ORDER BY triangles DESC, partkey
+    LIMIT 10
+    """,
+    "graph",
+    "triangles",
+    "join",
+)
+def triangle_parts_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 parts by triangle count in the co-order graph
+    (graph.triangle_counts, degree-oriented wedge join)."""
+    from milvus_cdc_spark.analytics import graph
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= _TRI_MIN_QTY)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+    )
+    tri = graph.triangle_counts(pairs, "pa", "pb")
+    out = (
+        tri.orderBy(F.col("triangles").desc(), F.col("node"))
+        .limit(10)
+        .select(F.col("node").alias("partkey"), "triangles")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Per-source boilerplate-line detection (CCNet / trafilatura site-chrome
+# heuristic): a pseudo-line occurring in >= 3 distinct docs of the same
+# source is chrome, not content. Compact-fingerprint shuffles only.
+# ---------------------------------------------------------------------------
+
+_BOILER_MIN_DOCS = 3
+
+
+@q(
+    "boilerplate_line_stats",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_SQL_TOKS} AS arr FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, source,
+             array_to_string(list_slice(arr, i * 10 + 1, i * 10 + 10), ' ')
+               AS line_text
+      FROM toks,
+           unnest(generate_series(0, CAST(ceil(len(arr) / 10.0) AS INT) - 1))
+             AS t(i)
+      WHERE len(arr) > 0
+    ),
+    keys AS (
+      SELECT doc_id, source, substr(md5(line_text), 1, 16) AS k FROM lines
+    ),
+    occ AS (
+      SELECT source, k, count(DISTINCT doc_id) AS ndocs
+      FROM keys GROUP BY source, k
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN ndocs >= {_BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler,
+           CAST(sum(CASE WHEN ndocs >= {_BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS boiler_ppm,
+           CAST(count(DISTINCT CASE WHEN ndocs >= {_BOILER_MIN_DOCS}
+                                    THEN k END) AS BIGINT)
+             AS distinct_boiler_lines
+    FROM keys JOIN occ USING (source, k)
+    GROUP BY source
+    ORDER BY source
+    """,
+    "corpus",
+    "boilerplate",
+    "dedup",
+    "llm",
+)
+def boilerplate_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate accounting over 10-token pseudo-lines
+    (corpus.boilerplate_lines)."""
+    from milvus_cdc_spark.analytics import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.boilerplate_lines(
+        docs, width=10, min_docs=_BOILER_MIN_DOCS
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# NDCG@10 of the sign-bucketed ANN against exact cosine ranking — the
+# graded search-quality metric (recall@k treats rank 1 and rank 10 the
+# same; NDCG does not). Graded relevance = 11 - exact_rank for the exact
+# top-10, 0 otherwise; positional discounts 1e6/log2(i+1) are computed
+# once HERE and inlined as identical integer literals into both engines.
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+_NDCG_W = [
+    int(math.floor(1_000_000 / math.log2(i + 1) + 0.5))
+    for i in range(1, _NDCG_K + 1)
+]
+_NDCG_IDEAL = sum(
+    (_NDCG_K + 1 - i) * _NDCG_W[i - 1] for i in range(1, _NDCG_K + 1)
+)
+_SQL_NDCG_W = ", ".join(
+    f"({i}, {w})" for i, w in enumerate(_NDCG_W, start=1)
+)
+
+
+@q(
+    "ndcg_search_eval",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM b WHERE vec_id < 10),
+    exact_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_SQL_COSINE} AS sim
+      FROM b c, q WHERE c.vec_id != q.vec_id
+    ),
+    exact_k AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM exact_scored
+      QUALIFY rank <= {_NDCG_K}
+    ),
+    approx_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_SQL_COSINE} AS sim
+      FROM b c JOIN q ON c.bucket = q.bucket
+      WHERE c.vec_id != q.vec_id
+    ),
+    approx_k AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM approx_scored
+      QUALIFY rank <= {_NDCG_K}
+    ),
+    weights(rank, w) AS (VALUES {_SQL_NDCG_W}),
+    gains AS (
+      SELECT a.query_id,
+             CASE WHEN e.rank IS NULL THEN 0
+                  ELSE {_NDCG_K} + 1 - e.rank END AS rel,
+             w.w
+      FROM approx_k a
+      JOIN weights w ON w.rank = a.rank
+      LEFT JOIN exact_k e
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    )
+    SELECT q.vec_id AS query_id,
+           CAST(coalesce(sum(g.rel * g.w), 0) AS BIGINT) AS dcg_micro,
+           CAST(coalesce(sum(g.rel * g.w), 0) * 1000000
+                // {_NDCG_IDEAL} AS BIGINT) AS ndcg_ppm,
+           CAST(coalesce(sum(CASE WHEN g.rel > 0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS hits
+    FROM q LEFT JOIN gains g ON g.query_id = q.vec_id
+    GROUP BY q.vec_id
+    ORDER BY query_id
+    """,
+    "eval",
+    "vector",
+    "ndcg",
+    "search-quality",
+    "llm",
+)
+def ndcg_search_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query NDCG@10 of sign-bucketed ANN vs exact cosine ranking,
+    integer micro-unit discounts shared literal-for-literal with the
+    oracle."""
+    from milvus_cdc_spark.analytics import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, queries, k=_NDCG_K).select(
+        "query_id", "neighbor_id", F.col("rank").alias("exact_rank")
+    )
+    approx = similarity.bucketed_topk(
+        emb, queries, k=_NDCG_K, n_bits=4
+    ).select("query_id", "neighbor_id", F.col("rank").alias("ann_rank"))
+    w_map = F.create_map(
+        *[F.lit(x) for i, w in enumerate(_NDCG_W, start=1) for x in (i, w)]
+    )
+    gains = approx.join(exact, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        F.coalesce(
+            F.lit(_NDCG_K + 1) - F.col("exact_rank"), F.lit(0)
+        ).alias("rel"),
+        w_map[F.col("ann_rank")].alias("w"),
+    )
+    per_q = gains.groupBy("query_id").agg(
+        F.sum(F.col("rel") * F.col("w")).cast("bigint").alias("dcg_micro"),
+        F.sum((F.col("rel") > 0).cast("int")).cast("bigint").alias("hits"),
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("dcg_micro"), F.lit(0))
+            .cast("bigint")
+            .alias("dcg_micro"),
+            F.expr(
+                f"coalesce(dcg_micro, 0) * 1000000 DIV {_NDCG_IDEAL}"
+            )
+            .cast("bigint")
+            .alias("ndcg_ppm"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+        )
+        .orderBy("query_id")
+    )

@@ -321,3 +321,95 @@ def test_pagerank_property_random_graphs(spark):
         assert got == _py_pagerank(edges, n_iter=2)
 
     check()
+
+
+def _py_triangles(pairs):
+    """Brute-force per-node triangle counts over undirected pairs."""
+    import itertools
+
+    adj = {}
+    edges = set()
+    for a, b in pairs:
+        if a == b:
+            continue
+        lo, hi = min(a, b), max(a, b)
+        edges.add((lo, hi))
+        adj.setdefault(lo, set()).add(hi)
+        adj.setdefault(hi, set()).add(lo)
+    counts = {}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if (a, b) in edges and (a, c) in edges and (b, c) in edges:
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    """Degree-oriented triangle listing == brute-force enumeration on a
+    graph with hubs, isolated edges, and overlapping triangles."""
+    pairs = [
+        (1, 2), (2, 3), (1, 3),          # triangle A
+        (3, 4), (4, 5), (3, 5),          # triangle B sharing node 3
+        (1, 4),                          # closes (1,3,4)
+        (6, 7),                          # isolated edge: no triangles
+        (2, 1),                          # reverse duplicate must not double
+        (8, 1), (8, 2), (8, 3),          # hub: (8,1,2),(8,1,3),(8,2,3)
+    ]
+    df = spark.createDataFrame(pairs, "a bigint, b bigint")
+    got = {r.node: r.triangles for r in graph.triangle_counts(df).collect()}
+    graph.release_graph_caches()
+    assert got == _py_triangles(pairs)
+
+
+def test_triangle_counts_property_random_graphs(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    node_ids = st.integers(min_value=0, max_value=9)
+    pair = st.tuples(node_ids, node_ids).filter(lambda p: p[0] != p[1])
+    graphs = st.lists(pair, min_size=1, max_size=25, unique=True)
+
+    @given(graphs)
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(pairs):
+        df = spark.createDataFrame(pairs, "a bigint, b bigint")
+        got = {
+            r.node: r.triangles for r in graph.triangle_counts(df).collect()
+        }
+        graph.release_graph_caches()
+        assert got == _py_triangles(pairs)
+
+    check()
+
+
+def test_boilerplate_lines_distinct_doc_semantics(spark):
+    """A line repeated ten times INSIDE one doc is not boilerplate; the
+    same line across >= min_docs distinct docs of one source is — and
+    only within that source (no cross-source leakage)."""
+    from milvus_cdc_spark.analytics import corpus
+
+    chrome = "home about contact terms privacy login search help news faq"
+    docs = spark.createDataFrame(
+        [
+            # srcA: chrome line in 3 distinct docs -> boilerplate
+            (1, chrome + " alpha beta gamma delta eps zeta eta theta iota kappa", "srcA"),
+            (2, chrome + " one two three four five six seven eight nine ten", "srcA"),
+            (3, chrome, "srcA"),
+            # srcB: same chrome line but in ONE doc repeated 3x -> not
+            (4, " ".join([chrome] * 3), "srcB"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    out = {
+        r.source: (r.n_lines, r.n_boiler, r.distinct_boiler_lines)
+        for r in corpus.boilerplate_lines(docs, width=10, min_docs=3).collect()
+    }
+    # srcA: docs 1,2 have 2 lines each, doc 3 has 1 -> 5 lines, the 3
+    # chrome instances flagged, one distinct boilerplate line
+    assert out["srcA"] == (5, 3, 1)
+    # srcB: 3 lines, all the same line, but only 1 distinct doc -> clean
+    assert out["srcB"] == (3, 0, 0)

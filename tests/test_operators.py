@@ -1826,3 +1826,50 @@ def test_geo_polygon_ray_cast(spark):
     assert out[2] == (False, False)  # outside both
     assert out[3] == (True, False)   # inside square, above the notch line
     assert out[4] == (True, True)    # low corner, below the notch
+
+
+def test_distributed_prefix_sum_matches_builtin(spark):
+    """distributed_prefix_sum == the global-window running sum for both
+    frame variants, on data with heavy duplicate order values (unique
+    tie-break key) and negative values."""
+    from milvus_cdc_spark.operators.windows import (
+        distributed_prefix_sum,
+        release_rank_caches,
+    )
+    from pyspark.sql import Window
+
+    df = spark.range(507).select(
+        F.col("id"),
+        (F.col("id") % 13).alias("v"),
+        ((F.col("id") % 7) - 3).cast("bigint").alias("x"),
+    )
+    for inclusive in (True, False):
+        end = 0 if inclusive else -1
+        w = Window.orderBy("v", "id").rowsBetween(
+            Window.unboundedPreceding, end
+        )
+        want = {
+            r.id: r.c
+            for r in df.select(
+                "id", F.coalesce(F.sum("x").over(w), F.lit(0)).alias("c")
+            ).collect()
+        }
+        got = {
+            r.id: r.cum
+            for r in distributed_prefix_sum(
+                df, ["v", "id"], "x", n_partitions=8, inclusive=inclusive
+            ).collect()
+        }
+        release_rank_caches()
+        assert got == want, f"inclusive={inclusive}"
+
+
+def test_distributed_prefix_sum_empty_input(spark):
+    from milvus_cdc_spark.operators.windows import (
+        distributed_prefix_sum,
+        release_rank_caches,
+    )
+
+    df = spark.range(0).select(F.col("id"), F.lit(1).alias("x"))
+    assert distributed_prefix_sum(df, ["id"], "x").count() == 0
+    release_rank_caches()

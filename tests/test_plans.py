@@ -525,3 +525,43 @@ def test_interval_join_is_equi_not_nested_loop(spark, sf_dir):
     plan = audit.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_roc_auc_prefix_sum_is_distributed(spark, sf_dir):
+    """The Mann-Whitney cumulative-negatives step must use the
+    range-partitioned prefix-sum, never a global-order window: no
+    Exchange SinglePartition except the final 1-row scalar-aggregate
+    merge, and a rangepartitioning exchange present."""
+    from milvus_cdc_spark.operators import windows
+
+    df = suite.QUERIES["roc_auc_quality"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    windows.release_rank_caches()
+    assert "rangepartitioning" in plan.lower()
+    # the only SinglePartition allowed is the final scalar-agg merge of
+    # the 1-row output — there must be at most one, and no global-sort
+    # window (Window + SinglePartition adjacency is the killer shape)
+    singles = [
+        l for l in plan.splitlines() if "SinglePartition" in l
+    ]
+    assert len(singles) <= 1, plan[:3000]
+
+
+def test_triangle_counts_no_cartesian(spark, sf_dir):
+    """Degree-oriented triangle listing: every join is a key-partitioned
+    equi-join — no CartesianProduct, no BroadcastNestedLoopJoin."""
+    df = suite.QUERIES["triangle_parts_topk"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_boilerplate_shuffles_fingerprints_not_text(spark, sf_dir):
+    """The per-source occurrence aggregate keys on the 16-hex md5 prefix:
+    no exchange may carry line_text (the corpus shuffles fingerprints,
+    not prose), and the final rollup is source-keyed."""
+    df = suite.QUERIES["boilerplate_line_stats"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    for line in plan.splitlines():
+        if line.strip().startswith("Arguments: hashpartitioning"):
+            assert "line_text" not in line, line
