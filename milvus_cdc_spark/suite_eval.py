@@ -72,6 +72,7 @@ def roc_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a classifier score for ``lang == 'en'``, in integer ppm."""
     from milvus_cdc_spark.operators import windows
 
+    windows.release_rank_caches()  # prior query's rank cache is consumed
     docs = _t(spark, sf_dir, "documents")
     per = docs.groupBy(F.col("n_chars").alias("s")).agg(
         F.sum((F.col("lang") == "en").cast("int")).cast("bigint").alias("pos"),
@@ -98,7 +99,191 @@ def roc_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gini_ppm"),
     )
-    windows.release_rank_caches()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift test, exactly: D = max |F_a - F_b|
+# over the n_chars distributions of English vs non-English docs. The
+# float-free trick: per distinct value, d = cnt_a * n_b - cnt_b * n_a;
+# the running sum of d IS (cum_a * n_b - cum_b * n_a) = n_a * n_b *
+# (F_a - F_b) — so ONE distributed_prefix_sum call yields the scaled CDF
+# gap, and D_ppm = 1e6 * max|cum| // (n_a * n_b) is exact BIGINT
+# arithmetic end-to-end. Complements the PSI monitor (psi_length_drift)
+# with a distribution-free statistic.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ks_drift_test",
+    """
+    WITH tot AS (
+      SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_b
+      FROM documents
+    ),
+    per AS (
+      SELECT n_chars AS s,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS ca,
+             CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+               AS cb
+      FROM documents GROUP BY n_chars
+    ),
+    gap AS (
+      SELECT s,
+             CAST(sum(ca * (SELECT n_b FROM tot)
+                      - cb * (SELECT n_a FROM tot)) OVER (
+               ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum
+      FROM per
+    ),
+    mx AS (SELECT max(abs(cum)) AS d_scaled FROM gap)
+    SELECT (SELECT n_a FROM tot) AS n_a,
+           (SELECT n_b FROM tot) AS n_b,
+           CAST((SELECT d_scaled FROM mx) AS BIGINT) AS d_scaled,
+           CAST((SELECT d_scaled FROM mx) * 1000000
+                // ((SELECT n_a FROM tot) * (SELECT n_b FROM tot))
+                AS BIGINT) AS ks_ppm,
+           CAST((SELECT min(s) FROM gap
+                 WHERE abs(cum) = (SELECT d_scaled FROM mx)) AS BIGINT)
+             AS at_value
+    """,
+    "eval",
+    "drift",
+    "ks-test",
+    "monitoring",
+    "llm",
+)
+def ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic (integer-scaled CDF gap) between
+    English and non-English doc-length distributions."""
+    from milvus_cdc_spark.operators import windows
+
+    windows.release_rank_caches()  # prior query's rank cache is consumed
+    docs = _t(spark, sf_dir, "documents")
+    tot = docs.agg(
+        F.sum((F.col("lang") == "en").cast("int")).cast("bigint").alias("n_a"),
+        F.sum((F.col("lang") != "en").cast("int")).cast("bigint").alias("n_b"),
+    )
+    per = docs.groupBy(F.col("n_chars").alias("s")).agg(
+        F.sum((F.col("lang") == "en").cast("int")).cast("bigint").alias("ca"),
+        F.sum((F.col("lang") != "en").cast("int")).cast("bigint").alias("cb"),
+    )
+    # 1-row totals broadcast onto the per-value frame
+    d = per.crossJoin(F.broadcast(tot)).select(
+        "s",
+        "n_a",
+        "n_b",
+        (F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")).alias("d"),
+    )
+    gap = windows.distributed_prefix_sum(
+        d, [F.col("s")], "d", out_col="cum", inclusive=True
+    )
+    mx = gap.agg(F.max(F.abs(F.col("cum"))).alias("d_scaled"))
+    at = (
+        gap.crossJoin(F.broadcast(mx))
+        .filter(F.abs(F.col("cum")) == F.col("d_scaled"))
+        .agg(F.min("s").cast("bigint").alias("at_value"))
+    )
+    out = (
+        tot.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(at))
+        .select(
+            "n_a",
+            "n_b",
+            F.col("d_scaled").cast("bigint").alias("d_scaled"),
+            F.expr("d_scaled * 1000000 DIV (n_a * n_b)")
+            .cast("bigint")
+            .alias("ks_ppm"),
+            "at_value",
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Decile lift/gain analysis — the standard "is the score worth acting
+# on" eval chart: rank docs by score (n_chars desc, doc_id tie-break),
+# split into 10 exact global deciles via distributed_ntile (never a
+# single-task global sort), and report per-decile positives plus
+# cumulative gain in ppm. Lift of decile 1 >> 1e6/10 means the top of
+# the ranking is enriched — the curation decision the chart drives.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "score_decile_lift",
+    """
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+             ntile(10) OVER (ORDER BY n_chars DESC, doc_id) AS decile
+      FROM documents
+    ),
+    per AS (
+      SELECT decile,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(pos) AS BIGINT) AS n_pos
+      FROM ranked GROUP BY decile
+    ),
+    tot AS (SELECT sum(n_pos) AS t FROM per)
+    SELECT CAST(decile AS INT) AS decile, n_docs, n_pos,
+           CAST(n_pos * 1000000 // n_docs AS BIGINT) AS pos_rate_ppm,
+           CAST(sum(n_pos) OVER (
+                  ORDER BY decile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) * 1000000 // (SELECT t FROM tot) AS BIGINT)
+             AS cum_gain_ppm
+    FROM per
+    ORDER BY decile
+    """,
+    "eval",
+    "lift",
+    "ranking",
+    "llm",
+)
+def score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gain chart of doc length as a score for English docs:
+    exact global deciles (distributed_ntile), integer-ppm rates."""
+    from milvus_cdc_spark.operators import windows
+
+    windows.release_rank_caches()  # prior query's rank cache is consumed
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (-F.col("n_chars")).alias("neg_s"),
+        (F.col("lang") == "en").cast("int").alias("pos"),
+    )
+    tiled = windows.distributed_ntile(
+        docs, 10, ["neg_s", "doc_id"], tile_col="decile"
+    )
+    per = tiled.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    # 10-row frame: the decile-ordered cumulative gain is control-sized,
+    # but stay in the distributed pattern anyway (free at this size)
+    cum = windows.distributed_prefix_sum(
+        per, [F.col("decile")], "n_pos", out_col="cum_pos", inclusive=True
+    )
+    tot = per.agg(F.sum("n_pos").cast("bigint").alias("t"))
+    out = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_docs",
+            "n_pos",
+            F.expr("n_pos * 1000000 DIV n_docs")
+            .cast("bigint")
+            .alias("pos_rate_ppm"),
+            F.expr("cum_pos * 1000000 DIV t")
+            .cast("bigint")
+            .alias("cum_gain_ppm"),
+        )
+        .orderBy("decile")
+    )
     return out
 
 
