@@ -156,7 +156,10 @@ def _hll_rho(v: Column, bits: int = 24) -> Column:
 
 
 def hll_registers(
-    items: DataFrame, item_col: str = "item", m: int = 64
+    items: DataFrame,
+    item_col: str = "item",
+    m: int = 64,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """HyperLogLog register table (Flajolet, Fusy, Gandouet & Meunier,
     AofA 2007): every item hashes to one of ``m`` registers (md5 seed 21)
@@ -167,7 +170,13 @@ def hll_registers(
     reduces to m rows before any shuffle.  Unlike engine-native HLL
     (``approx_count_distinct``) the register layout here is md5-seeded and
     bit-identical everywhere, so registers AND estimate are
-    oracle-checkable.  Returns (bucket, reg), only non-empty buckets."""
+    oracle-checkable.  Returns (bucket, reg), only non-empty buckets.
+
+    ``group_cols`` yields one register table PER GROUP — (group...,
+    bucket, reg) — which is the whole point of a mergeable sketch:
+    per-partition/per-day/per-source tables union by per-register max
+    (max is associative), so rollups never rescan the data. See
+    ``hll_merge``."""
     md5 = F.md5(F.concat(F.lit("23:"), F.col(item_col).cast("string")))
 
     def nib(i: int) -> Column:
@@ -178,14 +187,32 @@ def hll_registers(
     v = nib(1)
     for i in range(2, 7):
         v = v * 16 + nib(i)
+    keys = list(group_cols or [])
     rows = items.select(
+        *keys,
         _bucket(F.col(item_col).cast("string"), 21, m).alias("bucket"),
         _hll_rho(v).alias("rho"),
     )
-    return rows.groupBy("bucket").agg(F.max("rho").alias("reg"))
+    return rows.groupBy(*keys, "bucket").agg(F.max("rho").alias("reg"))
 
 
-def hll_estimate_frame(registers: DataFrame, m: int = 64) -> DataFrame:
+def hll_merge(
+    registers: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Union-merge grouped register tables by per-register max — the
+    lossless HLL union (estimate(merge(A, B)) == estimate(A ∪ B)
+    exactly, not approximately, because max commutes with the per-item
+    max that built each table). ``group_cols`` keeps coarser groups;
+    None folds everything into one global table."""
+    keys = list(group_cols or [])
+    return registers.groupBy(*keys, "bucket").agg(
+        F.max("reg").alias("reg")
+    )
+
+
+def hll_estimate_frame(
+    registers: DataFrame, m: int = 64, group_cols: list[str] | None = None
+) -> DataFrame:
     """Fold a register table into the raw-HLL cardinality estimate.
 
     The harmonic-mean denominator sum(2^-reg) is kept EXACT by scaling to
@@ -194,9 +221,11 @@ def hll_estimate_frame(registers: DataFrame, m: int = 64) -> DataFrame:
     the final alpha_m * m^2 * 2^30 / denom, a single correctly-rounded
     IEEE divide of exactly-representable values, rounded to 2dp — the
     same portability stance as ``linear_counting_distinct``.  Returns one
-    row: (n_set, sum_scaled, estimate)."""
+    row: (n_set, sum_scaled, estimate); with ``group_cols``, one row per
+    group."""
+    keys = list(group_cols or [])
     alpha_num = hll_alpha_numerator(m)
-    agg = registers.agg(
+    agg = registers.groupBy(*keys).agg(
         F.count("*").alias("n_set"),
         F.sum(
             F.call_function(
@@ -207,6 +236,7 @@ def hll_estimate_frame(registers: DataFrame, m: int = 64) -> DataFrame:
         ).alias("present_sum"),
     )
     return agg.select(
+        *keys,
         F.col("n_set").cast("bigint").alias("n_set"),
         (
             F.coalesce(F.col("present_sum"), F.lit(0))
@@ -215,6 +245,7 @@ def hll_estimate_frame(registers: DataFrame, m: int = 64) -> DataFrame:
         .cast("bigint")
         .alias("sum_scaled"),
     ).select(
+        *keys,
         "n_set",
         "sum_scaled",
         F.round(F.lit(alpha_num) / F.col("sum_scaled"), 2).alias("estimate"),

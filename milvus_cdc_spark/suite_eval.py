@@ -552,3 +552,159 @@ def ndcg_search_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL mergeability — the reason a sketch earns its place at 100 TB: one
+# register table per event_type (computed in a single grouped pass,
+# map-side max-combined), then the global estimate from a UNION-MERGE of
+# those tables (per-register max) — never a rescan. Both the per-scope
+# estimates and the merged scope are oracle-checked register-for-
+# register; max's associativity makes the merge lossless (merged
+# registers == the registers a direct global pass builds).
+# ---------------------------------------------------------------------------
+
+
+def _hll_union_oracle() -> str:
+    from milvus_cdc_spark.analytics.sketches import hll_alpha_numerator
+
+    m = 64
+    rho_cases = " ".join(
+        f"WHEN v >= {1 << (24 - k)} THEN {k}" for k in range(1, 25)
+    )
+    nib = "(instr('0123456789abcdef', substring({h}, {i}, 1)) - 1)::BIGINT"
+    h_b = "md5('21:' || CAST(user_id AS VARCHAR))"
+    h_v = "md5('23:' || CAST(user_id AS VARCHAR))"
+    b = [nib.format(h=h_b, i=i) for i in (1, 2, 3)]
+    v_nibs = [nib.format(h=h_v, i=i) for i in range(1, 7)]
+    v_expr = v_nibs[0]
+    for t in v_nibs[1:]:
+        v_expr = f"({v_expr} * 16 + {t})"
+    return f"""
+    WITH hashed AS (
+      SELECT event_type,
+             (({b[0]} * 256 + {b[1]} * 16 + {b[2]}) % {m}) AS bucket,
+             {v_expr} AS v
+      FROM events
+    ),
+    rho AS (
+      SELECT event_type, bucket, CASE {rho_cases} ELSE 25 END AS rho
+      FROM hashed
+    ),
+    regs AS (
+      SELECT event_type, bucket, max(rho) AS reg
+      FROM rho GROUP BY event_type, bucket
+    ),
+    scoped AS (
+      SELECT event_type AS scope, bucket, reg FROM regs
+      UNION ALL
+      SELECT '__all__' AS scope, bucket, max(reg) AS reg
+      FROM regs GROUP BY bucket
+    ),
+    folded AS (
+      SELECT scope,
+             CAST(count(*) AS BIGINT) AS n_set,
+             CAST(coalesce(sum(1::BIGINT << (30 - reg)), 0)
+                  + ({m} - count(*)) * {1 << 30} AS BIGINT) AS sum_scaled
+      FROM scoped GROUP BY scope
+    )
+    SELECT scope, n_set, sum_scaled,
+           round({hll_alpha_numerator(m)!r} / sum_scaled, 2) AS estimate
+    FROM folded
+    ORDER BY scope
+    """
+
+
+@q(
+    "hll_union_sources",
+    _hll_union_oracle(),
+    "sketch",
+    "hyperloglog",
+    "merge",
+    "monitoring",
+)
+def hll_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HLL(m=64) distinct-user estimates plus the
+    '__all__' union-merged estimate (sketches.hll_merge) — one grouped
+    pass, merge on register tables only."""
+    from milvus_cdc_spark.analytics import sketches
+
+    events = _t(spark, sf_dir, "events")
+    regs = sketches.hll_registers(
+        events.select("event_type", F.col("user_id").alias("item")),
+        m=64,
+        group_cols=["event_type"],
+    )
+    scoped = regs.select(
+        F.col("event_type").alias("scope"), "bucket", "reg"
+    ).unionByName(
+        sketches.hll_merge(regs).select(
+            F.lit("__all__").alias("scope"), "bucket", "reg"
+        )
+    )
+    return sketches.hll_estimate_frame(
+        scoped, m=64, group_cols=["scope"]
+    ).orderBy("scope")
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transition matrix of user behavior: per-user event
+# sequences (one user-keyed window — complete users per task, the
+# canonical partition-parallel shape), lag() pairing, then row-
+# normalized transition probabilities in integer ppm. The behavioral
+# twin of pmi_collocations' token pairing.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT prev_type AS src_type, event_type AS dst_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    tot AS (SELECT src_type, sum(n) AS t FROM cnt GROUP BY src_type)
+    SELECT c.src_type, c.dst_type, c.n,
+           CAST(c.n * 1000000 // t.t AS BIGINT) AS p_ppm
+    FROM cnt c JOIN tot t USING (src_type)
+    ORDER BY src_type, dst_type
+    """,
+    "events",
+    "markov",
+    "window",
+    "monitoring",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition counts and row-normalized ppm
+    probabilities from per-user lag() pairing."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    cnt = seq.groupBy(
+        F.col("prev_type").alias("src_type"),
+        F.col("event_type").alias("dst_type"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    tot = cnt.groupBy("src_type").agg(F.sum("n").alias("t"))
+    return (
+        cnt.join(tot, "src_type")
+        .select(
+            "src_type",
+            "dst_type",
+            "n",
+            F.expr("n * 1000000 DIV t").cast("bigint").alias("p_ppm"),
+        )
+        .orderBy("src_type", "dst_type")
+    )

@@ -413,3 +413,23 @@ def test_boilerplate_lines_distinct_doc_semantics(spark):
     assert out["srcA"] == (5, 3, 1)
     # srcB: 3 lines, all the same line, but only 1 distinct doc -> clean
     assert out["srcB"] == (3, 0, 0)
+
+
+def test_hll_merge_is_lossless(spark):
+    """Union-merging grouped register tables yields EXACTLY the register
+    table (and hence estimate) a direct global pass builds — max is
+    associative, so sharding never changes the sketch."""
+    df = spark.range(2000).select(
+        (F.col("id") % 7).cast("string").alias("g"),
+        (F.col("id") % 431).cast("string").alias("item"),
+    )
+    direct = {
+        (r.bucket, r.reg)
+        for r in sketches.hll_registers(df, m=64).collect()
+    }
+    grouped = sketches.hll_registers(df, m=64, group_cols=["g"])
+    merged = {
+        (r.bucket, r.reg)
+        for r in sketches.hll_merge(grouped).collect()
+    }
+    assert merged == direct
