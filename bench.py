@@ -183,6 +183,18 @@ HEADLINE_R5H = [
     "weighted_doc_sample",          # PPS priority sampling
 ]
 
+#: Round-5 ninth-batch additions (alphabetized).
+HEADLINE_R5I = [
+    "boilerplate_line_stats",       # per-source site-chrome lines
+    "event_transition_matrix",      # per-user Markov chain
+    "hll_union_sources",            # grouped HLL + lossless union-merge
+    "ks_drift_test",                # exact two-sample KS statistic
+    "ndcg_search_eval",             # graded ANN quality vs exact
+    "roc_auc_quality",              # tie-aware Mann-Whitney AUC
+    "score_decile_lift",            # exact-decile gain chart
+    "triangle_parts_topk",          # degree-oriented triangle counting
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -194,7 +206,7 @@ def main() -> None:
     all_queries = (HEADLINE + HEADLINE_R2 + HEADLINE_R4 + HEADLINE_R5
                    + HEADLINE_R5B + HEADLINE_R5C + HEADLINE_R5D
                    + HEADLINE_R5E + HEADLINE_R5F + HEADLINE_R5G
-                   + HEADLINE_R5H)
+                   + HEADLINE_R5H + HEADLINE_R5I)
     warm_dir = "/root/testdata/sf0.001"
     do_warm = os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/")
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -289,6 +301,15 @@ def main() -> None:
         ),
         3,
     )
+    r5h_subtotal = round(
+        sum(
+            timings.get(n, 0.0)
+            for n in HEADLINE + HEADLINE_R2 + HEADLINE_R4 + HEADLINE_R5
+            + HEADLINE_R5B + HEADLINE_R5C + HEADLINE_R5D + HEADLINE_R5E
+            + HEADLINE_R5F + HEADLINE_R5G + HEADLINE_R5H
+        ),
+        3,
+    )
     print(
         json.dumps(
             {
@@ -310,6 +331,7 @@ def main() -> None:
                 "r5d_subtotal": r5d_subtotal,
                 "r5e_subtotal": r5e_subtotal,
                 "r5g_subtotal": r5g_subtotal,
+                "r5h_subtotal": r5h_subtotal,
             }
         )
     )
