@@ -713,3 +713,101 @@ def duplicate_spans(
             F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
         )
     )
+
+
+def set_similarity_join(
+    items: DataFrame,
+    threshold_ppm: int = 500000,
+    id_col: str = "id",
+    item_col: str = "item",
+) -> DataFrame:
+    """EXACT Jaccard similarity self-join over element sets via prefix
+    filtering — the AllPairs/PPJoin family (Bayardo et al., WWW 2007)
+    in the MapReduce formulation of Vernica, Carey & Li (SIGMOD 2010).
+    The exact complement to the MinHash-LSH path: zero false negatives,
+    paid for with a frequency-ordered candidate stage.
+
+    ``items`` is any (id, item) table — word tokens, shingles,
+    n-grams; rows are deduplicated here. Candidate generation: order
+    every set's elements globally by ascending document frequency
+    (tie: the element string) — rarest first. For Jaccard >= t,
+    |A∩B| >= ceil(t*|A|) (the intersection is an integer and J >= t
+    forces overlap >= t*max(|A|,|B|)), so a qualifying pair must share
+    an element within each side's first ``|X| - ceil(t*|X|) + 1``
+    elements under that shared order. Only those PREFIX elements feed
+    the candidate equi-join — the frequency ordering pushes prefixes to
+    the RARE end of the vocabulary, so candidate buckets stay small
+    where a naive element join would explode on stopwords.
+
+    The threshold is integer ppm and ceil is integer arithmetic
+    (``(n*t + 999999) div 1e6``) — no float boundary anywhere.
+
+    Plan: distinct (one shuffle), frequency aggregate (map-side
+    combined), per-set rank window (id-keyed — partition parallel),
+    prefix self-equi-join on the element, distinct candidate pairs,
+    then EXACT verification: candidates joined to both element tables
+    -> intersection counts, set sizes joined back, integer Jaccard.
+    Verification cost is candidate-bounded — precisely what the prefix
+    filter minimizes.
+
+    Returns (a, b, inter, uni, jacc_ppm) with a < b and
+    jacc_ppm >= threshold_ppm.
+    """
+    toks = (
+        items.select(
+            F.col(id_col).alias("id"), F.col(item_col).alias("tok")
+        )
+        .distinct()
+        .persist()
+    )
+    sizes = toks.groupBy("id").agg(F.count("*").alias("n"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "tok")
+    ranked = (
+        toks.join(dfreq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "id")
+    )
+    # prefix length |X| - ceil(t|X|) + 1, all-integer ceil
+    plen = (
+        F.col("n")
+        - F.expr(f"(n * {threshold_ppm} + 999999) DIV 1000000")
+        + F.lit(1)
+    )
+    prefix = ranked.filter(F.col("rn") <= plen).select("id", "tok")
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.tok") == F.col("pb.tok"))
+            & (F.col("pa.id") < F.col("pb.id")),
+        )
+        .select(F.col("pa.id").alias("a"), F.col("pb.id").alias("b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("id").alias("a"), "tok")
+    tb = toks.select(F.col("id").alias("b"), "tok")
+    inter = (
+        cand.join(ta, "a")
+        .join(tb, ["b", "tok"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("id").alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            F.col("inter").cast("bigint").alias("inter"),
+            (F.col("na") + F.col("nb") - F.col("inter"))
+            .cast("bigint")
+            .alias("uni"),
+            F.expr("inter * 1000000 DIV (na + nb - inter)")
+            .cast("bigint")
+            .alias("jacc_ppm"),
+        )
+        .filter(F.col("jacc_ppm") >= threshold_ppm)
+    )

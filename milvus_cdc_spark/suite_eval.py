@@ -708,3 +708,84 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_type", "dst_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# EXACT set-similarity self-join via prefix filtering (AllPairs/PPJoin;
+# Vernica et al. SIGMOD'10 MapReduce formulation) over 3-gram shingle
+# sets — the zero-false-negative complement to the MinHash-LSH near-dup
+# path: LSH trades recall for speed, the prefix filter keeps exactness
+# and pays only a rare-token candidate join (candidates at sf0.1:
+# ~409k of the 12.4M possible pairs; qualifying: 256).
+# ---------------------------------------------------------------------------
+
+_SETSIM_T = 500000
+
+
+@q(
+    "setsim_prefix_join",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id AS id, unnest(list_distinct(
+        CASE WHEN len(toks) - 2 > 0
+             THEN list_transform(generate_series(1, len(toks) - 2),
+                                 i -> array_to_string(toks[i:i+2], ' '))
+             ELSE [] END)) AS tok
+      FROM base
+    ),
+    toks AS (SELECT DISTINCT id, tok FROM sh),
+    sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+    dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT t.id, t.tok,
+             row_number() OVER (PARTITION BY t.id ORDER BY d.df, t.tok)
+               AS rn,
+             s.n
+      FROM toks t JOIN dfreq d USING (tok) JOIN sizes s USING (id)
+    ),
+    prefix AS (
+      SELECT id, tok FROM ranked
+      WHERE rn <= n - ((n * {_SETSIM_T} + 999999) // 1000000) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT pa.id AS a, pb.id AS b
+      FROM prefix pa JOIN prefix pb
+        ON pa.tok = pb.tok AND pa.id < pb.id
+    ),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS inter
+      FROM cand c
+      JOIN toks ta ON ta.id = c.a
+      JOIN toks tb ON tb.id = c.b AND tb.tok = ta.tok
+      GROUP BY c.a, c.b
+    )
+    SELECT i.a, i.b, CAST(i.inter AS BIGINT) AS inter,
+           CAST(sa.n + sb.n - i.inter AS BIGINT) AS uni,
+           CAST(i.inter * 1000000 // (sa.n + sb.n - i.inter) AS BIGINT)
+             AS jacc_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.a
+    JOIN sizes sb ON sb.id = i.b
+    WHERE i.inter * 1000000 // (sa.n + sb.n - i.inter) >= {_SETSIM_T}
+    ORDER BY jacc_ppm DESC, a, b
+    """,
+    "dedup",
+    "setsim",
+    "prefix-filter",
+    "exact",
+    "llm",
+)
+def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.5 document pairs over 3-gram shingle sets
+    (dedup.set_similarity_join, prefix-filtered candidates)."""
+    from milvus_cdc_spark.analytics import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.shingle_rows(docs, "doc_id", "text", n=3)
+    out = dedup.set_similarity_join(
+        sh, threshold_ppm=_SETSIM_T, id_col="doc_id", item_col="s"
+    )
+    return out.orderBy(F.col("jacc_ppm").desc(), "a", "b")

@@ -433,3 +433,76 @@ def test_hll_merge_is_lossless(spark):
         for r in sketches.hll_merge(grouped).collect()
     }
     assert merged == direct
+
+
+def test_set_similarity_join_matches_bruteforce(spark):
+    """Prefix-filtered exact Jaccard join == brute-force all-pairs on
+    sets engineered around the threshold boundary (J exactly at, just
+    below, and far above 0.5), including a pair sharing only FREQUENT
+    elements (the prefix filter must still catch it via the rare end)."""
+    sets = {
+        1: {"a", "b", "c", "d"},
+        2: {"a", "b", "c", "e"},          # J(1,2) = 3/5 = 0.6
+        3: {"a", "b", "x", "y"},          # J(1,3) = 2/6 = 1/3 < 0.5
+        4: {"a", "b", "c", "d"},          # J(1,4) = 1.0
+        5: {"q", "r"},
+        6: {"q", "r", "s"},               # J(5,6) = 2/3
+        7: {"q", "r", "s", "t"},          # J(6,7) = 3/4; J(5,7) = 0.5
+        8: {"z"},
+    }
+    rows = [(i, t) for i, s in sets.items() for t in s]
+    df = spark.createDataFrame(rows, "id bigint, item string")
+    from milvus_cdc_spark.analytics.dedup import set_similarity_join
+
+    got = {
+        (r.a, r.b): (r.inter, r.uni, r.jacc_ppm)
+        for r in set_similarity_join(df, threshold_ppm=500000).collect()
+    }
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            jacc_ppm = inter * 1000000 // uni
+            if jacc_ppm >= 500000:
+                want[(a, b)] = (inter, uni, jacc_ppm)
+    assert got == want
+    assert (5, 7) in got  # the exactly-at-threshold pair must survive
+
+
+def test_set_similarity_join_property_random_sets(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    elem = st.sampled_from("abcdefgh")
+    set_strat = st.sets(elem, min_size=1, max_size=6)
+    corpora = st.lists(set_strat, min_size=2, max_size=6)
+
+    @given(corpora)
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(sets):
+        from milvus_cdc_spark.analytics.dedup import set_similarity_join
+
+        rows = [(i, t) for i, s in enumerate(sets) for t in s]
+        df = spark.createDataFrame(rows, "id bigint, item string")
+        got = {
+            (r.a, r.b): r.jacc_ppm
+            for r in set_similarity_join(df, threshold_ppm=400000).collect()
+        }
+        want = {}
+        for a in range(len(sets)):
+            for b in range(a + 1, len(sets)):
+                j = (
+                    len(sets[a] & sets[b]) * 1000000
+                    // len(sets[a] | sets[b])
+                )
+                if j >= 400000:
+                    want[(a, b)] = j
+        assert got == want
+
+    check()

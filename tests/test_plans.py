@@ -565,3 +565,13 @@ def test_boilerplate_shuffles_fingerprints_not_text(spark, sf_dir):
     for line in plan.splitlines():
         if line.strip().startswith("Arguments: hashpartitioning"):
             assert "line_text" not in line, line
+
+
+def test_setsim_join_no_cartesian(spark, sf_dir):
+    """Prefix-filtered set-similarity join: candidate generation and
+    verification are element-keyed equi-joins — no CartesianProduct, no
+    BroadcastNestedLoopJoin anywhere in the plan."""
+    df = suite.QUERIES["setsim_prefix_join"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
