@@ -299,6 +299,13 @@ def queries():
         "pagerank_trade_graph": suite.QUERIES["pagerank_trade_graph"].fn,
         "knn_label_accuracy_ann": knn_ann_scaled,
         "pca_power_iteration": suite.QUERIES["pca_power_iteration"].fn,
+        # round-5 sixth-session additions: triangle wedge work is bounded
+        # by sum(out_deg^2) under degree orientation (edges x~10 as order
+        # volume grows); setsim candidates grow linearly because salted
+        # replicas share no shingles — the prefix filter's rare-end
+        # buckets stay small as the vocabulary grows with the corpus.
+        "triangle_parts_topk": suite.QUERIES["triangle_parts_topk"].fn,
+        "setsim_prefix_join": suite.QUERIES["setsim_prefix_join"].fn,
     }
 
 
