@@ -789,3 +789,94 @@ def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh, threshold_ppm=_SETSIM_T, id_col="doc_id", item_col="s"
     )
     return out.orderBy(F.col("jacc_ppm").desc(), "a", "b")
+
+
+# ---------------------------------------------------------------------------
+# INT8 vector search (Milvus 2.6 DataType.INT8_VECTOR): vectors stored
+# as int8 codes, distance = integer inner product. Quantization rule
+# clamp(floor(x*64 + 0.5), -128, 127) is one correctly-rounded IEEE op
+# per element (the repo's portable-float contract), and from there the
+# ENTIRE distance computation is exact BIGINT — int8 IP never sees a
+# float, which is precisely why the type exists (SIMD int8 dot products
+# at a quarter of fp32 bandwidth).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "int8_ip_search_topk",
+    """
+    WITH q8 AS (
+      SELECT vec_id, list_transform(embedding::DOUBLE[],
+               x -> greatest(-128, least(127,
+                      CAST(floor(x * 64 + 0.5) AS BIGINT)))) AS c
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM q8 WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(list_zip(c.c, q.c),
+                                          p -> p[1] * p[2])) AS BIGINT)
+               AS ip
+      FROM q8 c, q WHERE c.vec_id != q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, ip,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY ip DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, ip
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+    "vector",
+    "int8",
+    "quantization",
+    "search",
+    "llm",
+)
+def int8_ip_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 neighbors by EXACT integer int8 inner product (Milvus 2.6
+    INT8_VECTOR surface) — distance math never touches a float."""
+    emb = _t(spark, sf_dir, "embeddings")
+    to_i8 = lambda col: F.transform(  # noqa: E731
+        col,
+        lambda x: F.greatest(
+            F.lit(-128),
+            F.least(
+                F.lit(127),
+                F.floor(x.cast("double") * 64 + F.lit(0.5)).cast("bigint"),
+            ),
+        ),
+    )
+    codes = emb.select("vec_id", to_i8(F.col("embedding")).alias("c"))
+    queries = codes.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("c").alias("qc")
+    )
+    scored = codes.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    ip = F.aggregate(
+        F.zip_with(F.col("c"), F.col("qc"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("ip").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), ip.alias("ip")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            F.col("ip").cast("bigint").alias("ip"),
+        )
+        .orderBy("query_id", "rank")
+    )
