@@ -188,10 +188,12 @@ HEADLINE_R5I = [
     "boilerplate_line_stats",       # per-source site-chrome lines
     "event_transition_matrix",      # per-user Markov chain
     "hll_union_sources",            # grouped HLL + lossless union-merge
+    "int8_ip_search_topk",          # exact integer int8 IP ranking
     "ks_drift_test",                # exact two-sample KS statistic
     "ndcg_search_eval",             # graded ANN quality vs exact
     "roc_auc_quality",              # tie-aware Mann-Whitney AUC
     "score_decile_lift",            # exact-decile gain chart
+    "setsim_prefix_join",           # exact Jaccard join, prefix filter
     "triangle_parts_topk",          # degree-oriented triangle counting
 ]
 
