@@ -880,3 +880,93 @@ def int8_ip_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped rank statistics: one-vs-rest AUC PER SOURCE. Unlike the
+# global AUC (which needs the distributed prefix-sum), the per-group
+# cumulative is a plain source-partitioned window over the per-distinct-
+# score count table — each task owns whole sources, the canonical
+# partition-parallel window; the global primitive stays reserved for
+# the one axis that has no partition key. Degenerate sources (single
+# class) are excluded — AUC is undefined there.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "grouped_auc_by_source",
+    """
+    WITH per AS (
+      SELECT source, n_chars AS s,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS pos,
+             CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+               AS neg
+      FROM documents GROUP BY source, n_chars
+    ),
+    c AS (
+      SELECT source, pos, neg,
+             CAST(coalesce(sum(neg) OVER (
+               PARTITION BY source ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS neg_below
+      FROM per
+    ),
+    agg AS (
+      SELECT source,
+             CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(sum(neg) AS BIGINT) AS n_neg,
+             CAST(sum(2 * pos * neg_below + pos * neg) AS BIGINT) AS u2
+      FROM c GROUP BY source
+    )
+    SELECT source, n_pos, n_neg,
+           CAST(u2 * 1000000 // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+    FROM agg WHERE n_pos > 0 AND n_neg > 0
+    ORDER BY source
+    """,
+    "eval",
+    "auc",
+    "grouped",
+    "rank-statistic",
+    "llm",
+)
+def grouped_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tie-aware AUC of doc length predicting English —
+    source-partitioned cumulative windows, exact integer ppm."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source", F.col("n_chars").alias("s")).agg(
+        F.sum((F.col("lang") == "en").cast("int")).cast("bigint").alias("pos"),
+        F.sum((F.col("lang") != "en").cast("int")).cast("bigint").alias("neg"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("s")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = per.withColumn(
+        "neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0))
+    )
+    agg = c.groupBy("source").agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        F.sum(
+            2 * F.col("pos") * F.col("neg_below")
+            + F.col("pos") * F.col("neg")
+        )
+        .cast("bigint")
+        .alias("u2"),
+    )
+    return (
+        agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            "source",
+            "n_pos",
+            "n_neg",
+            F.expr("u2 * 1000000 DIV (2 * n_pos * n_neg)")
+            .cast("bigint")
+            .alias("auc_ppm"),
+        )
+        .orderBy("source")
+    )
