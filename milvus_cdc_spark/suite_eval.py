@@ -970,3 +970,156 @@ def grouped_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Delete-by-EXPRESSION replay: Milvus delete() takes a filter expression,
+# not just pk lists (delete by expr evaluates against the data visible at
+# delete time). Composed here with the LWW replay: pk-level ops derive
+# as in oplog.derive_oplog but carry payload attributes, two expr-delete
+# control ops (fixed hybrid-TSO timestamps, Python-int literals shared by
+# both engines) erase matching rows whose latest insert precedes them —
+# a later re-insert resurrects the pk, exactly the as-of semantics of
+# the drop-state predicate (P9). The Spark side compiles the SAME Milvus
+# filter strings through functions.expr.compile_expr — the expr compiler
+# driving the apply path, not just read-side filtering.
+# ---------------------------------------------------------------------------
+
+# hybrid-TSO ts of the two expr-deletes: epoch_ms(date) << 18
+_ED1_TS = 801964800000 << 18   # 1995-06-01
+_ED2_TS = 852076800000 << 18   # 1997-01-01
+_ED1_EXPR = 'qty > 45 and flag == "R"'
+_ED2_EXPR = 'qty <= 5 and flag != "A"'
+
+
+@q(
+    "delete_by_expr_replay",
+    f"""
+    WITH ops AS (
+      SELECT (epoch_ms(l_shipdate) << 18) + (l_orderkey % 262144) AS ts,
+             CASE WHEN substr(md5(CAST(l_partkey * 100 + l_linenumber
+                                        AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3')
+                  THEN 'delete' ELSE 'insert' END AS op_type,
+             'coll_' || CAST(l_suppkey % 3 AS VARCHAR) AS collection,
+             l_partkey * 100 + l_linenumber AS pk,
+             CAST(l_quantity AS BIGINT) AS qty,
+             l_returnflag AS flag,
+             l_orderkey AS seq
+      FROM lineitem
+    ),
+    latest_ins AS (
+      SELECT collection, pk, ts AS ins_ts, qty, flag
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY collection, pk ORDER BY ts DESC, seq DESC
+        ) AS rn
+        FROM ops WHERE op_type = 'insert'
+      ) WHERE rn = 1
+    ),
+    dels AS (
+      SELECT collection, pk, max(ts) AS del_ts
+      FROM ops WHERE op_type = 'delete' GROUP BY collection, pk
+    ),
+    state AS (
+      SELECT i.collection, i.pk, i.ins_ts, i.qty, i.flag,
+             coalesce(d.del_ts, -1) AS del_ts,
+             CASE WHEN i.qty > 45 AND i.flag = 'R'
+                       AND {_ED1_TS} > i.ins_ts THEN 1 ELSE 0 END AS m1,
+             CASE WHEN i.qty <= 5 AND i.flag <> 'A'
+                       AND {_ED2_TS} > i.ins_ts THEN 1 ELSE 0 END AS m2
+      FROM latest_ins i LEFT JOIN dels d
+        ON d.collection = i.collection AND d.pk = i.pk
+    )
+    SELECT collection,
+           CAST(count(*) AS BIGINT) AS n_pks,
+           CAST(sum(CASE WHEN ins_ts <= del_ts THEN 1 ELSE 0 END) AS BIGINT)
+             AS pk_deleted,
+           CAST(sum(CASE WHEN ins_ts > del_ts AND (m1 = 1 OR m2 = 1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS expr_deleted,
+           CAST(sum(CASE WHEN ins_ts > del_ts AND m1 = 0 AND m2 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS alive
+    FROM state
+    GROUP BY collection
+    ORDER BY collection
+    """,
+    "cdc",
+    "delete-by-expr",
+    "expr",
+    "replay",
+)
+def delete_by_expr_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LWW replay with Milvus delete-by-expression ops: the two filter
+    strings compile through functions.expr.compile_expr and erase rows
+    whose latest insert precedes the delete's timestamp."""
+    from pyspark.sql import Window as W
+
+    from milvus_cdc_spark.functions.expr import compile_expr
+
+    li = _t(spark, sf_dir, "lineitem")
+    pk = (F.col("l_partkey") * 100 + F.col("l_linenumber")).cast("bigint")
+    ts = (
+        F.shiftleft(F.unix_millis(F.col("l_shipdate")), 18)
+        + (F.col("l_orderkey") % 262144)
+    ).cast("bigint")
+    op_type = F.when(
+        F.substring(F.md5(pk.cast("string")), 1, 1).isin("0", "1", "2", "3"),
+        F.lit("delete"),
+    ).otherwise(F.lit("insert"))
+    ops = li.select(
+        ts.alias("ts"),
+        op_type.alias("op_type"),
+        F.concat(
+            F.lit("coll_"), (F.col("l_suppkey") % 3).cast("string")
+        ).alias("collection"),
+        pk.alias("pk"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_orderkey").alias("seq"),
+    )
+    w = W.partitionBy("collection", "pk").orderBy(
+        F.col("ts").desc(), F.col("seq").desc()
+    )
+    latest_ins = (
+        ops.filter(F.col("op_type") == "insert")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "collection", "pk", F.col("ts").alias("ins_ts"), "qty", "flag"
+        )
+    )
+    dels = (
+        ops.filter(F.col("op_type") == "delete")
+        .groupBy("collection", "pk")
+        .agg(F.max("ts").alias("del_ts"))
+    )
+    fields = {"qty": F.col("qty"), "flag": F.col("flag")}
+    m1 = compile_expr(_ED1_EXPR, fields) & (F.lit(_ED1_TS) > F.col("ins_ts"))
+    m2 = compile_expr(_ED2_EXPR, fields) & (F.lit(_ED2_TS) > F.col("ins_ts"))
+    state = latest_ins.join(dels, ["collection", "pk"], "left").select(
+        "collection",
+        "ins_ts",
+        F.coalesce(F.col("del_ts"), F.lit(-1)).alias("del_ts"),
+        m1.cast("int").alias("m1"),
+        m2.cast("int").alias("m2"),
+    )
+    pk_dead = (F.col("ins_ts") <= F.col("del_ts")).cast("int")
+    expr_dead = (
+        (F.col("ins_ts") > F.col("del_ts"))
+        & ((F.col("m1") == 1) | (F.col("m2") == 1))
+    ).cast("int")
+    alive = (
+        (F.col("ins_ts") > F.col("del_ts"))
+        & (F.col("m1") == 0)
+        & (F.col("m2") == 0)
+    ).cast("int")
+    return (
+        state.groupBy("collection")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pks"),
+            F.sum(pk_dead).cast("bigint").alias("pk_deleted"),
+            F.sum(expr_dead).cast("bigint").alias("expr_deleted"),
+            F.sum(alive).cast("bigint").alias("alive"),
+        )
+        .orderBy("collection")
+    )
