@@ -998,7 +998,8 @@ _ED2_EXPR = 'qty <= 5 and flag != "A"'
     WITH ops AS (
       SELECT (epoch_ms(l_shipdate) << 18) + (l_orderkey % 262144) AS ts,
              CASE WHEN substr(md5(CAST(l_partkey * 100 + l_linenumber
-                                        AS VARCHAR)), 1, 1)
+                                        AS VARCHAR) || ':'
+                                   || CAST(l_orderkey AS VARCHAR)), 1, 1)
                        IN ('0','1','2','3')
                   THEN 'delete' ELSE 'insert' END AS op_type,
              'coll_' || CAST(l_suppkey % 3 AS VARCHAR) AS collection,
@@ -1062,8 +1063,15 @@ def delete_by_expr_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(F.unix_millis(F.col("l_shipdate")), 18)
         + (F.col("l_orderkey") % 262144)
     ).cast("bigint")
+    # per-ROW coin flip (pk:seq), unlike derive_oplog's per-pk flip —
+    # a pk must accumulate BOTH inserts and deletes for LWW vs expr-
+    # delete interplay to be exercised (a per-pk flip makes pk_deleted
+    # degenerately zero: delete-only pks never enter the insert state)
     op_type = F.when(
-        F.substring(F.md5(pk.cast("string")), 1, 1).isin("0", "1", "2", "3"),
+        F.substring(
+            F.md5(F.concat(pk.cast("string"), F.lit(":"),
+                           F.col("l_orderkey").cast("string"))), 1, 1
+        ).isin("0", "1", "2", "3"),
         F.lit("delete"),
     ).otherwise(F.lit("insert"))
     ops = li.select(
