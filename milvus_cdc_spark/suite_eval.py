@@ -1131,3 +1131,151 @@ def delete_by_expr_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("collection")
     )
+
+
+# ---------------------------------------------------------------------------
+# EXACT Hamming-distance self-join over 32-bit SimHash fingerprints via
+# pigeonhole banding (Manku, Jain & Sarma, WWW 2007 — the production
+# simhash dedup design): split the fingerprint into d+1 bands; any pair
+# within Hamming distance d must agree EXACTLY on at least one band
+# (pigeonhole — d flipped bits cannot touch all d+1 bands), so band-
+# equality equi-joins generate a candidate superset with zero false
+# negatives, and bit_count(xor) verifies exactly. Band width must scale
+# with the corpus (SCALE.md §6b's banding lesson): 8-bit bands suit the
+# fixture; a 100 TB corpus widens the fingerprint and the bands so
+# bucket occupancy stays bounded.
+# ---------------------------------------------------------------------------
+
+_HB_BITS = 32
+_HB_BANDS = 4          # d+1 bands => exact for d <= 3
+_HB_MAXD = 3
+
+
+def _sql_hamming_banded_oracle() -> str:
+    digit = "(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+    v = " + ".join(
+        f"{digit.format(pos=i + 1)} * {16 ** (7 - i)}" for i in range(8)
+    )
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (v // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(_HB_BITS)
+    )
+    fp_expr = " + ".join(
+        f"CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END"
+        for j in range(_HB_BITS)
+    )
+    band_w = _HB_BITS // _HB_BANDS
+    bands = ", ".join(
+        f"({i}, (fp // {1 << (band_w * i)}) % {1 << band_w})"
+        for i in range(_HB_BANDS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+        string_split_regex(trim(lower(text)), '\\s+'), t -> t != '')) AS tok
+      FROM documents
+    ),
+    vals AS (
+      SELECT doc_id, {v} AS v FROM (SELECT doc_id, md5(tok) AS h FROM toks)
+    ),
+    sums AS (SELECT doc_id, {bit_sums} FROM vals GROUP BY doc_id),
+    fp AS (SELECT doc_id, CAST({fp_expr} AS BIGINT) AS fp FROM sums),
+    bands AS (
+      SELECT doc_id, fp, b.band_idx, b.band_val
+      FROM fp, LATERAL (SELECT * FROM (VALUES {bands}) t(band_idx, band_val))
+        AS b
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y
+        ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+    )
+    SELECT c.a, c.b,
+           CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN fp fa ON fa.doc_id = c.a
+    JOIN fp fb ON fb.doc_id = c.b
+    WHERE bit_count(xor(fa.fp, fb.fp)) <= {_HB_MAXD}
+    ORDER BY a, b
+    """
+
+
+@q(
+    "hamming_banded_join",
+    _sql_hamming_banded_oracle(),
+    "dedup",
+    "simhash",
+    "hamming",
+    "pigeonhole",
+    "llm",
+)
+def hamming_banded_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs within Hamming distance 3 of their 32-bit
+    SimHash — pigeonhole band candidates (zero false negatives), exact
+    bit_count(xor) verification."""
+    from milvus_cdc_spark.functions import text as textf
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(textf.tokens(F.lower(F.col("text")))).alias("tok"),
+    )
+    v = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+    sums = toks.select("doc_id", v.alias("v")).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.floor(F.col("v") / (1 << j)) % 2) == 1, 1).otherwise(
+                    -1
+                )
+            ).alias(f"s{j}")
+            for j in range(_HB_BITS)
+        ]
+    )
+    fp_col = None
+    for j in range(_HB_BITS):
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp_col = term if fp_col is None else fp_col + term
+    fp = sums.select("doc_id", fp_col.cast("bigint").alias("fp"))
+    band_w = _HB_BITS // _HB_BANDS
+    bands = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        (
+                            F.floor(F.col("fp") / (1 << (band_w * i)))
+                            % (1 << band_w)
+                        )
+                        .cast("bigint")
+                        .alias("band_val"),
+                    )
+                    for i in range(_HB_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "fp", "bv.band_idx", "bv.band_val")
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("a"), F.col("fp").alias("fa"))
+    fb = fp.select(F.col("doc_id").alias("b"), F.col("fp").alias("fb"))
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        cand.join(fa, "a")
+        .join(fb, "b")
+        .select("a", "b", ham.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= _HB_MAXD)
+        .orderBy("a", "b")
+    )

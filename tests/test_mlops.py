@@ -506,3 +506,44 @@ def test_set_similarity_join_property_random_sets(spark):
         assert got == want
 
     check()
+
+
+def test_hamming_banded_join_is_exact(spark, sf_dir):
+    """Pigeonhole guarantee, end-to-end: the banded join's output equals
+    brute-force all-pairs Hamming <= 3 over the same fingerprints (zero
+    false negatives from banding, zero false positives from verify)."""
+    from milvus_cdc_spark import suite
+
+    out = {
+        (r.a, r.b): r.hamming
+        for r in suite.QUERIES["hamming_banded_join"].fn(spark, sf_dir).collect()
+    }
+    # rebuild the fingerprints exactly as the query does, brute-force all pairs
+    from milvus_cdc_spark.catalog import load_table
+    from milvus_cdc_spark.functions import text as textf
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(textf.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    v = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+    sums = toks.select("doc_id", v.alias("v")).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.floor(F.col("v") / (1 << j)) % 2) == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(32)
+        ]
+    )
+    fps = {
+        r.doc_id: sum((1 << j) for j in range(32) if r[f"s{j}"] >= 0)
+        for r in sums.collect()
+    }
+    ids = sorted(fps)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(fps[a] ^ fps[b]).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+    assert out == want
