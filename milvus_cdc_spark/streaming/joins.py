@@ -60,14 +60,24 @@ def interval_attribution_join(
 def streaming_dedupe(
     stream: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "1 day"
 ) -> DataFrame:
-    """First-occurrence dedupe over a stream: dropDuplicates keyed state,
-    expired by the watermark (state stays bounded by watermark × key rate).
+    """First-occurrence dedupe over a stream with BOUNDED state.
 
-    The reference's analog is idempotent re-apply (duplicate ops converge
-    in the merge sink); this is the *filtering* form used by ingest
-    pipelines to suppress duplicate documents at the door.
+    ``dropDuplicatesWithinWatermark``, not ``dropDuplicates``: with
+    key-only dedup columns, plain ``dropDuplicates`` never evicts its
+    state (the watermark only expires dedup state when the event-time
+    column is itself among the keys) — the unbounded-state shape that
+    kills a long-running ingest job. The WithinWatermark variant evicts
+    each key after the watermark delay, guaranteeing exact dedup for
+    duplicates arriving within that horizon; a duplicate arriving LATER
+    than the watermark may re-emit — the deliberate trade that keeps
+    state ∝ watermark × key rate. Duplicates beyond the horizon are the
+    downstream merge sink's job (idempotent re-apply, the reference's
+    own convergence rule) or the exact history-index gate
+    (:func:`fingerprint_gate`).
     """
-    return stream.withWatermark(ts_col, watermark).dropDuplicates(keys)
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
 
 
 def fingerprint_gate(

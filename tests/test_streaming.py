@@ -1469,3 +1469,58 @@ def test_watermark_finalize_withholds_newest_window(spark, sf_dir):
     }
     for r in rows:
         assert r.n_events == per_day[r.day]
+
+
+def test_streaming_dedupe_state_evicts_after_watermark(spark):
+    """Pin dropDuplicatesWithinWatermark's bounded-state contract (the
+    reason streaming_dedupe uses it instead of dropDuplicates, whose
+    key-only state NEVER evicts): a duplicate inside the watermark
+    horizon is suppressed; after an unrelated batch advances the
+    watermark past the key's expiry, the key re-emits — state was
+    dropped, exactly the watermark x key-rate bound the docstring
+    promises."""
+    import os
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from milvus_cdc_spark.streaming.joins import streaming_dedupe
+
+    stage = tempfile.mkdtemp(prefix="dedupe_evict_") + "/files"
+    os.makedirs(stage)
+    batches = [
+        # within-horizon duplicate of k1 at +5s: suppressed
+        [("k1", "2024-01-01 10:00:00"), ("k1", "2024-01-01 10:00:05"),
+         ("k2", "2024-01-01 10:00:00")],
+        # unrelated key an hour later: its event time becomes the NEXT
+        # batch's watermark (watermarks take effect one batch later)
+        [("k3", "2024-01-01 11:00:00")],
+        # processed under watermark 10:59:30 > k1's 10:00:35 expiry —
+        # this batch's END-of-batch cleanup evicts k1's state
+        [("k4", "2024-01-01 11:00:02")],
+        # k1 again after eviction: re-emits (the documented trade)
+        [("k1", "2024-01-01 11:00:03")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "k string, ts_s string").selectExpr(
+            "k", "CAST(ts_s AS TIMESTAMP) AS ts"
+        ).coalesce(1).write.parquet(f"{stage}/b{i}")
+        _time.sleep(1.1)  # file-source ordering is by modification time
+    stream = spark.readStream.schema("k string, ts timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(f"{stage}/*")
+    deduped = streaming_dedupe(stream, ["k"], ts_col="ts", watermark="30 seconds")
+    sink = f"mem_{_uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = [(r.k, str(r.ts)) for r in spark.table(sink).collect()]
+    assert sorted(got) == [
+        ("k1", "2024-01-01 10:00:00"),   # first occurrence
+        ("k1", "2024-01-01 11:00:03"),   # re-emitted after state eviction
+        ("k2", "2024-01-01 10:00:00"),
+        ("k3", "2024-01-01 11:00:00"),
+        ("k4", "2024-01-01 11:00:02"),
+    ]
