@@ -186,7 +186,10 @@ HEADLINE_R5H = [
 #: Round-5 ninth-batch additions (alphabetized).
 HEADLINE_R5I = [
     "boilerplate_line_stats",       # per-source site-chrome lines
+    "delete_by_expr_replay",        # compiled expr-delete ops in replay
     "event_transition_matrix",      # per-user Markov chain
+    "grouped_auc_by_source",        # per-group rank statistics
+    "hamming_banded_join",          # pigeonhole exact Hamming join
     "hll_union_sources",            # grouped HLL + lossless union-merge
     "int8_ip_search_topk",          # exact integer int8 IP ranking
     "ks_drift_test",                # exact two-sample KS statistic
