@@ -75,6 +75,71 @@ def lifetime_asof_join(
     return events.alias("e").join(F.broadcast(lifetimes).alias("l"), cond, "inner")
 
 
+def asof_union_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    fact_ts: str,
+    dim_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """As-of join for DATA-SIZED versioned dimensions (SCD2 enrichment):
+    each fact row picks the dimension version with the latest
+    ``dim_ts`` <= its ``fact_ts``, via the union-sort trick — tag both
+    frames, union, ONE key-partitioned window ordered by (time,
+    dim-first), carry the last non-null dimension values forward, keep
+    the fact rows.
+
+    Why not a join: the naive formulation is a range join (theta) or an
+    argmax-per-fact over fact x versions — both explode or nest-loop.
+    ``lifetime_asof_join`` (J7) broadcasts because drop-state dims are
+    control-sized; THIS operator is for dimensions that grow with the
+    data (per-user tier histories, per-collection schema versions),
+    where broadcast is impossible — one shuffle of facts+versions on
+    the key, each task scanning complete keys in time order. The same
+    pattern at any scale; skew bounded by any single key's row count.
+
+    Dimension rows at exactly a fact's timestamp apply to that fact
+    (dim sorts first on ties). Facts before the first version carry
+    NULL values. ``value_cols`` must not collide with fact columns.
+    """
+    d = dim.select(
+        F.col(key),
+        F.col(dim_ts).alias("_t"),
+        F.lit(1).alias("_is_dim"),
+        *[F.col(c) for c in value_cols],
+        *[
+            F.lit(None).cast(facts.schema[c].dataType).alias(c)
+            for c in facts.columns
+            if c != key
+        ],
+    )
+    f = facts.select(
+        F.col(key),
+        F.col(fact_ts).alias("_t"),
+        F.lit(0).alias("_is_dim"),
+        *[F.lit(None).cast(dim.schema[c].dataType).alias(c) for c in value_cols],
+        *[F.col(c) for c in facts.columns if c != key],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_t").asc(), F.col("_is_dim").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = d.unionByName(f).select(
+        "*",
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return (
+        carried.filter(F.col("_is_dim") == 0)
+        .drop("_is_dim", *value_cols)
+        .withColumnsRenamed({f"_asof_{c}": c for c in value_cols})
+    )
+
+
 def diff_reconcile(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
     """J8: offline reconciliation of two stores — full outer join on PK with
     presence flags (server/tool/data_diff/main.go:104-158 computes A∖B, B∖A).

@@ -1279,3 +1279,74 @@ def hamming_banded_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _HB_MAXD)
         .orderBy("a", "b")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 as-of enrichment via the union-sort trick (joins.asof_union_join):
+# a weekly-versioned per-user tier dimension (data-sized — grows with
+# the user population, so the J7 broadcast is off the table) enriches
+# every event with the version in force at its timestamp. The naive
+# formulations are a range join or an argmax over fact x versions; the
+# union-sort plan is ONE key-partitioned window — facts and versions
+# shuffle together on user_id and each task scans complete users in
+# time order. The oracle deliberately uses the argmax formulation:
+# same answer, independent derivation.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "scd2_asof_enrich",
+    """
+    WITH weeks AS (
+      SELECT DISTINCT date_trunc('week', ts) AS w FROM events
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    dim AS (
+      SELECT user_id, w,
+             CAST((user_id + day(w)) % 3 AS BIGINT) AS tier
+      FROM users, weeks
+    ),
+    ranked AS (
+      SELECT e.event_id, e.event_type, d.tier,
+             row_number() OVER (
+               PARTITION BY e.event_id ORDER BY d.w DESC
+             ) AS rn
+      FROM events e
+      JOIN dim d ON d.user_id = e.user_id AND d.w <= e.ts
+    )
+    SELECT tier, event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM ranked WHERE rn = 1
+    GROUP BY tier, event_type
+    ORDER BY tier, event_type
+    """,
+    "join",
+    "asof",
+    "scd2",
+    "window",
+)
+def scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events enriched with the weekly tier version in force at their
+    timestamp (union-sort as-of join), rolled up per (tier, type)."""
+    from milvus_cdc_spark.operators.joins import asof_union_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    weeks = ev.select(F.date_trunc("week", "ts").alias("w")).distinct()
+    users = ev.select("user_id").distinct()
+    dim = users.crossJoin(F.broadcast(weeks)).select(
+        "user_id",
+        "w",
+        ((F.col("user_id") + F.dayofmonth("w")) % 3)
+        .cast("bigint")
+        .alias("tier"),
+    )
+    enriched = asof_union_join(
+        ev, dim, key="user_id", fact_ts="ts", dim_ts="w",
+        value_cols=["tier"],
+    )
+    return (
+        enriched.groupBy("tier", "event_type")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .orderBy("tier", "event_type")
+    )

@@ -1873,3 +1873,36 @@ def test_distributed_prefix_sum_empty_input(spark):
     df = spark.range(0).select(F.col("id"), F.lit(1).alias("x"))
     assert distributed_prefix_sum(df, ["id"], "x").count() == 0
     release_rank_caches()
+
+
+def test_asof_union_join_semantics(spark):
+    """Union-sort as-of join: latest version <= fact ts wins; a version
+    at EXACTLY the fact's timestamp applies; facts before the first
+    version carry NULL; keys never leak across users."""
+    from milvus_cdc_spark.operators.joins import asof_union_join
+
+    dim = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "x")],
+        "user bigint, vt bigint, tier string",
+    )
+    facts = spark.createDataFrame(
+        [(1, 5, 100), (1, 10, 101), (1, 19, 102), (1, 20, 103),
+         (1, 25, 104), (2, 14, 200), (2, 16, 201)],
+        "user bigint, ts bigint, fid bigint",
+    )
+    out = {
+        r.fid: r.tier
+        for r in asof_union_join(
+            facts, dim, key="user", fact_ts="ts", dim_ts="vt",
+            value_cols=["tier"],
+        ).collect()
+    }
+    assert out == {
+        100: None,   # before first version
+        101: "a",    # version at exactly the fact ts applies
+        102: "a",
+        103: "b",    # tie -> dim sorts first
+        104: "b",
+        200: None,   # user 2's first version is at 15
+        201: "x",
+    }
