@@ -26,7 +26,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Total score mass in integer units: parts-per-10^12 keeps 6+ significant
@@ -128,6 +128,64 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("triangles"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_rounds: int = 3,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al., Phys. Rev. E
+    2007) for community detection — each round every node adopts the
+    MOST FREQUENT label among its neighbors (ties → smallest label),
+    all nodes updating from the previous round's labels simultaneously.
+    Deterministic by construction (no random visit order), so the
+    result is exactly reproducible in any engine.
+
+    Where connected_components finds reachability (min-label to
+    fixpoint), LPA finds DENSITY — a bridge edge between two dense
+    clusters leaves them in different communities.
+
+    Plan: a FIXED round count keeps the whole computation one lazy
+    plan (the pagerank stance — no driver actions, no convergence
+    collect); each round is one join + one (node, label) count
+    aggregate + one per-node argmax window, all keyed on the node —
+    three node-keyed shuffles per round, nothing data-squared, plan
+    depth linear in n_rounds (small: 2-4).
+
+    Returns (node, label); nodes sharing a label are one community.
+    """
+    fwd = edges.filter(F.col(a_col) != F.col(b_col)).select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    e = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    _GRAPH_CACHES.append(e)
+    labels = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(n_rounds):
+        counts = (
+            e.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy("src", "nl")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("src").orderBy(
+            F.col("c").desc(), F.col("nl").asc()
+        )
+        labels = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("src").alias("node"), F.col("nl").alias("label"))
+        )
+    return labels
 
 
 def pagerank(

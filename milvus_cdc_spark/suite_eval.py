@@ -1350,3 +1350,97 @@ def scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_events"))
         .orderBy("tier", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Community detection on the co-order part graph: 2 rounds of
+# deterministic synchronous label propagation (graph.label_propagation)
+# — the density-finding complement to connected_components'
+# reachability. Oracle unrolls the identical rounds as CTEs.
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 2
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+    c{i} AS (
+      SELECT e.src, l.label, count(*) AS c
+      FROM e JOIN {prev} l ON l.node = e.dst
+      GROUP BY e.src, l.label
+    ),
+    l{i} AS (
+      SELECT src AS node, label FROM (
+        SELECT src, label,
+               row_number() OVER (
+                 PARTITION BY src ORDER BY c DESC, label
+               ) AS rn
+        FROM c{i}
+      ) WHERE rn = 1
+    )""")
+        prev = f"l{i}"
+    return f"""
+    WITH f AS (
+      SELECT DISTINCT l_orderkey, l_partkey
+      FROM lineitem WHERE l_quantity >= {_TRI_MIN_QTY}
+    ),
+    p AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM f a JOIN f b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (
+      SELECT pa AS src, pb AS dst FROM p
+      UNION
+      SELECT pb AS src, pa AS dst FROM p
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),{",".join(rounds)}
+    SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
+    FROM {prev}
+    GROUP BY label
+    ORDER BY n_members DESC, community
+    LIMIT 10
+    """
+
+
+@q(
+    "label_propagation_communities",
+    _lpa_oracle(),
+    "graph",
+    "community",
+    "label-propagation",
+    "iterative",
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 communities by size after 2 synchronous LPA rounds over
+    the co-order part graph."""
+    from milvus_cdc_spark.analytics import graph
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= _TRI_MIN_QTY)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+    )
+    labels = graph.label_propagation(pairs, n_rounds=_LPA_ROUNDS, a_col="pa", b_col="pb")
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").cast("bigint").alias("n_members"))
+        .orderBy(F.col("n_members").desc(), F.col("community"))
+        .limit(10)
+    )

@@ -547,3 +547,42 @@ def test_hamming_banded_join_is_exact(spark, sf_dir):
             if d <= 3:
                 want[(a, b)] = d
     assert out == want
+
+
+def test_label_propagation_matches_python(spark):
+    """Synchronous LPA == a pure-Python mirror of the deterministic
+    recurrence (mode of neighbor labels, ties -> smallest), on a graph
+    with two dense clusters joined by one bridge edge."""
+    pairs = [
+        (1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (1, 4),   # clique A
+        (10, 11), (10, 12), (11, 12), (11, 13), (12, 13), (10, 13),  # clique B
+        (4, 10),                                          # bridge
+    ]
+    df = spark.createDataFrame(pairs, "a bigint, b bigint")
+    for rounds in (1, 2, 3):
+        got = {
+            r.node: r.label
+            for r in graph.label_propagation(df, n_rounds=rounds).collect()
+        }
+        graph.release_graph_caches()
+        # python mirror
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        labels = {n: n for n in adj}
+        for _ in range(rounds):
+            new = {}
+            for n in adj:
+                freq = {}
+                for m in adj[n]:
+                    freq[labels[m]] = freq.get(labels[m], 0) + 1
+                best = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+                new[n] = best
+            labels = new
+        assert got == labels, f"rounds={rounds}"
+        # density check at >=2 rounds: the two cliques keep distinct labels
+        if rounds >= 2:
+            assert len({labels[n] for n in (1, 2, 3)}) == 1
+            assert len({labels[n] for n in (11, 12, 13)}) == 1
+            assert labels[1] != labels[11]
