@@ -1444,3 +1444,124 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.col("n_members").desc(), F.col("community"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# ColBERT-style MaxSim late-interaction scoring (Khattab & Zaharia,
+# SIGIR 2020): score(q, d) = sum over query token-vectors of the max
+# inner product against any document token-vector. Token vectors here
+# are the 8 x 8-dim sub-vectors of each embedding (the fixture carries
+# one vector per id), quantized to the int8 lattice so every IP is
+# exact BIGINT — the nested transform/aggregate stays entirely in
+# JVM higher-order expressions (no UDF, no explode: the 8x8 max-sum
+# runs inside the row). At 100 TB the candidate generator (ANN over a
+# pooled vector) prunes before MaxSim reranks — here every pair is
+# scored because the oracle needs the full ranking.
+# ---------------------------------------------------------------------------
+
+_MS_SUB = 8   # sub-vectors per embedding
+_MS_DIM = 8   # dims per sub-vector
+
+
+@q(
+    "maxsim_multivector_topk",
+    f"""
+    WITH codes AS (
+      SELECT vec_id,
+             list_transform(generate_series(0, {_MS_SUB - 1}),
+               i -> list_transform(
+                      embedding[i * {_MS_DIM} + 1 : i * {_MS_DIM} + {_MS_DIM}],
+                      x -> greatest(-128, least(127,
+                             CAST(floor(x::DOUBLE * 64 + 0.5) AS BIGINT)))))
+               AS sub
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM codes WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(q.sub,
+               qi -> list_max(list_transform(c.sub,
+                 cj -> list_sum(list_transform(list_zip(qi, cj),
+                                               p -> p[1] * p[2]))))))
+               AS BIGINT) AS maxsim
+      FROM codes c, q WHERE c.vec_id != q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, maxsim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY maxsim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, maxsim
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+    "vector",
+    "maxsim",
+    "multi-vector",
+    "late-interaction",
+    "llm",
+)
+def maxsim_multivector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 neighbors by exact integer MaxSim over 8x8-dim int8
+    sub-vectors — late-interaction retrieval as pure JVM column
+    algebra."""
+    from pyspark.sql import Window as W
+
+    emb = _t(spark, sf_dir, "embeddings")
+    i8 = lambda x: F.greatest(  # noqa: E731
+        F.lit(-128),
+        F.least(
+            F.lit(127),
+            F.floor(x.cast("double") * 64 + F.lit(0.5)).cast("bigint"),
+        ),
+    )
+    sub = F.transform(
+        F.sequence(F.lit(0), F.lit(_MS_SUB - 1)),
+        lambda i: F.transform(
+            F.slice(F.col("embedding"), i * _MS_DIM + 1, _MS_DIM),
+            i8,
+        ),
+    )
+    codes = emb.select("vec_id", sub.alias("sub"))
+    queries = codes.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("sub").alias("qsub")
+    )
+    ip8 = lambda qi, cj: F.aggregate(  # noqa: E731
+        F.zip_with(qi, cj, lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    maxsim = F.aggregate(
+        F.transform(
+            F.col("qsub"),
+            lambda qi: F.array_max(
+                F.transform(F.col("sub"), lambda cj: ip8(qi, cj))
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            maxsim.alias("maxsim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            F.col("maxsim").cast("bigint").alias("maxsim"),
+        )
+        .orderBy("query_id", "rank")
+    )
