@@ -1565,3 +1565,139 @@ def maxsim_multivector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID classifier evaluation: per-class precision / recall / F1
+# in integer ppm over the stopword-hit heuristic's predictions (the
+# same predictor lang_detect's confusion matrix reports). F1 derives
+# from the ppm-rounded precision and recall with the same integer
+# arithmetic in both engines — deterministic, division-guarded.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "langid_precision_recall",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS h_en,
+             len(list_filter(toks, x -> list_contains(['el','la','de','y','que'], x)))  AS h_es,
+             len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS h_fr,
+             len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS h_de,
+             len(list_filter(toks, x -> list_contains(['的','是','了','在','和'], x))) AS h_zh
+      FROM t
+    ),
+    pred AS (
+      SELECT lang,
+             CASE WHEN greatest(h_en,h_es,h_fr,h_de,h_zh) = 0 THEN 'und'
+                  WHEN h_en = greatest(h_en,h_es,h_fr,h_de,h_zh) THEN 'en'
+                  WHEN h_es = greatest(h_en,h_es,h_fr,h_de,h_zh) THEN 'es'
+                  WHEN h_fr = greatest(h_en,h_es,h_fr,h_de,h_zh) THEN 'fr'
+                  WHEN h_de = greatest(h_en,h_es,h_fr,h_de,h_zh) THEN 'de'
+                  ELSE 'zh' END AS predicted
+      FROM hits
+    ),
+    classes AS (SELECT DISTINCT lang AS cls FROM pred),
+    stats AS (
+      SELECT c.cls,
+             CAST(sum(CASE WHEN p.lang = c.cls AND p.predicted = c.cls
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN p.lang <> c.cls AND p.predicted = c.cls
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN p.lang = c.cls AND p.predicted <> c.cls
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM classes c, pred p
+      GROUP BY c.cls
+    )
+    SELECT cls AS lang, tp, fp, fn,
+           CAST(CASE WHEN tp + fp = 0 THEN 0
+                     ELSE tp * 1000000 // (tp + fp) END AS BIGINT)
+             AS precision_ppm,
+           CAST(CASE WHEN tp + fn = 0 THEN 0
+                     ELSE tp * 1000000 // (tp + fn) END AS BIGINT)
+             AS recall_ppm,
+           CAST(CASE WHEN (CASE WHEN tp + fp = 0 THEN 0
+                                ELSE tp * 1000000 // (tp + fp) END)
+                        + (CASE WHEN tp + fn = 0 THEN 0
+                                ELSE tp * 1000000 // (tp + fn) END) = 0
+                     THEN 0
+                     ELSE 2 * (CASE WHEN tp + fp = 0 THEN 0
+                                    ELSE tp * 1000000 // (tp + fp) END)
+                            * (CASE WHEN tp + fn = 0 THEN 0
+                                    ELSE tp * 1000000 // (tp + fn) END)
+                          // ((CASE WHEN tp + fp = 0 THEN 0
+                                    ELSE tp * 1000000 // (tp + fp) END)
+                              + (CASE WHEN tp + fn = 0 THEN 0
+                                      ELSE tp * 1000000 // (tp + fn) END))
+                END AS BIGINT) AS f1_ppm
+    FROM stats
+    ORDER BY lang
+    """,
+    "eval",
+    "langid",
+    "precision-recall",
+    "text",
+    "llm",
+)
+def langid_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 (integer ppm) of the stopword-hit
+    language-ID heuristic against the labeled lang column."""
+    from milvus_cdc_spark.functions import text as textf
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = docs.select(
+        "lang", textf.detect_lang(F.col("text")).alias("predicted")
+    )
+    classes = pred.select(F.col("lang").alias("cls")).distinct()
+    joined = classes.crossJoin(pred)
+    stats = joined.groupBy("cls").agg(
+        F.sum(
+            ((F.col("lang") == F.col("cls")) & (F.col("predicted") == F.col("cls"))).cast("int")
+        ).cast("bigint").alias("tp"),
+        F.sum(
+            ((F.col("lang") != F.col("cls")) & (F.col("predicted") == F.col("cls"))).cast("int")
+        ).cast("bigint").alias("fp"),
+        F.sum(
+            ((F.col("lang") == F.col("cls")) & (F.col("predicted") != F.col("cls"))).cast("int")
+        ).cast("bigint").alias("fn"),
+    )
+    p = F.when(F.col("tp") + F.col("fp") == 0, F.lit(0)).otherwise(
+        F.expr("tp * 1000000 DIV (tp + fp)")
+    )
+    r = F.when(F.col("tp") + F.col("fn") == 0, F.lit(0)).otherwise(
+        F.expr("tp * 1000000 DIV (tp + fn)")
+    )
+    out = stats.select(
+        F.col("cls").alias("lang"),
+        "tp",
+        "fp",
+        "fn",
+        p.cast("bigint").alias("precision_ppm"),
+        r.cast("bigint").alias("recall_ppm"),
+    ).select(
+        "lang",
+        "tp",
+        "fp",
+        "fn",
+        "precision_ppm",
+        "recall_ppm",
+        F.when(
+            F.col("precision_ppm") + F.col("recall_ppm") == 0, F.lit(0)
+        )
+        .otherwise(
+            F.expr(
+                "2 * precision_ppm * recall_ppm "
+                "DIV (precision_ppm + recall_ppm)"
+            )
+        )
+        .cast("bigint")
+        .alias("f1_ppm"),
+    )
+    return out.orderBy("lang")
