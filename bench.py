@@ -193,8 +193,12 @@ HEADLINE_R5I = [
     "hll_union_sources",            # grouped HLL + lossless union-merge
     "int8_ip_search_topk",          # exact integer int8 IP ranking
     "ks_drift_test",                # exact two-sample KS statistic
+    "label_propagation_communities",  # sync LPA community detection
+    "langid_precision_recall",      # per-class P/R/F1 eval
+    "maxsim_multivector_topk",      # ColBERT MaxSim late interaction
     "ndcg_search_eval",             # graded ANN quality vs exact
     "roc_auc_quality",              # tie-aware Mann-Whitney AUC
+    "scd2_asof_enrich",             # union-sort as-of dimension join
     "score_decile_lift",            # exact-decile gain chart
     "setsim_prefix_join",           # exact Jaccard join, prefix filter
     "triangle_parts_topk",          # degree-oriented triangle counting
