@@ -1701,3 +1701,103 @@ def langid_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("f1_ppm"),
     )
     return out.orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Association-rule mining over co-ordered parts (market basket):
+# support / confidence / lift in integer ppm, minimum-support pruned
+# BEFORE the metric join (the Apriori property — a pair can't beat the
+# floor its items don't). Pair generation is bounded per order (<= 7
+# lines -> <= 21 pairs), item counts are one aggregate, and the final
+# top-k is TakeOrderedAndProject. PMI collocations rank token pairs by
+# the same lift idea; this is the order/item-level rule report a
+# curation pipeline uses for bundle/spam structure.
+# ---------------------------------------------------------------------------
+
+_MB_MIN_PAIRS = 3
+
+
+@q(
+    "copurchase_lift_topk",
+    f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM baskets),
+    items AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+      FROM baskets GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(count(*) AS BIGINT) AS n_pair
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING count(*) >= {_MB_MIN_PAIRS}
+    )
+    SELECT p.pa, p.pb, p.n_pair,
+           CAST(p.n_pair * 1000000 // (SELECT n_orders FROM n) AS BIGINT)
+             AS support_ppm,
+           CAST(p.n_pair * 1000000 // ia.n_item AS BIGINT)
+             AS confidence_ppm,
+           CAST(p.n_pair * (SELECT n_orders FROM n) * 1000000
+                // (ia.n_item * ib.n_item) AS BIGINT) AS lift_ppm
+    FROM pairs p
+    JOIN items ia ON ia.l_partkey = p.pa
+    JOIN items ib ON ib.l_partkey = p.pb
+    ORDER BY lift_ppm DESC, pa, pb
+    LIMIT 10
+    """,
+    "analytics",
+    "association-rules",
+    "market-basket",
+)
+def copurchase_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 co-purchased part pairs by integer-ppm lift (min support
+    applied before the metric join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders_df = baskets.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    items = baskets.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("n_item")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_pair"))
+        .filter(F.col("n_pair") >= _MB_MIN_PAIRS)
+    )
+    ia = items.select(F.col("l_partkey").alias("pa"), F.col("n_item").alias("na"))
+    ib = items.select(F.col("l_partkey").alias("pb"), F.col("n_item").alias("nb"))
+    return (
+        pairs.join(ia, "pa")
+        .join(ib, "pb")
+        .crossJoin(F.broadcast(n_orders_df))
+        .select(
+            "pa",
+            "pb",
+            "n_pair",
+            F.expr("n_pair * 1000000 DIV n_orders")
+            .cast("bigint")
+            .alias("support_ppm"),
+            F.expr("n_pair * 1000000 DIV na")
+            .cast("bigint")
+            .alias("confidence_ppm"),
+            F.expr("n_pair * n_orders * 1000000 DIV (na * nb)")
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+        .orderBy(F.col("lift_ppm").desc(), "pa", "pb")
+        .limit(10)
+    )
