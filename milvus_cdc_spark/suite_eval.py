@@ -1,8 +1,19 @@
-"""Evaluation & graph-structure extensions: exact rank-statistic model
-evaluation (Mann-Whitney ROC-AUC), search-quality grading (NDCG@10),
-degree-oriented triangle counting, and per-source boilerplate detection
-— the "score the data and the index, not just build them" surface of a
-training-data platform.
+"""Evaluation & graph-structure extensions — the "score the data and
+the index, not just build them" surface of a training-data platform:
+
+- exact rank statistics (Mann-Whitney ROC-AUC global + per-group,
+  two-sample KS drift, decile lift) on the distributed prefix-sum /
+  ntile primitives;
+- search-quality grading (NDCG@10, per-class P/R/F1 for lang-ID);
+- graph structure (degree-oriented triangle counting, synchronous
+  label-propagation communities);
+- exact joins beyond equi (prefix-filtered set-similarity, pigeonhole
+  Hamming banding, union-sort SCD2 as-of, market-basket lift);
+- vector parity (INT8 integer IP search, ColBERT MaxSim late
+  interaction);
+- corpus hygiene (per-source boilerplate lines) and behavior modeling
+  (event Markov transitions, grouped HLL with lossless union-merge);
+- CDC parity (delete-by-expression replay through the expr compiler).
 
 Every query follows the repo's portable-math contract: integer units
 (ppm / micro), divisions only over non-negative operands so DuckDB ``//``

@@ -306,6 +306,17 @@ def queries():
         # buckets stay small as the vocabulary grows with the corpus.
         "triangle_parts_topk": suite.QUERIES["triangle_parts_topk"].fn,
         "setsim_prefix_join": suite.QUERIES["setsim_prefix_join"].fn,
+        # LPA cost per round is edge-sized joins/aggregates; rounds fixed.
+        # MaxSim scores queries x corpus — queries fixed (10), so linear.
+        # The as-of union join is one key-partitioned window over
+        # facts+versions — but events.parquet is not replicated in the
+        # 10x corpus, so scd2 stays out of this harness.
+        "label_propagation_communities": suite.QUERIES[
+            "label_propagation_communities"
+        ].fn,
+        "maxsim_multivector_topk": suite.QUERIES[
+            "maxsim_multivector_topk"
+        ].fn,
     }
 
 
