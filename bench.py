@@ -186,6 +186,7 @@ HEADLINE_R5H = [
 #: Round-5 ninth-batch additions (alphabetized).
 HEADLINE_R5I = [
     "boilerplate_line_stats",       # per-source site-chrome lines
+    "copurchase_lift_topk",         # market-basket lift rules
     "delete_by_expr_replay",        # compiled expr-delete ops in replay
     "event_transition_matrix",      # per-user Markov chain
     "grouped_auc_by_source",        # per-group rank statistics
