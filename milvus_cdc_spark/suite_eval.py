@@ -346,6 +346,8 @@ def triangle_parts_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (graph.triangle_counts, degree-oriented wedge join)."""
     from milvus_cdc_spark.analytics import graph
 
+    graph.release_graph_caches()  # prior graph query's frames are consumed
+
     li = (
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_quantity") >= _TRI_MIN_QTY)
@@ -1429,6 +1431,8 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     """Top-10 communities by size after 2 synchronous LPA rounds over
     the co-order part graph."""
     from milvus_cdc_spark.analytics import graph
+
+    graph.release_graph_caches()  # prior graph query's frames are consumed
 
     li = (
         _t(spark, sf_dir, "lineitem")

@@ -89,6 +89,8 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetrized customer-supplier co-order graph."""
     from milvus_cdc_spark.analytics import graph
 
+    graph.release_graph_caches()  # prior graph query's frames are consumed
+
     orders = _t(spark, sf_dir, "orders").filter(
         F.year("o_orderdate") == 1995
     )
