@@ -1816,3 +1816,108 @@ def copurchase_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift_ppm").desc(), "pa", "pb")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware canonical selection: near-dup clusters keep their
+# HIGHEST-QUALITY member (longest text, ties -> smallest id) instead of
+# the min-id default — the selection-policy layer real dedup pipelines
+# put on top of clustering (keep the most complete variant, drop
+# truncated mirrors). Reuses the minhash->LSH->verify->components chain
+# and adds one broadcast join + one component-keyed argmax window.
+# ---------------------------------------------------------------------------
+
+
+def _quality_canonical_oracle() -> str:
+    from milvus_cdc_spark.suite import _ORACLE_NEAR_DUP_PAIRS_CTE
+
+    return (
+        _ORACLE_NEAR_DUP_PAIRS_CTE
+        + """,
+    jac AS (
+      SELECT p.a, p.b,
+             round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                   / greatest(len(list_distinct(list_concat(sa.shingles, sb.shingles))), 1),
+                   6) AS jaccard
+      FROM pairs p
+      JOIN sh sa ON p.a = sa.doc_id
+      JOIN sh sb ON p.b = sb.doc_id
+    ),
+    strong AS (SELECT a, b FROM jac WHERE jaccard >= 0.2),
+    edges AS (SELECT a AS src, b AS dst FROM strong
+              UNION SELECT b, a FROM strong),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+      SELECT node, node AS lab FROM nodes
+      UNION
+      SELECT e.dst AS node, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+    ranked AS (
+      SELECT c.component, c.node, d.n_chars,
+             row_number() OVER (
+               PARTITION BY c.component
+               ORDER BY d.n_chars DESC, c.node
+             ) AS rn
+      FROM comp c JOIN documents d ON d.doc_id = c.node
+    )
+    SELECT component,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(CASE WHEN rn = 1 THEN node END) AS BIGINT) AS kept_doc,
+           CAST(min(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+             AS kept_chars,
+           CAST(sum(n_chars) - min(CASE WHEN rn = 1 THEN n_chars END)
+                AS BIGINT) AS chars_saved
+    FROM ranked
+    GROUP BY component
+    ORDER BY component
+    """
+    ).replace("WITH base AS (", "WITH RECURSIVE base AS (", 1)
+
+
+@q(
+    "quality_canonical_selection",
+    _quality_canonical_oracle(),
+    "dedup",
+    "clustering",
+    "canonical-selection",
+    "llm",
+)
+def quality_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per near-dup cluster: the longest member kept (ties -> smallest
+    id) and the character savings from dropping the rest."""
+    from pyspark.sql import Window as W
+
+    from milvus_cdc_spark.analytics import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    strong = dedup.near_dup_pipeline(docs, k=8, bands=4).filter(
+        F.col("jaccard") >= 0.2
+    )
+    comp = dedup.connected_components(strong, shuffle_partitions=8)
+    member = comp.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    w = W.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("node")
+    )
+    ranked = member.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.min(F.when(F.col("rn") == 1, F.col("node")))
+            .cast("bigint")
+            .alias("kept_doc"),
+            F.min(F.when(F.col("rn") == 1, F.col("n_chars")))
+            .cast("bigint")
+            .alias("kept_chars"),
+            (
+                F.sum("n_chars")
+                - F.min(F.when(F.col("rn") == 1, F.col("n_chars")))
+            )
+            .cast("bigint")
+            .alias("chars_saved"),
+        )
+        .orderBy("component")
+    )
