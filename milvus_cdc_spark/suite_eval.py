@@ -1921,3 +1921,89 @@ def quality_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-length planning: for each candidate sequence length, what
+# fraction of documents fits untruncated and what share of corpus
+# tokens a hard-truncation policy would discard — the one-scan report
+# that decides seq_len before a packing run (sequence_packing then
+# executes the chosen length). One aggregate per candidate over a
+# single token-count scan; all integer ppm.
+# ---------------------------------------------------------------------------
+
+_CTX_LENS = (32, 64, 128)
+
+
+@q(
+    "context_length_histogram",
+    f"""
+    WITH tc AS (
+      SELECT len({_SQL_TOKS}) AS n_toks FROM documents
+    ),
+    lens AS (SELECT unnest([{", ".join(str(x) for x in _CTX_LENS)}])
+             AS seq_len)
+    SELECT l.seq_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN t.n_toks <= l.seq_len THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_fit,
+           CAST(sum(CASE WHEN t.n_toks <= l.seq_len THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS fit_ppm,
+           CAST(sum(t.n_toks) AS BIGINT) AS toks_total,
+           CAST(sum(CASE WHEN t.n_toks > l.seq_len
+                         THEN t.n_toks - l.seq_len ELSE 0 END) AS BIGINT)
+             AS toks_truncated,
+           CAST(sum(CASE WHEN t.n_toks > l.seq_len
+                         THEN t.n_toks - l.seq_len ELSE 0 END)
+                * 1000000 // sum(t.n_toks) AS BIGINT) AS truncated_ppm
+    FROM lens l, tc t
+    GROUP BY l.seq_len
+    ORDER BY l.seq_len
+    """,
+    "llm",
+    "packing",
+    "planning",
+    "pipeline",
+)
+def context_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per candidate seq_len: docs fitting untruncated and the corpus
+    token share a hard truncation would discard (integer ppm)."""
+    from milvus_cdc_spark.functions import text as textf
+
+    docs = _t(spark, sf_dir, "documents")
+    tc = docs.select(
+        F.size(textf.tokens(F.lower(F.col("text")))).alias("n_toks")
+    )
+    lens = docs.sparkSession.createDataFrame(
+        [(x,) for x in _CTX_LENS], "seq_len int"
+    )
+    j = tc.crossJoin(F.broadcast(lens))
+    over = F.when(
+        F.col("n_toks") > F.col("seq_len"),
+        F.col("n_toks") - F.col("seq_len"),
+    ).otherwise(0)
+    return (
+        j.groupBy("seq_len")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("n_toks") <= F.col("seq_len")).cast("int"))
+            .cast("bigint")
+            .alias("n_fit"),
+            F.sum("n_toks").cast("bigint").alias("toks_total"),
+            F.sum(over).cast("bigint").alias("toks_truncated"),
+        )
+        .select(
+            "seq_len",
+            "n_docs",
+            "n_fit",
+            F.expr("n_fit * 1000000 DIV n_docs")
+            .cast("bigint")
+            .alias("fit_ppm"),
+            "toks_total",
+            "toks_truncated",
+            F.expr("toks_truncated * 1000000 DIV toks_total")
+            .cast("bigint")
+            .alias("truncated_ppm"),
+        )
+        .orderBy("seq_len")
+    )
