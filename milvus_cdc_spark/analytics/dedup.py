@@ -811,3 +811,83 @@ def set_similarity_join(
         )
         .filter(F.col("jacc_ppm") >= threshold_ppm)
     )
+
+
+def containment_join(
+    items: DataFrame,
+    threshold_ppm: int = 800000,
+    id_col: str = "id",
+    item_col: str = "item",
+) -> DataFrame:
+    """ASYMMETRIC containment self-join: ordered pairs (a, b) with
+    |A∩B| / |A| >= t — the quote/subset detector (a short document
+    embedded in a longer one, benchmark text quoted inside a training
+    page). Jaccard dedup structurally MISSES these: a 50-shingle doc
+    fully contained in a 500-shingle doc has J ≈ 0.1.
+
+    Prefix filtering adapts (Chaudhuri, Ganti & Kaushik, ICDE 2006):
+    overlap >= ceil(t*|A|) forces at least one of A's first
+    ``|A| - ceil(t*|A|) + 1`` elements (ascending document frequency,
+    tie on the element) to appear ANYWHERE in B — B gets no prefix
+    (containment is one-sided), so candidates come from A's prefix
+    joined against the FULL element table. The prefix rides the rare
+    vocabulary end, so buckets stay small exactly where the full table
+    is largest.
+
+    Same exact verification and integer-ceil arithmetic as
+    :func:`set_similarity_join`; returns (a, b, inter, na,
+    containment_ppm) with a != b, containment_ppm >= threshold.
+    """
+    toks = (
+        items.select(
+            F.col(id_col).alias("id"), F.col(item_col).alias("tok")
+        )
+        .distinct()
+        .persist()
+    )
+    sizes = toks.groupBy("id").agg(F.count("*").alias("n"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "tok")
+    ranked = (
+        toks.join(dfreq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "id")
+    )
+    plen = (
+        F.col("n")
+        - F.expr(f"(n * {threshold_ppm} + 999999) DIV 1000000")
+        + F.lit(1)
+    )
+    prefix = ranked.filter(F.col("rn") <= plen).select("id", "tok")
+    cand = (
+        prefix.alias("p")
+        .join(
+            toks.alias("t"),
+            (F.col("t.tok") == F.col("p.tok"))
+            & (F.col("t.id") != F.col("p.id")),
+        )
+        .select(F.col("p.id").alias("a"), F.col("t.id").alias("b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("id").alias("a"), "tok")
+    tb = toks.select(F.col("id").alias("b"), "tok")
+    inter = (
+        cand.join(ta, "a")
+        .join(tb, ["b", "tok"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("id").alias("a"), F.col("n").alias("na"))
+    return (
+        inter.join(na, "a")
+        .select(
+            "a",
+            "b",
+            F.col("inter").cast("bigint").alias("inter"),
+            F.col("na").cast("bigint").alias("na"),
+            F.expr("inter * 1000000 DIV na")
+            .cast("bigint")
+            .alias("containment_ppm"),
+        )
+        .filter(F.col("containment_ppm") >= threshold_ppm)
+    )

@@ -2007,3 +2007,80 @@ def context_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seq_len")
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment join (quote/subset detection): ordered pairs
+# where >= 80% of A's shingles appear in B — what Jaccard dedup
+# structurally misses (a short doc inside a long one has tiny J). A's
+# rarest-element prefix joins against the FULL element table
+# (containment gives B no prefix); exact verify. The contamination
+# scanner's core: benchmark text quoted inside a training page.
+# ---------------------------------------------------------------------------
+
+_CONT_T = 800000
+
+
+@q(
+    "containment_quote_detection",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id AS id, unnest(list_distinct(
+        CASE WHEN len(toks) - 2 > 0
+             THEN list_transform(generate_series(1, len(toks) - 2),
+                                 i -> array_to_string(toks[i:i+2], ' '))
+             ELSE [] END)) AS tok
+      FROM base
+    ),
+    toks AS (SELECT DISTINCT id, tok FROM sh),
+    sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+    dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT t.id, t.tok,
+             row_number() OVER (PARTITION BY t.id ORDER BY d.df, t.tok)
+               AS rn,
+             s.n
+      FROM toks t JOIN dfreq d USING (tok) JOIN sizes s USING (id)
+    ),
+    prefix AS (
+      SELECT id, tok FROM ranked
+      WHERE rn <= n - ((n * {_CONT_T} + 999999) // 1000000) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT p.id AS a, t.id AS b
+      FROM prefix p JOIN toks t ON t.tok = p.tok AND t.id != p.id
+    ),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS inter
+      FROM cand c
+      JOIN toks ta ON ta.id = c.a
+      JOIN toks tb ON tb.id = c.b AND tb.tok = ta.tok
+      GROUP BY c.a, c.b
+    )
+    SELECT i.a, i.b, CAST(i.inter AS BIGINT) AS inter,
+           CAST(sa.n AS BIGINT) AS na,
+           CAST(i.inter * 1000000 // sa.n AS BIGINT) AS containment_ppm
+    FROM inter i JOIN sizes sa ON sa.id = i.a
+    WHERE i.inter * 1000000 // sa.n >= {_CONT_T}
+    ORDER BY containment_ppm DESC, a, b
+    """,
+    "dedup",
+    "containment",
+    "contamination",
+    "prefix-filter",
+    "llm",
+)
+def containment_quote_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered pairs with >= 80% shingle containment
+    (dedup.containment_join over 3-gram shingle sets)."""
+    from milvus_cdc_spark.analytics import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.shingle_rows(docs, "doc_id", "text", n=3)
+    out = dedup.containment_join(
+        sh, threshold_ppm=_CONT_T, id_col="doc_id", item_col="s"
+    )
+    return out.orderBy(F.col("containment_ppm").desc(), "a", "b")

@@ -586,3 +586,36 @@ def test_label_propagation_matches_python(spark):
             assert len({labels[n] for n in (1, 2, 3)}) == 1
             assert len({labels[n] for n in (11, 12, 13)}) == 1
             assert labels[1] != labels[11]
+
+
+def test_containment_join_matches_bruteforce(spark):
+    """Asymmetric containment join == brute-force ordered pairs,
+    including the case Jaccard misses: a small set fully inside a large
+    one (C=1.0, J~0.3), and exact-threshold boundaries."""
+    sets = {
+        1: {"a", "b"},                                # inside 2 fully
+        2: {"a", "b", "c", "d", "e", "f"},            # container
+        3: {"a", "x", "y", "z"},                      # 1/4 of it in 2
+        4: {"c", "d", "e", "f", "g"},                 # 4/5 = 0.8 in 2
+        5: {"q"},
+    }
+    rows = [(i, t) for i, s in sets.items() for t in s]
+    df = spark.createDataFrame(rows, "id bigint, item string")
+    from milvus_cdc_spark.analytics.dedup import containment_join
+
+    got = {
+        (r.a, r.b): r.containment_ppm
+        for r in containment_join(df, threshold_ppm=800000).collect()
+    }
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            c = len(sets[a] & sets[b]) * 1000000 // len(sets[a])
+            if c >= 800000:
+                want[(a, b)] = c
+    assert got == want
+    assert got[(1, 2)] == 1000000   # full containment, tiny Jaccard
+    assert (4, 2) in got            # exactly at the 0.8 threshold
+    assert (2, 1) not in got        # asymmetry: container not contained
