@@ -186,6 +186,8 @@ HEADLINE_R5H = [
 #: Round-5 ninth-batch additions (alphabetized).
 HEADLINE_R5I = [
     "boilerplate_line_stats",       # per-source site-chrome lines
+    "containment_quote_detection",  # asymmetric containment join
+    "context_length_histogram",     # seq-len planning report
     "copurchase_lift_topk",         # market-basket lift rules
     "delete_by_expr_replay",        # compiled expr-delete ops in replay
     "event_transition_matrix",      # per-user Markov chain
@@ -198,6 +200,7 @@ HEADLINE_R5I = [
     "langid_precision_recall",      # per-class P/R/F1 eval
     "maxsim_multivector_topk",      # ColBERT MaxSim late interaction
     "ndcg_search_eval",             # graded ANN quality vs exact
+    "quality_canonical_selection",  # keep-longest per near-dup cluster
     "roc_auc_quality",              # tie-aware Mann-Whitney AUC
     "scd2_asof_enrich",             # union-sort as-of dimension join
     "score_decile_lift",            # exact-decile gain chart
