@@ -619,3 +619,39 @@ def test_containment_join_matches_bruteforce(spark):
     assert got[(1, 2)] == 1000000   # full containment, tiny Jaccard
     assert (4, 2) in got            # exactly at the 0.8 threshold
     assert (2, 1) not in got        # asymmetry: container not contained
+
+
+def test_containment_join_property_random_sets(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    elem = st.sampled_from("abcdefgh")
+    set_strat = st.sets(elem, min_size=1, max_size=6)
+    corpora = st.lists(set_strat, min_size=2, max_size=5)
+
+    @given(corpora)
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(sets):
+        from milvus_cdc_spark.analytics.dedup import containment_join
+
+        rows = [(i, t) for i, s in enumerate(sets) for t in s]
+        df = spark.createDataFrame(rows, "id bigint, item string")
+        got = {
+            (r.a, r.b): r.containment_ppm
+            for r in containment_join(df, threshold_ppm=600000).collect()
+        }
+        want = {}
+        for a in range(len(sets)):
+            for b in range(len(sets)):
+                if a == b:
+                    continue
+                c = len(sets[a] & sets[b]) * 1000000 // len(sets[a])
+                if c >= 600000:
+                    want[(a, b)] = c
+        assert got == want
+
+    check()
