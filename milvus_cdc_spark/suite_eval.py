@@ -2084,3 +2084,123 @@ def containment_quote_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh, threshold_ppm=_CONT_T, id_col="doc_id", item_col="s"
     )
     return out.orderBy(F.col("containment_ppm").desc(), "a", "b")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketches, merged: per-returnflag 256-bucket
+# histograms fold to per-scope p50/p90/p99, and the '__all__' scope is
+# the UNION-MERGE of the per-flag tables (bucket-wise count sums) —
+# lossless like the HLL register merge, because equi-width histograms
+# are trivially additive. The rollup pattern: per-partition/day/source
+# sketch tables merge without rescanning, and the merged quantiles
+# equal a direct global pass exactly.
+# ---------------------------------------------------------------------------
+
+_QSM_WIDTH = 512
+_QSM_PCTS = (50, 90, 99)
+
+
+@q(
+    "quantile_sketch_merge",
+    f"""
+    WITH hist AS (
+      SELECT l_returnflag AS scope,
+             least(CAST(floor(l_extendedprice)::BIGINT // {_QSM_WIDTH}
+                        AS BIGINT), 255) AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    scoped AS (
+      SELECT scope, bucket, c FROM hist
+      UNION ALL
+      SELECT '__all__' AS scope, bucket, CAST(sum(c) AS BIGINT) AS c
+      FROM hist GROUP BY bucket
+    ),
+    cum AS (
+      SELECT scope, bucket, c,
+             CAST(sum(c) OVER (PARTITION BY scope ORDER BY bucket)
+                  AS BIGINT) AS cum_c,
+             CAST(sum(c) OVER (PARTITION BY scope) AS BIGINT) AS total
+      FROM scoped
+    ),
+    pcts AS (SELECT unnest([{", ".join(str(p) for p in _QSM_PCTS)}]) AS p),
+    chosen AS (
+      SELECT cm.scope, p.p, min(cm.bucket) AS bucket
+      FROM pcts p JOIN cum cm
+        ON cm.cum_c * 100 >= p.p * cm.total
+      GROUP BY cm.scope, p.p
+    )
+    SELECT ch.scope AS scope, CAST(ch.p AS INT) AS p,
+           CAST(ch.bucket AS INT) AS bucket,
+           CAST(ch.bucket * {_QSM_WIDTH}
+                + ((p.p * cm.total + 99) // 100 - (cm.cum_c - cm.c))
+                  * {_QSM_WIDTH} // cm.c AS BIGINT) AS value_est
+    FROM chosen ch
+    JOIN cum cm ON cm.scope = ch.scope AND cm.bucket = ch.bucket
+    JOIN pcts p ON p.p = ch.p
+    ORDER BY ch.scope, p
+    """,
+    "sketch",
+    "quantile",
+    "merge",
+    "monitoring",
+)
+def quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag p50/p90/p99 from 256-bucket histograms plus the
+    '__all__' scope folded from the MERGED per-flag tables — the
+    additive-sketch rollup."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    hist = li.groupBy(
+        F.col("l_returnflag").alias("scope"),
+        F.least(
+            F.expr(f"CAST(floor(l_extendedprice) AS BIGINT) DIV {_QSM_WIDTH}"),
+            F.lit(255).cast("bigint"),
+        ).alias("bucket"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    merged = (
+        hist.groupBy("bucket")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+        .select(F.lit("__all__").alias("scope"), "bucket", "c")
+    )
+    scoped = hist.unionByName(merged)
+    w_cum = (
+        W.partitionBy("scope")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = scoped.select(
+        "scope",
+        "bucket",
+        "c",
+        F.sum("c").over(w_cum).cast("bigint").alias("cum_c"),
+        F.sum("c").over(W.partitionBy("scope")).cast("bigint").alias("total"),
+    )
+    pcts = li.sparkSession.createDataFrame(
+        [(p,) for p in _QSM_PCTS], "p int"
+    )
+    chosen = (
+        F.broadcast(pcts)
+        .join(cum, F.col("cum_c") * 100 >= F.col("p") * F.col("total"))
+        .groupBy("scope", "p")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return (
+        chosen.join(cum, ["scope", "bucket"])
+        .select(
+            "scope",
+            F.col("p").cast("int").alias("p"),
+            F.col("bucket").cast("int").alias("bucket"),
+            (
+                F.col("bucket") * _QSM_WIDTH
+                + F.expr(
+                    f"((p * total + 99) DIV 100 - (cum_c - c)) "
+                    f"* {_QSM_WIDTH} DIV c"
+                )
+            )
+            .cast("bigint")
+            .alias("value_est"),
+        )
+        .orderBy("scope", "p")
+    )
