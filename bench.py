@@ -201,6 +201,7 @@ HEADLINE_R5I = [
     "maxsim_multivector_topk",      # ColBERT MaxSim late interaction
     "ndcg_search_eval",             # graded ANN quality vs exact
     "quality_canonical_selection",  # keep-longest per near-dup cluster
+    "quantile_sketch_merge",        # additive histogram rollup
     "roc_auc_quality",              # tie-aware Mann-Whitney AUC
     "scd2_asof_enrich",             # union-sort as-of dimension join
     "score_decile_lift",            # exact-decile gain chart
