@@ -2204,3 +2204,117 @@ def quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scope", "p")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users — THE production use of a mergeable
+# sketch: one grouped pass builds per-DAY HLL register tables; every
+# day's trailing-7-day distinct estimate is a union-merge of 7 tiny
+# register tables (day-window equi-join + per-register max + fold) —
+# the raw events are scanned ONCE regardless of window length, where
+# the exact rolling count rescans every event 7 times. Both the exact
+# count (small here) and the sketch estimate are emitted so the
+# approximation error is visible in the result itself.
+# ---------------------------------------------------------------------------
+
+
+def _rolling_hll_oracle() -> str:
+    from milvus_cdc_spark.analytics.sketches import hll_alpha_numerator
+
+    m = 64
+    rho_cases = " ".join(
+        f"WHEN v >= {1 << (24 - k)} THEN {k}" for k in range(1, 25)
+    )
+    nib = "(instr('0123456789abcdef', substring({h}, {i}, 1)) - 1)::BIGINT"
+    h_b = "md5('21:' || CAST(user_id AS VARCHAR))"
+    h_v = "md5('23:' || CAST(user_id AS VARCHAR))"
+    b = [nib.format(h=h_b, i=i) for i in (1, 2, 3)]
+    v_nibs = [nib.format(h=h_v, i=i) for i in range(1, 7)]
+    v_expr = v_nibs[0]
+    for t in v_nibs[1:]:
+        v_expr = f"({v_expr} * 16 + {t})"
+    return f"""
+    WITH ev AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ev),
+    hashed AS (
+      SELECT d, (({b[0]} * 256 + {b[1]} * 16 + {b[2]}) % {m}) AS bucket,
+             {v_expr} AS v
+      FROM ev
+    ),
+    regs AS (
+      SELECT d, bucket, max(CASE {rho_cases} ELSE 25 END) AS reg
+      FROM hashed GROUP BY d, bucket
+    ),
+    merged AS (
+      SELECT w.d, r.bucket, max(r.reg) AS reg
+      FROM days w JOIN regs r
+        ON r.d <= w.d AND r.d >= w.d - INTERVAL 6 DAY
+      GROUP BY w.d, r.bucket
+    ),
+    folded AS (
+      SELECT d,
+             CAST(count(*) AS BIGINT) AS n_set,
+             CAST(coalesce(sum(1::BIGINT << (30 - reg)), 0)
+                  + ({m} - count(*)) * {1 << 30} AS BIGINT) AS sum_scaled
+      FROM merged GROUP BY d
+    ),
+    exact AS (
+      SELECT w.d, CAST(count(DISTINCT e.user_id) AS BIGINT) AS exact_users
+      FROM days w JOIN ev e
+        ON e.d <= w.d AND e.d >= w.d - INTERVAL 6 DAY
+      GROUP BY w.d
+    )
+    SELECT f.d AS day, x.exact_users, f.n_set, f.sum_scaled,
+           round({hll_alpha_numerator(m)!r} / f.sum_scaled, 2) AS estimate
+    FROM folded f JOIN exact x ON x.d = f.d
+    ORDER BY day
+    """
+
+
+@q(
+    "rolling_active_users",
+    _rolling_hll_oracle(),
+    "sketch",
+    "hyperloglog",
+    "sliding-window",
+    "monitoring",
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day: exact count beside the
+    HLL union-merge estimate built from per-day register tables."""
+    from milvus_cdc_spark.analytics import sketches
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+        F.col("user_id"),
+    )
+    days = ev.select("d").distinct()
+    regs = sketches.hll_registers(
+        ev.select("d", F.col("user_id").alias("item")),
+        m=64,
+        group_cols=["d"],
+    )
+    win = days.select(F.col("d").alias("day"))
+    in_window = (F.col("d") <= F.col("day")) & (
+        F.col("d") >= F.date_sub(F.col("day"), 6)
+    )
+    merged = (
+        F.broadcast(win)
+        .join(regs, in_window)
+        .groupBy("day", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    folded = sketches.hll_estimate_frame(merged, m=64, group_cols=["day"])
+    exact = (
+        F.broadcast(win)
+        .join(ev, in_window)
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_users"))
+    )
+    return (
+        folded.join(exact, "day")
+        .select("day", "exact_users", "n_set", "sum_scaled", "estimate")
+        .orderBy("day")
+    )
