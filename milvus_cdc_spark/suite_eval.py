@@ -2318,3 +2318,120 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "exact_users", "n_set", "sum_scaled", "estimate")
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast quality (MASE-lite): per event_type, hourly
+# event counts are "forecast" by the same hour yesterday (lag 24) and
+# by the previous hour (lag 1, the naive baseline); the ratio of their
+# mean absolute errors in integer ppm says whether daily seasonality
+# explains the series (ratio << 1e6) — the standard sanity check before
+# wiring an anomaly detector to a metric. Hour gaps with no events are
+# zero-filled from the hour dimension so lags align on real clock
+# hours, not observed rows. All-integer counts and |diffs|.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "seasonal_forecast_error",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events
+    ),
+    hours AS (
+      SELECT unnest(generate_series((SELECT h0 FROM bounds),
+                                    (SELECT h1 FROM bounds),
+                                    INTERVAL 1 HOUR)) AS h
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT t.event_type, h.h FROM types t, hours h),
+    cnt AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT g.event_type, g.h, coalesce(c.c, 0) AS c
+      FROM grid g LEFT JOIN cnt c
+        ON c.event_type = g.event_type AND c.h = g.h
+    ),
+    lagged AS (
+      SELECT event_type, h, c,
+             lag(c, 24) OVER (PARTITION BY event_type ORDER BY h) AS c24,
+             lag(c, 1)  OVER (PARTITION BY event_type ORDER BY h) AS c1
+      FROM series
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(abs(c - c24)) AS BIGINT) AS seasonal_abs_err,
+           CAST(sum(abs(c - c1)) AS BIGINT) AS naive_abs_err,
+           CAST(CASE WHEN sum(abs(c - c1)) = 0 THEN 1000000
+                     ELSE sum(abs(c - c24)) * 1000000 // sum(abs(c - c1))
+                END AS BIGINT) AS mase_ppm
+    FROM lagged
+    WHERE c24 IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "events",
+    "forecast",
+    "monitoring",
+    "window",
+)
+def seasonal_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: seasonal (lag-24h) vs naive (lag-1h) mean
+    absolute error ratio over zero-filled hourly counts, integer ppm."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    cnt = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    series = grid.join(cnt, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    w = W.partitionBy("event_type").orderBy("h")
+    lagged = series.select(
+        "event_type",
+        "c",
+        F.lag("c", 24).over(w).alias("c24"),
+        F.lag("c", 1).over(w).alias("c1"),
+    ).filter(F.col("c24").isNotNull())
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hours"),
+            F.sum(F.abs(F.col("c") - F.col("c24")))
+            .cast("bigint")
+            .alias("seasonal_abs_err"),
+            F.sum(F.abs(F.col("c") - F.col("c1")))
+            .cast("bigint")
+            .alias("naive_abs_err"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            "seasonal_abs_err",
+            "naive_abs_err",
+            F.when(F.col("naive_abs_err") == 0, F.lit(1000000))
+            .otherwise(
+                F.expr("seasonal_abs_err * 1000000 DIV naive_abs_err")
+            )
+            .cast("bigint")
+            .alias("mase_ppm"),
+        )
+        .orderBy("event_type")
+    )
