@@ -575,3 +575,36 @@ def test_setsim_join_no_cartesian(spark, sf_dir):
     plan = audit.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_scd2_asof_union_join_no_range_join(spark, sf_dir):
+    """The union-sort as-of join exists to AVOID the range-join shape:
+    the fact-to-version matching must be the key-partitioned window,
+    never a theta join of facts x versions. The ONE nested-loop allowed
+    is the broadcast CROSS that builds the users x weeks dimension (a
+    ~5-row broadcast side) — the join the operator replaces would be a
+    second, data-sized one."""
+    df = suite.QUERIES["scd2_asof_enrich"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # dim build only
+    assert "Window" in plan
+
+
+def test_hamming_banded_join_no_cartesian(spark, sf_dir):
+    """Pigeonhole banding turns the Hamming join into band-equality
+    equi-joins — no cartesian anywhere."""
+    df = suite.QUERIES["hamming_banded_join"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_maxsim_scores_in_row_without_explode(spark, sf_dir):
+    """MaxSim's 8x8 max-sum must run INSIDE the row as higher-order
+    expressions: no Generate (explode) node between the scan and the
+    ranking window — exploding sub-vectors would multiply the scored
+    frame 64x."""
+    df = suite.QUERIES["maxsim_multivector_topk"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert "Generate" not in plan, plan[:2000]
