@@ -587,7 +587,9 @@ def test_scd2_asof_union_join_no_range_join(spark, sf_dir):
     df = suite.QUERIES["scd2_asof_enrich"].fn(spark, sf_dir)
     plan = audit.formatted_plan(df)
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") <= 1  # dim build only
+    # formatted plans print each node twice (tree line + detail section);
+    # the tree line carries the join type — exactly one Cross BuildRight
+    assert plan.count("BroadcastNestedLoopJoin Cross BuildRight") == 1
     assert "Window" in plan
 
 
