@@ -202,6 +202,8 @@ HEADLINE_R5I = [
     "ndcg_search_eval",             # graded ANN quality vs exact
     "quality_canonical_selection",  # keep-longest per near-dup cluster
     "quantile_sketch_merge",        # additive histogram rollup
+    "rolling_active_users",         # 7-day HLL sliding merge
+    "seasonal_forecast_error",      # MASE-lite seasonality check
     "roc_auc_quality",              # tie-aware Mann-Whitney AUC
     "scd2_asof_enrich",             # union-sort as-of dimension join
     "score_decile_lift",            # exact-decile gain chart
