@@ -2435,3 +2435,89 @@ def seasonal_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — the classic generated-vs-organic data
+# screen (fraud and synthetic-data detection): observed first-digit
+# shares of l_extendedprice against Benford's log10(1 + 1/d)
+# expectation, with the expected ppm computed ONCE in Python and
+# inlined as identical integer literals (the NDCG-discount stance on
+# transcendentals). TPC-H prices are uniform-ish, so the report SHOWS
+# a deviation — which is exactly what the audit is for.
+# ---------------------------------------------------------------------------
+
+_BENFORD_PPM = {
+    d: int(math.floor(math.log10(1 + 1 / d) * 1_000_000 + 0.5))
+    for d in range(1, 10)
+}
+_SQL_BENFORD = ", ".join(f"({d}, {p})" for d, p in _BENFORD_PPM.items())
+
+
+@q(
+    "benford_first_digit",
+    f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM lineitem
+    ),
+    obs AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits
+      GROUP BY digit
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM obs),
+    expect(digit, benford_ppm) AS (VALUES {_SQL_BENFORD})
+    SELECT e.digit, coalesce(o.n, 0) AS n,
+           CAST(coalesce(o.n, 0) * 1000000 // (SELECT t FROM tot)
+                AS BIGINT) AS observed_ppm,
+           CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
+           CAST(abs(coalesce(o.n, 0) * 1000000 // (SELECT t FROM tot)
+                    - e.benford_ppm) AS BIGINT) AS abs_dev_ppm
+    FROM expect e LEFT JOIN obs o ON o.digit = e.digit
+    ORDER BY e.digit
+    """,
+    "eval",
+    "benford",
+    "data-quality",
+    "monitoring",
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed vs Benford first-digit distribution of
+    l_extendedprice, integer ppm with shared expectation literals."""
+    li = _t(spark, sf_dir, "lineitem")
+    digits = li.select(
+        F.substring(
+            F.floor(F.col("l_extendedprice")).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count("*").cast("bigint").alias("n"))
+    tot = obs.agg(F.sum("n").cast("bigint").alias("t"))
+    expect = li.sparkSession.createDataFrame(
+        [(d, p) for d, p in _BENFORD_PPM.items()],
+        "digit int, benford_ppm bigint",
+    )
+    return (
+        F.broadcast(expect)
+        .join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.expr("coalesce(n, 0) * 1000000 DIV t")
+            .cast("bigint")
+            .alias("observed_ppm"),
+            F.col("benford_ppm").cast("bigint").alias("benford_ppm"),
+            F.abs(
+                F.expr("coalesce(n, 0) * 1000000 DIV t")
+                - F.col("benford_ppm")
+            )
+            .cast("bigint")
+            .alias("abs_dev_ppm"),
+        )
+        .orderBy("digit")
+    )
