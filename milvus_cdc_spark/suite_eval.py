@@ -2521,3 +2521,70 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavior path mining: top-10 three-step event-type sequences across
+# user journeys (double lead() over the same user-keyed window the
+# transition matrix uses — sequential pattern mining lite). Share is
+# ppm of all observed trigrams; the top-k is TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "event_path_trigrams",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS t1,
+             lead(event_type, 1) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS t2,
+             lead(event_type, 2) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS t3
+      FROM events
+    ),
+    tri AS (
+      SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE t3 IS NOT NULL
+      GROUP BY t1, t2, t3
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM tri)
+    SELECT t1, t2, t3, n,
+           CAST(n * 1000000 // (SELECT t FROM tot) AS BIGINT) AS share_ppm
+    FROM tri
+    ORDER BY n DESC, t1, t2, t3
+    LIMIT 10
+    """,
+    "events",
+    "sequence-mining",
+    "window",
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 (t1, t2, t3) event-type paths by frequency with ppm
+    share, from per-user double-lead pairing."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    tri = seq.groupBy("t1", "t2", "t3").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = tri.agg(F.sum("n").cast("bigint").alias("t"))
+    return (
+        tri.crossJoin(F.broadcast(tot))
+        .select(
+            "t1",
+            "t2",
+            "t3",
+            "n",
+            F.expr("n * 1000000 DIV t").cast("bigint").alias("share_ppm"),
+        )
+        .orderBy(F.col("n").desc(), "t1", "t2", "t3")
+        .limit(10)
+    )
