@@ -2588,3 +2588,159 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "t1", "t2", "t3")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-phase MaxSim — the 100 TB path the exact query's docstring
+# promises: phase 1 generates candidates by the POOLED vector's 4-bit
+# sign bucket (the whole-embedding sign-LSH used across the ANN
+# family — cheap, bucket-bounded); phase 2 reranks only candidates
+# with the full 8x8 int8 MaxSim. in_exact_top3 flags each reranked hit
+# against the all-pairs MaxSim ranking, so the recall cost of the
+# candidate stage is visible in the result (the maxscore_pruned_search
+# reporting pattern).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "maxsim_ann_rerank",
+    f"""
+    WITH codes AS (
+      SELECT vec_id,
+             list_transform(generate_series(0, {_MS_SUB - 1}),
+               i -> list_transform(
+                      embedding[i * {_MS_DIM} + 1 : i * {_MS_DIM} + {_MS_DIM}],
+                      x -> greatest(-128, least(127,
+                             CAST(floor(x::DOUBLE * 64 + 0.5) AS BIGINT)))))
+               AS sub,
+             (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM codes WHERE vec_id < 10),
+    all_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(q.sub,
+               qi -> list_max(list_transform(c.sub,
+                 cj -> list_sum(list_transform(list_zip(qi, cj),
+                                               p -> p[1] * p[2]))))))
+               AS BIGINT) AS maxsim,
+             c.bucket = q.bucket AS is_cand
+      FROM codes c, q WHERE c.vec_id != q.vec_id
+    ),
+    exact3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY maxsim DESC, neighbor_id) AS rn
+        FROM all_scored
+      ) WHERE rn <= 3
+    ),
+    rer AS (
+      SELECT query_id, neighbor_id, maxsim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY maxsim DESC, neighbor_id) AS rank
+      FROM all_scored WHERE is_cand
+    )
+    SELECT r.query_id, CAST(r.rank AS INT) AS rank, r.neighbor_id,
+           r.maxsim,
+           CAST(CASE WHEN e.neighbor_id IS NULL THEN 0 ELSE 1 END AS INT)
+             AS in_exact_top3
+    FROM rer r LEFT JOIN exact3 e
+      ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+    WHERE r.rank <= 3
+    ORDER BY r.query_id, r.rank
+    """,
+    "vector",
+    "maxsim",
+    "ann",
+    "rerank",
+    "two-phase",
+    "llm",
+)
+def maxsim_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bucket candidates reranked by exact int8 MaxSim, flagged
+    against the all-pairs MaxSim top-3."""
+    from pyspark.sql import Window as W
+
+    emb = _t(spark, sf_dir, "embeddings")
+    i8 = lambda x: F.greatest(  # noqa: E731
+        F.lit(-128),
+        F.least(
+            F.lit(127),
+            F.floor(x.cast("double") * 64 + F.lit(0.5)).cast("bigint"),
+        ),
+    )
+    sub = F.transform(
+        F.sequence(F.lit(0), F.lit(_MS_SUB - 1)),
+        lambda i: F.transform(
+            F.slice(F.col("embedding"), i * _MS_DIM + 1, _MS_DIM), i8
+        ),
+    )
+    bucket = F.concat(
+        *[
+            F.when(F.col("embedding")[i] >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for i in range(4)
+        ]
+    )
+    codes = emb.select("vec_id", sub.alias("sub"), bucket.alias("bucket"))
+    queries = codes.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sub").alias("qsub"),
+        F.col("bucket").alias("qbucket"),
+    )
+    ip8 = lambda qi, cj: F.aggregate(  # noqa: E731
+        F.zip_with(qi, cj, lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    maxsim = F.aggregate(
+        F.transform(
+            F.col("qsub"),
+            lambda qi: F.array_max(
+                F.transform(F.col("sub"), lambda cj: ip8(qi, cj))
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            maxsim.alias("maxsim"),
+            (F.col("bucket") == F.col("qbucket")).alias("is_cand"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), F.col("neighbor_id")
+    )
+    exact3 = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    )
+    rer = (
+        scored.filter(F.col("is_cand"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+    return (
+        rer.join(exact3, ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            "maxsim",
+            F.coalesce(F.col("_hit"), F.lit(0))
+            .cast("int")
+            .alias("in_exact_top3"),
+        )
+        .orderBy("query_id", "rank")
+    )
