@@ -185,11 +185,13 @@ HEADLINE_R5H = [
 
 #: Round-5 ninth-batch additions (alphabetized).
 HEADLINE_R5I = [
+    "benford_first_digit",          # first-digit data-quality audit
     "boilerplate_line_stats",       # per-source site-chrome lines
     "containment_quote_detection",  # asymmetric containment join
     "context_length_histogram",     # seq-len planning report
     "copurchase_lift_topk",         # market-basket lift rules
     "delete_by_expr_replay",        # compiled expr-delete ops in replay
+    "event_path_trigrams",          # 3-step behavior sequences
     "event_transition_matrix",      # per-user Markov chain
     "grouped_auc_by_source",        # per-group rank statistics
     "hamming_banded_join",          # pigeonhole exact Hamming join
@@ -198,6 +200,7 @@ HEADLINE_R5I = [
     "ks_drift_test",                # exact two-sample KS statistic
     "label_propagation_communities",  # sync LPA community detection
     "langid_precision_recall",      # per-class P/R/F1 eval
+    "maxsim_ann_rerank",            # two-phase MaxSim (bucket + rerank)
     "maxsim_multivector_topk",      # ColBERT MaxSim late interaction
     "ndcg_search_eval",             # graded ANN quality vs exact
     "quality_canonical_selection",  # keep-longest per near-dup cluster
