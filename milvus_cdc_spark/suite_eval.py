@@ -2744,3 +2744,87 @@ def maxsim_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve — the tokenizer-budget decision: for each
+# candidate vocab size N, what share of corpus TOKENS the top-N
+# frequency-ranked terms cover (1 - coverage = OOV/byte-fallback
+# rate). Term ranks come from distributed_row_number over
+# (freq desc, term) — the same no-global-sort machinery vocab_build
+# uses, because a 100 TB corpus has 10^7-10^8 distinct terms. Pairs
+# with context_length_histogram as the pre-tokenizer planning report.
+# ---------------------------------------------------------------------------
+
+_VC_SIZES = (256, 1024, 4096)
+
+
+@q(
+    "vocab_coverage_curve",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    freq AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks
+             GROUP BY term),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rnk FROM freq
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM ranked),
+    sizes AS (SELECT unnest([{", ".join(str(n) for n in _VC_SIZES)}])
+              AS vocab_size)
+    SELECT s.vocab_size,
+           CAST(sum(CASE WHEN r.rnk <= s.vocab_size THEN r.c ELSE 0 END)
+                AS BIGINT) AS covered_tokens,
+           (SELECT t FROM tot) AS total_tokens,
+           CAST(sum(CASE WHEN r.rnk <= s.vocab_size THEN r.c ELSE 0 END)
+                * 1000000 // (SELECT t FROM tot) AS BIGINT)
+             AS coverage_ppm
+    FROM sizes s, ranked r
+    GROUP BY s.vocab_size
+    ORDER BY s.vocab_size
+    """,
+    "llm",
+    "vocab",
+    "tokenizer",
+    "planning",
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token coverage (ppm) of the top-N frequency-ranked terms
+    for candidate vocab sizes, ranks via distributed_row_number."""
+    from milvus_cdc_spark.functions import text as textf
+    from milvus_cdc_spark.operators import windows
+
+    windows.release_rank_caches()  # prior query's rank cache is consumed
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(textf.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count("*").cast("bigint").alias("c"))
+    ranked = windows.distributed_row_number(
+        freq.select(F.col("term"), F.col("c"), (-F.col("c")).alias("negc")),
+        ["negc", "term"],
+        rank_col="rnk",
+    )
+    tot = ranked.agg(F.sum("c").cast("bigint").alias("t"))
+    sizes = docs.sparkSession.createDataFrame(
+        [(n,) for n in _VC_SIZES], "vocab_size int"
+    )
+    covered = (
+        F.broadcast(sizes)
+        .join(ranked, F.col("rnk") <= F.col("vocab_size"), "left")
+        .groupBy("vocab_size")
+        .agg(F.sum("c").cast("bigint").alias("covered_tokens"))
+    )
+    return (
+        covered.crossJoin(F.broadcast(tot))
+        .select(
+            "vocab_size",
+            "covered_tokens",
+            F.col("t").alias("total_tokens"),
+            F.expr("covered_tokens * 1000000 DIV t")
+            .cast("bigint")
+            .alias("coverage_ppm"),
+        )
+        .orderBy("vocab_size")
+    )
