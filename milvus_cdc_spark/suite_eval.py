@@ -2828,3 +2828,94 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vocab_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid distance matrix — embedding-space geometry check
+# (which classes collide, which separate — the confusion-risk map for
+# the kNN/ANN eval family). Centroids in integer micro-units
+# (per-dim sum*1e6 DIV n — floor division on non-negative sums after
+# a sign-split guard is avoided by scaling the raw per-row values
+# first, the PCA query's contract), then SQUARED L2 between centroid
+# pairs — exact BIGINT end-to-end, no sqrt, no float.
+# ---------------------------------------------------------------------------
+
+_LC_DIMS = 8
+
+
+def _lc_ssdiv(x: str, d: str) -> str:
+    """Sign-split integer division (truncation toward zero in BOTH
+    engines) — sums of signed micro-values can be negative."""
+    return (
+        f"CASE WHEN {x} < 0 THEN -((-({x})) // ({d})) "
+        f"ELSE ({x}) // ({d}) END"
+    )
+
+
+@q(
+    "label_centroid_distances",
+    f"""
+    WITH vals AS (
+      SELECT label,
+             {", ".join(
+                 f"CAST(floor(embedding[{k + 1}] * 1e6 + 0.5) AS BIGINT)"
+                 f" AS v{k}" for k in range(_LC_DIMS))}
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label,
+             {", ".join(
+                 _lc_ssdiv(f"sum(v{k})", "count(*)") + f" AS c{k}"
+                 for k in range(_LC_DIMS))}
+      FROM vals GROUP BY label
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST({" + ".join(
+               f"(a.c{k} - b.c{k}) * (a.c{k} - b.c{k})"
+               for k in range(_LC_DIMS))} AS BIGINT) AS sq_l2_micro
+    FROM cent a JOIN cent b ON a.label < b.label
+    ORDER BY label_a, label_b
+    """,
+    "vector",
+    "eval",
+    "centroid",
+    "geometry",
+)
+def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise squared-L2 distances between per-label centroids over
+    the first 8 embedding dims — exact integer micro-units."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "label",
+        *[
+            F.floor(F.col("embedding")[k].cast("double") * 1e6 + F.lit(0.5))
+            .cast("bigint")
+            .alias(f"v{k}")
+            for k in range(_LC_DIMS)
+        ],
+    )
+    # sign-split division rendered as a SQL expr for exact parity
+    cent = vals.groupBy("label").agg(
+        *[
+            F.expr(
+                f"CASE WHEN sum(v{k}) < 0 "
+                f"THEN -((-sum(v{k})) DIV count(*)) "
+                f"ELSE sum(v{k}) DIV count(*) END"
+            ).alias(f"c{k}")
+            for k in range(_LC_DIMS)
+        ]
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    sq = None
+    for k in range(_LC_DIMS):
+        d = F.col(f"a.c{k}") - F.col(f"b.c{k}")
+        sq = d * d if sq is None else sq + d * d
+    return (
+        a.join(b, F.col("a.label") < F.col("b.label"))
+        .select(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            sq.cast("bigint").alias("sq_l2_micro"),
+        )
+        .orderBy("label_a", "label_b")
+    )
