@@ -212,6 +212,8 @@ HEADLINE_R5I = [
     "score_decile_lift",            # exact-decile gain chart
     "setsim_prefix_join",           # exact Jaccard join, prefix filter
     "triangle_parts_topk",          # degree-oriented triangle counting
+    "vocab_coverage_curve",         # tokenizer-budget coverage curve
+    "label_centroid_distances",     # class-geometry distance matrix
 ]
 
 
