@@ -2919,3 +2919,87 @@ def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-concentration Lorenz points: split docs into exact global
+# length deciles (distributed_ntile — no single-task sort) and report
+# each decile's token share plus the cumulative share — "the longest
+# 10% of documents hold X% of the corpus tokens", the inequality
+# diagnostic that decides whether length capping / doc splitting is
+# worth a pipeline stage. Integer ppm throughout.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "length_lorenz_points",
+    f"""
+    WITH tc AS (
+      SELECT doc_id, n_chars, len({_SQL_TOKS}) AS n_toks FROM documents
+    ),
+    tiled AS (
+      SELECT n_toks,
+             ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM tc
+    ),
+    per AS (
+      SELECT decile,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS toks
+      FROM tiled GROUP BY decile
+    ),
+    tot AS (SELECT CAST(sum(toks) AS BIGINT) AS t FROM per)
+    SELECT CAST(decile AS INT) AS decile, n_docs, toks,
+           CAST(toks * 1000000 // (SELECT t FROM tot) AS BIGINT)
+             AS tok_share_ppm,
+           CAST(sum(toks) OVER (
+                  ORDER BY decile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) * 1000000 // (SELECT t FROM tot) AS BIGINT)
+             AS cum_tok_ppm
+    FROM per
+    ORDER BY decile
+    """,
+    "llm",
+    "distribution",
+    "lorenz",
+    "planning",
+)
+def length_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per length-decile token share and cumulative share (ppm) —
+    exact global deciles via distributed_ntile."""
+    from milvus_cdc_spark.functions import text as textf
+    from milvus_cdc_spark.operators import windows
+
+    windows.release_rank_caches()  # prior query's rank cache is consumed
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(textf.tokens(F.lower(F.col("text")))).alias("n_toks"),
+    )
+    tiled = windows.distributed_ntile(
+        docs, 10, ["n_chars", "doc_id"], tile_col="decile"
+    )
+    per = tiled.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("toks"),
+    )
+    cum = windows.distributed_prefix_sum(
+        per, [F.col("decile")], "toks", out_col="cum_toks", inclusive=True
+    )
+    tot = per.agg(F.sum("toks").cast("bigint").alias("t"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_docs",
+            "toks",
+            F.expr("toks * 1000000 DIV t")
+            .cast("bigint")
+            .alias("tok_share_ppm"),
+            F.expr("cum_toks * 1000000 DIV t")
+            .cast("bigint")
+            .alias("cum_tok_ppm"),
+        )
+        .orderBy("decile")
+    )
