@@ -3003,3 +3003,112 @@ def length_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster density: per component, verified-pair edges vs
+# possible pairs (ppm). Density ~1e6 means every member directly
+# resembles every other (true duplicate set); low density flags
+# CHAIN-linked clusters — A~B~C with A!~C — where transitive dedup
+# over-merges and a second verification pass or a higher threshold is
+# warranted. The standard audit before trusting connected components
+# as dedup groups.
+# ---------------------------------------------------------------------------
+
+
+def _cluster_density_oracle() -> str:
+    from milvus_cdc_spark.suite import _ORACLE_NEAR_DUP_PAIRS_CTE
+
+    return (
+        _ORACLE_NEAR_DUP_PAIRS_CTE
+        + """,
+    jac AS (
+      SELECT p.a, p.b,
+             round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                   / greatest(len(list_distinct(list_concat(sa.shingles, sb.shingles))), 1),
+                   6) AS jaccard
+      FROM pairs p
+      JOIN sh sa ON p.a = sa.doc_id
+      JOIN sh sb ON p.b = sb.doc_id
+    ),
+    strong AS (SELECT a, b FROM jac WHERE jaccard >= 0.2),
+    edges AS (SELECT a AS src, b AS dst FROM strong
+              UNION SELECT b, a FROM strong),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+      SELECT node, node AS lab FROM nodes
+      UNION
+      SELECT e.dst AS node, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+    csize AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS n_members
+      FROM comp GROUP BY component
+    ),
+    cedges AS (
+      SELECT ca.component, CAST(count(*) AS BIGINT) AS n_edges
+      FROM strong s
+      JOIN comp ca ON ca.node = s.a
+      GROUP BY ca.component
+    )
+    SELECT s.component, s.n_members,
+           coalesce(e.n_edges, 0) AS n_edges,
+           CAST(s.n_members * (s.n_members - 1) / 2 AS BIGINT)
+             AS possible_pairs,
+           CAST(coalesce(e.n_edges, 0) * 1000000
+                // (s.n_members * (s.n_members - 1) / 2) AS BIGINT)
+             AS density_ppm
+    FROM csize s LEFT JOIN cedges e ON e.component = s.component
+    ORDER BY s.component
+    """
+    ).replace("WITH base AS (", "WITH RECURSIVE base AS (", 1)
+
+
+@q(
+    "cluster_density_report",
+    _cluster_density_oracle(),
+    "dedup",
+    "clustering",
+    "audit",
+    "llm",
+)
+def cluster_density_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per near-dup component: verified edges vs possible pairs in ppm
+    — the chain-link over-merge audit."""
+    from milvus_cdc_spark.analytics import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    strong = dedup.near_dup_pipeline(docs, k=8, bands=4).filter(
+        F.col("jaccard") >= 0.2
+    )
+    comp = dedup.connected_components(strong, shuffle_partitions=8)
+    csize = comp.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    cedges = (
+        strong.join(
+            comp.select(F.col("node").alias("a"), "component"), "a"
+        )
+        .groupBy("component")
+        .agg(F.count("*").cast("bigint").alias("n_edges"))
+    )
+    return (
+        csize.join(cedges, "component", "left")
+        .select(
+            "component",
+            "n_members",
+            F.coalesce(F.col("n_edges"), F.lit(0))
+            .cast("bigint")
+            .alias("n_edges"),
+            F.expr("n_members * (n_members - 1) DIV 2")
+            .cast("bigint")
+            .alias("possible_pairs"),
+            F.expr(
+                "coalesce(n_edges, 0) * 1000000 "
+                "DIV (n_members * (n_members - 1) DIV 2)"
+            )
+            .cast("bigint")
+            .alias("density_ppm"),
+        )
+        .orderBy("component")
+    )
