@@ -187,6 +187,7 @@ HEADLINE_R5H = [
 HEADLINE_R5I = [
     "benford_first_digit",          # first-digit data-quality audit
     "boilerplate_line_stats",       # per-source site-chrome lines
+    "cluster_density_report",       # chain-link over-merge audit
     "containment_quote_detection",  # asymmetric containment join
     "context_length_histogram",     # seq-len planning report
     "copurchase_lift_topk",         # market-basket lift rules
@@ -200,6 +201,7 @@ HEADLINE_R5I = [
     "ks_drift_test",                # exact two-sample KS statistic
     "label_propagation_communities",  # sync LPA community detection
     "langid_precision_recall",      # per-class P/R/F1 eval
+    "length_lorenz_points",         # token-concentration curve
     "maxsim_ann_rerank",            # two-phase MaxSim (bucket + rerank)
     "maxsim_multivector_topk",      # ColBERT MaxSim late interaction
     "ndcg_search_eval",             # graded ANN quality vs exact
