@@ -3112,3 +3112,91 @@ def cluster_density_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# Where does duplication LIVE? Verified near-dup pairs rolled up to
+# (source_a, source_b) — within-source counts on the diagonal flag
+# crawl-level re-fetch; cross-source counts flag mirror/syndication
+# relationships, which decide whether dedup keys on source boundaries
+# or must stay corpus-global. Canonical unordered source pair.
+# ---------------------------------------------------------------------------
+
+
+def _source_pair_oracle() -> str:
+    from milvus_cdc_spark.suite import _ORACLE_NEAR_DUP_PAIRS_CTE
+
+    return (
+        _ORACLE_NEAR_DUP_PAIRS_CTE
+        + """,
+    jac AS (
+      SELECT p.a, p.b,
+             round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                   / greatest(len(list_distinct(list_concat(sa.shingles, sb.shingles))), 1),
+                   6) AS jaccard
+      FROM pairs p
+      JOIN sh sa ON p.a = sa.doc_id
+      JOIN sh sb ON p.b = sb.doc_id
+    ),
+    strong AS (SELECT a, b FROM jac WHERE jaccard >= 0.2),
+    labeled AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b
+      FROM strong s
+      JOIN documents da ON da.doc_id = s.a
+      JOIN documents db ON db.doc_id = s.b
+    )
+    SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN source_a = source_b THEN 1 ELSE 0 END AS INT)
+             AS within_source
+    FROM labeled
+    GROUP BY source_a, source_b
+    ORDER BY n_pairs DESC, source_a, source_b
+    """
+    )
+
+
+@q(
+    "source_dedup_matrix",
+    _source_pair_oracle(),
+    "dedup",
+    "provenance",
+    "llm",
+)
+def source_dedup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pair counts per unordered source pair —
+    within-source vs cross-source duplication concentration."""
+    from milvus_cdc_spark.analytics import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    strong = dedup.near_dup_pipeline(docs, k=8, bands=4).filter(
+        F.col("jaccard") >= 0.2
+    )
+    src = docs.select("doc_id", "source")
+    labeled = (
+        strong.join(
+            src.select(F.col("doc_id").alias("a"), F.col("source").alias("sa")),
+            "a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("b"), F.col("source").alias("sb")),
+            "b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return (
+        labeled.groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            (F.col("source_a") == F.col("source_b"))
+            .cast("int")
+            .alias("within_source"),
+        )
+        .orderBy(F.col("n_pairs").desc(), "source_a", "source_b")
+    )
