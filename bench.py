@@ -213,6 +213,7 @@ HEADLINE_R5I = [
     "scd2_asof_enrich",             # union-sort as-of dimension join
     "score_decile_lift",            # exact-decile gain chart
     "setsim_prefix_join",           # exact Jaccard join, prefix filter
+    "source_dedup_matrix",          # source-pair dup concentration
     "triangle_parts_topk",          # degree-oriented triangle counting
     "vocab_coverage_curve",         # tokenizer-budget coverage curve
     "label_centroid_distances",     # class-geometry distance matrix
