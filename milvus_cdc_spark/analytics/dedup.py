@@ -25,6 +25,21 @@ from pyspark.sql import functions as F
 
 from milvus_cdc_spark.functions import text as textf
 
+# Persisted intermediates shared across a single query's stages (shingle
+# frames, deduped token frames). Mirrors _GRAPH_CACHES/_RANK_CACHES: the
+# caller owns the release point — call release_dedup_caches() once the
+# returned frame has been materialized. Without it, repeated calls in a
+# long-lived session accumulate cached frames until catalog.clearCache().
+_DEDUP_CACHES: list[DataFrame] = []
+
+
+def release_dedup_caches() -> None:
+    """Unpersist intermediates cached by prior near_dup_pipeline /
+    set_similarity_join / containment_join calls. Safe once their returned
+    DataFrames have been materialized."""
+    while _DEDUP_CACHES:
+        _DEDUP_CACHES.pop().unpersist(False)
+
 
 def shingle_rows(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
@@ -418,6 +433,7 @@ def near_dup_pipeline(
     cost (tokenize + window n-gram assembly). At 100 TB the persist
     becomes a staged table (write once, read by both stages)."""
     sh = shingle_rows(df, id_col, text_col, shingle_n).persist()
+    _DEDUP_CACHES.append(sh)
     band_rows = minhash_bands(df, id_col, text_col, k, bands, shingle_n, shingles=sh)
     pairs = candidate_pairs(band_rows, id_col)
     return jaccard_pairs(df, pairs, id_col, text_col, shingle_n, shingles=sh)
@@ -760,6 +776,7 @@ def set_similarity_join(
         .distinct()
         .persist()
     )
+    _DEDUP_CACHES.append(toks)
     sizes = toks.groupBy("id").agg(F.count("*").alias("n"))
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
     w = Window.partitionBy("id").orderBy("df", "tok")
@@ -845,6 +862,7 @@ def containment_join(
         .distinct()
         .persist()
     )
+    _DEDUP_CACHES.append(toks)
     sizes = toks.groupBy("id").agg(F.count("*").alias("n"))
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
     w = Window.partitionBy("id").orderBy("df", "tok")

@@ -31,6 +31,11 @@ TABLES = (
     "embeddings",
 )
 
+#: Fixture contract (TESTDATA.md): the embeddings table's vector width is 64
+#: at every scale factor. Reading it from data would cost a Spark job per
+#: query invocation (a driver round-trip just to learn a constant).
+EMB_DIM = 64
+
 
 @lru_cache(maxsize=None)
 def _nanos_columns(path: str) -> tuple[str, ...]:

@@ -102,12 +102,20 @@ def asof_union_join(
     Dimension rows at exactly a fact's timestamp apply to that fact
     (dim sorts first on ties). Facts before the first version carry
     NULL values. ``value_cols`` must not collide with fact columns.
+
+    The version's values travel as ONE struct through the window, so a
+    fact atomically inherits a single version: a version whose value
+    column is legitimately NULL yields NULL (not a stale value carried
+    from an older version), and with multiple value_cols a fact can
+    never mix attributes from different versions.
     """
+    vals = F.struct(*[F.col(c) for c in value_cols]).alias("_vals")
+    vals_t = dim.select(vals).schema["_vals"].dataType
     d = dim.select(
         F.col(key),
         F.col(dim_ts).alias("_t"),
         F.lit(1).alias("_is_dim"),
-        *[F.col(c) for c in value_cols],
+        vals,
         *[
             F.lit(None).cast(facts.schema[c].dataType).alias(c)
             for c in facts.columns
@@ -118,7 +126,7 @@ def asof_union_join(
         F.col(key),
         F.col(fact_ts).alias("_t"),
         F.lit(0).alias("_is_dim"),
-        *[F.lit(None).cast(dim.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(vals_t).alias("_vals"),
         *[F.col(c) for c in facts.columns if c != key],
     )
     w = (
@@ -126,17 +134,12 @@ def asof_union_join(
         .orderBy(F.col("_t").asc(), F.col("_is_dim").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = d.unionByName(f).select(
-        "*",
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in value_cols
-        ],
+    carried = d.unionByName(f).withColumn(
+        "_asof", F.last(F.col("_vals"), ignorenulls=True).over(w)
     )
-    return (
-        carried.filter(F.col("_is_dim") == 0)
-        .drop("_is_dim", *value_cols)
-        .withColumnsRenamed({f"_asof_{c}": c for c in value_cols})
+    return carried.filter(F.col("_is_dim") == 0).select(
+        *[c for c in carried.columns if c not in ("_is_dim", "_vals", "_asof")],
+        *[F.col("_asof")[c].alias(c) for c in value_cols],
     )
 
 

@@ -1304,6 +1304,7 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from milvus_cdc_spark.analytics import dedup
 
     docs = _t(spark, sf_dir, "documents")
+    dedup.release_dedup_caches()  # prior query's dedup cache is consumed
     return dedup.near_dup_pipeline(docs, k=8, bands=4).orderBy("a", "b")
 
 
@@ -1354,6 +1355,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from milvus_cdc_spark.analytics import dedup
 
     docs = _t(spark, sf_dir, "documents")
+    dedup.release_dedup_caches()  # prior query's dedup cache is consumed
     strong = dedup.near_dup_pipeline(docs, k=8, bands=4).filter(
         F.col("jaccard") >= 0.2
     )
@@ -1419,6 +1421,7 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from milvus_cdc_spark.analytics import dedup
 
     docs = _t(spark, sf_dir, "documents")
+    dedup.release_dedup_caches()  # prior query's dedup cache is consumed
     strong = dedup.near_dup_pipeline(docs, k=8, bands=4).filter(
         F.col("jaccard") >= 0.2
     )
@@ -3351,82 +3354,84 @@ from milvus_cdc_spark import suite_eval  # noqa: E402,F401  (import-for-effect)
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness checks the FIRST 50
-# registry entries, so the front of the dict is curated. Round 5 (second
-# session) maximizes first-time driver evidence: the 28 queries that had
-# never had a driver row through r4 stay, the six first-session r5
-# surfaces stay, and TEN of this session's twenty new oracle-checked
-# queries take the slots previously spent re-checking r3/r4-green
-# anchors — 44 first-time rows total. Six regression anchors remain
-# (one per broad family, driver-green r1-r4). Everything displaced
-# (consistency_levels_read, db_scoped_remap, barrier_ready,
-# multimodal_features, schema_hydration, dedup_exact, bm25_topk,
-# streaming_positions, lifetime_asof_apply, diff_reconcile) has a
-# cumulative driver-green row from an earlier round, and the ten
-# remaining second-session queries behind the window are
-# scripts/verify_local.py-green at sf0.001/0.01/0.1 — slated for the
-# r6 rotation. Names listed here but not (yet) registered are skipped,
-# so the list can lead registration.
+# registry entries, so the front of the dict is curated. Round 6 closes the
+# evidence ledger per the round-5 verdict: 2 regression anchors
+# (q1_pricing_summary, cdc_replay_summary — driver-green every round) + the
+# 4 STALE-RED entries whose last driver row predates their r2 fixes
+# (cdc_alive_rows r1 hash-fail; tumbling/session/sliding windows r1
+# TIMESTAMP(NANOS) err — all re-verified green locally in r5 by both the
+# builder and the judge) + 44 queries that have NEVER had a driver row
+# (of the 106 never-checked after r5), picked to span every remaining
+# family: semantic/exact dedup, tokenizer/corpus, eval statistics, graph,
+# sketches, vector/full-text search, and the CDC reference surface.
+# Everything displaced has a cumulative driver-green row from r1-r5; the
+# ~62 still-never-checked queries are scripts/verify_local.py-green at
+# sf0.01 (recorded full sweeps) and slated for the r7 rotation. Names
+# listed here but not (yet) registered are skipped, so the list can lead
+# registration.
 # ---------------------------------------------------------------------------
 
 PRIORITY: tuple[str, ...] = (
-    # -- 6 regression anchors (driver-green through r4) --
+    # -- 2 regression anchors (driver-green r1-r5) --
     "q1_pricing_summary",        # flagship; TPC-H Q1 agg
     "cdc_replay_summary",        # A7/K1 replay
-    "streaming_cdc_apply",       # K1/T6 executed stream
-    "near_dup_pairs",            # LLM MinHash + LSH + Jaccard
-    "timetick_heartbeat",        # T1
-    "sequence_packing",          # shard-partitioned packing (fixed r4)
-    # -- 28 first-ever driver checks (never in CORRECTNESS_r01-r04) --
-    # dedup / fingerprinting
-    "near_dup_clusters",         # connected-components clustering
-    "winnowing_fingerprints",    # winnowing rolling-hash fingerprints
-    "rolling_hash_fingerprint",  # per-doc rolling hash
-    # quantization / search
-    "binary_quantized_recall",   # 1-bit quantization + recall
-    "grouping_search_group_size",  # grouping search group_size>1
-    "expr_text_match_filter",    # TEXT_MATCH inside compiled expr filter
-    "partition_key_routing",     # partition-key hash routing
-    # corpus / multimodal
-    "corpus_pipeline",           # chunk->tokenize->pack composition
-    "frame_sample",              # video frame sampling plumbing
-    # relational surface (TPC-H shapes)
-    "map_kv_extract",            # map column surface
-    "exists_late_orders",        # EXISTS semi-join
-    "cust_order_distribution",   # TPC-H Q13-style distribution
-    "scalar_subquery_small_qty", # TPC-H Q17-style scalar subquery
-    "having_in_large_orders",    # TPC-H Q18-style HAVING + IN
-    "conditional_priority_counts",  # TPC-H Q4/Q12-style conditional agg
-    "promo_revenue_ratio",       # TPC-H Q14-style ratio
-    "disjunctive_filter_revenue",  # TPC-H Q19-style disjunctive pushdown
-    "anti_exists_idle_customers",  # TPC-H Q22-style anti-exists
-    "min_cost_supplier",         # TPC-H Q2-style correlated min
-    "returned_items_topk",       # TPC-H Q10-style top-k
-    "percentile_acctbal",        # percentile/median analytics
-    "unpivot_part_metrics",      # unpivot/stack
-    "bag_set_ops",               # INTERSECT ALL / EXCEPT ALL
-    "forecast_revenue_change",   # TPC-H Q6-style forecast delta
-    "nation_balance_share",      # TPC-H Q11-style share threshold
-    "nested_semi_promo_suppliers",  # TPC-H Q20-style nested semi
-    "rank_analytics",            # rank/dense_rank/percent_rank family
-    "error_spike_detection",     # events anomaly window
-    # -- first-session r5 surfaces (first-ever driver rows) --
-    "partition_drop_replay",     # bulk-drop replay semantics
-    "channel_msg_counts",        # msg_count tool surface
-    "ivf_kmeans_build",          # IVF build: deterministic Lloyd k-means
-    "analyzer_token_stats",      # analyzer_params surface
-    "fulltext_sparse_search",    # BM25 sparse posting index
-    "hybrid_dense_fulltext_rrf", # dense + full-text RRF hybrid
-    # -- second-session r5 surfaces (first-ever driver rows) --
-    "ivf_pq_recall",             # composite IVF_PQ probe + ADC
-    "pq_adc_recall",             # PQ train + encode + ADC search
-    "banded_cosine_near_dup",    # sign-band LSH + cosine verify
-    "ngram_decontamination",     # train/eval n-gram overlap
-    "unigram_logprob_quality",   # unigram-LM avg NLL scoring
-    "quality_filter_funnel",     # composite quality filter funnel
-    "streaming_fingerprint_gate",  # stream-static ingestion dedup gate
-    "session_consistency_read",  # Session level read-your-writes
-    "phrase_match_slop",         # sloppy phrase match (Lucene moves)
-    "temperature_mixing_rates",  # multinomial temperature sampling
+    # -- 4 stale-red refreshes (r1-era bugs fixed in r2; ledger still red) --
+    "cdc_alive_rows",            # r1 hash-fail (canonicalizer), fixed r2
+    "tumbling_window",           # r1 TIMESTAMP(NANOS) err, fixed r2
+    "session_window_agg",        # r1 TIMESTAMP(NANOS) err, fixed r2
+    "sliding_window_agg",        # r1 TIMESTAMP(NANOS) err, fixed r2
+    # -- 44 first-ever driver rows (never in CORRECTNESS_r01-r05) --
+    # semantic / exact dedup family
+    "semdedup_prune",            # k-means + within-cluster cosine prune
+    "dsir_importance_selection", # hashed n-gram importance weights
+    "duplicate_span_coverage",   # exact-substring duplicate spans
+    "setsim_prefix_join",        # exact Jaccard join, AllPairs prefix filter
+    "corpus_line_dedup",         # C4 line-level dedup
+    "hamming_banded_join",       # pigeonhole exact Hamming join
+    "quality_canonical_selection",  # keep-longest per near-dup cluster
+    # tokenizer / corpus family
+    "bigram_lm_quality",         # interpolated bigram LM NLL
+    "bpe_merge_training",        # iterative BPE merge argmax
+    "bpe_encode_vocab",          # greedy BPE apply with trained vocab
+    "tfidf_keywords",            # per-doc top-5 tf-idf terms
+    "gopher_repetition_flags",   # n-gram repetition filter signals
+    "pii_redaction_stats",       # regex PII scrubbing
+    # eval-statistics family
+    "roc_auc_quality",           # tie-aware Mann-Whitney AUC
+    "ks_drift_test",             # exact two-sample KS statistic
+    "ndcg_search_eval",          # graded ANN quality vs exact
+    "langid_precision_recall",   # per-class P/R/F1 eval
+    "score_decile_lift",         # exact-decile gain chart
+    # graph family
+    "pagerank_trade_graph",      # 3-iteration integer PageRank
+    "label_propagation_communities",  # sync LPA community detection
+    "triangle_parts_topk",       # degree-oriented triangle counting
+    "kcore_prune_rounds",        # iterative degree pruning
+    # sketch family
+    "hll_distinct_users",        # HyperLogLog m=64 register sketch
+    "hll_union_sources",         # grouped HLL + lossless union-merge
+    "cms_heavy_hitters",         # Count-Min sketch heavy hitters
+    "quantile_sketch_merge",     # additive histogram rollup
+    "histogram_quantile_sketch", # mergeable 256-bucket quantiles
+    # vector / full-text search family
+    "maxsim_ann_rerank",         # two-phase MaxSim (bucket + rerank)
+    "maxsim_multivector_topk",   # ColBERT MaxSim late interaction
+    "maxscore_pruned_search",    # WAND-style two-phase retrieval
+    "mmr_diversified_search",    # MMR diversification
+    "fulltext_drop_ratio",       # sparse drop_ratio_search
+    "search_iterator_page",      # keyset iterator page
+    "range_search_annulus",      # radius/range_filter annulus search
+    "ivf_nprobe_recall_curve",   # nprobe 1/2/4 recall curve
+    # CDC / reference-surface family
+    "scd2_asof_enrich",          # union-sort as-of dimension join
+    "schema_evolution_apply",    # mid-stream AlterCollection add-field
+    "delete_by_expr_replay",     # compiled expr-delete ops in replay
+    "default_value_fill",        # schema default_value hydration
+    "tombstone_metadata_filter", # tombstone predicate surface
+    "pk_get_by_ids",             # primary-key point-get surface
+    "expr_count_star",           # count(*) expr surface
+    "full_datatype_roundtrip",   # every field type through the envelope
+    "streaming_watermark_finalize",  # append-mode emission gating
 )
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from milvus_cdc_spark import catalog
 from milvus_cdc_spark.suite import _SQL_COSINE, _t, q
 
 # ---------------------------------------------------------------------------
@@ -423,7 +424,8 @@ def binary_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from milvus_cdc_spark.functions import vector as vecf
 
     emb = _t(spark, sf_dir, "embeddings")
-    dim = emb.select(F.size(F.col("embedding")).alias("d")).first().d
+    dim = catalog.EMB_DIM  # fixture contract; a .first() probe here spent
+    # a whole Spark job per invocation just to learn this constant
     cent = emb.agg(
         F.array(*[F.avg(F.col("embedding")[i]) for i in range(dim)]).alias("c")
     )

@@ -655,3 +655,22 @@ def test_containment_join_property_random_sets(spark):
         assert got == want
 
     check()
+
+
+def test_release_dedup_caches_empties_registry(spark):
+    """set_similarity_join/containment_join/near_dup_pipeline register
+    their persisted intermediates; release_dedup_caches() unpersists and
+    empties the registry so long-lived sessions don't accumulate frames."""
+    from milvus_cdc_spark.analytics import dedup
+
+    dedup.release_dedup_caches()  # clean slate (other tests may register)
+    df = spark.createDataFrame(
+        [(0, "a"), (0, "b"), (1, "a"), (1, "b")], "id bigint, item string"
+    )
+    dedup.set_similarity_join(df, threshold_ppm=500000).collect()
+    dedup.containment_join(df, threshold_ppm=500000).collect()
+    assert len(dedup._DEDUP_CACHES) == 2
+    cached = list(dedup._DEDUP_CACHES)
+    dedup.release_dedup_caches()
+    assert dedup._DEDUP_CACHES == []
+    assert all(not c.is_cached for c in cached)

@@ -1906,3 +1906,33 @@ def test_asof_union_join_semantics(spark):
         200: None,   # user 2's first version is at 15
         201: "x",
     }
+
+
+def test_asof_union_join_atomic_versions(spark):
+    """Each fact inherits ONE version's values atomically: a version whose
+    value column is legitimately NULL yields NULL (never a stale carry
+    from an older version), and multiple value_cols never mix versions."""
+    from milvus_cdc_spark.operators.joins import asof_union_join
+
+    dim = spark.createDataFrame(
+        [(1, 10, "gold", 5), (1, 20, None, None), (1, 30, "silver", 7)],
+        "user bigint, vt bigint, tier string, score bigint",
+    )
+    facts = spark.createDataFrame(
+        [(1, 15, 100), (1, 25, 101), (1, 35, 102)],
+        "user bigint, ts bigint, fid bigint",
+    )
+    out = {
+        r.fid: (r.tier, r.score)
+        for r in asof_union_join(
+            facts, dim, key="user", fact_ts="ts", dim_ts="vt",
+            value_cols=["tier", "score"],
+        ).collect()
+    }
+    assert out == {
+        100: ("gold", 5),
+        # the v20 version's NULLs are the version's values — NOT skipped
+        # in favor of v10's gold/5
+        101: (None, None),
+        102: ("silver", 7),
+    }
