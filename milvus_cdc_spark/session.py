@@ -10,11 +10,43 @@ parallelism at hand rather than the 200 default.
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
+#: Vendored minimal protobuf runtime (vendor/pbshim/google/protobuf): lets
+#: PySpark's transformWithStateInPandas run where google.protobuf is not
+#: installed. Activated ONLY when the real library is absent.
+_PBSHIM_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "vendor", "pbshim"
+)
+
+
+def ensure_protobuf() -> None:
+    """Make ``google.protobuf`` importable — by the real library if
+    installed, else by the vendored minimal runtime.
+
+    Must run BEFORE the JVM launches: Python workers inherit the launching
+    process's ``PYTHONPATH`` (PythonWorkerFactory merges it into the worker
+    env), and transformWithState's state-server protocol runs in those
+    workers. ``get_spark`` calls this ahead of session construction.
+    """
+    try:
+        import google.protobuf  # noqa: F401  (the real one wins)
+        return
+    except ImportError:
+        pass
+    if _PBSHIM_DIR not in sys.path:
+        sys.path.insert(0, _PBSHIM_DIR)
+    existing = os.environ.get("PYTHONPATH", "")
+    if _PBSHIM_DIR not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _PBSHIM_DIR + (os.pathsep + existing if existing else "")
+        )
+
 
 def get_spark(app_name: str = "milvus_cdc_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    ensure_protobuf()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus)

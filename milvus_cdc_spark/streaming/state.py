@@ -86,11 +86,16 @@ def timetick_stream(ops: DataFrame, tt_interval_ms: int = 500) -> DataFrame:
     State per key: one (max_ts) value + one armed timer — bounded by
     channel cardinality.
 
-    Environment note: Spark's transformWithState Python workers require
-    ``google.protobuf`` (the state-server wire protocol). Where that
-    package is unavailable the query fails at schema validation — use
+    Environment notes: Spark's transformWithState Python workers speak
+    the state-server wire protocol through ``google.protobuf``; where the
+    real library is absent, ``session.ensure_protobuf`` activates the
+    vendored minimal runtime (vendor/pbshim) so this path executes for
+    real (tests/test_streaming.py::test_timetick_stream_emits_heartbeats).
+    The operator also requires a multi-column-family state store —
+    set ``spark.sql.streaming.stateStore.providerClass`` to the bundled
+    RocksDBStateStoreProvider (the 100 TB-scale provider regardless).
     ``channel_ts_tracker`` (applyInPandasWithState) plus
-    ``repair.timetick_due`` as the executed fallback.
+    ``repair.timetick_due`` remains the dependency-free alternative.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -161,8 +166,9 @@ def timetick_fallback(ops: DataFrame, tt_interval_ms: int = 500) -> DataFrame:
     reference UnsafeShouldSendTSMsg ts_manager.go:324-336, 500 ms default
     core/model/reader.go:63).
 
-    ``transformWithStateInPandas`` needs google.protobuf (absent in some
-    environments), so this fallback uses ``applyInPandasWithState`` with a
+    ``transformWithStateInPandas`` needs google.protobuf (vendored shim
+    where absent) and a RocksDB state store; this alternative uses
+    ``applyInPandasWithState`` with a
     *processing-time timeout*: a data arrival updates the per-channel
     high-water mark and emits a data tick; when a channel goes idle the
     group times out and emits a heartbeat tick carrying the last mark,

@@ -364,3 +364,185 @@ def test_line_dedup_matches_bruteforce(spark, texts):
             continue
         assert out[i].n_lines == len(ls)
         assert out[i].n_kept == sum(1 for ln in ls if counts[ln] == 1)
+
+
+# ---------------------------------------------------------------------------
+# Round-6: the full-pipeline adversarial replay property (the reference's
+# stability suite, tests/stability/test_cdc_stability.py, compressed into
+# property form). Random multi-collection multi-channel op-logs with ts
+# ties drive CdcApplyPipeline END TO END — file stream source, microbatch
+# splits (maxFilesPerTrigger=2 over random file splits), bucketed
+# incremental state merge, manifest commit, resume — and the surviving
+# state must equal an independent single-pass Python interpreter. Each
+# example interleaves ~10 collections' independent logs, so 20 examples
+# exercise ~200 generated logs.
+# ---------------------------------------------------------------------------
+
+cdc_ops_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),                # ts (ties likely)
+        st.sampled_from(["insert", "upsert", "import", "delete"]),
+        st.integers(min_value=0, max_value=9),                # collection idx
+        st.integers(min_value=0, max_value=4),                # pk
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _python_cdc_state(ops):
+    """Independent oracle: per-(collection, pk) LWW with insert-wins ties,
+    plus the state table's n_inserts (count of insert-like ops) and
+    last_insert_ts bookkeeping."""
+    last_ins, last_del, n_ins = {}, {}, {}
+    for ts, op, coll, pk in ops:
+        k = (f"c{coll}", pk)
+        if op == "delete":
+            last_del[k] = max(last_del.get(k, -1), ts)
+        else:
+            last_ins[k] = max(last_ins.get(k, -1), ts)
+            n_ins[k] = n_ins.get(k, 0) + 1
+    return {
+        k: (its, n_ins[k])
+        for k, its in last_ins.items()
+        if k not in last_del or its >= last_del[k]
+    }
+
+
+@given(cdc_ops_strategy, st.integers(min_value=1, max_value=4))
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_pipeline_end_to_end_matches_interpreter(spark, ops, n_files):
+    """CdcApplyPipeline (streaming bucketed-state path) == the Python
+    single-pass interpreter, for arbitrary op sequences, arbitrary
+    microbatch boundaries, and an idempotent resume."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from milvus_cdc_spark.streaming.pipeline import CdcApplyPipeline
+
+    src = tempfile.mkdtemp(prefix="prop_src_")
+    work = tempfile.mkdtemp(prefix="prop_work_")
+    rows = [
+        {
+            "ts": ts,
+            "op_type": op,
+            "db": "default",
+            "collection": f"c{coll}",
+            "partition": "_default",
+            "vchannel": f"ch_{pk % 2}",
+            "pk": pk,
+            "num_rows": 1,
+            "seq": i,
+        }
+        for i, (ts, op, coll, pk) in enumerate(ops)
+    ]
+    schema = pa.schema(
+        [
+            ("ts", pa.int64()), ("op_type", pa.string()), ("db", pa.string()),
+            ("collection", pa.string()), ("partition", pa.string()),
+            ("vchannel", pa.string()), ("pk", pa.int64()),
+            ("num_rows", pa.int64()), ("seq", pa.int64()),
+        ]
+    )
+    # random file splits -> random microbatch boundaries (2 files/trigger)
+    per = max(1, len(rows) // n_files)
+    for f_idx in range(0, len(rows), per):
+        chunk = rows[f_idx:f_idx + per]
+        pq.write_table(
+            pa.Table.from_pylist(chunk, schema=schema),
+            f"{src}/part-{f_idx:05d}.parquet",
+        )
+    pipe = CdcApplyPipeline(spark, src, work, n_buckets=4)
+    pipe.run_available_now()
+    got = {
+        (r.collection, r.pk): (r.last_insert_ts, r.n_inserts)
+        for r in pipe.alive().collect()
+    }
+    assert got == _python_cdc_state(ops)
+    # resume idempotence: the checkpoint says nothing is new
+    pipe2 = CdcApplyPipeline(spark, src, work, n_buckets=4)
+    pipe2.run_available_now()
+    got2 = {
+        (r.collection, r.pk): (r.last_insert_ts, r.n_inserts)
+        for r in pipe2.alive().collect()
+    }
+    assert got2 == got
+
+
+# ---------------------------------------------------------------------------
+# Bulk-drop replay property: DropPartition / DropCollection erase their
+# scope as of their ts; re-inserts after a drop (collection re-create)
+# come back alive; insert at exactly the drop ts survives (insert-wins
+# ties, same as delete). Mirrors replay_alive_with_drops against an
+# independent Python interpreter.
+# ---------------------------------------------------------------------------
+
+drop_ops_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),  # ts
+        st.sampled_from(
+            ["insert", "upsert", "delete", "drop_partition", "drop_collection"]
+        ),
+        st.integers(min_value=0, max_value=2),  # collection idx
+        st.integers(min_value=0, max_value=1),  # partition idx
+        st.integers(min_value=0, max_value=3),  # pk
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+def _python_drop_replay(ops):
+    last_ins, last_del, part_drop, coll_drop = {}, {}, {}, {}
+    for ts, op, c, p, pk in ops:
+        coll, part = f"c{c}", f"p{p}"
+        k = (coll, part, pk)
+        if op == "drop_collection":
+            coll_drop[coll] = max(coll_drop.get(coll, -1), ts)
+        elif op == "drop_partition":
+            part_drop[(coll, part)] = max(part_drop.get((coll, part), -1), ts)
+        elif op == "delete":
+            last_del[k] = max(last_del.get(k, -1), ts)
+        else:
+            last_ins[k] = max(last_ins.get(k, -1), ts)
+    out = {}
+    for (coll, part, pk), its in last_ins.items():
+        cut = max(
+            last_del.get((coll, part, pk), -1),
+            part_drop.get((coll, part), -1),
+            coll_drop.get(coll, -1),
+        )
+        if its >= cut:
+            out[(coll, part, pk)] = its
+    return out
+
+
+@given(drop_ops_strategy)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_drop_replay_matches_interpreter(spark, ops):
+    from milvus_cdc_spark.operators.apply import replay_alive_with_drops
+
+    rows = [
+        (ts, op, f"c{c}", f"p{p}", pk, 1)
+        for ts, op, c, p, pk in ops
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "ts bigint, op_type string, collection string, partition string, "
+        "pk bigint, num_rows bigint",
+    )
+    got = {
+        (r.collection, r.partition, r.pk): r.last_insert_ts
+        for r in replay_alive_with_drops(df).collect()
+    }
+    assert got == _python_drop_replay(ops)

@@ -484,11 +484,9 @@ def test_timetick_stream_emits_heartbeats(spark):
     import uuid
 
     # Spark's transformWithState Python workers speak protobuf to the JVM
-    # state server; this container ships no google.protobuf, so the
-    # timer-driven path can't execute here (applyInPandasWithState is the
-    # executed fallback — see channel_ts_tracker). Gate, don't fail.
-    pytest.importorskip("google.protobuf")
-
+    # state server. Where google.protobuf is absent, get_spark activates
+    # the vendored minimal runtime (vendor/pbshim) before the JVM launches,
+    # so this path executes for real either way.
     from milvus_cdc_spark.streaming.state import timetick_stream
 
     tmp = tempfile.mkdtemp(prefix="tt_")
@@ -497,6 +495,15 @@ def test_timetick_stream_emits_heartbeats(spark):
     ).coalesce(1).write.parquet(tmp + "/src")
     stream = spark.readStream.schema("vchannel string, ts bigint").parquet(tmp + "/src")
     name = f"tt_{uuid.uuid4().hex[:6]}"
+    # transformWithState keeps one column family per state variable/timer —
+    # the default HDFSBacked provider rejects that; RocksDB (bundled
+    # rocksdbjni) is the provider this operator is specified against.
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old_prov = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
     q = (
         timetick_stream(stream, tt_interval_ms=500)
         .writeStream.format("memory")
@@ -518,6 +525,10 @@ def test_timetick_stream_emits_heartbeats(spark):
         rows = spark.table(name).collect()
     finally:
         q.stop()
+        if old_prov is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, old_prov)
     data_ticks = [r for r in rows if not r.is_heartbeat]
     heartbeats = [r for r in rows if r.is_heartbeat]
     assert data_ticks and data_ticks[0].tick_ts == 500 and data_ticks[0].n_msgs == 2
