@@ -38,8 +38,10 @@ def test_oracle_match(name, spark, sf_dir, oracle_con):
     assert not problems, problems
 
 
-@pytest.mark.parametrize("name", [n for n, s in suite.QUERIES.items() if not s.oracle])
-def test_rows_only_queries_run(name, spark, sf_dir):
-    spec = suite.QUERIES[name]
-    sdf = spec.fn(spark, sf_dir)
-    assert sdf.collect() is not None
+def test_no_rows_only_queries():
+    """Every registry entry carries a DuckDB oracle — the strongest form
+    of the driver contract. If a future genuinely-non-SQL-expressible op
+    lands without one, this test flips to remind us to add a rows-only
+    execution check for it (the parametrized form used to sit here but
+    an empty parameter set reports as a misleading pytest 'skip')."""
+    assert [n for n, s in suite.QUERIES.items() if not s.oracle] == []
