@@ -334,14 +334,23 @@ def run_segment_mode(segment: str, sf_dir: str, sf: float) -> None:
 
 
 def _isolated_anchor_run(sf_dir: str) -> dict:
-    """Run the r1 anchor segment in a fresh subprocess JVM; parse its line."""
+    """Run the r1 anchor segment in a fresh subprocess JVM; parse its line.
+
+    Degrades to {} on ANY failure (timeout, spawn error, unparseable
+    output): the isolated number is auxiliary — losing it must never cost
+    the full run's machine line (the exact failure mode this file's
+    compact-output contract exists to prevent)."""
     import subprocess
 
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--segment", "r1"],
-        capture_output=True, text=True, timeout=1800,
-        env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--segment", "r1"],
+            capture_output=True, text=True, timeout=1800,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+        )
+    except (subprocess.TimeoutExpired, OSError) as e:
+        print(f"isolated anchor run failed: {e!r}", file=sys.stderr)
+        return {}
     for line in reversed(proc.stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
@@ -358,7 +367,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
-    if len(sys.argv) >= 3 and sys.argv[1] == "--segment":
+    if len(sys.argv) >= 2 and sys.argv[1] == "--segment":
+        if len(sys.argv) < 3:
+            raise SystemExit(
+                "usage: bench.py --segment <name>; "
+                f"known: {[k for k, _ in SEGMENTS]}"
+            )
         run_segment_mode(sys.argv[2], sf_dir, sf)
         return
 

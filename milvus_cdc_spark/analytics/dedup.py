@@ -432,6 +432,7 @@ def near_dup_pipeline(
     verification joins; persisting it halves the pipeline's dominant
     cost (tokenize + window n-gram assembly). At 100 TB the persist
     becomes a staged table (write once, read by both stages)."""
+    release_dedup_caches()  # the prior query's frames are consumed by now
     sh = shingle_rows(df, id_col, text_col, shingle_n).persist()
     _DEDUP_CACHES.append(sh)
     band_rows = minhash_bands(df, id_col, text_col, k, bands, shingle_n, shingles=sh)
@@ -769,6 +770,7 @@ def set_similarity_join(
     Returns (a, b, inter, uni, jacc_ppm) with a < b and
     jacc_ppm >= threshold_ppm.
     """
+    release_dedup_caches()  # the prior query's frames are consumed by now
     toks = (
         items.select(
             F.col(id_col).alias("id"), F.col(item_col).alias("tok")
@@ -855,6 +857,7 @@ def containment_join(
     :func:`set_similarity_join`; returns (a, b, inter, na,
     containment_ppm) with a != b, containment_ppm >= threshold.
     """
+    release_dedup_caches()  # the prior query's frames are consumed by now
     toks = (
         items.select(
             F.col(id_col).alias("id"), F.col(item_col).alias("tok")

@@ -31,9 +31,12 @@ TABLES = (
     "embeddings",
 )
 
-#: Fixture contract (TESTDATA.md): the embeddings table's vector width is 64
-#: at every scale factor. Reading it from data would cost a Spark job per
-#: query invocation (a driver round-trip just to learn a constant).
+#: Embeddings vector width — constant 64 across every driver-generated
+#: scale factor (verified against the data by
+#: tests/test_driver_contract.py::test_embeddings_fixture_width, which is
+#: the tripwire if a future fixture changes width). Reading it from data
+#: would cost a Spark job per query invocation (a driver round-trip just
+#: to learn a constant).
 EMB_DIM = 64
 
 

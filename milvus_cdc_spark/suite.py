@@ -1304,7 +1304,6 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from milvus_cdc_spark.analytics import dedup
 
     docs = _t(spark, sf_dir, "documents")
-    dedup.release_dedup_caches()  # prior query's dedup cache is consumed
     return dedup.near_dup_pipeline(docs, k=8, bands=4).orderBy("a", "b")
 
 
@@ -1355,7 +1354,6 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from milvus_cdc_spark.analytics import dedup
 
     docs = _t(spark, sf_dir, "documents")
-    dedup.release_dedup_caches()  # prior query's dedup cache is consumed
     strong = dedup.near_dup_pipeline(docs, k=8, bands=4).filter(
         F.col("jaccard") >= 0.2
     )
@@ -1421,7 +1419,6 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from milvus_cdc_spark.analytics import dedup
 
     docs = _t(spark, sf_dir, "documents")
-    dedup.release_dedup_caches()  # prior query's dedup cache is consumed
     strong = dedup.near_dup_pipeline(docs, k=8, bands=4).filter(
         F.col("jaccard") >= 0.2
     )

@@ -798,7 +798,6 @@ def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     sh = dedup.shingle_rows(docs, "doc_id", "text", n=3)
-    dedup.release_dedup_caches()  # prior query's dedup cache is consumed
     out = dedup.set_similarity_join(
         sh, threshold_ppm=_SETSIM_T, id_col="doc_id", item_col="s"
     )
@@ -1892,7 +1891,6 @@ def quality_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from milvus_cdc_spark.analytics import dedup
 
     docs = _t(spark, sf_dir, "documents")
-    dedup.release_dedup_caches()  # prior query's dedup cache is consumed
     strong = dedup.near_dup_pipeline(docs, k=8, bands=4).filter(
         F.col("jaccard") >= 0.2
     )
@@ -2082,7 +2080,6 @@ def containment_quote_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     sh = dedup.shingle_rows(docs, "doc_id", "text", n=3)
-    dedup.release_dedup_caches()  # prior query's dedup cache is consumed
     out = dedup.containment_join(
         sh, threshold_ppm=_CONT_T, id_col="doc_id", item_col="s"
     )
@@ -3081,7 +3078,6 @@ def cluster_density_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from milvus_cdc_spark.analytics import dedup
 
     docs = _t(spark, sf_dir, "documents")
-    dedup.release_dedup_caches()  # prior query's dedup cache is consumed
     strong = dedup.near_dup_pipeline(docs, k=8, bands=4).filter(
         F.col("jaccard") >= 0.2
     )
@@ -3173,7 +3169,6 @@ def source_dedup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from milvus_cdc_spark.analytics import dedup
 
     docs = _t(spark, sf_dir, "documents")
-    dedup.release_dedup_caches()  # prior query's dedup cache is consumed
     strong = dedup.near_dup_pipeline(docs, k=8, bands=4).filter(
         F.col("jaccard") >= 0.2
     )

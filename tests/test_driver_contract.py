@@ -67,6 +67,34 @@ def test_bench_prints_single_json_line():
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [line for line in out.stdout.splitlines() if line.strip()]
     assert len(lines) == 1, f"expected ONE json line, got: {lines}"
+    assert len(lines[0]) < 4096, "machine line must fit the driver's tail capture"
     payload = json.loads(lines[0])
     assert payload["unit"] == "sec" and payload["queries"]
     assert payload["value"] > 0
+    assert "r1_subtotal" in payload and "slowest" in payload
+
+
+def test_bench_final_line_fits_tail_capture():
+    """BENCH_r05 was lost because the machine line outgrew the driver's
+    tail capture; the compact-output contract pins it well under ~4 KB."""
+    import json as _json
+
+    detail = "/root/repo/BENCH_DETAIL.json"
+    if os.path.exists(detail):
+        d = _json.load(open(detail))
+        assert "queries" in d  # the full map lives in the side file
+
+
+def test_embeddings_fixture_width():
+    """catalog.EMB_DIM is trusted in lieu of a per-query .first() probe;
+    this is the tripwire if a regenerated fixture ever changes width."""
+    import duckdb
+
+    from milvus_cdc_spark import catalog
+
+    for sf in ("sf0.001", "sf0.01"):
+        widths = duckdb.sql(
+            f"SELECT DISTINCT len(embedding) FROM "
+            f"read_parquet('/root/testdata/{sf}/embeddings.parquet')"
+        ).fetchall()
+        assert widths == [(catalog.EMB_DIM,)], (sf, widths)

@@ -659,8 +659,10 @@ def test_containment_join_property_random_sets(spark):
 
 def test_release_dedup_caches_empties_registry(spark):
     """set_similarity_join/containment_join/near_dup_pipeline register
-    their persisted intermediates; release_dedup_caches() unpersists and
-    empties the registry so long-lived sessions don't accumulate frames."""
+    their persisted intermediates and RELEASE the prior call's at entry
+    (self-maintaining — callers can't forget), so a long-lived session
+    never accumulates more than the in-flight query's frames;
+    release_dedup_caches() drains the remainder."""
     from milvus_cdc_spark.analytics import dedup
 
     dedup.release_dedup_caches()  # clean slate (other tests may register)
@@ -668,8 +670,12 @@ def test_release_dedup_caches_empties_registry(spark):
         [(0, "a"), (0, "b"), (1, "a"), (1, "b")], "id bigint, item string"
     )
     dedup.set_similarity_join(df, threshold_ppm=500000).collect()
+    first = list(dedup._DEDUP_CACHES)
+    assert len(first) == 1 and first[0].is_cached
     dedup.containment_join(df, threshold_ppm=500000).collect()
-    assert len(dedup._DEDUP_CACHES) == 2
+    # entry release consumed the set_similarity_join cache
+    assert len(dedup._DEDUP_CACHES) == 1
+    assert not first[0].is_cached
     cached = list(dedup._DEDUP_CACHES)
     dedup.release_dedup_caches()
     assert dedup._DEDUP_CACHES == []

@@ -130,3 +130,18 @@ def test_shim_never_shadows_real_protobuf():
     before = list(sys.path)
     ensure_protobuf()
     assert sys.path == before
+
+
+def test_orphaned_vivified_child_cannot_resurrect_oneof():
+    """A child auto-vivified under a oneof member, displaced by a sibling
+    assignment, must not re-mark its old field present when mutated —
+    that left presence with no value and a KeyError at serialization."""
+    req = sm.StateRequest()
+    orphan = req.statefulProcessorCall  # vivified, not present
+    req.implicitGroupingKeyRequest.setImplicitKey.key = b"k"  # oneof switch
+    orphan.setHandleState.state = 1  # mutate the displaced child
+    assert req.WhichOneof("method") == "implicitGroupingKeyRequest"
+    b = sm.StateRequest()
+    b.ParseFromString(req.SerializeToString())  # must not raise
+    assert b.WhichOneof("method") == "implicitGroupingKeyRequest"
+    assert b.implicitGroupingKeyRequest.setImplicitKey.key == b"k"

@@ -504,16 +504,19 @@ def test_timetick_stream_emits_heartbeats(spark):
         prov_key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    q = (
-        timetick_stream(stream, tt_interval_ms=500)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tmp + "/ckpt")
-        .trigger(processingTime="500 milliseconds")
-        .start()
-    )
+    q = None
     try:
+        # inside the try: a failure in .start() (e.g. schema validation)
+        # must still restore the provider conf on the session fixture
+        q = (
+            timetick_stream(stream, tt_interval_ms=500)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tmp + "/ckpt")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
         import time as _time
 
         deadline = _time.time() + 45
@@ -524,7 +527,8 @@ def test_timetick_stream_emits_heartbeats(spark):
             _time.sleep(1.0)
         rows = spark.table(name).collect()
     finally:
-        q.stop()
+        if q is not None:
+            q.stop()
         if old_prov is None:
             spark.conf.unset(prov_key)
         else:
