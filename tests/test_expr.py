@@ -329,3 +329,135 @@ def test_expr_st_within_and_dwithin(spark):
         compile_expr("st_within(loc, 'LINESTRING (0 0, 1 1)')", ent)
     with _pytest.raises(ExprError):
         compile_expr("st_dwithin(loc, 'POINT (0 0)', true)", ent)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 adversarial property: random expressions from a paired-render
+# grammar — each AST renders once in Milvus filter syntax (compiled by
+# compile_expr into a Catalyst predicate over the real documents table)
+# and once in ANSI SQL (evaluated by DuckDB on the same parquet file, a
+# fully independent engine). Surviving doc_id sets must be identical for
+# every generated expression: comparison/arithmetic/ternary-range
+# operators, IN lists, LIKE, and arbitrarily nested and/or/not.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hst
+
+_PROP_SF_DIR = "/root/testdata/sf0.001"
+_INT_COLS = ("doc_id", "n_chars")
+_LANGS = ("en", "de", "fr", "es", "zh", "ru")
+_CMP = (("==", "="), ("!=", "!="), ("<", "<"), ("<=", "<="),
+        (">", ">"), (">=", ">="))
+
+
+def _int_leaf():
+    return hst.tuples(
+        hst.sampled_from(_INT_COLS), hst.sampled_from(_CMP),
+        hst.integers(min_value=0, max_value=600),
+    ).map(lambda t: (f"{t[0]} {t[1][0]} {t[2]}", f"{t[0]} {t[1][1]} {t[2]}"))
+
+
+def _mod_leaf():
+    return hst.tuples(
+        hst.sampled_from(_INT_COLS),
+        hst.integers(min_value=2, max_value=9),
+        hst.integers(min_value=0, max_value=8),
+    ).map(lambda t: (f"{t[0]} % {t[1]} == {t[2]}",
+                     f"{t[0]} % {t[1]} = {t[2]}"))
+
+
+def _arith_leaf():
+    return hst.tuples(
+        hst.sampled_from(_INT_COLS),
+        hst.sampled_from(("+", "-", "*")),
+        hst.integers(min_value=1, max_value=7),
+        hst.sampled_from(_CMP),
+        hst.integers(min_value=-100, max_value=1200),
+    ).map(lambda t: (f"{t[0]} {t[1]} {t[2]} {t[3][0]} {t[4]}",
+                     f"{t[0]} {t[1]} {t[2]} {t[3][1]} {t[4]}"))
+
+
+def _range_leaf():
+    # Milvus chained binary range: a <= col < b
+    return hst.tuples(
+        hst.sampled_from(_INT_COLS),
+        hst.integers(min_value=0, max_value=300),
+        hst.integers(min_value=0, max_value=300),
+    ).map(lambda t: (
+        f"{t[1]} <= {t[0]} < {t[1] + t[2]}",
+        f"({t[1]} <= {t[0]} AND {t[0]} < {t[1] + t[2]})",
+    ))
+
+
+def _in_leaf():
+    return hst.tuples(
+        hst.sampled_from(("lang", "source")),
+        hst.lists(hst.sampled_from(_LANGS + ("src0", "src1", "src9")),
+                  min_size=1, max_size=4, unique=True),
+        hst.booleans(),
+    ).map(lambda t: (
+        f"{t[0]} {'not ' if t[2] else ''}in [{', '.join(repr(v) for v in t[1])}]",
+        f"{t[0]} {'NOT ' if t[2] else ''}IN ({', '.join(repr(v) for v in t[1])})",
+    ))
+
+
+def _like_leaf():
+    return hst.sampled_from(("src%", "%1", "e%", "src2%")).map(
+        lambda pat: (f'source like "{pat}"', f"source LIKE '{pat}'")
+    )
+
+
+def _str_eq_leaf():
+    return hst.tuples(
+        hst.sampled_from(("lang", "source")),
+        hst.sampled_from(_LANGS + ("src3",)),
+        hst.sampled_from((("==", "="), ("!=", "!="))),
+    ).map(lambda t: (f'{t[0]} {t[2][0]} "{t[1]}"', f"{t[0]} {t[2][1]} '{t[1]}'"))
+
+
+def _combine(children):
+    def binop(pair):
+        (m1, s1), (m2, s2), kind = pair
+        if kind == "and":
+            return (f"({m1}) and ({m2})", f"(({s1}) AND ({s2}))")
+        if kind == "or":
+            return (f"({m1}) || ({m2})", f"(({s1}) OR ({s2}))")
+        return (f"not ({m1})", f"(NOT ({s1}))")
+
+    return hst.tuples(children, children,
+                      hst.sampled_from(("and", "or", "not"))).map(binop)
+
+
+expr_pairs = hst.recursive(
+    hst.one_of(_int_leaf(), _mod_leaf(), _arith_leaf(), _range_leaf(),
+               _in_leaf(), _like_leaf(), _str_eq_leaf()),
+    _combine,
+    max_leaves=6,
+)
+
+
+@given(expr_pairs)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_expr_compiler_matches_duckdb(spark, pair):
+    import duckdb
+
+    milvus_expr, sql_where = pair
+    docs = spark.read.parquet(f"{_PROP_SF_DIR}/documents.parquet")
+    got = {
+        r.doc_id
+        for r in docs.filter(compile_expr(milvus_expr, docs))
+        .select("doc_id").collect()
+    }
+    want = {
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{_PROP_SF_DIR}/documents.parquet') "
+            f"WHERE {sql_where}"
+        ).fetchall()
+    }
+    assert got == want, (milvus_expr, sql_where)
