@@ -268,6 +268,7 @@ def winnowing_fingerprints(
 def connected_components(
     pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 50,
     shuffle_partitions: int | None = None,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components over an undirected pair graph by min-label
     propagation — the step that turns near-dup PAIRS into dedup CLUSTERS
@@ -305,31 +306,68 @@ def connected_components(
     session-wide for the duration — the suite runs queries
     sequentially; concurrent jobs in the same session should pass None.
 
+    ``driver_threshold``: a size-based strategy switch, the same call
+    Spark itself makes when it broadcasts a small join side. The
+    distinct edge list is counted once (its build shuffle happens either
+    way); at or below the threshold the graph is CONTROL-SIZED — 100k
+    edges is a few MB — and a driver union-find replaces the iterative
+    loop, whose per-round cost at that size is pure job-scheduling
+    overhead (measured: a 256-edge LSH graph spent ~4 s on a 2-round
+    distributed converge that union-find answers in milliseconds).
+    Above the threshold the distributed HashMin + pointer-jump loop runs
+    unchanged — that is the 100 TB path, where the pair graph can dwarf
+    driver memory. Pass 0 to force the distributed loop.
+
     Returns (node, component) for every node that appears in ``pairs``;
     singletons (docs with no near-dup) are their own implicit components
     and are intentionally absent.
     """
     spark = pairs.sparkSession
+    a_type = pairs.schema[a_col].dataType.simpleString()
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    if driver_threshold and edges.count() <= driver_threshold:
+        try:
+            rows = edges.filter(F.col("src") < F.col("dst")).collect()
+            parent: dict = {}
+
+            def find(x):
+                parent.setdefault(x, x)
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for r in rows:
+                ra, rb = find(r.src), find(r.dst)
+                if ra != rb:
+                    # min-label union: the component id is the min node,
+                    # matching the distributed loop and the oracle SQL
+                    parent[max(ra, rb)] = min(ra, rb)
+            out = [(n, find(n)) for n in parent]
+            return spark.createDataFrame(
+                out, f"node {a_type}, component {a_type}"
+            )
+        finally:
+            edges.unpersist()
     prev_parts = None
     if shuffle_partitions is not None:
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        return _connected_components_loop(pairs, a_col, b_col, max_iter)
+        return _connected_components_loop(edges, max_iter)
     finally:
         if prev_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
-def _connected_components_loop(
-    pairs: DataFrame, a_col: str, b_col: str, max_iter: int
-) -> DataFrame:
+def _connected_components_loop(edges: DataFrame, max_iter: int) -> DataFrame:
+    """``edges`` is the already-persisted distinct undirected (src, dst)
+    frame built by connected_components (shared with its size probe)."""
     import warnings
 
-    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = fwd.union(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist()
     # Seeded init: label(v) = min(v, min neighbor). The node-distinct
     # pass was a shuffle anyway; folding round 1's HashMin into the same
     # aggregation is free and typically saves a whole join round (tiny

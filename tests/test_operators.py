@@ -764,10 +764,18 @@ def test_connected_components_shapes(spark):
          (20, 21)],                     # pair -> component 20
         "a bigint, b bigint",
     )
+    want = {1: 1, 2: 1, 3: 1, 4: 1,
+            10: 10, 11: 10, 12: 10,
+            20: 20, 21: 20}
+    # both strategies — the size-based driver union-find fast path AND
+    # the distributed HashMin loop — must agree exactly
     got = {r.node: r.component for r in connected_components(pairs).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
-                   10: 10, 11: 10, 12: 10,
-                   20: 20, 21: 20}
+    assert got == want
+    got_dist = {
+        r.node: r.component
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert got_dist == want
 
 
 def test_connected_components_long_chain_converges(spark):
@@ -785,7 +793,10 @@ def test_connected_components_long_chain_converges(spark):
     )
     with warnings.catch_warnings():
         warnings.simplefilter("error")  # unconverged exit would raise
-        got = {r.node: r.component for r in connected_components(pairs).collect()}
+        got = {
+            r.node: r.component
+            for r in connected_components(pairs, driver_threshold=0).collect()
+        }
     assert got == {i: 0 for i in range(100)}
 
 
@@ -801,7 +812,7 @@ def test_connected_components_warns_when_iter_exhausted(spark):
     )
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        connected_components(pairs, max_iter=1).collect()
+        connected_components(pairs, max_iter=1, driver_threshold=0).collect()
     assert any(
         issubclass(w.category, RuntimeWarning)
         and "over-split" in str(w.message)

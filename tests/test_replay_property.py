@@ -69,7 +69,13 @@ def test_connected_components_match_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in parent}
     df = spark.createDataFrame(edges, "a bigint, b bigint")
-    got = {r.node: r.component for r in connected_components(df).collect()}
+    # force the distributed HashMin loop — vs union-find as oracle (the
+    # small-graph fast path IS a union-find; comparing it to itself
+    # would be vacuous)
+    got = {
+        r.node: r.component
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
     assert got == want
 
 
