@@ -57,11 +57,14 @@ OPLOG_SCHEMA = (
     "vchannel string, pk bigint, num_rows bigint, seq bigint"
 )
 
-STATE_COLS = ["collection", "pk", "last_insert_ts", "last_delete_ts", "n_inserts"]
+STATE_COLS = [
+    "collection", "pk", "last_insert_ts", "last_delete_ts", "n_inserts",
+    "partition",
+]
 
 STATE_SCHEMA = (
     "collection string, pk bigint, last_insert_ts bigint, "
-    "last_delete_ts bigint, n_inserts bigint"
+    "last_delete_ts bigint, n_inserts bigint, partition string"
 )
 
 
@@ -79,10 +82,36 @@ def batch_to_state(batch: DataFrame) -> DataFrame:
     from milvus_cdc_spark.operators.filters import insert_like
 
     is_ins = insert_like()
-    return batch.groupBy("collection", "pk").agg(
-        F.max(F.when(is_ins, F.col("ts"))).alias("last_insert_ts"),
-        F.max(F.when(F.col("op_type") == "delete", F.col("ts"))).alias("last_delete_ts"),
-        F.sum(F.when(is_ins, F.col("num_rows")).otherwise(F.lit(0))).alias("n_inserts"),
+    # the LATEST insert's partition rides a struct max with last_insert_ts
+    # (ties broken by partition string — deterministic): under per-pk LWW a
+    # pk lives in exactly one partition, and DropPartition cutoffs at
+    # alive() need to know which (channel_writer.go:245-267 drops are DML)
+    part = (
+        F.col("partition")
+        if "partition" in batch.columns
+        else F.lit(None).cast("string")
+    )
+    return (
+        batch.groupBy("collection", "pk")
+        .agg(
+            F.max(
+                F.when(is_ins, F.struct(F.col("ts").alias("ts"), part.alias("p")))
+            ).alias("_ins"),
+            F.max(F.when(F.col("op_type") == "delete", F.col("ts"))).alias(
+                "last_delete_ts"
+            ),
+            F.sum(F.when(is_ins, F.col("num_rows")).otherwise(F.lit(0))).alias(
+                "n_inserts"
+            ),
+        )
+        .select(
+            "collection",
+            "pk",
+            F.col("_ins.ts").alias("last_insert_ts"),
+            "last_delete_ts",
+            "n_inserts",
+            F.col("_ins.p").alias("partition"),
+        )
     )
 
 
@@ -100,9 +129,25 @@ def merge_state(existing: DataFrame, update: DataFrame) -> DataFrame:
         .unionByName(update.select(*STATE_COLS))
         .groupBy("collection", "pk")
         .agg(
-            F.max("last_insert_ts").alias("last_insert_ts"),
+            F.max(
+                F.when(
+                    F.col("last_insert_ts").isNotNull(),
+                    F.struct(
+                        F.col("last_insert_ts").alias("ts"),
+                        F.col("partition").alias("p"),
+                    ),
+                )
+            ).alias("_ins"),
             F.max("last_delete_ts").alias("last_delete_ts"),
             F.sum("n_inserts").alias("n_inserts"),
+        )
+        .select(
+            "collection",
+            "pk",
+            F.col("_ins.ts").alias("last_insert_ts"),
+            "last_delete_ts",
+            "n_inserts",
+            F.col("_ins.p").alias("partition"),
         )
     )
 
@@ -315,6 +360,25 @@ class CdcApplyPipeline:
                 .withColumnRenamed("target_db", "db")
                 .withColumnRenamed("target_collection", "collection")
             )
+        # Bulk-drop cutoffs (DropPartition / DropCollection ride the DML
+        # stream, channel_writer.go:245-267): scope-level max-ts cutoffs are
+        # CATALOG-SIZED control state — they live in the manifest (atomic
+        # with the batch commit, max-merged so replay is idempotent) and are
+        # applied at alive() read time, never folded per-pk into buckets.
+        drop_rows = (
+            ops.filter(F.col("op_type").isin("drop_collection", "drop_partition"))
+            .groupBy("op_type", "collection", "partition")
+            .agg(F.max("ts").alias("ts"))
+            .collect()
+        )
+        for r in drop_rows:
+            if r.op_type == "drop_collection":
+                d = self._manifest.setdefault("coll_drops", {})
+                d[r.collection] = max(d.get(r.collection, -1), r.ts)
+            else:
+                d = self._manifest.setdefault("part_drops", {})
+                k = f"{r.collection}|{r.partition}"
+                d[k] = max(d.get(k, -1), r.ts)
         update = self._bucket(batch_to_state(ops)).persist()
         try:
             # buckets present in THIS batch — the only state partitions the
@@ -402,7 +466,42 @@ class CdcApplyPipeline:
         self.last_observed = observed
 
     def alive(self) -> DataFrame:
-        return alive_view(self.read_state())
+        """Alive rows = per-pk LWW view minus bulk-drop scopes.
+
+        A pk survives iff its latest insert is not superseded by a later
+        pk delete (alive_view), NOR a later drop of its partition, NOR a
+        later drop of its collection — insert at exactly the drop ts wins
+        (same tie rule as deletes), so collection re-creates come back.
+        Matches apply.replay_alive_with_drops per-pk. The cutoff dims are
+        manifest dicts (catalog-sized) broadcast onto the state read."""
+        base = alive_view(self.read_state())
+        coll_drops = self._manifest.get("coll_drops") or {}
+        part_drops = self._manifest.get("part_drops") or {}
+        if not coll_drops and not part_drops:
+            return base
+        out = base
+        if coll_drops:
+            cdf = self.spark.createDataFrame(
+                list(coll_drops.items()), "collection string, _coll_drop_ts bigint"
+            )
+            out = out.join(F.broadcast(cdf), "collection", "left")
+        else:
+            out = out.withColumn("_coll_drop_ts", F.lit(None).cast("bigint"))
+        if part_drops:
+            pdf = self.spark.createDataFrame(
+                [(*k.split("|", 1), v) for k, v in part_drops.items()],
+                "collection string, partition string, _part_drop_ts bigint",
+            )
+            out = out.join(F.broadcast(pdf), ["collection", "partition"], "left")
+        else:
+            out = out.withColumn("_part_drop_ts", F.lit(None).cast("bigint"))
+        cut = F.greatest(
+            F.coalesce(F.col("_part_drop_ts"), F.lit(-1)),
+            F.coalesce(F.col("_coll_drop_ts"), F.lit(-1)),
+        )
+        return out.filter(F.col("last_insert_ts") >= cut).drop(
+            "_coll_drop_ts", "_part_drop_ts"
+        )
 
     def _recover_positions(self) -> None:
         """Crash recovery for the compaction swap (mirrors the state path's

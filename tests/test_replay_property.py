@@ -387,8 +387,12 @@ def test_line_dedup_matches_bruteforce(spark, texts):
 cdc_ops_strategy = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=8),                # ts (ties likely)
-        st.sampled_from(["insert", "upsert", "import", "delete"]),
+        st.sampled_from(
+            ["insert", "upsert", "import", "delete",
+             "drop_partition", "drop_collection"]
+        ),
         st.integers(min_value=0, max_value=9),                # collection idx
+        st.integers(min_value=0, max_value=1),                # partition idx
         st.integers(min_value=0, max_value=4),                # pk
     ),
     min_size=1,
@@ -397,22 +401,36 @@ cdc_ops_strategy = st.lists(
 
 
 def _python_cdc_state(ops):
-    """Independent oracle: per-(collection, pk) LWW with insert-wins ties,
-    plus the state table's n_inserts (count of insert-like ops) and
+    """Independent oracle mirroring the full pipeline state semantics:
+    per-(collection, pk) LWW with insert-wins ties, the latest insert's
+    partition carried as a (ts, partition) tuple max (Spark struct-max
+    tie-break on the partition string), bulk-drop cutoffs per collection
+    and per (collection, partition-of-latest-insert), and n_inserts /
     last_insert_ts bookkeeping."""
     last_ins, last_del, n_ins = {}, {}, {}
-    for ts, op, coll, pk in ops:
-        k = (f"c{coll}", pk)
-        if op == "delete":
+    coll_drop, part_drop = {}, {}
+    for ts, op, coll, part, pk in ops:
+        c, p = f"c{coll}", f"p{part}"
+        k = (c, pk)
+        if op == "drop_collection":
+            coll_drop[c] = max(coll_drop.get(c, -1), ts)
+        elif op == "drop_partition":
+            part_drop[(c, p)] = max(part_drop.get((c, p), -1), ts)
+        elif op == "delete":
             last_del[k] = max(last_del.get(k, -1), ts)
         else:
-            last_ins[k] = max(last_ins.get(k, -1), ts)
+            last_ins[k] = max(last_ins.get(k, (-1, "")), (ts, p))
             n_ins[k] = n_ins.get(k, 0) + 1
-    return {
-        k: (its, n_ins[k])
-        for k, its in last_ins.items()
-        if k not in last_del or its >= last_del[k]
-    }
+    out = {}
+    for (c, pk), (ts, p) in last_ins.items():
+        cut = max(
+            last_del.get((c, pk), -1),
+            part_drop.get((c, p), -1),
+            coll_drop.get(c, -1),
+        )
+        if ts >= cut:
+            out[(c, pk)] = (ts, n_ins[(c, pk)], p)
+    return out
 
 
 @given(cdc_ops_strategy, st.integers(min_value=1, max_value=4))
@@ -422,8 +440,10 @@ def _python_cdc_state(ops):
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 def test_pipeline_end_to_end_matches_interpreter(spark, ops, n_files):
-    """CdcApplyPipeline (streaming bucketed-state path) == the Python
-    single-pass interpreter, for arbitrary op sequences, arbitrary
+    """CdcApplyPipeline (streaming bucketed-state path, manifest drop
+    cutoffs included) == the Python single-pass interpreter, for
+    arbitrary op sequences — inserts/upserts/imports/deletes AND
+    in-stream DropPartition/DropCollection with re-creates — arbitrary
     microbatch boundaries, and an idempotent resume."""
     import tempfile
 
@@ -440,13 +460,13 @@ def test_pipeline_end_to_end_matches_interpreter(spark, ops, n_files):
             "op_type": op,
             "db": "default",
             "collection": f"c{coll}",
-            "partition": "_default",
+            "partition": f"p{part}",
             "vchannel": f"ch_{pk % 2}",
             "pk": pk,
             "num_rows": 1,
             "seq": i,
         }
-        for i, (ts, op, coll, pk) in enumerate(ops)
+        for i, (ts, op, coll, part, pk) in enumerate(ops)
     ]
     schema = pa.schema(
         [
@@ -467,15 +487,16 @@ def test_pipeline_end_to_end_matches_interpreter(spark, ops, n_files):
     pipe = CdcApplyPipeline(spark, src, work, n_buckets=4)
     pipe.run_available_now()
     got = {
-        (r.collection, r.pk): (r.last_insert_ts, r.n_inserts)
+        (r.collection, r.pk): (r.last_insert_ts, r.n_inserts, r.partition)
         for r in pipe.alive().collect()
     }
     assert got == _python_cdc_state(ops)
-    # resume idempotence: the checkpoint says nothing is new
+    # resume idempotence: the checkpoint (and the manifest's max-merged
+    # drop cutoffs) say nothing is new
     pipe2 = CdcApplyPipeline(spark, src, work, n_buckets=4)
     pipe2.run_available_now()
     got2 = {
-        (r.collection, r.pk): (r.last_insert_ts, r.n_inserts)
+        (r.collection, r.pk): (r.last_insert_ts, r.n_inserts, r.partition)
         for r in pipe2.alive().collect()
     }
     assert got2 == got

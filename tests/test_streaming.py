@@ -1539,3 +1539,52 @@ def test_streaming_dedupe_state_evicts_after_watermark(spark):
         ("k3", "2024-01-01 11:00:00"),
         ("k4", "2024-01-01 11:00:02"),
     ]
+
+
+def test_pipeline_applies_in_stream_drops(spark):
+    """DropPartition / DropCollection riding the DML stream erase their
+    scope as of their ts in the STREAMING apply path (manifest cutoff
+    dims, not per-pk state), matching replay_alive_with_drops: partition
+    drop kills only its partition's pks, collection re-create after a
+    drop comes back, and an insert at exactly the drop ts survives."""
+    import tempfile
+
+    from milvus_cdc_spark.streaming.pipeline import CdcApplyPipeline
+
+    tmp = tempfile.mkdtemp(prefix="drops_")
+    rows = [
+        # c0: pk1 in p0, pk2 in p1; drop p0 at ts=5; pk1 re-inserted at 7
+        (1, "insert", "default", "c0", "p0", "ch_0", 1, 1, 0),
+        (2, "insert", "default", "c0", "p1", "ch_0", 2, 1, 1),
+        (5, "drop_partition", "default", "c0", "p0", "ch_0", -1, 0, 2),
+        (7, "insert", "default", "c0", "p0", "ch_0", 1, 1, 3),
+        # c1: insert at 3, whole collection dropped at 6, pk re-created at 6
+        # (tie: insert at the drop ts survives) and pk9 at 4 stays dead
+        (3, "insert", "default", "c1", "p0", "ch_1", 8, 1, 4),
+        (4, "insert", "default", "c1", "p0", "ch_1", 9, 1, 5),
+        (6, "drop_collection", "default", "c1", "p0", "ch_1", -1, 0, 6),
+        (6, "insert", "default", "c1", "p0", "ch_1", 8, 1, 7),
+    ]
+    spark.createDataFrame(
+        rows,
+        "ts bigint, op_type string, db string, collection string, "
+        "partition string, vchannel string, pk bigint, num_rows bigint, "
+        "seq bigint",
+    ).coalesce(1).write.parquet(tmp + "/src")
+    pipe = CdcApplyPipeline(spark, tmp + "/src", tmp + "/work", n_buckets=4)
+    pipe.run_available_now()
+    got = {
+        (r.collection, r.pk): (r.last_insert_ts, r.partition)
+        for r in pipe.alive().collect()
+    }
+    assert got == {
+        ("c0", 1): (7, "p0"),   # re-insert after partition drop survives
+        ("c0", 2): (2, "p1"),   # other partition untouched
+        ("c1", 8): (6, "p0"),   # insert at exactly the drop ts survives
+        # ("c1", 9) dead: insert@4 < drop_collection@6
+    }
+    # cutoffs live in the manifest — a fresh process over the same work
+    # dir recovers them (restart recovery)
+    pipe2 = CdcApplyPipeline(spark, tmp + "/src", tmp + "/work", n_buckets=4)
+    assert pipe2._manifest["part_drops"] == {"c0|p0": 5}
+    assert pipe2._manifest["coll_drops"] == {"c1": 6}
