@@ -610,3 +610,33 @@ def test_maxsim_scores_in_row_without_explode(spark, sf_dir):
     df = suite.QUERIES["maxsim_multivector_topk"].fn(spark, sf_dir)
     plan = audit.formatted_plan(df)
     assert "Generate" not in plan, plan[:2000]
+
+
+def test_pipeline_alive_drop_cutoffs_broadcast(spark):
+    """alive() with manifest drop cutoffs joins the state read against
+    catalog-sized cutoff dims — those joins must be broadcast (a
+    sort-merge join here would shuffle the whole state table at 100 TB
+    just to apply a handful of drop events)."""
+    import tempfile
+
+    from milvus_cdc_spark.plans import audit
+    from milvus_cdc_spark.streaming.pipeline import CdcApplyPipeline
+
+    tmp = tempfile.mkdtemp(prefix="plan_drops_")
+    spark.createDataFrame(
+        [
+            (1, "insert", "default", "c0", "p0", "ch_0", 1, 1, 0),
+            (5, "drop_partition", "default", "c0", "p0", "ch_0", -1, 0, 1),
+            (6, "drop_collection", "default", "c1", "p0", "ch_0", -1, 0, 2),
+            (7, "insert", "default", "c1", "p0", "ch_0", 2, 1, 3),
+        ],
+        "ts bigint, op_type string, db string, collection string, "
+        "partition string, vchannel string, pk bigint, num_rows bigint, "
+        "seq bigint",
+    ).coalesce(1).write.parquet(tmp + "/src")
+    pipe = CdcApplyPipeline(spark, tmp + "/src", tmp + "/work", n_buckets=4)
+    pipe.run_available_now()
+    assert pipe._manifest["coll_drops"] and pipe._manifest["part_drops"]
+    plan = audit.formatted_plan(pipe.alive())
+    assert audit.count_broadcast_joins(plan) >= 2
+    assert "SortMergeJoin" not in plan

@@ -573,3 +573,54 @@ def test_drop_replay_matches_interpreter(spark, ops):
         for r in replay_alive_with_drops(df).collect()
     }
     assert got == _python_drop_replay(ops)
+
+
+# ---------------------------------------------------------------------------
+# Codec roundtrip properties (checkpointed positions must survive a full
+# encode→decode cycle for ANY id values — a corrupted seek silently
+# replays or skips data).
+# ---------------------------------------------------------------------------
+
+msgid_strategy = st.tuples(
+    st.integers(min_value=0, max_value=2**62),   # ledger_id
+    st.integers(min_value=0, max_value=2**62),   # entry_id
+    st.integers(min_value=-1, max_value=2**30),  # partition (-1 = default)
+    st.integers(min_value=-1, max_value=2**30),  # batch_index
+)
+
+
+@given(msgid_strategy)
+@settings(max_examples=200, deadline=None)
+def test_pulsar_message_id_codec_property(ids):
+    from milvus_cdc_spark.sources.pulsar import (
+        decode_message_id,
+        encode_message_id,
+    )
+
+    ledger, entry, part, batch = ids
+    got = decode_message_id(encode_message_id(ledger, entry, part, batch))
+    assert got == {
+        "ledger_id": ledger,
+        "entry_id": entry,
+        "partition": part,
+        "batch_index": batch,
+    }
+
+
+@given(msgid_strategy)
+@settings(max_examples=50, deadline=None)
+def test_pbshim_varint_agrees_with_pulsar_codec(ids):
+    """Two independently written varint coders live in this repo (the
+    Pulsar MessageIdData codec and the vendored protobuf runtime); they
+    must produce identical bytes for every non-negative value."""
+    from milvus_cdc_spark.sources.pulsar import _varint as pulsar_varint
+    from milvus_cdc_spark.session import ensure_protobuf
+
+    ensure_protobuf()
+    try:
+        from google.protobuf.internal import mini_runtime
+    except ImportError:
+        return  # real protobuf installed — nothing to cross-check
+    for v in ids:
+        if v >= 0:
+            assert pulsar_varint(v) == mini_runtime.encode_varint(v)
