@@ -3368,6 +3368,25 @@ from milvus_cdc_spark import suite_eval  # noqa: E402,F401  (import-for-effect)
 # registration.
 # ---------------------------------------------------------------------------
 
+# r7 ROTATION PROPOSAL (pre-staged; see ROUND_NOTES.md "task 4" for the
+# full 62-query backlog): keep q1_pricing_summary + cdc_replay_summary as
+# anchors, then promote 44 of the backlog — suggested split: events/geo
+# (event_sessionization, event_funnel_conversion, event_transition_matrix,
+# event_path_trigrams, cohort_retention, geo_point_filters, geo_fenced_ann,
+# expr_geo_filter), search (superstructure_search, decay_reranked_search,
+# more_like_this, mrl_truncated_recall, hashed_embedding_search,
+# pq_codebooks, int8_ip_search_topk, ignore_growing_read, kmeans_silhouette,
+# knn_label_accuracy), corpus/mixing (bpe_pretoken_stats,
+# ccnet_perplexity_buckets, domain_mixture_weights, mixing_epoch_plan,
+# mlm_masking_plan, dataset_split_counts, dataset_card_summary,
+# weighted_doc_sample, vocab_coverage_curve, random_sample_filter),
+# stats/sketches (linear_counting_distinct_parts, rolling_active_users,
+# pca_power_iteration, pearson_quality_length, psi_length_drift,
+# chi2_token_source, grouped_auc_by_source, benford_first_digit,
+# seasonal_forecast_error, quality_quantile_normalize), dedup/audit
+# (containment_quote_detection, dedup_savings_report, cluster_density_report,
+# source_dedup_matrix, source_overlap_matrix, boilerplate_line_stats);
+# r8 takes the remaining ~18.
 PRIORITY: tuple[str, ...] = (
     # -- 2 regression anchors (driver-green r1-r5) --
     "q1_pricing_summary",        # flagship; TPC-H Q1 agg
