@@ -330,7 +330,12 @@ def connected_components(
     ).distinct().persist()
     if driver_threshold and edges.count() <= driver_threshold:
         try:
-            rows = edges.filter(F.col("src") < F.col("dst")).collect()
+            # Collect UNFILTERED so every endpoint — including a node whose
+            # only appearance is a self-loop pair (a, a) — seeds the parent
+            # map; the distributed loop returns such nodes (component a) and
+            # the two strategies must agree on the node set. The symmetric
+            # duplicate (b, a) just re-finds already-united roots.
+            rows = edges.collect()
             parent: dict = {}
 
             def find(x):

@@ -36,13 +36,26 @@ def ensure_protobuf() -> None:
         return
     except ImportError:
         pass
+    # Appended, not prepended: anything the environment already resolves
+    # must keep winning. (The shim's ``google`` package is additionally
+    # namespace-friendly via extend_path — see vendor/pbshim/google.)
     if _PBSHIM_DIR not in sys.path:
-        sys.path.insert(0, _PBSHIM_DIR)
+        sys.path.append(_PBSHIM_DIR)
     existing = os.environ.get("PYTHONPATH", "")
     if _PBSHIM_DIR not in existing.split(os.pathsep):
         os.environ["PYTHONPATH"] = (
-            _PBSHIM_DIR + (os.pathsep + existing if existing else "")
+            (existing + os.pathsep if existing else "") + _PBSHIM_DIR
         )
+    # If a protobuf-less ``google`` (e.g. the PEP-420 namespace package from
+    # google-auth) was already imported — including by the probe above — the
+    # sys.path append alone is invisible to it: graft the shim's google dir
+    # onto the cached module's __path__ so ``google.protobuf`` resolves.
+    cached = sys.modules.get("google")
+    if cached is not None:
+        shim_google = os.path.join(_PBSHIM_DIR, "google")
+        paths = list(getattr(cached, "__path__", []))
+        if shim_google not in paths:
+            cached.__path__ = paths + [shim_google]
 
 
 def get_spark(app_name: str = "milvus_cdc_spark", shuffle_partitions: int | None = None) -> SparkSession:

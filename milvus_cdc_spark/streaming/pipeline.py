@@ -68,6 +68,26 @@ STATE_SCHEMA = (
 )
 
 
+def _upgrade_state_format(df: DataFrame) -> DataFrame:
+    """Backfill STATE_COLS missing from an older on-disk state format as
+    typed nulls (e.g. a pre-``partition`` state dir resumed by this
+    version). merge_state selects STATE_COLS unconditionally, so a resume
+    over legacy state would otherwise die with a missing-column analysis
+    error — ADVICE r6. Null semantics are exact for the known case: a
+    legacy row's partition is unknown, and a null partition is never hit
+    by a partition-drop cutoff (null-safe join misses), matching what the
+    legacy format could express."""
+    from pyspark.sql.types import StructType
+
+    missing = [c for c in STATE_COLS if c not in df.columns]
+    if not missing:
+        return df
+    types = {f.name: f.dataType for f in StructType.fromDDL(STATE_SCHEMA).fields}
+    return df.withColumns(
+        {c: F.lit(None).cast(types[c]) for c in missing}
+    )
+
+
 def _vdir_name(v) -> str:
     """Version → directory name: batch versions are ``v{batch_id}`` (int),
     compaction epochs are already-prefixed strings (``c{epoch}``)."""
@@ -307,8 +327,10 @@ class CdcApplyPipeline:
             )
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+            # allowMissingColumns: versions written by an older state format
+            # may lack late-added STATE_COLS; the backfill below nulls them
+            out = out.unionByName(p, allowMissingColumns=True)
+        return _upgrade_state_format(out)
 
     # -- foreachBatch body ------------------------------------------------
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
@@ -316,14 +338,7 @@ class CdcApplyPipeline:
         # below the committed id were fully applied — skip the replay
         if batch_id <= self._manifest["last_batch_id"]:
             return
-        # one materialization for the whole body: the state merge, mirror,
-        # and positions writes are separate actions — without the persist
-        # each re-scans the source batch (and re-fires observe() counters)
-        batch.persist()
-        try:
-            self._apply_batch_inner(batch, batch_id)
-        finally:
-            batch.unpersist()
+        self._apply_batch_inner(batch, batch_id)
 
     def _apply_batch_inner(self, batch: DataFrame, batch_id: int) -> None:
         from milvus_cdc_spark.operators import filters
@@ -360,25 +375,27 @@ class CdcApplyPipeline:
                 .withColumnRenamed("target_db", "db")
                 .withColumnRenamed("target_collection", "collection")
             )
+        # One materialization for the whole body: the drop-cutoff aggregate,
+        # state fold, mirror, and positions writes are four separate actions
+        # — without the persist each re-runs the whitelist/scope/remap chain
+        # over the source batch (2× read amplification on the hot path).
+        # Cached at the post-remap point so every consumer shares ONE scan.
+        ops = ops.persist()
         # Bulk-drop cutoffs (DropPartition / DropCollection ride the DML
         # stream, channel_writer.go:245-267): scope-level max-ts cutoffs are
         # CATALOG-SIZED control state — they live in the manifest (atomic
         # with the batch commit, max-merged so replay is idempotent) and are
         # applied at alive() read time, never folded per-pk into buckets.
+        # Collected here, but MERGED only at the commit point below: if a
+        # later state/positions write fails, the in-memory manifest must not
+        # already reflect this batch's drops (alive() would apply drops from
+        # a batch whose per-pk state was never applied — ADVICE r6).
         drop_rows = (
             ops.filter(F.col("op_type").isin("drop_collection", "drop_partition"))
             .groupBy("op_type", "collection", "partition")
             .agg(F.max("ts").alias("ts"))
             .collect()
         )
-        for r in drop_rows:
-            if r.op_type == "drop_collection":
-                d = self._manifest.setdefault("coll_drops", {})
-                d[r.collection] = max(d.get(r.collection, -1), r.ts)
-            else:
-                d = self._manifest.setdefault("part_drops", {})
-                k = f"{r.collection}|{r.partition}"
-                d[k] = max(d.get(k, -1), r.ts)
         update = self._bucket(batch_to_state(ops)).persist()
         try:
             # buckets present in THIS batch — the only state partitions the
@@ -410,7 +427,16 @@ class CdcApplyPipeline:
             )
         finally:
             update.unpersist()
+            ops.unpersist()
         # commit point: everything above is keyed by batch_id and re-runnable
+        for r in drop_rows:
+            if r.op_type == "drop_collection":
+                d = self._manifest.setdefault("coll_drops", {})
+                d[r.collection] = max(d.get(r.collection, -1), r.ts)
+            else:
+                d = self._manifest.setdefault("part_drops", {})
+                k = f"{r.collection}|{r.partition}"
+                d[k] = max(d.get(k, -1), r.ts)
         self._manifest["last_batch_id"] = batch_id
         # time-travel history: snapshot the bucket map per commit, bounded
         # retention (metadata only — versions stay alive via GC liveness)

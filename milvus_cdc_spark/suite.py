@@ -3351,103 +3351,89 @@ from milvus_cdc_spark import suite_eval  # noqa: E402,F401  (import-for-effect)
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness checks the FIRST 50
-# registry entries, so the front of the dict is curated. Round 6 closes the
-# evidence ledger per the round-5 verdict: 2 regression anchors
-# (q1_pricing_summary, cdc_replay_summary — driver-green every round) + the
-# 4 STALE-RED entries whose last driver row predates their r2 fixes
-# (cdc_alive_rows r1 hash-fail; tumbling/session/sliding windows r1
-# TIMESTAMP(NANOS) err — all re-verified green locally in r5 by both the
-# builder and the judge) + 44 queries that have NEVER had a driver row
-# (of the 106 never-checked after r5), picked to span every remaining
-# family: semantic/exact dedup, tokenizer/corpus, eval statistics, graph,
-# sketches, vector/full-text search, and the CDC reference surface.
-# Everything displaced has a cumulative driver-green row from r1-r5; the
-# ~62 still-never-checked queries are scripts/verify_local.py-green at
-# sf0.01 (recorded full sweeps) and slated for the r7 rotation. Names
-# listed here but not (yet) registered are skipped, so the list can lead
-# registration.
+# registry entries, so the front of the dict is curated. Round 7 executes
+# the rotation pre-staged in round 6 (and widens it from 44 to 48 backlog
+# promotions): 2 regression anchors (q1_pricing_summary, cdc_replay_summary
+# — driver-green every round r1-r6) + 48 queries that have NEVER had a
+# driver row (of the 62 never-checked after r6), spanning events/geo,
+# search/eval, corpus/mixing, stats/sketches, and dedup/audit. Everything
+# displaced has a cumulative driver-green row from r1-r6 and zero stale-red
+# remains anywhere in the ledger (CORRECTNESS_r06 cleared the last four).
+# The 14 still-never-checked queries after this window are
+# scripts/verify_local.py-green at sf0.01 (recorded full sweeps) and are
+# the entire r8 rotation (proposal below). Names listed here but not (yet)
+# registered are skipped, so the list can lead registration.
 # ---------------------------------------------------------------------------
 
-# r7 ROTATION PROPOSAL (pre-staged; see ROUND_NOTES.md "task 4" for the
-# full 62-query backlog): keep q1_pricing_summary + cdc_replay_summary as
-# anchors, then promote 44 of the backlog — suggested split: events/geo
-# (event_sessionization, event_funnel_conversion, event_transition_matrix,
-# event_path_trigrams, cohort_retention, geo_point_filters, geo_fenced_ann,
-# expr_geo_filter), search (superstructure_search, decay_reranked_search,
-# more_like_this, mrl_truncated_recall, hashed_embedding_search,
-# pq_codebooks, int8_ip_search_topk, ignore_growing_read, kmeans_silhouette,
-# knn_label_accuracy), corpus/mixing (bpe_pretoken_stats,
-# ccnet_perplexity_buckets, domain_mixture_weights, mixing_epoch_plan,
-# mlm_masking_plan, dataset_split_counts, dataset_card_summary,
-# weighted_doc_sample, vocab_coverage_curve, random_sample_filter),
-# stats/sketches (linear_counting_distinct_parts, rolling_active_users,
-# pca_power_iteration, pearson_quality_length, psi_length_drift,
-# chi2_token_source, grouped_auc_by_source, benford_first_digit,
-# seasonal_forecast_error, quality_quantile_normalize), dedup/audit
-# (containment_quote_detection, dedup_savings_report, cluster_density_report,
-# source_dedup_matrix, source_overlap_matrix, boilerplate_line_stats);
-# r8 takes the remaining ~18.
+# r8 ROTATION PROPOSAL (pre-staged; deterministic set-difference of the
+# 62-query r7 backlog minus this window's 48): keep the two anchors, then
+# promote the FINAL 14 never-checked queries — audio_window_energy,
+# bloom_semi_join_reduction, clustering_compaction_stats,
+# compaction_bin_packing, context_length_histogram,
+# embedding_covariance_block, hard_negative_mining, interval_bucket_join,
+# label_centroid_distances, label_centroid_drift, length_lorenz_points,
+# partition_skew_report, pipeline_stage_accounting, preference_pair_builder
+# — closing the ledger at 251/251 driver-checked; backfill the remaining
+# ~34 slots with the oldest-checked (r1-r3) rows for freshness.
 PRIORITY: tuple[str, ...] = (
-    # -- 2 regression anchors (driver-green r1-r5) --
+    # -- 2 regression anchors (driver-green r1-r6) --
     "q1_pricing_summary",        # flagship; TPC-H Q1 agg
     "cdc_replay_summary",        # A7/K1 replay
-    # -- 4 stale-red refreshes (r1-era bugs fixed in r2; ledger still red) --
-    "cdc_alive_rows",            # r1 hash-fail (canonicalizer), fixed r2
-    "tumbling_window",           # r1 TIMESTAMP(NANOS) err, fixed r2
-    "session_window_agg",        # r1 TIMESTAMP(NANOS) err, fixed r2
-    "sliding_window_agg",        # r1 TIMESTAMP(NANOS) err, fixed r2
-    # -- 44 first-ever driver rows (never in CORRECTNESS_r01-r05) --
-    # semantic / exact dedup family
-    "semdedup_prune",            # k-means + within-cluster cosine prune
-    "dsir_importance_selection", # hashed n-gram importance weights
-    "duplicate_span_coverage",   # exact-substring duplicate spans
-    "setsim_prefix_join",        # exact Jaccard join, AllPairs prefix filter
-    "corpus_line_dedup",         # C4 line-level dedup
-    "hamming_banded_join",       # pigeonhole exact Hamming join
-    "quality_canonical_selection",  # keep-longest per near-dup cluster
-    # tokenizer / corpus family
-    "bigram_lm_quality",         # interpolated bigram LM NLL
-    "bpe_merge_training",        # iterative BPE merge argmax
-    "bpe_encode_vocab",          # greedy BPE apply with trained vocab
-    "tfidf_keywords",            # per-doc top-5 tf-idf terms
-    "gopher_repetition_flags",   # n-gram repetition filter signals
-    "pii_redaction_stats",       # regex PII scrubbing
-    # eval-statistics family
-    "roc_auc_quality",           # tie-aware Mann-Whitney AUC
-    "ks_drift_test",             # exact two-sample KS statistic
-    "ndcg_search_eval",          # graded ANN quality vs exact
-    "langid_precision_recall",   # per-class P/R/F1 eval
-    "score_decile_lift",         # exact-decile gain chart
-    # graph family
-    "pagerank_trade_graph",      # 3-iteration integer PageRank
-    "label_propagation_communities",  # sync LPA community detection
-    "triangle_parts_topk",       # degree-oriented triangle counting
-    "kcore_prune_rounds",        # iterative degree pruning
-    # sketch family
-    "hll_distinct_users",        # HyperLogLog m=64 register sketch
-    "hll_union_sources",         # grouped HLL + lossless union-merge
-    "cms_heavy_hitters",         # Count-Min sketch heavy hitters
-    "quantile_sketch_merge",     # additive histogram rollup
-    "histogram_quantile_sketch", # mergeable 256-bucket quantiles
-    # vector / full-text search family
-    "maxsim_ann_rerank",         # two-phase MaxSim (bucket + rerank)
-    "maxsim_multivector_topk",   # ColBERT MaxSim late interaction
-    "maxscore_pruned_search",    # WAND-style two-phase retrieval
-    "mmr_diversified_search",    # MMR diversification
-    "fulltext_drop_ratio",       # sparse drop_ratio_search
-    "search_iterator_page",      # keyset iterator page
-    "range_search_annulus",      # radius/range_filter annulus search
-    "ivf_nprobe_recall_curve",   # nprobe 1/2/4 recall curve
-    # CDC / reference-surface family
-    "scd2_asof_enrich",          # union-sort as-of dimension join
-    "schema_evolution_apply",    # mid-stream AlterCollection add-field
-    "delete_by_expr_replay",     # compiled expr-delete ops in replay
-    "default_value_fill",        # schema default_value hydration
-    "tombstone_metadata_filter", # tombstone predicate surface
-    "pk_get_by_ids",             # primary-key point-get surface
-    "expr_count_star",           # count(*) expr surface
-    "full_datatype_roundtrip",   # every field type through the envelope
-    "streaming_watermark_finalize",  # append-mode emission gating
+    # -- 48 first-ever driver rows (never in CORRECTNESS_r01-r06) --
+    # events / geo family
+    "event_sessionization",      # gap-based session ids
+    "event_funnel_conversion",   # ordered funnel stage conversion
+    "event_transition_matrix",   # per-user Markov transitions
+    "event_path_trigrams",       # 3-step sequence mining
+    "cohort_retention",          # signup-cohort retention grid
+    "geo_point_filters",         # WKT bbox/radius predicates
+    "geo_fenced_ann",            # spatial prefilter + cosine ranking
+    "expr_geo_filter",           # ST_WITHIN/ST_DWITHIN in the expr compiler
+    # search / eval family
+    "superstructure_search",     # SUB/SUPERSTRUCTURE containment
+    "decay_reranked_search",     # gauss/exp/linear decay rankers
+    "more_like_this",            # tf-idf keywords -> BM25 expansion
+    "mrl_truncated_recall",      # Matryoshka truncated-dim recall
+    "hashed_embedding_search",   # hashing-trick text embedding
+    "pq_codebooks",              # product-quantization codebook train
+    "int8_ip_search_topk",       # INT8_VECTOR exact inner product
+    "ignore_growing_read",       # sealed-only serve
+    "kmeans_silhouette",         # per-cluster silhouette quality
+    "knn_label_accuracy",        # leave-one-out 5-NN majority vote
+    # corpus / mixing family
+    "bpe_pretoken_stats",        # GPT-2-ish pretokenizer stats
+    "ccnet_perplexity_buckets",  # head/middle/tail terciles
+    "domain_mixture_weights",    # DoReMi-lite mixture reweighting
+    "mixing_epoch_plan",         # temperature shares + epoch cap
+    "mlm_masking_plan",          # BERT-style 80/10/10 masking plan
+    "dataset_split_counts",      # deterministic 80/10/10 split
+    "dataset_card_summary",      # per-source dataset card rollup
+    "weighted_doc_sample",       # PPS priority sampling predicate
+    "vocab_coverage_curve",      # tokenizer-budget coverage curve
+    "random_sample_filter",      # RANDOM_SAMPLE(p) expr filter fn
+    # stats / sketch family
+    "linear_counting_distinct_parts",  # linear-counting distinct sketch
+    "rolling_active_users",      # 7-day sliding distinct via HLL merges
+    "pca_power_iteration",       # integer covariance + power method
+    "pearson_quality_length",    # exact-moment Pearson correlation
+    "psi_length_drift",          # population-stability index
+    "chi2_token_source",         # chi-square token/source independence
+    "grouped_auc_by_source",     # per-group Mann-Whitney AUC
+    "benford_first_digit",       # first-digit audit
+    "seasonal_forecast_error",   # MASE-lite seasonality check
+    "quality_quantile_normalize",  # per-source CDF -> global remap
+    # dedup / audit family
+    "containment_quote_detection",  # asymmetric containment join
+    "dedup_savings_report",      # near-dup pipeline savings rollup
+    "cluster_density_report",    # chain-link over-merge audit
+    "source_dedup_matrix",       # source-pair duplication matrix
+    "source_overlap_matrix",     # cross-source shingle Jaccard
+    "boilerplate_line_stats",    # CCNet site-chrome heuristic
+    # ops / layout extras (widening the staged 44 -> 48)
+    "ewma_event_rate",           # integer-exact EWMA decay
+    "pmi_collocations",          # integer PMI collocation lift
+    "zorder_layout_pruning",     # Morton-key zone-map pruning
+    "copurchase_lift_topk",      # market-basket support/confidence/lift
 )
 
 

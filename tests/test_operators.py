@@ -778,6 +778,27 @@ def test_connected_components_shapes(spark):
     assert got_dist == want
 
 
+def test_connected_components_self_loop_only_node(spark):
+    """ADVICE r6: a node whose ONLY appearance is a self-loop pair (a, a)
+    must come back (component a) from BOTH strategies — the driver
+    union-find previously dropped it via its src < dst collect filter."""
+    from milvus_cdc_spark.analytics.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(7, 7), (1, 2)], "a bigint, b bigint"
+    )
+    want = {7: 7, 1: 1, 2: 1}
+    got_fast = {
+        r.node: r.component for r in connected_components(pairs).collect()
+    }
+    got_dist = {
+        r.node: r.component
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert got_fast == want
+    assert got_dist == want
+
+
 def test_connected_components_long_chain_converges(spark):
     """Pathological high-diameter component: a 100-node path. Pointer
     jumping makes round count O(log diameter), so the default

@@ -145,3 +145,37 @@ def test_orphaned_vivified_child_cannot_resurrect_oneof():
     b.ParseFromString(req.SerializeToString())  # must not raise
     assert b.WhichOneof("method") == "implicitGroupingKeyRequest"
     assert b.implicitGroupingKeyRequest.setImplicitKey.key == b"k"
+
+
+def test_shim_google_is_namespace_friendly(tmp_path):
+    """ADVICE r6: a regular ``google`` package shadows PEP-420 namespace
+    portions (google-auth et al.) no matter the sys.path order. The shim's
+    ``google/__init__.py`` therefore extend_path-s itself, so a sibling
+    ``google.<dist>`` living elsewhere on sys.path stays importable after
+    the shim activates. Runs in a subprocess for a clean import state."""
+    import os
+    import subprocess
+
+    sibling = tmp_path / "google" / "authlike"
+    sibling.mkdir(parents=True)
+    # A namespace portion: NO google/__init__.py at this site.
+    (sibling / "__init__.py").write_text("MARK = 'sibling-ok'\n")
+
+    code = (
+        "import sys\n"
+        f"sys.path.insert(0, {str(tmp_path)!r})\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from milvus_cdc_spark.session import ensure_protobuf\n"
+        "ensure_protobuf()\n"
+        "import google.protobuf  # resolves (real lib or shim)\n"
+        "from google.authlike import MARK\n"
+        "assert MARK == 'sibling-ok', MARK\n"
+        "print('ns-ok')\n"
+    )
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env
+    )
+    assert out.returncode == 0, out.stderr
+    assert "ns-ok" in out.stdout

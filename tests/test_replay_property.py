@@ -624,3 +624,115 @@ def test_pbshim_varint_agrees_with_pulsar_codec(ids):
     for v in ids:
         if v >= 0:
             assert pulsar_varint(v) == mini_runtime.encode_varint(v)
+
+
+# ---------------------------------------------------------------------------
+# Round-7: T7 pause/resume/seek under crash — the reference's
+# tests/testcases/test_cdc_pause.py / test_cdc_resume.py compressed into
+# property form. A random multi-collection op-log is driven through the
+# CONTROL PLANE (TaskRegistry create/start), the pipeline is killed at a
+# random microbatch boundary, the task is paused with the failure reason
+# and resumed from its stored checkpoint; optionally the task is created
+# with a custom UseStartPosition seek. The final alive() state must equal
+# the single-pass interpreter over the (seek-filtered) log, exactly once —
+# no lost batches, no double-applied batches. Each example interleaves
+# ~10 collections' logs, so 12 examples ≈ 120 generated logs with random
+# kill points.
+# ---------------------------------------------------------------------------
+
+
+class _KillPoint(RuntimeError):
+    pass
+
+
+@given(
+    cdc_ops_strategy,
+    st.integers(min_value=1, max_value=4),   # file split
+    st.integers(min_value=0, max_value=3),   # kill at batch boundary k
+    st.one_of(st.none(), st.integers(min_value=0, max_value=8)),  # seek ts
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_pause_resume_seek_matches_interpreter(spark, ops, n_files, kill_at, seek_ts):
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from milvus_cdc_spark.control.tasks import TaskRegistry
+    from milvus_cdc_spark.streaming.pipeline import CdcApplyPipeline
+
+    src = tempfile.mkdtemp(prefix="t7_src_")
+    root = tempfile.mkdtemp(prefix="t7_reg_")
+    rows = [
+        {
+            "ts": ts, "op_type": op, "db": "default",
+            "collection": f"c{coll}", "partition": f"p{part}",
+            "vchannel": f"ch_{pk % 2}", "pk": pk, "num_rows": 1, "seq": i,
+        }
+        for i, (ts, op, coll, part, pk) in enumerate(ops)
+    ]
+    schema = pa.schema(
+        [
+            ("ts", pa.int64()), ("op_type", pa.string()), ("db", pa.string()),
+            ("collection", pa.string()), ("partition", pa.string()),
+            ("vchannel", pa.string()), ("pk", pa.int64()),
+            ("num_rows", pa.int64()), ("seq", pa.int64()),
+        ]
+    )
+    per = max(1, len(rows) // n_files)
+    for f_idx in range(0, len(rows), per):
+        pq.write_table(
+            pa.Table.from_pylist(rows[f_idx:f_idx + per], schema=schema),
+            f"{src}/part-{f_idx:05d}.parquet",
+        )
+
+    registry = TaskRegistry(spark, root)
+    start_positions = (
+        {"c0": {"ch_0": seek_ts}} if seek_ts is not None else None
+    )
+    spec = registry.create(src, start_positions=start_positions)
+
+    # a pipeline that dies at a randomly chosen batch boundary, once
+    class KillingPipeline(CdcApplyPipeline):
+        armed = True
+        seen = 0
+
+        def apply_batch(self, batch, batch_id):
+            if KillingPipeline.armed and KillingPipeline.seen == kill_at:
+                KillingPipeline.armed = False
+                raise _KillPoint(f"injected kill before batch {batch_id}")
+            KillingPipeline.seen += 1
+            super().apply_batch(batch, batch_id)
+
+    registry.pipelines[spec.task_id] = KillingPipeline(
+        spark, src, spec.work_dir,
+        start_positions=spec.start_positions or None,
+    )
+    try:
+        registry.start(spec.task_id)
+    except Exception:
+        # T10 surface: the failure is recorded; operator pauses + resumes
+        registry.pause(spec.task_id, reason="injected kill")
+        assert registry.quarantines[spec.task_id].last_reason != ""
+        registry.resume(spec.task_id)  # restart from checkpoint (T7)
+    assert registry.get(spec.task_id)["state"] == "running"
+
+    pipe = registry.pipelines[spec.task_id]
+    got = {
+        (r.collection, r.pk): (r.last_insert_ts, r.n_inserts, r.partition)
+        for r in pipe.alive().collect()
+    }
+    # interpreter over the seek-filtered log: ops AT or BEFORE the seek
+    # position on (c0, ch_0) were consumed upstream
+    kept = [
+        (ts, op, coll, part, pk)
+        for ts, op, coll, part, pk in ops
+        if not (
+            seek_ts is not None and coll == 0 and pk % 2 == 0 and ts <= seek_ts
+        )
+    ]
+    assert got == _python_cdc_state(kept)

@@ -1588,3 +1588,134 @@ def test_pipeline_applies_in_stream_drops(spark):
     pipe2 = CdcApplyPipeline(spark, tmp + "/src", tmp + "/work", n_buckets=4)
     assert pipe2._manifest["part_drops"] == {"c0|p0": 5}
     assert pipe2._manifest["coll_drops"] == {"c1": 6}
+
+
+def test_resume_over_legacy_state_format(spark):
+    """ADVICE r6: a state dir written before 'partition' joined STATE_COLS
+    must still resume — read_state backfills missing columns as typed
+    nulls (merge_state selects STATE_COLS unconditionally), and a null
+    partition is never hit by a partition-drop cutoff."""
+    import json
+    import os
+
+    from milvus_cdc_spark.streaming import pipeline as pipeline_mod
+
+    tmp = tempfile.mkdtemp(prefix="test_legacy_state_")
+    src, work = tmp + "/src", tmp + "/work"
+    state_dir = work + "/state"
+    # hand-write a legacy-format snapshot (no 'partition' column) under a
+    # compaction-style dir name so the first new batch (v0) never
+    # read-and-overwrites it
+    # bucket values match pmod(xxhash64(collection, pk), 2) — the hash is
+    # unchanged across formats, only the column set grew: pk1, pk2 -> 1
+    legacy = spark.createDataFrame(
+        [("c0", 1, 100, None, 1, 1), ("c0", 2, 50, 200, 1, 1)],
+        "collection string, pk bigint, last_insert_ts bigint, "
+        "last_delete_ts bigint, n_inserts bigint, bucket int",
+    )
+    legacy.write.partitionBy("bucket").parquet(state_dir + "/c0")
+    with open(state_dir + "/MANIFEST.json", "w") as f:
+        json.dump(
+            {"buckets": {"1": "c0"}, "last_batch_id": -1, "history": []},
+            f,
+        )
+    spark.createDataFrame(
+        [(300, "insert", "default", "c0", "p0", "ch0", 3, 1, 1)],
+        pipeline_mod.OPLOG_SCHEMA,
+    ).coalesce(1).write.parquet(src)
+    pipe = CdcApplyPipeline(spark, src, work, n_buckets=2)
+    st = pipe.read_state()
+    assert set(st.columns) == set(pipeline_mod.STATE_COLS)
+    assert {r.pk: r.partition for r in st.collect()} == {1: None, 2: None}
+    pipe.run_available_now()  # merge over mixed old/new formats
+    got = {(r.collection, r.pk) for r in pipe.alive().collect()}
+    assert got == {("c0", 1), ("c0", 3)}  # pk2: delete@200 > insert@50
+
+
+def test_drop_cutoffs_buffered_until_commit(spark, monkeypatch):
+    """ADVICE r6: a batch whose state write FAILS must leave no trace of
+    its bulk-drop cutoffs in the live manifest — drops merge only at the
+    commit point, atomically with last_batch_id — and a retry over the
+    same checkpoint must then apply the whole batch exactly once."""
+    import pyspark.errors
+
+    from milvus_cdc_spark.streaming import pipeline as pipeline_mod
+
+    tmp = tempfile.mkdtemp(prefix="test_drop_commit_")
+    rows = [
+        (100, "insert", "default", "c0", "p0", "ch0", 1, 1, 1),
+        (100, "insert", "default", "c0", "p0", "ch0", 2, 1, 2),
+        (150, "drop_collection", "default", "c0", "p0", "ch0", -1, 0, 3),
+        (200, "insert", "default", "c0", "p0", "ch0", 3, 1, 4),
+    ]
+    spark.createDataFrame(
+        rows, pipeline_mod.OPLOG_SCHEMA
+    ).coalesce(1).write.parquet(tmp + "/src")
+    pipe = CdcApplyPipeline(spark, tmp + "/src", tmp + "/work", n_buckets=2)
+
+    real_merge = pipeline_mod.merge_state
+
+    def boom(existing, update):
+        raise RuntimeError("injected state-write failure")
+
+    monkeypatch.setattr(pipeline_mod, "merge_state", boom)
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException):
+        pipe.run_available_now()
+    # the failed batch collected its drop rows BEFORE dying — none of them
+    # may have leaked into the live manifest (alive() would apply drops
+    # whose per-pk state never landed)
+    assert not pipe._manifest.get("coll_drops")
+    assert not pipe._manifest.get("part_drops")
+    assert pipe._manifest["last_batch_id"] == -1
+    assert pipe.alive().count() == 0
+
+    monkeypatch.setattr(pipeline_mod, "merge_state", real_merge)
+    pipe.run_available_now()  # checkpoint retries the uncommitted batch
+    got = {(r.collection, r.pk) for r in pipe.alive().collect()}
+    assert got == {("c0", 3)}  # 1, 2 dropped@150; insert@200 survives
+    assert pipe._manifest["coll_drops"] == {"c0": 150}
+
+
+def test_error_quarantine_auto_pause_and_resume(spark, monkeypatch):
+    """T10 fail-protect (fail_protect.go:28-99, cdc_impl.go:807-814)
+    driven through a REAL streaming failure: a persistent fault inside
+    CdcApplyPipeline's state fold fails the streaming query on three
+    consecutive start attempts; the third trips the task's quarantine and
+    AUTO-pauses it with the failure reason. Once the fault clears, the
+    paused task resumes from its checkpoint and applies the batch exactly
+    once — quarantine pauses, it does not poison."""
+    from milvus_cdc_spark.streaming import pipeline as pipeline_mod
+
+    tmp = tempfile.mkdtemp(prefix="test_quarantine_")
+    spark.createDataFrame(
+        [
+            (100, "insert", "default", "c0", "p0", "ch0", 1, 1, 1),
+            (200, "insert", "default", "c0", "p0", "ch0", 2, 1, 2),
+        ],
+        pipeline_mod.OPLOG_SCHEMA,
+    ).coalesce(1).write.parquet(tmp + "/src")
+    registry = TaskRegistry(spark, tmp + "/reg")
+    spec = registry.create(tmp + "/src")
+
+    real_merge = pipeline_mod.merge_state
+
+    def boom(existing, update):
+        raise RuntimeError("state store unavailable")
+
+    monkeypatch.setattr(pipeline_mod, "merge_state", boom)
+    for attempt in range(3):  # quarantine window: 3 errors / 60 s
+        with pytest.raises(Exception):
+            registry.start(spec.task_id)
+    t = registry.get(spec.task_id)
+    assert t["state"] == "paused"
+    assert "error quarantine" in t["reason"]
+    assert "state store unavailable" in t["reason"]
+    # no partial state escaped the failed batches
+    assert registry.pipelines[spec.task_id].alive().count() == 0
+
+    monkeypatch.setattr(pipeline_mod, "merge_state", real_merge)
+    registry.resume(spec.task_id)  # restart from checkpoint
+    assert registry.get(spec.task_id)["state"] == "running"
+    pipe = registry.pipelines[spec.task_id]
+    got = {(r.collection, r.pk): r.n_inserts for r in pipe.alive().collect()}
+    assert got == {("c0", 1): 1, ("c0", 2): 1}  # exactly once
