@@ -260,6 +260,30 @@ SEGMENTS: list[tuple[str, list[str]]] = [
     ("r5i", HEADLINE_R5I),
 ]
 
+#: The suite's perennial top-10-slowest members (r5-era heavy hitters):
+#: iterative/composite shapes whose in-suite timings swing up to 2x with
+#: shared-VM load. NOT part of the cumulative subtotals (each already
+#: belongs to its own round segment above) — this is a second ISOLATED
+#: anchor (``heavy_isolated``, fresh JVM, nothing else run) so both of the
+#: most expensive families carry a suite-growth-immune cross-round number.
+HEADLINE_HEAVY = [
+    "bpe_merge_training",           # per-merge-iteration aggregates
+    "cluster_density_report",       # near-dup pipeline + components
+    "dedup_savings_report",         # near-dup pipeline + components
+    "hamming_banded_join",          # pigeonhole band equi-join
+    "maxsim_ann_rerank",            # two-phase MaxSim (bucket + rerank)
+    "near_dup_clusters",            # MinHash-LSH + connected components
+    "quality_canonical_selection",  # keep-longest per near-dup cluster
+    "setsim_prefix_join",           # AllPairs prefix-filtered Jaccard
+]
+
+#: Isolated-only segments: runnable via ``--segment``, excluded from the
+#: full run's query list and subtotals (their members already live in the
+#: cumulative SEGMENTS).
+ISOLATED_SEGMENTS: list[tuple[str, list[str]]] = [
+    ("heavy", HEADLINE_HEAVY),
+]
+
 
 def run_queries(spark, names: list[str], sf_dir: str) -> dict[str, float]:
     """Time each query (count() as the action), warm + cache-clear per query.
@@ -304,11 +328,13 @@ def run_queries(spark, names: list[str], sf_dir: str) -> dict[str, float]:
 
 
 def _segment_names(segment: str) -> list[str]:
-    for key, names in SEGMENTS:
+    for key, names in SEGMENTS + ISOLATED_SEGMENTS:
         if key == segment:
             return list(names)
-    raise SystemExit(f"unknown segment {segment!r}; "
-                     f"known: {[k for k, _ in SEGMENTS]}")
+    raise SystemExit(
+        f"unknown segment {segment!r}; "
+        f"known: {[k for k, _ in SEGMENTS + ISOLATED_SEGMENTS]}"
+    )
 
 
 def run_segment_mode(segment: str, sf_dir: str, sf: float) -> None:
@@ -333,8 +359,8 @@ def run_segment_mode(segment: str, sf_dir: str, sf: float) -> None:
     spark.stop()
 
 
-def _isolated_anchor_run(sf_dir: str) -> dict:
-    """Run the r1 anchor segment in a fresh subprocess JVM; parse its line.
+def _isolated_anchor_run(sf_dir: str, segment: str = "r1") -> dict:
+    """Run one anchor segment in a fresh subprocess JVM; parse its line.
 
     Degrades to {} on ANY failure (timeout, spawn error, unparseable
     output): the isolated number is auxiliary — losing it must never cost
@@ -344,7 +370,7 @@ def _isolated_anchor_run(sf_dir: str) -> dict:
 
     try:
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--segment", "r1"],
+            [sys.executable, os.path.abspath(__file__), "--segment", segment],
             capture_output=True, text=True, timeout=1800,
             env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
         )
@@ -376,12 +402,15 @@ def main() -> None:
         run_segment_mode(sys.argv[2], sf_dir, sf)
         return
 
-    # Isolated anchor segment FIRST, in its own JVM (nothing else has run
-    # on that session): the cross-round regression signal. Skippable for
-    # quick local iteration via SPARK_GRAFT_SKIP_ISOLATED=1.
+    # Isolated anchor segments FIRST, each in its own JVM (nothing else has
+    # run on that session): the cross-round regression signals — r1 (the
+    # original 22 anchors) and heavy (the perennial top-slowest family).
+    # Skippable for quick local iteration via SPARK_GRAFT_SKIP_ISOLATED=1.
     isolated: dict = {}
+    heavy_iso: dict = {}
     if not os.environ.get("SPARK_GRAFT_SKIP_ISOLATED"):
         isolated = _isolated_anchor_run(sf_dir)
+        heavy_iso = _isolated_anchor_run(sf_dir, "heavy")
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -410,6 +439,8 @@ def main() -> None:
         **subtotals,
         "r1_isolated": isolated.get("value"),
         "r1_isolated_queries": isolated.get("queries", {}),
+        "heavy_isolated": heavy_iso.get("value"),
+        "heavy_isolated_queries": heavy_iso.get("queries", {}),
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
@@ -426,9 +457,11 @@ def main() -> None:
         "sf": sf,
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
         **subtotals,
-        # anchor segment in a fresh JVM before anything else ran — the
-        # suite-growth-immune cross-round number (compare to 16.59 s r4)
+        # anchor segments in fresh JVMs before anything else ran — the
+        # suite-growth-immune cross-round numbers (r1: compare to 16.59 s
+        # r4 / 17.27 s r6; heavy: first recorded r7)
         "r1_isolated": isolated.get("value"),
+        "heavy_isolated": heavy_iso.get("value"),
         "slowest": slowest,
         "detail": "BENCH_DETAIL.json",
     }, separators=(",", ":")))

@@ -2718,29 +2718,30 @@ def maxsim_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bucket") == F.col("qbucket")).alias("is_cand"),
         )
     )
+    # ONE window pass over ONE scoring scan: the all-pairs MaxSim is the
+    # expensive stage (n × q pairs × sub² int8 dot products), and the
+    # original two-consumer shape (exact-top3 window + candidate-rank
+    # window + self-join) recomputed it twice. Over the same
+    # (query_id, maxsim desc) sort, the global row_number gives the
+    # exact-top3 recall flag and a running count of candidate rows gives
+    # each candidate's rank among candidates — no second scan, no join.
     w = W.partitionBy("query_id").orderBy(
         F.col("maxsim").desc(), F.col("neighbor_id")
     )
-    exact3 = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
-    )
-    rer = (
-        scored.filter(F.col("is_cand"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-    )
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     return (
-        rer.join(exact3, ["query_id", "neighbor_id"], "left")
+        scored.withColumn("rn_all", F.row_number().over(w))
+        .withColumn(
+            "cand_rank",
+            F.sum(F.col("is_cand").cast("int")).over(run),
+        )
+        .filter(F.col("is_cand") & (F.col("cand_rank") <= 3))
         .select(
             "query_id",
-            F.col("rank").cast("int").alias("rank"),
+            F.col("cand_rank").cast("int").alias("rank"),
             "neighbor_id",
             "maxsim",
-            F.coalesce(F.col("_hit"), F.lit(0))
-            .cast("int")
-            .alias("in_exact_top3"),
+            (F.col("rn_all") <= 3).cast("int").alias("in_exact_top3"),
         )
         .orderBy("query_id", "rank")
     )

@@ -640,3 +640,26 @@ def test_pipeline_alive_drop_cutoffs_broadcast(spark):
     plan = audit.formatted_plan(pipe.alive())
     assert audit.count_broadcast_joins(plan) >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_maxsim_rerank_single_scoring_pass(spark, sf_dir):
+    """Two-phase MaxSim rerank (r7 reshape): the expensive all-pairs
+    scoring frame must be consumed by ONE window pass — the exact-top3
+    recall flag and the candidate rank ride the same sort — so the plan
+    carries no join between ranked frames and exactly one window
+    exchange over the scored data."""
+    import re
+
+    df = suite.QUERIES["maxsim_ann_rerank"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the scoring cross join (10 broadcast queries) is planned exactly
+    # once — the old shape materialized it twice and self-joined
+    joins = re.findall(r"\(\d+\) Broadcast\w*Join", plan)
+    assert len(joins) == 1, plan[:3000]
+    # one window shuffle + the final presentation sort, nothing else;
+    # both ranking columns ride the same Exchange/Sort (the chained
+    # Window nodes share partitioning, so no shuffle between them)
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 2, plan[:3000]
