@@ -317,6 +317,10 @@ def queries():
         "maxsim_multivector_topk": suite.QUERIES[
             "maxsim_multivector_topk"
         ].fn,
+        # round-7 reshape (one window pass over one scoring scan): scores
+        # 10 fixed queries x corpus — the all-pairs stage is the linear
+        # axis; the sign-bucket candidate set rides the same scan.
+        "maxsim_ann_rerank": suite.QUERIES["maxsim_ann_rerank"].fn,
     }
 
 
