@@ -268,12 +268,23 @@ class CdcApplyPipeline:
     def _commit_manifest(self) -> None:
         """Atomic write-then-rename: the commit point of a batch. A crash
         before this line leaves the old manifest → the batch replays and
-        overwrites its own (uncommitted) files."""
+        overwrites its own (uncommitted) files.
+
+        If the disk write itself fails, the in-memory manifest rolls back
+        to what is on disk: the pre-commit mutations (last_batch_id,
+        bucket versions, drop cutoffs, history) would otherwise make the
+        live process treat the batch as committed — skipping its replay
+        and serving its drops — while the durable truth says it never
+        happened."""
         os.makedirs(self.state_dir, exist_ok=True)
         tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self._manifest, f)
-        os.replace(tmp, self._manifest_path)
+        try:
+            with open(tmp, "w") as f:
+                json.dump(self._manifest, f)
+            os.replace(tmp, self._manifest_path)
+        except OSError:
+            self._manifest = self._load_manifest()
+            raise
 
     @property
     def last_batch_id(self) -> int:

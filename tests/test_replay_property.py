@@ -736,3 +736,81 @@ def test_pause_resume_seek_matches_interpreter(spark, ops, n_files, kill_at, see
         )
     ]
     assert got == _python_cdc_state(kept)
+
+
+@given(
+    cdc_ops_strategy,
+    st.integers(min_value=1, max_value=4),   # file split
+    st.integers(min_value=0, max_value=3),   # kill at commit of batch k
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_crash_at_commit_point_replays_idempotently(spark, ops, n_files, kill_at):
+    """The strongest crash point: batch k's state/mirror/positions writes
+    ALL landed on disk, but the manifest rename — the commit — never
+    happened. The durable truth says the batch never ran, so the resume
+    must replay it over its own orphaned files (batch_id-keyed
+    overwrites), and the final state must still equal the single-pass
+    interpreter — no double-counted n_inserts, no phantom drops."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from milvus_cdc_spark.streaming.pipeline import CdcApplyPipeline
+
+    src = tempfile.mkdtemp(prefix="commit_crash_src_")
+    work = tempfile.mkdtemp(prefix="commit_crash_work_")
+    rows = [
+        {
+            "ts": ts, "op_type": op, "db": "default",
+            "collection": f"c{coll}", "partition": f"p{part}",
+            "vchannel": f"ch_{pk % 2}", "pk": pk, "num_rows": 1, "seq": i,
+        }
+        for i, (ts, op, coll, part, pk) in enumerate(ops)
+    ]
+    schema = pa.schema(
+        [
+            ("ts", pa.int64()), ("op_type", pa.string()), ("db", pa.string()),
+            ("collection", pa.string()), ("partition", pa.string()),
+            ("vchannel", pa.string()), ("pk", pa.int64()),
+            ("num_rows", pa.int64()), ("seq", pa.int64()),
+        ]
+    )
+    per = max(1, len(rows) // n_files)
+    for f_idx in range(0, len(rows), per):
+        pq.write_table(
+            pa.Table.from_pylist(rows[f_idx:f_idx + per], schema=schema),
+            f"{src}/part-{f_idx:05d}.parquet",
+        )
+
+    class CommitCrashPipeline(CdcApplyPipeline):
+        armed = True
+        committed = 0
+
+        def _commit_manifest(self):
+            if (
+                CommitCrashPipeline.armed
+                and CommitCrashPipeline.committed == kill_at
+            ):
+                CommitCrashPipeline.armed = False
+                raise OSError("injected crash at the commit point")
+            CommitCrashPipeline.committed += 1
+            super()._commit_manifest()
+
+    pipe = CommitCrashPipeline(spark, src, work, n_buckets=4)
+    try:
+        pipe.run_available_now()
+    except Exception:
+        pass  # the kill fired (it may not, if there are < kill_at batches)
+    # resume: fresh process over the same work dir + checkpoint
+    pipe2 = CdcApplyPipeline(spark, src, work, n_buckets=4)
+    pipe2.run_available_now()
+    got = {
+        (r.collection, r.pk): (r.last_insert_ts, r.n_inserts, r.partition)
+        for r in pipe2.alive().collect()
+    }
+    assert got == _python_cdc_state(ops)

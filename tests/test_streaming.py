@@ -1719,3 +1719,47 @@ def test_error_quarantine_auto_pause_and_resume(spark, monkeypatch):
     pipe = registry.pipelines[spec.task_id]
     got = {(r.collection, r.pk): r.n_inserts for r in pipe.alive().collect()}
     assert got == {("c0", 1): 1, ("c0", 2): 1}  # exactly once
+
+
+def test_manifest_write_failure_rolls_back_memory(spark, monkeypatch):
+    """If the manifest WRITE fails at the commit point, the in-memory
+    manifest must roll back to the on-disk truth — otherwise the live
+    process would treat the batch as committed (skipping its checkpoint
+    replay, serving its drops) while a restart would disagree. The retry
+    over the same checkpoint then applies the batch exactly once."""
+    import os as os_mod
+
+    from milvus_cdc_spark.streaming import pipeline as pipeline_mod
+
+    tmp = tempfile.mkdtemp(prefix="test_manifest_crash_")
+    spark.createDataFrame(
+        [
+            (100, "insert", "default", "c0", "p0", "ch0", 1, 1, 1),
+            (150, "drop_partition", "default", "c0", "p0", "ch0", -1, 0, 2),
+        ],
+        pipeline_mod.OPLOG_SCHEMA,
+    ).coalesce(1).write.parquet(tmp + "/src")
+    pipe = CdcApplyPipeline(spark, tmp + "/src", tmp + "/work", n_buckets=2)
+
+    real_replace = os_mod.replace
+    manifest_path = pipe._manifest_path
+
+    def flaky_replace(src, dst, *a, **k):
+        if dst == manifest_path:
+            raise OSError("disk full")
+        return real_replace(src, dst, *a, **k)
+
+    monkeypatch.setattr(os_mod, "replace", flaky_replace)
+    with pytest.raises(Exception):
+        pipe.run_available_now()
+    # memory == disk: nothing committed, no phantom drops, batch replayable
+    assert pipe._manifest["last_batch_id"] == -1
+    assert not pipe._manifest.get("part_drops")
+    assert not pipe._manifest["buckets"]
+    assert pipe.alive().count() == 0
+
+    monkeypatch.setattr(os_mod, "replace", real_replace)
+    pipe.run_available_now()  # checkpoint retries the uncommitted batch
+    assert pipe._manifest["last_batch_id"] >= 0
+    assert pipe._manifest["part_drops"] == {"c0|p0": 150}
+    assert pipe.alive().count() == 0  # insert@100 < drop@150
