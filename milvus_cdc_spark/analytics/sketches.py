@@ -25,13 +25,15 @@ HEX = "0123456789abcdef"
 
 
 def _bucket(col: Column, seed: int, w: int) -> Column:
-    """md5('<seed>:' || item) first three nibbles mod w."""
+    """md5('<seed>:' || item) first three nibbles mod w.
+
+    Rendered as ONE conv(hex, 16, 10) over the 3-char prefix so the md5
+    subtree appears exactly once in the expression (the nibble-arithmetic
+    form embedded it three times; filter predicates don't get
+    subexpression elimination, so that tripled the hash work on every
+    probe scan). Value-identical to nib1*256 + nib2*16 + nib3."""
     md5 = F.md5(F.concat(F.lit(f"{seed}:"), col))
-
-    def nib(i: int) -> Column:
-        return (F.instr(F.lit(HEX), F.substring(md5, i, 1)) - 1).cast("bigint")
-
-    return (nib(1) * 256 + nib(2) * 16 + nib(3)) % w
+    return F.conv(F.substring(md5, 1, 3), 16, 10).cast("bigint") % w
 
 
 def cms_build(
@@ -119,22 +121,25 @@ def bloom_might_contain(
     """Membership predicate Column against a COLLECTED bloom (list of
     (word_idx, bits) — at most n_words ints, driver-safe at any corpus
     size): true iff every hashed bit is set. Pure column expression
-    over a constant word table, so it prunes map-side in the probe
-    scan with no join at all."""
+    over a constant bit table, so it prunes map-side in the probe
+    scan with no join at all.
+
+    The bit table is rendered as one m-char '0'/'1' string literal
+    probed with a single substring per hash — one md5 chain per hash
+    in the expression tree. (A per-word chained CASE would embed the
+    hash subtree in every arm; past codegen limits that evaluates
+    interpreted, ~50x slower on a wide fact scan.)"""
     m = 63 * n_words
     words = {w: b for w, b in bloom_words}
+    bitstr = "".join(
+        "1" if (words.get(p // 63, 0) >> (p % 63)) & 1 else "0"
+        for p in range(m)
+    )
+    lit = F.lit(bitstr)
     pred = None
     for h in range(n_hashes):
         p = _bucket(probe_col.cast("string"), 1000 + h, m)
-        bits = None
-        for w_idx in range(n_words):
-            cond = (p / 63).cast("int") == w_idx
-            val = F.lit(words.get(w_idx, 0)).cast("bigint")
-            bits = F.when(cond, val) if bits is None else bits.when(cond, val)
-        bit = F.call_function(
-            "shiftleft", F.lit(1).cast("bigint"), (p % 63).cast("int")
-        )
-        hit = F.coalesce(bits, F.lit(0).cast("bigint")).bitwiseAND(bit) != 0
+        hit = F.substring(lit, (p + 1).cast("int"), 1) == "1"
         pred = hit if pred is None else (pred & hit)
     return pred
 

@@ -3441,7 +3441,12 @@ def bloom_semi_join_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sketches.bloom_build + bloom_might_contain): total rows, rows
     passing the map-side bloom, rows passing the exact semi-join, and
     the false-positive key count. The collected bloom is <= 16 words at
-    any corpus size."""
+    any corpus size.
+
+    ONE pass over the fact: the gate evaluates in a single project, the
+    exact membership is a broadcast LEFT join (null = miss), and all
+    four counters fall out of one partial-aggregated agg — not four
+    separate fact scans."""
     from milvus_cdc_spark.analytics import sketches
 
     sup = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 5)
@@ -3455,28 +3460,20 @@ def bloom_semi_join_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate = sketches.bloom_might_contain(
         F.col("l_suppkey"), words, n_hashes=_BF_H, n_words=_BF_WORDS
     )
-    passed = li.filter(gate)
-    exact = li.join(
+    flagged = li.select(F.col("l_suppkey"), gate.alias("bp")).join(
         F.broadcast(sup.select("s_suppkey")),
-        li["l_suppkey"] == F.col("s_suppkey"),
-        "left_semi",
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left",
     )
-    fp = (
-        passed.select(F.col("l_suppkey").alias("sk"))
-        .distinct()
-        .join(
-            F.broadcast(sup.select("s_suppkey")),
-            F.col("sk") == F.col("s_suppkey"),
-            "left_anti",
-        )
-    )
-    n_rows = li.count()
-    n_pass = passed.count()
-    n_exact = exact.count()
-    n_fp = fp.count()
-    return spark.createDataFrame(
-        [(n_rows, n_pass, n_exact, n_fp)],
-        "n_rows bigint, n_bloom_pass bigint, n_exact bigint, fp_keys bigint",
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("bp").cast("bigint")).alias("n_bloom_pass"),
+        F.count(F.col("s_suppkey")).alias("n_exact"),
+        F.count_distinct(
+            F.when(
+                F.col("bp") & F.col("s_suppkey").isNull(), F.col("l_suppkey")
+            )
+        ).alias("fp_keys"),
     )
 
 
