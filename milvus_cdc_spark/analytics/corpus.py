@@ -77,22 +77,18 @@ def chunk_documents(
     )
 
 
-HEX_DIGITS = "0123456789abcdef"
-
-
 def portable_nibble_hash(id_col: Column) -> Column:
     """First three md5 nibbles of the stringified id as a value in
     [0, 4096) — pure md5 + integer arithmetic, the portable-hash contract
     both engines honor exactly (same construction as the partition-key
-    router). Shared by the sampling gate and the packing shard key."""
+    router). Shared by the sampling gate and the packing shard key.
+
+    One conv(hex, 16, 10) over the 3-char prefix — the md5 subtree
+    appears once in the expression instead of once per nibble (filters
+    get no subexpression elimination, so the nibble-arithmetic form
+    tripled the hash work in every sampling gate)."""
     md5 = F.md5(id_col.cast("string"))
-
-    def nib(i: int) -> Column:
-        return (F.instr(F.lit(HEX_DIGITS), F.substring(md5, i, 1)) - 1).cast(
-            "bigint"
-        )
-
-    return nib(1) * 256 + nib(2) * 16 + nib(3)
+    return F.conv(F.substring(md5, 1, 3), 16, 10).cast("bigint")
 
 
 def sample_gate(id_col: Column, rate_permille: Column) -> Column:
@@ -400,13 +396,12 @@ def dsir_weights(
     feats = toks.select(
         F.col(id_col), "is_target", F.col("tok").alias("feat")
     ).unionAll(bigrams)
-    hexd = "0123456789abcdef"
+    # first two md5 nibbles as one conv — a single md5 per feature row
     md5 = F.md5(F.col("feat"))
-
-    def _nib(i: int) -> Column:
-        return (F.instr(F.lit(hexd), F.substring(md5, i, 1)) - 1).cast("bigint")
-
-    feats = feats.withColumn("bucket", (_nib(1) * 16 + _nib(2)) % n_buckets)
+    feats = feats.withColumn(
+        "bucket",
+        F.conv(F.substring(md5, 1, 2), 16, 10).cast("bigint") % n_buckets,
+    )
     counts = feats.groupBy("bucket").agg(
         F.sum(F.col("is_target").cast("bigint")).alias("tgt_n"),
         F.sum((~F.col("is_target")).cast("bigint")).alias("raw_n"),

@@ -1234,16 +1234,14 @@ def hashed_embedding(
         F.col(id_col),
         F.explode(textf.tokens(F.lower(F.col(text_col)))).alias("tok"),
     )
-    md5 = F.md5(F.col("tok"))
-    hexd = "0123456789abcdef"
-
-    def _nib(i: int):
-        return (F.instr(F.lit(hexd), F.substring(md5, i, 1)) - 1).cast("bigint")
-
-    hashed = toks.select(
+    # one md5 + one conv per token: the 3-nibble value splits into the
+    # dimension (top two nibbles) and the sign (low nibble) with shifts,
+    # instead of re-deriving the md5 per nibble
+    h3 = F.conv(F.substring(F.md5(F.col("tok")), 1, 3), 16, 10).cast("bigint")
+    hashed = toks.select(F.col(id_col), h3.alias("_h")).select(
         F.col(id_col),
-        ((_nib(1) * 16 + _nib(2)) % dim).alias("d"),
-        F.when(_nib(3) >= 8, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
+        (F.shiftright(F.col("_h"), 4) % dim).alias("d"),
+        F.when(F.col("_h") % 16 >= 8, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
     )
     sums = hashed.groupBy(id_col).agg(
         *[

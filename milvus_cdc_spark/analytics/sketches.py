@@ -21,9 +21,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-HEX = "0123456789abcdef"
-
-
 def _bucket(col: Column, seed: int, w: int) -> Column:
     """md5('<seed>:' || item) first three nibbles mod w.
 
@@ -183,21 +180,20 @@ def hll_registers(
     (max is associative), so rollups never rescan the data. See
     ``hll_merge``."""
     md5 = F.md5(F.concat(F.lit("23:"), F.col(item_col).cast("string")))
-
-    def nib(i: int) -> Column:
-        return (F.instr(F.lit(HEX), F.substring(md5, i, 1)) - 1).cast(
-            "bigint"
-        )
-
-    v = nib(1)
-    for i in range(2, 7):
-        v = v * 16 + nib(i)
+    # the 24-bit rho input as ONE conv over the 6-char md5 prefix,
+    # projected to a column BEFORE the rho CASE chain — the chain
+    # references v ~24 times, and inlining the md5 there put ~144 hash
+    # subtrees in one expression (CollapseProject keeps the two-step
+    # projection because the aliased conv is non-cheap and multiply
+    # referenced)
+    v24 = F.conv(F.substring(md5, 1, 6), 16, 10).cast("bigint")
     keys = list(group_cols or [])
-    rows = items.select(
+    pre = items.select(
         *keys,
         _bucket(F.col(item_col).cast("string"), 21, m).alias("bucket"),
-        _hll_rho(v).alias("rho"),
+        v24.alias("_v"),
     )
+    rows = pre.select(*keys, "bucket", _hll_rho(F.col("_v")).alias("rho"))
     return rows.groupBy(*keys, "bucket").agg(F.max("rho").alias("reg"))
 
 
