@@ -539,77 +539,59 @@ def _bpe_word_table(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def _bpe_symbol_rows(words: DataFrame) -> DataFrame:
-    """Explode the symbol strings to (word, freq, pos, s, nxt) rows."""
-    from pyspark.sql import Window
+def _bpe_pair_rows(words: DataFrame) -> DataFrame:
+    """(freq, s, nxt) — one row per adjacent symbol pair, straight from
+    the symbol array by zipping it with its own tail. No window, no
+    per-word shuffle: the pair stream inherits the word table's
+    partitioning and feeds the pair-count aggregate map-side."""
+    arr = F.split("sym", " ")
+    pairs = F.zip_with(
+        F.slice(arr, 1, F.size(arr) - 1),
+        F.slice(arr, 2, F.size(arr) - 1),
+        lambda a, b: F.struct(a.alias("s"), b.alias("nxt")),
+    )
+    return words.select("freq", F.explode(pairs).alias("pr")).select(
+        "freq", F.col("pr.s").alias("s"), F.col("pr.nxt").alias("nxt")
+    )
 
-    wnd = Window.partitionBy("word").orderBy("pos")
+
+def _bpe_merge_sym(sym, x: str, y: str):
+    """One greedy left-to-right merge of the adjacent pair (x, y) inside
+    a symbol string — a pure per-row array fold, NO shuffle.
+
+    The fold appends each symbol unless the accumulator's last element
+    is x and the incoming symbol is y, in which case the pair collapses
+    to x+y. That is exactly one-pass greedy semantics: a run like
+    "a a a a" under (a, a) becomes "aa aa", because the freshly merged
+    "aa" can never re-match as the LEFT of the same rule (x+y is
+    strictly longer than x). Naive string replace gets runs wrong
+    (consecutive matches share their delimiter); the previous
+    gaps-and-islands implementation got them right at the cost of two
+    self-joins and three windows PER MERGE over the exploded symbol
+    table."""
+    merged = F.lit(x + y)
+    return F.concat_ws(
+        " ",
+        F.aggregate(
+            F.split(sym, " "),
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(x))
+                & (s == F.lit(y)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        ),
+    )
+
+
+def _bpe_apply_merge(words: DataFrame, x: str, y: str) -> DataFrame:
+    """Apply one merge rule to the (word, freq, sym) table — a single
+    projection (see _bpe_merge_sym)."""
     return words.select(
-        "word",
-        "freq",
-        F.posexplode(F.split("sym", " ")).alias("pos", "s"),
-    ).select("word", "freq", "pos", "s", F.lead("s").over(wnd).alias("nxt"))
-
-
-def _bpe_apply_merge(rows: DataFrame, x: str, y: str) -> DataFrame:
-    """One greedy left-to-right merge of the adjacent pair (x, y) over
-    exploded symbol rows -> the rebuilt (word, freq, sym) table.
-
-    Exact greedy semantics via gaps-and-islands: mark mergeable
-    positions, group consecutive ones (pos minus running mergeable
-    count), merge the odd island members only — so a run like
-    "a a a a" under (a, a) becomes "aa aa", which naive string replace
-    gets wrong (consecutive matches share their delimiter)."""
-    from pyspark.sql import Window
-
-    wnd = Window.partitionBy("word").orderBy("pos")
-    mg = (F.col("s") == x) & (F.col("nxt") == y)
-    cum = F.sum(mg.cast("int")).over(wnd.rowsBetween(Window.unboundedPreceding, 0))
-    marked = rows.select(
-        "word", "freq", "pos", "s", mg.alias("mg"), cum.alias("cum")
-    )
-    chosen = (
-        marked.filter("mg")
-        .select("word", "pos", (F.col("pos") - F.col("cum")).alias("grp"))
-        .withColumn(
-            "ridx",
-            F.row_number().over(Window.partitionBy("word", "grp").orderBy("pos")),
-        )
-        .filter(F.col("ridx") % 2 == 1)
-        .select("word", "pos")
-    )
-    ch = chosen.select(F.col("word").alias("_cw"), F.col("pos").alias("_cp"))
-    sk = chosen.select(F.col("word").alias("_sw"), F.col("pos").alias("_sp"))
-    rebuilt = (
-        marked.join(
-            ch,
-            (F.col("word") == F.col("_cw")) & (F.col("pos") == F.col("_cp")),
-            "left",
-        )
-        .join(
-            sk,
-            (F.col("word") == F.col("_sw")) & (F.col("pos") - 1 == F.col("_sp")),
-            "left",
-        )
-        .filter(F.col("_sp").isNull())
-        .select(
-            "word",
-            "freq",
-            "pos",
-            F.when(F.col("_cp").isNotNull(), F.lit(x + y))
-            .otherwise(F.col("s"))
-            .alias("s"),
-        )
-    )
-    return rebuilt.groupBy("word").agg(
-        F.min("freq").alias("freq"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "s"))),
-                lambda p: p.s,
-            ),
-        ).alias("sym"),
+        "word", "freq", _bpe_merge_sym(F.col("sym"), x, y).alias("sym")
     )
 
 
@@ -627,10 +609,12 @@ def bpe_train(
 
     Scale: after the initial word-count aggregation (the only
     corpus-sized pass) every iteration runs over the DISTINCT-WORD
-    table — vocabulary-sized, not corpus-sized — with one pair-count
-    aggregate and one per-word rebuild per merge. The only driver
-    traffic is the single argmax row per iteration. State is persisted
-    per step and the previous step unpersisted, so lineage stays flat.
+    table — vocabulary-sized, not corpus-sized — with ONE pair-count
+    aggregate per merge (the pair stream zips the symbol array with its
+    own tail, map-side, no window) and a shuffle-free per-row fold for
+    the rebuild (_bpe_merge_sym). The only driver traffic is the single
+    argmax row per iteration. State is persisted per step and the
+    previous step unpersisted, so lineage stays flat.
 
     Returns the learned merge table [(merge_idx, left, right, count)];
     ``bpe_apply`` encodes a corpus with it.
@@ -639,9 +623,8 @@ def bpe_train(
     merges: list[tuple[int, str, str, int]] = []
     try:
         for k in range(n_merges):
-            rows = _bpe_symbol_rows(words)
             top = (
-                rows.filter(F.col("nxt").isNotNull())
+                _bpe_pair_rows(words)
                 .groupBy("s", "nxt")
                 .agg(F.sum("freq").alias("cnt"))
                 .orderBy(F.col("cnt").desc(), "s", "nxt")
@@ -652,7 +635,7 @@ def bpe_train(
                 break
             x, y, cnt = top[0].s, top[0].nxt, int(top[0].cnt)
             merges.append((k, x, y, cnt))
-            nxt_words = _bpe_apply_merge(rows, x, y).persist()
+            nxt_words = _bpe_apply_merge(words, x, y).persist()
             nxt_words.count()  # materialize before dropping the parent
             words.unpersist()
             words = nxt_words
@@ -678,7 +661,7 @@ def bpe_apply(
     """
     words = _bpe_word_table(docs, text_col)
     for x, y in merges:
-        words = _bpe_apply_merge(_bpe_symbol_rows(words), x, y)
+        words = _bpe_apply_merge(words, x, y)
     return words
 
 

@@ -683,3 +683,17 @@ def test_bloom_gate_single_fact_scan(spark, sf_dir):
     # the gate is a plain filter-free projection: each hash contributes
     # one md5 call, not one per nibble and not one per CASE arm
     assert plan.count("md5") <= 6, plan[:3000]
+
+
+def test_bpe_encode_shuffle_free_merges(spark, sf_dir):
+    """BPE encode (train-once, encode-everywhere): applying the learned
+    merge rules is a per-row array fold — the plan between the word
+    table and the final symbol aggregate must carry NO window and NO
+    join. The old gaps-and-islands rebuild paid two self-joins and
+    three windows PER MERGE over the exploded symbol table (11.6 s at
+    sf0.1 for 4 rules; 2.2 s as a fold)."""
+    df = suite.QUERIES["bpe_encode_vocab"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert "Window" not in plan, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
