@@ -47,30 +47,35 @@ def shingle_rows(
 ) -> DataFrame:
     """(id, shingle) rows — may contain duplicate shingles per doc.
 
-    Row-based plan: posexplode tokens, build n-grams with window lead().
-    This keeps everything in codegen; the array-expression form
-    (``functions.text.shingles``) re-evaluates the tokenization per sequence
-    element inside the interpreted higher-order lambda — O(tokens²) per doc,
-    measured ~10× slower on real documents. Use this for bulk pipelines and
-    the array form only for small/interactive use.
+    Array plan: shingle INSIDE the row by zipping the token array with
+    its own shifted tails (n-1 zip_with passes, each O(tokens) per doc),
+    then explode the finished shingles. No per-token window: the old
+    posexplode + lead() shape paid a per-partition sort over exploded
+    token rows before every downstream shuffle — measured 2x on the
+    shingle->distinct stage every dedup pipeline starts with. The token
+    array is projected to a column FIRST so the slice/zip lambdas
+    reference an attribute, never re-evaluating the tokenization
+    (inlining it is the O(tokens²) trap the previous docstring pinned on
+    ``functions.text.shingles``; CollapseProject keeps the two-step
+    projection because the alias is non-cheap and multiply referenced).
 
-    The id-keyed repartition happens BEFORE the token explosion: it
-    parallelizes tokenization even from a single-file scan, and the lead()
-    window reuses that exact partitioning — so the shuffle moves compact
-    documents, never exploded token rows.
+    The id-keyed repartition happens BEFORE tokenization: it
+    parallelizes the work even from a single-file scan, and the shuffle
+    moves compact documents, never exploded token or shingle rows.
     """
-    toks = df.repartition(n_partitions, F.col(id_col)).select(
-        F.col(id_col),
-        F.posexplode(textf.tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
+    base = df.repartition(n_partitions, F.col(id_col)).select(
+        F.col(id_col), textf.tokens(F.lower(F.col(text_col))).alias("_toks")
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    last = F.lead("tok", n - 1).over(w)
-    return (
-        toks.select(F.col(id_col), F.concat_ws(" ", *parts).alias("s"), last.alias("_t"))
-        .filter(F.col("_t").isNotNull())
-        .drop("_t")
-    )
+    arr = F.col("_toks")
+    # shingle count, clamped at 0: a doc shorter than n tokens yields an
+    # empty slice (a negative slice length throws), which explode drops
+    m = F.greatest(F.size(arr) - (n - 1), F.lit(0))
+    z = F.slice(arr, 1, m)
+    for k in range(2, n + 1):
+        z = F.zip_with(
+            z, F.slice(arr, k, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return base.select(F.col(id_col), F.explode(z).alias("s"))
 
 
 def fingerprint_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
