@@ -44,7 +44,7 @@ def build_dirs(sf_dir: str, work: str) -> tuple[str, str]:
     x1, x10 = os.path.join(work, "x1"), os.path.join(work, "x10")
     if os.path.isdir(x1) and os.path.isdir(x10) and os.path.isfile(
         os.path.join(x10, "orders.parquet")
-    ):
+    ) and os.path.isfile(os.path.join(x10, "supplier.parquet")):
         return x1, x10
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(x1)
@@ -54,10 +54,16 @@ def build_dirs(sf_dir: str, work: str) -> tuple[str, str]:
     doc_src = os.path.join(sf_dir, "documents.parquet")
     emb_src = os.path.join(sf_dir, "embeddings.parquet")
     ord_src = os.path.join(sf_dir, "orders.parquet")
+    sup_src = os.path.join(sf_dir, "supplier.parquet")
     shutil.copy(li_src, os.path.join(x1, "lineitem.parquet"))
     shutil.copy(doc_src, os.path.join(x1, "documents.parquet"))
     shutil.copy(emb_src, os.path.join(x1, "embeddings.parquet"))
     shutil.copy(ord_src, os.path.join(x1, "orders.parquet"))
+    # supplier is a DIM table: it does NOT scale with the fact (the
+    # bloom gate's whole point — a fixed-size filter pruning a growing
+    # fact stream), so both corpora carry the same copy
+    shutil.copy(sup_src, os.path.join(x1, "supplier.parquet"))
+    shutil.copy(sup_src, os.path.join(x10, "supplier.parquet"))
 
     con = duckdb.connect()
     # orders x10 with o_orderkey shifted in lockstep with lineitem's
@@ -321,6 +327,12 @@ def queries():
         # 10 fixed queries x corpus — the all-pairs stage is the linear
         # axis; the sign-bucket candidate set rides the same scan.
         "maxsim_ann_rerank": suite.QUERIES["maxsim_ann_rerank"].fn,
+        # round-7 second session: the bloom gate is ONE fact scan
+        # (broadcast left join + single agg); the filter itself is a
+        # fixed 1008-bit literal, so cost must track the fact alone
+        "bloom_semi_join_reduction": suite.QUERIES[
+            "bloom_semi_join_reduction"
+        ].fn,
     }
 
 
