@@ -1968,3 +1968,69 @@ def test_asof_union_join_atomic_versions(spark):
         101: (None, None),
         102: ("silver", 7),
     }
+
+
+def _py_bpe(words_freq: dict, n_merges: int):
+    """Pure-Python reference BPE: greedy one-pass left-to-right merge,
+    argmax by (count desc, pair asc) — the semantics both engines (the
+    Spark fold and the DuckDB oracle) must reproduce exactly."""
+    state = {w: list(w) + ["</w>"] for w in words_freq}
+    merges = []
+    for k in range(n_merges):
+        counts: dict = {}
+        for w, syms in state.items():
+            f = words_freq[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (x, y), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((k, x, y, cnt))
+        for w, syms in state.items():
+            out: list = []
+            for s in syms:
+                if out and out[-1] == x and s == y:
+                    out[-1] = x + y
+                else:
+                    out.append(s)
+            state[w] = out
+    return merges, {w: " ".join(s) for w, s in state.items()}
+
+
+def test_bpe_fold_matches_python_reference_property(spark):
+    """Property: on random tiny-alphabet corpora, bpe_train's merge list
+    AND bpe_apply's final segmentation equal a pure-Python greedy BPE —
+    the fold must agree with the reference on every run shape (self-
+    adjacent pairs, rules whose merged symbol reappears, words shorter
+    than a rule)."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from milvus_cdc_spark.analytics.corpus import bpe_apply, bpe_train
+
+    word = st.text(alphabet="ab", min_size=1, max_size=5)
+    corpus = st.lists(word, min_size=1, max_size=12)
+
+    @given(corpus, st.integers(min_value=1, max_value=4))
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(words, n_merges):
+        docs = spark.createDataFrame(
+            [(0, " ".join(words))], "doc_id bigint, text string"
+        )
+        want_merges, want_seg = _py_bpe(Counter(words), n_merges)
+        got_merges = bpe_train(docs, n_merges=n_merges)
+        assert got_merges == want_merges
+        got_seg = {
+            r.word: r.sym
+            for r in bpe_apply(docs, [(x, y) for _, x, y, _ in got_merges])
+            .collect()
+        }
+        assert got_seg == want_seg
+
+    run()
