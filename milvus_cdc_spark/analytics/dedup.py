@@ -808,12 +808,16 @@ def set_similarity_join(
     (``(n*t + 999999) div 1e6``) — no float boundary anywhere.
 
     Plan: distinct (one shuffle), frequency aggregate (map-side
-    combined), per-set rank window (id-keyed — partition parallel),
-    prefix self-equi-join on the element, distinct candidate pairs,
-    then EXACT verification: candidates joined to both element tables
-    -> intersection counts, set sizes joined back, integer Jaccard.
-    Verification cost is candidate-bounded — precisely what the prefix
-    filter minimizes.
+    combined), per-set rank window with the set SIZE computed by a
+    second window function over the SAME id partitioning (one exchange
+    — no separate size aggregate + join on this path), prefix
+    self-equi-join on the element, distinct candidate pairs, then EXACT
+    verification: each candidate pair joins the per-set ELEMENT ARRAYS
+    (one row per set, built once from the distinct table) and
+    intersects them in-row with array_intersect — candidate-bounded
+    work with no per-(pair, element) shuffle; the old element-table
+    expansion moved |A| rows per candidate through two joins and an
+    aggregate.
 
     Returns (a, b, inter, uni, jacc_ppm) with a < b and
     jacc_ppm >= threshold_ppm.
@@ -827,13 +831,13 @@ def set_similarity_join(
         .persist()
     )
     _DEDUP_CACHES.append(toks)
-    sizes = toks.groupBy("id").agg(F.count("*").alias("n"))
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
     w = Window.partitionBy("id").orderBy("df", "tok")
-    ranked = (
-        toks.join(dfreq, "tok")
-        .withColumn("rn", F.row_number().over(w))
-        .join(sizes, "id")
+    ranked = toks.join(dfreq, "tok").select(
+        "id",
+        "tok",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("id")).alias("n"),
     )
     # prefix length |X| - ceil(t|X|) + 1, all-integer ceil
     plen = (
@@ -852,23 +856,40 @@ def set_similarity_join(
         .select(F.col("pa.id").alias("a"), F.col("pb.id").alias("b"))
         .distinct()
     )
-    ta = toks.select(F.col("id").alias("a"), "tok")
-    tb = toks.select(F.col("id").alias("b"), "tok")
-    inter = (
-        cand.join(ta, "a")
-        .join(tb, ["b", "tok"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
+    arrs = toks.groupBy("id").agg(
+        F.collect_list("tok").alias("_toks"),
+        F.count("*").cast("bigint").alias("_n"),
     )
-    na = sizes.select(F.col("id").alias("a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("id").alias("b"), F.col("n").alias("nb"))
     return (
-        inter.join(na, "a")
-        .join(nb, "b")
+        cand.join(
+            arrs.select(
+                F.col("id").alias("a"),
+                F.col("_toks").alias("_ta"),
+                F.col("_n").alias("na"),
+            ),
+            "a",
+        )
+        .join(
+            arrs.select(
+                F.col("id").alias("b"),
+                F.col("_toks").alias("_tb"),
+                F.col("_n").alias("nb"),
+            ),
+            "b",
+        )
         .select(
             "a",
             "b",
-            F.col("inter").cast("bigint").alias("inter"),
+            F.size(F.array_intersect("_ta", "_tb"))
+            .cast("bigint")
+            .alias("inter"),
+            "na",
+            "nb",
+        )
+        .select(
+            "a",
+            "b",
+            "inter",
             (F.col("na") + F.col("nb") - F.col("inter"))
             .cast("bigint")
             .alias("uni"),
@@ -914,13 +935,13 @@ def containment_join(
         .persist()
     )
     _DEDUP_CACHES.append(toks)
-    sizes = toks.groupBy("id").agg(F.count("*").alias("n"))
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
     w = Window.partitionBy("id").orderBy("df", "tok")
-    ranked = (
-        toks.join(dfreq, "tok")
-        .withColumn("rn", F.row_number().over(w))
-        .join(sizes, "id")
+    ranked = toks.join(dfreq, "tok").select(
+        "id",
+        "tok",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("id")).alias("n"),
     )
     plen = (
         F.col("n")
@@ -938,22 +959,37 @@ def containment_join(
         .select(F.col("p.id").alias("a"), F.col("t.id").alias("b"))
         .distinct()
     )
-    ta = toks.select(F.col("id").alias("a"), "tok")
-    tb = toks.select(F.col("id").alias("b"), "tok")
-    inter = (
-        cand.join(ta, "a")
-        .join(tb, ["b", "tok"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
+    # exact verify on per-set element arrays (see set_similarity_join)
+    arrs = toks.groupBy("id").agg(
+        F.collect_list("tok").alias("_toks"),
+        F.count("*").cast("bigint").alias("_n"),
     )
-    na = sizes.select(F.col("id").alias("a"), F.col("n").alias("na"))
     return (
-        inter.join(na, "a")
+        cand.join(
+            arrs.select(
+                F.col("id").alias("a"),
+                F.col("_toks").alias("_ta"),
+                F.col("_n").alias("na"),
+            ),
+            "a",
+        )
+        .join(
+            arrs.select(F.col("id").alias("b"), F.col("_toks").alias("_tb")),
+            "b",
+        )
         .select(
             "a",
             "b",
-            F.col("inter").cast("bigint").alias("inter"),
-            F.col("na").cast("bigint").alias("na"),
+            F.size(F.array_intersect("_ta", "_tb"))
+            .cast("bigint")
+            .alias("inter"),
+            "na",
+        )
+        .select(
+            "a",
+            "b",
+            "inter",
+            "na",
             F.expr("inter * 1000000 DIV na")
             .cast("bigint")
             .alias("containment_ppm"),
