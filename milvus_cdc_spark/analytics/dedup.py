@@ -185,30 +185,45 @@ def jaccard_pairs(
     df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     shingle_n: int = 3, shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for candidate pairs, join-based:
+    """Exact n-gram Jaccard for candidate pairs:
     |A∩B| = matching-shingle count, |A∪B| = |A| + |B| - |A∩B|.
 
-    All equi-joins + aggregates — no array intersections per pair, no
-    arrays shipped through the shuffle. Scales with Σ|A| over candidate
-    pairs, not with corpus size."""
+    Each candidate pair joins the two per-doc shingle ARRAYS (one row
+    per doc, built once from the distinct shingle table, size riding
+    the same aggregate) and intersects them in-row with
+    array_intersect. Work remains candidate-bounded (Σ(|A|+|B|) over
+    pairs) but flows as one row per PAIR instead of one row per
+    (pair, shingle) through two joins, an aggregate, and three size
+    joins — the same reshape measured ~2x on the setsim family."""
     sh_rows = shingles if shingles is not None else shingle_rows(df, id_col, text_col, shingle_n)
     sh = sh_rows.distinct()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    sh_a = sh.select(F.col(id_col).alias("a"), F.col("s"))
-    sh_b = sh.select(F.col(id_col).alias("b"), F.col("s"))
-    inter = (
-        pairs.join(sh_a, "a")
-        .join(sh_b, ["b", "s"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("n_inter"))
+    arrs = sh.groupBy(id_col).agg(
+        F.collect_list("s").alias("_toks"), F.count("*").alias("sz")
     )
-    sz_a = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
     return (
-        pairs.join(inter, ["a", "b"], "left")
-        .join(sz_a, "a")
-        .join(sz_b, "b")
-        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        pairs.join(
+            arrs.select(
+                F.col(id_col).alias("a"),
+                F.col("_toks").alias("_ta"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "a",
+        )
+        .join(
+            arrs.select(
+                F.col(id_col).alias("b"),
+                F.col("_toks").alias("_tb"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("_ta", "_tb")).alias("n_inter"),
+            "sz_a",
+            "sz_b",
+        )
         .select(
             "a",
             "b",
