@@ -741,33 +741,33 @@ def duplicate_spans(
     tokens is covered by its t-n+1 duplicated n-grams, so n-gram
     coverage and substring coverage agree for spans >= n.
 
-    Plan: one token explode (id-keyed repartition BEFORE the explosion,
-    as shingle_rows), lead() n-gram assembly reusing that partitioning,
-    one gram-keyed count shuffle (md5 key keeps rows narrow, map-side
+    Plan: n-grams assemble INSIDE the row (zip_with over the token
+    array's shifted tails, as shingle_rows — no per-token window sort),
+    the md5 gram keys posexplode with their start position, one
+    gram-keyed count shuffle (md5 key keeps rows narrow, map-side
     partial counts), the dup-gram join back, a bounded sequence()
     explode (n rows per dup occurrence), and one id-keyed distinct.
-    Nothing is quadratic at any corpus size; real pipelines raise n
-    (the paper uses 50) which only shrinks the dup set.
+    The token count falls straight out of the array size — no exploded
+    token frame at all. Nothing is quadratic at any corpus size; real
+    pipelines raise n (the paper uses 50) which only shrinks the dup
+    set.
 
     Returns per doc: (id, n_toks, dup_tokens) — dup_tokens = distinct
     token positions covered by some duplicated n-gram.
     """
-    toks = docs.repartition(n_partitions, F.col(id_col)).select(
-        F.col(id_col),
-        F.posexplode(textf.tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
+    base = docs.repartition(n_partitions, F.col(id_col)).select(
+        F.col(id_col), textf.tokens(F.lower(F.col(text_col))).alias("_toks")
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    last = F.lead("tok", n - 1).over(w)
-    grams = (
-        toks.select(
-            F.col(id_col),
-            F.col("pos"),
-            F.md5(F.concat_ws(" ", *parts)).alias("g"),
-            last.alias("_t"),
+    arr = F.col("_toks")
+    m = F.greatest(F.size(arr) - (n - 1), F.lit(0))
+    z = F.slice(arr, 1, m)
+    for k in range(2, n + 1):
+        z = F.zip_with(
+            z, F.slice(arr, k, m), lambda a, b: F.concat(a, F.lit(" "), b)
         )
-        .filter(F.col("_t").isNotNull())
-        .drop("_t")
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(F.transform(z, lambda g: F.md5(g))).alias("pos", "g"),
     )
     dupg = grams.groupBy("g").agg(F.count("*").alias("_n")).filter(F.col("_n") >= 2)
     covered = (
@@ -782,7 +782,9 @@ def duplicate_spans(
         .groupBy(id_col)
         .agg(F.count("*").cast("bigint").alias("dup_tokens"))
     )
-    n_toks = toks.groupBy(id_col).agg(F.count("*").cast("bigint").alias("n_toks"))
+    n_toks = base.select(
+        F.col(id_col), F.size(arr).cast("bigint").alias("n_toks")
+    )
     return (
         docs.select(F.col(id_col))
         .join(n_toks, id_col, "left")
