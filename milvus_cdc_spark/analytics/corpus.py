@@ -373,29 +373,27 @@ def dsir_weights(
     Returns one row per doc: (id, is_target, n_feats, score_micro)
     where score_micro > 0 means "more target-like than raw".
     """
-    from pyspark.sql import Window
-
     from milvus_cdc_spark.functions import text as textf
 
-    toks = docs.select(
+    # unigrams + in-row zipped bigrams explode together — no per-token
+    # window, no union of two exploded frames
+    base = docs.select(
         F.col(id_col),
         target_pred.cast("boolean").alias("is_target"),
-        F.posexplode(textf.tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
+        textf.tokens(F.lower(F.col(text_col))).alias("_toks"),
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    nxt = F.lead("tok").over(w)
-    bigrams = (
-        toks.select(F.col(id_col), "is_target", "tok", nxt.alias("_nxt"))
-        .filter(F.col("_nxt").isNotNull())
-        .select(
-            F.col(id_col),
-            "is_target",
-            F.concat_ws(" ", "tok", "_nxt").alias("feat"),
-        )
+    arr = F.col("_toks")
+    m = F.greatest(F.size(arr) - 1, F.lit(0))
+    bigr = F.zip_with(
+        F.slice(arr, 1, m),
+        F.slice(arr, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    feats = toks.select(
-        F.col(id_col), "is_target", F.col("tok").alias("feat")
-    ).unionAll(bigrams)
+    feats = base.select(
+        F.col(id_col),
+        "is_target",
+        F.explode(F.concat(arr, bigr)).alias("feat"),
+    )
     # first two md5 nibbles as one conv — a single md5 per feature row
     md5 = F.md5(F.col("feat"))
     feats = feats.withColumn(
@@ -463,22 +461,23 @@ def bigram_logprob(
 
     Returns (id, n_bigrams, nll_micro_sum) for docs with >= 1 bigram.
     """
-    from pyspark.sql import Window
-
     from milvus_cdc_spark.functions import text as textf
 
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(textf.tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
+    base = docs.select(
+        F.col(id_col), textf.tokens(F.lower(F.col(text_col))).alias("_toks")
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    big = (
-        toks.select(
-            F.col(id_col),
-            F.col("tok").alias("prev"),
-            F.lead("tok").over(w).alias("cur"),
-        )
-        .filter(F.col("cur").isNotNull())
+    arr = F.col("_toks")
+    toks = base.select(F.col(id_col), F.explode(arr).alias("tok"))
+    # bigrams zip in-row from the token array's shifted tails — no
+    # per-token window sort before the pair-count shuffle
+    m = F.greatest(F.size(arr) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(arr, 1, m),
+        F.slice(arr, 2, m),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    big = base.select(F.col(id_col), F.explode(pairs).alias("_p")).select(
+        F.col(id_col), F.col("_p.prev").alias("prev"), F.col("_p.cur").alias("cur")
     )
     c2 = big.groupBy("prev", "cur").agg(F.count("*").alias("n2"))
     ctx = c2.groupBy("prev").agg(F.sum("n2").alias("nctx"))

@@ -757,18 +757,22 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from milvus_cdc_spark.functions import text as textf
 
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(textf.tokens(F.lower(F.col("text")))).alias(
-            "pos", "tok"
-        )
+    # bigrams zip in-row from the token array (same pairing shape as
+    # corpus.bigram_logprob) — no per-token window before the count
+    base = docs.select(
+        "doc_id", textf.tokens(F.lower(F.col("text"))).alias("_toks")
     )
-    # lead() over the per-doc position — one doc-keyed shuffle, no
-    # positional self-join (same pairing shape as corpus.bigram_logprob)
-    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    arr = F.col("_toks")
+    m = F.greatest(F.size(arr) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(arr, 1, m),
+        F.slice(arr, 2, m),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
     big = (
-        toks.withColumn("w2", F.lead("tok").over(w_doc))
-        .filter(F.col("w2").isNotNull())
-        .groupBy(F.col("tok").alias("w1"), "w2")
+        base.select(F.explode(pairs).alias("_p"))
+        .select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+        .groupBy("w1", "w2")
         .agg(F.count("*").alias("c_xy"))
     )
     n = big.agg(F.sum("c_xy").cast("bigint").alias("n_big"))
