@@ -1272,24 +1272,27 @@ def hamming_banded_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bv"),
     ).select("doc_id", "fp", "bv.band_idx", "bv.band_val")
     x, y = bands.alias("x"), bands.alias("y")
-    cand = (
+    # both band rows carry the full fingerprint, so the exact Hamming
+    # check runs INSIDE the band join output — the distinct then
+    # shuffles only the qualifying pairs (a pair can collide in several
+    # bands) instead of every banded collision through a distinct plus
+    # two fingerprint joins (2.6M collision rows vs ~96k qualifiers at
+    # sf0.1)
+    ham = F.bit_count(F.col("x.fp").bitwiseXOR(F.col("y.fp")))
+    return (
         x.join(
             y,
             (F.col("x.band_idx") == F.col("y.band_idx"))
             & (F.col("x.band_val") == F.col("y.band_val"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .distinct()
-    )
-    fa = fp.select(F.col("doc_id").alias("a"), F.col("fp").alias("fa"))
-    fb = fp.select(F.col("doc_id").alias("b"), F.col("fp").alias("fb"))
-    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
-    return (
-        cand.join(fa, "a")
-        .join(fb, "b")
-        .select("a", "b", ham.cast("bigint").alias("hamming"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            ham.cast("bigint").alias("hamming"),
+        )
         .filter(F.col("hamming") <= _HB_MAXD)
+        .distinct()
         .orderBy("a", "b")
     )
 
