@@ -48,6 +48,43 @@ def release_graph_caches() -> None:
         _GRAPH_CACHES.pop().unpersist(False)
 
 
+def co_group_pairs(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    a_col: str = "pa",
+    b_col: str = "pb",
+) -> DataFrame:
+    """Ordered item pairs co-occurring under the same group key — the
+    co-order / co-purchase edge builder, emitted IN-ROW.
+
+    Instead of the textbook self-join (``a JOIN b ON a.grp = b.grp AND
+    a.item < b.item`` — a second shuffle of the whole fact plus a join
+    whose per-key work the optimizer can't bound), group once, sort the
+    distinct item set inside the row, and enumerate its ordered pairs
+    with nested ``transform``/``slice`` — the repo's shingle_rows shape.
+    One shuffle (the groupBy), zero joins; pair fan-out is bounded by
+    the per-group basket size exactly as the self-join's per-key output
+    is, but the quadratic work now runs as a JVM array loop inside one
+    row instead of a join probe per pair.
+
+    Output: one row per (group, a < b) pair occurrence — duplicates
+    across groups preserved (callers ``groupBy(pa, pb).count()`` for
+    market-basket support or ``.distinct()`` for an edge list).
+    """
+    g = df.groupBy(group_col).agg(
+        F.sort_array(F.collect_set(item_col)).alias("_items")
+    )
+    pairs = F.expr(
+        f"""flatten(transform(_items, (x, i) ->
+              transform(slice(_items, i + 2, size(_items) - i - 1),
+                        y -> struct(x AS {a_col}, y AS {b_col}))))"""
+    )
+    return g.select(F.explode(pairs).alias("_p")).select(
+        f"_p.{a_col}", f"_p.{b_col}"
+    )
+
+
 def triangle_counts(
     edges: DataFrame, a_col: str = "a", b_col: str = "b"
 ) -> DataFrame:

@@ -352,20 +352,8 @@ def triangle_parts_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_quantity") >= _TRI_MIN_QTY)
         .select("l_orderkey", "l_partkey")
-        .distinct()
     )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .distinct()
-    )
+    pairs = graph.co_group_pairs(li, "l_orderkey", "l_partkey").distinct()
     tri = graph.triangle_counts(pairs, "pa", "pb")
     out = (
         tri.orderBy(F.col("triangles").desc(), F.col("node"))
@@ -1441,20 +1429,8 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_quantity") >= _TRI_MIN_QTY)
         .select("l_orderkey", "l_partkey")
-        .distinct()
     )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .distinct()
-    )
+    pairs = graph.co_group_pairs(li, "l_orderkey", "l_partkey").distinct()
     labels = graph.label_propagation(pairs, n_rounds=_LPA_ROUNDS, a_col="pa", b_col="pb")
     return (
         labels.groupBy(F.col("label").alias("community"))
@@ -1783,16 +1759,11 @@ def copurchase_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = baskets.groupBy("l_partkey").agg(
         F.count("*").cast("bigint").alias("n_item")
     )
-    a, b = baskets.alias("a"), baskets.alias("b")
+    from milvus_cdc_spark.analytics import graph
+
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        graph.co_group_pairs(li, "l_orderkey", "l_partkey")
+        .groupBy("pa", "pb")
         .agg(F.count("*").cast("bigint").alias("n_pair"))
         .filter(F.col("n_pair") >= _MB_MIN_PAIRS)
     )

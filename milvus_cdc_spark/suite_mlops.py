@@ -91,8 +91,12 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     graph.release_graph_caches()  # prior graph query's frames are consumed
 
+    # Range predicate, not year() == 1995: a raw-column comparison reaches
+    # the parquet scan as a min/max row-group filter (PushedFilters), which
+    # F.year(col) — a function over the column — never does. Same rows.
     orders = _t(spark, sf_dir, "orders").filter(
-        F.year("o_orderdate") == 1995
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
     )
     li = _t(spark, sf_dir, "lineitem")
     pairs = (
@@ -871,8 +875,12 @@ def _kcore_oracle() -> str:
 def kcore_prune_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nodes/edges surviving each of 3 rounds of degree->=-4 pruning on
     the 1995 trade graph."""
+    # Range predicate, not year() == 1995: a raw-column comparison reaches
+    # the parquet scan as a min/max row-group filter (PushedFilters), which
+    # F.year(col) — a function over the column — never does. Same rows.
     orders = _t(spark, sf_dir, "orders").filter(
-        F.year("o_orderdate") == 1995
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
     )
     li = _t(spark, sf_dir, "lineitem")
     pairs = (
