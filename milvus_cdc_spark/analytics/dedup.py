@@ -537,6 +537,12 @@ def embedding_near_dup(
     """
     from milvus_cdc_spark.functions import vector as vecf
 
+    release_dedup_caches()  # the prior query's frames are consumed by now
+    # ``vectors`` feeds three consumers (bucketing + both verify sides);
+    # persist so the input (often a derived/augmented frame) is computed
+    # once. _DEDUP_CACHES contract: caller owns the release point.
+    vectors = vectors.persist()
+    _DEDUP_CACHES.append(vectors)
     vec = F.col(vec_col)
     band_cols = []
     for b in range(n_bands):
@@ -551,6 +557,14 @@ def embedding_near_dup(
         F.col(id_col).alias("_id"),
         F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
     )
+    # Candidate pairs via the bucket SELF-JOIN, not in-row co_group_pairs:
+    # LSH buckets here are ~100+ docs, so per-group pair fan-out is tens of
+    # thousands — the join streams those pairs through whole-stage codegen
+    # (broadcast at this size, sort-merge with per-key streaming at scale),
+    # while collect_set + in-row enumeration would allocate the whole
+    # quadratic pair array per bucket row. In-row wins only for SMALL
+    # bounded groups (order baskets, <= ~10 items); measured 2-3x slower
+    # here.
     cand = (
         buckets.alias("x")
         .join(

@@ -50,7 +50,7 @@ def release_graph_caches() -> None:
 
 def co_group_pairs(
     df: DataFrame,
-    group_col: str,
+    group_col: str | list[str],
     item_col: str,
     a_col: str = "pa",
     b_col: str = "pb",
@@ -72,7 +72,8 @@ def co_group_pairs(
     across groups preserved (callers ``groupBy(pa, pb).count()`` for
     market-basket support or ``.distinct()`` for an edge list).
     """
-    g = df.groupBy(group_col).agg(
+    group_cols = [group_col] if isinstance(group_col, str) else list(group_col)
+    g = df.groupBy(*group_cols).agg(
         F.sort_array(F.collect_set(item_col)).alias("_items")
     )
     pairs = F.expr(

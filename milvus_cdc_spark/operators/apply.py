@@ -20,6 +20,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Aggregate frames persisted by replay_alive_with_drops for reuse across
+# its three consumers (two cutoff dims + the final filter). The graph.py
+# _GRAPH_CACHES contract: callers own the release point; an unpersisted
+# recompute walks the identical deterministic plan, so releasing early
+# only costs recompute, never correctness.
+_APPLY_CACHES: list[DataFrame] = []
+
+
+def release_apply_caches() -> None:
+    """Unpersist aggregate frames cached by prior replay_alive_with_drops
+    calls."""
+    while _APPLY_CACHES:
+        _APPLY_CACHES.pop().unpersist(False)
+
 
 def replay_alive(ops: DataFrame) -> DataFrame:
     """Per-pk conditional aggregate → alive rows after full replay.
@@ -58,34 +72,45 @@ def replay_alive_with_drops(ops: DataFrame) -> DataFrame:
     across all three scopes, so re-inserts after a drop (collection
     recreate) stay alive.
 
-    Plan: the per-pk conditional aggregate keyed (collection, partition,
-    pk) — one shuffle of distinct pks with map-side partials — plus two
-    BROADCAST left joins against the drop cutoffs, which are
-    catalog-sized (one row per dropped partition/collection), never a
-    second corpus shuffle.
+    Plan: ONE pass over the op-log — a conditional aggregate keyed
+    (collection, partition, pk) that folds pk ops AND drop ops in the
+    same shuffle (drop rows carry pk NULL, so they land on their own
+    scope keys) — persisted, then two BROADCAST left joins against the
+    drop cutoffs read back out of that aggregate. The cutoff dims are
+    catalog-sized (one row per dropped partition/collection). The old
+    shape derived each cutoff frame from the raw ``ops`` lineage, which
+    re-ran the source scan + derivation chain once per consumer — 3x
+    read amplification on a frame that at 100 TB is the whole op-log.
     """
     from milvus_cdc_spark.operators.filters import insert_like
 
     is_ins = insert_like()
-    coll_drops = (
-        ops.filter(F.col("op_type") == "drop_collection")
-        .groupBy("collection")
-        .agg(F.max("ts").alias("_coll_drop_ts"))
-    )
-    part_drops = (
-        ops.filter(F.col("op_type") == "drop_partition")
-        .groupBy("collection", "partition")
-        .agg(F.max("ts").alias("_part_drop_ts"))
-    )
-    agg = (
-        ops.filter(is_ins | (F.col("op_type") == "delete"))
-        .groupBy("collection", "partition", "pk")
+    agg0 = (
+        ops.groupBy("collection", "partition", "pk")
         .agg(
             F.max(F.when(is_ins, F.col("ts"))).alias("last_insert_ts"),
             F.max(F.when(F.col("op_type") == "delete", F.col("ts"))).alias(
                 "last_delete_ts"
             ),
+            F.max(
+                F.when(F.col("op_type") == "drop_partition", F.col("ts"))
+            ).alias("_pdt0"),
+            F.max(
+                F.when(F.col("op_type") == "drop_collection", F.col("ts"))
+            ).alias("_cdt0"),
         )
+        .persist()
+    )
+    _APPLY_CACHES.append(agg0)
+    part_drops = (
+        agg0.filter(F.col("_pdt0").isNotNull())
+        .groupBy("collection", "partition")
+        .agg(F.max("_pdt0").alias("_part_drop_ts"))
+    )
+    coll_drops = (
+        agg0.filter(F.col("_cdt0").isNotNull())
+        .groupBy("collection")
+        .agg(F.max("_cdt0").alias("_coll_drop_ts"))
     )
     cut = F.greatest(
         F.coalesce(F.col("last_delete_ts"), F.lit(-1)),
@@ -93,7 +118,7 @@ def replay_alive_with_drops(ops: DataFrame) -> DataFrame:
         F.coalesce(F.col("_coll_drop_ts"), F.lit(-1)),
     )
     return (
-        agg.join(F.broadcast(part_drops), ["collection", "partition"], "left")
+        agg0.join(F.broadcast(part_drops), ["collection", "partition"], "left")
         .join(F.broadcast(coll_drops), ["collection"], "left")
         .filter(
             F.col("last_insert_ts").isNotNull()

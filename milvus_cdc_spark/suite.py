@@ -195,9 +195,11 @@ _COLL_DROP_TS = 852076800000 << 18   # 1997-01-01
     "conditional-agg",
 )
 def partition_drop_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bulk-drop-aware replay (apply.replay_alive_with_drops): per-pk
-    conditional aggregate keyed (collection, partition, pk) + two
-    broadcast joins against catalog-sized drop cutoffs."""
+    """Bulk-drop-aware replay (apply.replay_alive_with_drops): ONE
+    conditional-aggregate pass keyed (collection, partition, pk) + two
+    broadcast joins against catalog-sized drop cutoffs read back out of
+    the persisted aggregate."""
+    apply_op.release_apply_caches()  # prior replay query's frames consumed
     ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem")).withColumn(
         "partition",
         F.concat(F.lit("p_"), (F.col("pk") % 2).cast("string")),
