@@ -6,6 +6,8 @@ pushdown to the scan, column pruning, broadcast joins for dims, codegen.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from milvus_cdc_spark import suite
@@ -697,3 +699,45 @@ def test_bpe_encode_shuffle_free_merges(spark, sf_dir):
     assert "Window" not in plan, plan[:3000]
     assert "Join" not in plan, plan[:3000]
     assert "CartesianProduct" not in plan
+
+
+def test_bulk_drop_replay_single_oplog_scan(spark, sf_dir):
+    """replay_alive_with_drops folds pk ops AND bulk-drop ops in ONE
+    aggregate over the op-log, then reads the catalog-sized cutoffs back
+    out of the persisted aggregate — the raw lineitem scan must appear
+    exactly once in the plan (the old shape re-ran the source scan +
+    derivation chain once per cutoff dim: 3x read amplification)."""
+    from milvus_cdc_spark.operators.apply import release_apply_caches
+
+    df = suite.QUERIES["partition_drop_replay"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    # formatted mode re-renders the cached InMemoryRelation subtree under
+    # each InMemoryTableScan consumer, so count DISTINCT node entries in
+    # the detail section: exactly one parquet scan node, reached only
+    # through the cache (every consumer is an InMemoryTableScan)
+    scan_nodes = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+    assert len(scan_nodes) == 1, plan[:3000]
+    assert "InMemoryTableScan" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+    release_apply_caches()
+
+
+def test_co_group_pairs_no_self_join(spark, sf_dir):
+    """Co-order pair generation (triangles / LPA / market basket) builds
+    ordered pairs IN-ROW from the per-order item set — the plan between
+    the lineitem scan and the pair distinct must carry no self-join.
+    (Scope note: in-row pairs are only right for SMALL bounded groups
+    like order baskets; LSH buckets keep the streaming self-join — see
+    dedup.embedding_near_dup.)"""
+    from milvus_cdc_spark.analytics import graph
+
+    li = (
+        suite._t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 35)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = graph.co_group_pairs(li, "l_orderkey", "l_partkey").distinct()
+    plan = audit.formatted_plan(pairs)
+    assert "Join" not in plan, plan[:3000]
+    scan_nodes = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+    assert len(scan_nodes) == 1, plan[:3000]
