@@ -642,6 +642,7 @@ def semdedup(
     from milvus_cdc_spark.analytics import similarity
     from milvus_cdc_spark.functions import vector as vecf
 
+    release_dedup_caches()  # the prior query's frames are consumed by now
     cent = similarity.ivf_train(
         vectors, k=k, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
     )
@@ -658,12 +659,17 @@ def semdedup(
         lambda acc, x: acc + x,
     )
     w = Window.partitionBy("_id").orderBy(F.col("_d2").asc(), F.col("centroid_id"))
+    # assigned feeds THREE consumers (both pair sides + the band
+    # buckets), each of which would otherwise re-run the whole Lloyd
+    # training + assignment lineage — persist it once.
     assigned = (
         j.withColumn("_d2", d2)
         .withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") == 1)
         .select("_id", "centroid_id", "_v", "_d2")
+        .persist()
     )
+    _DEDUP_CACHES.append(assigned)
     a = assigned.select(
         F.col("centroid_id"),
         F.col("_id").alias("_ida"),

@@ -27,6 +27,22 @@ from pyspark.sql import functions as F
 
 from milvus_cdc_spark.functions import vector as vecf
 
+# Frames persisted by index-build pipelines (ivf_pq_build) for reuse
+# across their consumers — the query path reads every build output at
+# least once, and an unpersisted build lineage re-runs the WHOLE
+# training (Lloyd x iterations, per-subspace PQ k-means) per consumer:
+# the scan-node audit counted 82 parquet scans in one unpersisted
+# ivf_pq query plan. Same contract as dedup/graph: the next build call
+# releases the prior query's frames; an early release only costs
+# recompute, never correctness.
+_SIM_CACHES: list[DataFrame] = []
+
+
+def release_similarity_caches() -> None:
+    """Unpersist frames cached by prior index-build calls."""
+    while _SIM_CACHES:
+        _SIM_CACHES.pop().unpersist(False)
+
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
@@ -975,12 +991,21 @@ def ivf_pq_build(
     codebooks (sub_id, centroid_id, centroid, n_members); codes
     (id, sub_id, code). All deterministic (lowest-id seeding, 6-decimal
     mean rounding) — a serial engine reproduces every table exactly.
+
+    All four outputs are PERSISTED (registered in _SIM_CACHES): the
+    query path consumes each at least once and recall-style evaluations
+    consume them repeatedly; without the persist every consumer re-runs
+    the full training lineage. At 100 TB these are the index tables a
+    real build WRITES (codes are corpus x m bytes, the rest
+    catalog-sized) — caching here is the local stand-in for that
+    materialization.
     """
+    release_similarity_caches()  # prior query's build frames consumed
     coarse = ivf_train(
         vectors, k=k_coarse, iters=coarse_iters, dim=dim,
         id_col=id_col, vec_col=vec_col,
-    )
-    assigned = _l2_assign_one(vectors, coarse, id_col, vec_col)
+    ).persist()
+    assigned = _l2_assign_one(vectors, coarse, id_col, vec_col).persist()
     resid = (
         vectors.select(
             F.col(id_col),
@@ -1006,8 +1031,11 @@ def ivf_pq_build(
     codebooks = pq_train(
         resid, m=m, k=k_pq, iters=pq_iters, dim=dim,
         id_col=id_col, vec_col=vec_col,
-    )
-    codes = pq_encode(resid, codebooks, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
+    ).persist()
+    codes = pq_encode(
+        resid, codebooks, m=m, dim=dim, id_col=id_col, vec_col=vec_col
+    ).persist()
+    _SIM_CACHES.extend([coarse, assigned, codebooks, codes])
     return coarse, assigned, codebooks, codes
 
 
@@ -1157,13 +1185,22 @@ def mmr_rerank(
     penalty is 0 so pick 1 is pure relevance.
 
     Returns (rank, id, mmr_score rounded 6).
+
+    The pool inputs are PERSISTED (both are pool-sized, but their
+    lineage — typically a corpus-wide top-k — is re-referenced by every
+    unrolled rank), and each 1-row pick is localCheckpoint-ed: without
+    the truncation rank r's plan embeds every earlier rank's whole
+    plan, and the scan-node audit counted 50 parquet scans in one k=3
+    MMR query.
     """
+    release_similarity_caches()  # prior query's frames consumed by now
     remaining = candidates.select(
         F.col(id_col).alias("_id"), F.col(sim_col).alias("_sim")
-    )
+    ).persist()
     pw = pairwise.select(
         F.col("a").alias("_pa"), F.col("b").alias("_pb"), F.col("psim").alias("_ps")
-    )
+    ).persist()
+    _SIM_CACHES.extend([remaining, pw])
     picks: list[DataFrame] = []
     selected: DataFrame | None = None
     for rank in range(1, k + 1):
@@ -1196,6 +1233,7 @@ def mmr_rerank(
             mmr.orderBy(F.col("_mmr").desc(), F.col("_id").asc())
             .limit(1)
             .select("_id", F.lit(rank).alias("rank"), F.col("_mmr"))
+            .localCheckpoint(eager=True)  # 1 row; truncates the unroll
         )
         picks.append(pick)
         sel_ids = pick.select("_id")
