@@ -310,6 +310,7 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_lists: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their nearest-centroid
     list; each query scans only its ``n_probe`` nearest lists.
@@ -319,8 +320,14 @@ def ivf_topk(
     the probed lists' sizes, and the centroid set stays broadcastable
     (kMeans-trained offline; here the centroid *selection* is an input so
     the whole operator stays deterministic and oracle-checkable).
+
+    ``corpus_lists`` (the n_probe=1 corpus assignment) is recomputed
+    when not supplied; callers sweeping n_probe over a fixed index
+    should compute it once with ``ivf_assign`` and pass it persisted —
+    it is identical across the sweep.
     """
-    corpus_lists = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1)
+    if corpus_lists is None:
+        corpus_lists = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1)
     query_probes = ivf_assign(queries, centroids, id_col, vec_col, n_probe=n_probe)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -979,12 +979,19 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from milvus_cdc_spark.analytics import dedup
 
     docs = _t(spark, sf_dir, "documents")
+    # the per-source shingle set feeds THREE consumers (both pair sides
+    # + the per-source counts) — persist so the shingle explode and its
+    # distinct shuffle run once (dedup cache contract: released by the
+    # next dedup query)
+    dedup.release_dedup_caches()
     sh = (
         dedup.shingle_rows(docs, n=3)
         .join(F.broadcast(docs.select("doc_id", "source")), "doc_id")
         .select("source", F.md5(F.col("s")).alias("k"))
         .distinct()
+        .persist()
     )
+    dedup._DEDUP_CACHES.append(sh)
     per_src = sh.groupBy("source").agg(F.count("*").alias("c"))
     x = sh.select(F.col("source").alias("source_a"), "k")
     y = sh.select(F.col("source").alias("source_b"), "k")
