@@ -23,6 +23,20 @@ from milvus_cdc_spark.functions import text as textf
 K1_DEFAULT = 1.2
 B_DEFAULT = 0.75
 
+# Posting-list frames persisted by bm25_index for reuse across query
+# stages (pruned + exact search, dense/sparse hybrid arms, drop-ratio
+# sweeps all consume the same index) — without the persist each
+# consumer re-runs the tokenize + three corpus aggregations. Same
+# release contract as dedup/graph/similarity: the next build call
+# frees the prior query's frames.
+_TEXT_CACHES: list[DataFrame] = []
+
+
+def release_text_caches() -> None:
+    """Unpersist posting-list frames cached by prior bm25_index calls."""
+    while _TEXT_CACHES:
+        _TEXT_CACHES.pop().unpersist(False)
+
 
 def bm25_scores(
     docs: DataFrame,
@@ -99,8 +113,13 @@ def bm25_index(
 
     The postings frame IS the sparse inverted index at scale: one
     corpus shuffle builds it; persist/bucket it by ``tok`` and each
-    query touches only its terms' posting lists.
+    query touches only its terms' posting lists. The returned frame is
+    PERSISTED (registered in _TEXT_CACHES — the local stand-in for the
+    materialized index table): every search query consumes it at least
+    twice (score + rank, or pruned + exact), and unpersisted consumers
+    re-run the whole tokenize + aggregate build.
     """
+    release_text_caches()  # prior query's index is consumed by now
     if analyzer is None:
         tok_expr = textf.tokens(F.lower(F.col(text_col)))
     else:
@@ -119,7 +138,7 @@ def bm25_index(
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
-    return (
+    index = (
         tf.join(dl, id_col)
         .join(F.broadcast(stats))
         .join(dfreq, "tok")
@@ -129,7 +148,10 @@ def bm25_index(
             weight.alias("weight"),
             idf.alias("idf"),
         )
+        .persist()
     )
+    _TEXT_CACHES.append(index)
+    return index
 
 
 def fulltext_search(

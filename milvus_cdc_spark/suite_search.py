@@ -1536,8 +1536,13 @@ def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from milvus_cdc_spark.analytics import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
-    cb = similarity.pq_train(emb, m=_PQ_M, k=_PQ_K, iters=2, dim=64)
-    codes = similarity.pq_encode(emb, cb, m=_PQ_M, dim=64)
+    # cb feeds the encoder AND the query LUT; codes feed the ADC scan —
+    # persist both so the per-subspace Lloyd training and the encode run
+    # once (the index tables a real build writes; _SIM_CACHES contract)
+    similarity.release_similarity_caches()
+    cb = similarity.pq_train(emb, m=_PQ_M, k=_PQ_K, iters=2, dim=64).persist()
+    codes = similarity.pq_encode(emb, cb, m=_PQ_M, dim=64).persist()
+    similarity._SIM_CACHES.extend([cb, codes])
     queries = emb.filter(F.col("vec_id") < 5)
     approx = similarity.pq_adc_topk(codes, cb, queries, k=10, m=_PQ_M, dim=64)
     exact = similarity.metric_topk(emb, queries, metric="l2", k=10)
