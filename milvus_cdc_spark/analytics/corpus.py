@@ -854,6 +854,10 @@ def domain_mixture_weights(
     # per row (identical IEEE double math in both engines), then exact
     # integer sums — the dsir_weights portability contract.
     nll_micro = F.floor(-F.log(F.col("tf") / F.col("_t")) * 1e6 + F.lit(0.5))
+    # domain-cardinality rows, but the lineage embeds the corpus-wide
+    # token explode + frequency join — and FOUR downstream consumers
+    # (corpus avg, excess, excess total, output) would each re-run it.
+    # An eager localCheckpoint truncates the plan with one tiny job.
     per_dom = (
         toks.join(freq, "tok")
         .crossJoin(F.broadcast(tot))
@@ -866,6 +870,7 @@ def domain_mixture_weights(
         .withColumn(
             "avg_nll_micro", F.expr("_nll_sum DIV n_toks").cast("bigint")
         )
+        .localCheckpoint(eager=True)
     )
     corpus = per_dom.agg(
         F.expr("sum(_nll_sum) DIV sum(n_toks)").cast("bigint").alias("_corpus_avg")

@@ -53,6 +53,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return catalog.load_table(spark, sf_dir, name)
 
 
+# Frames persisted by individual suite queries whose expensive lineage
+# feeds multiple consumers (same release contract as the
+# dedup/graph/similarity/textrank module registries: the next caching
+# query releases the prior one's frames; an early release only costs
+# recompute, never correctness).
+SUITE_CACHES: list[DataFrame] = []
+
+
+def cache_frame(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and register it for release by the next caching
+    query. Callers invoke :func:`release_suite_caches` at query entry."""
+    cached = df.persist()
+    SUITE_CACHES.append(cached)
+    return cached
+
+
+def release_suite_caches() -> None:
+    """Unpersist frames cached by prior suite queries."""
+    while SUITE_CACHES:
+        SUITE_CACHES.pop().unpersist(False)
+
+
 # ---------------------------------------------------------------------------
 # Flagship: TPC-H Q1-style pricing summary (scan → filter → agg → sort).
 # Exercises pushdown (shipdate filter + column pruning reach the parquet

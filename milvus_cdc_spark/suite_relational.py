@@ -2814,20 +2814,26 @@ def pipeline_stage_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     build publishes."""
     from milvus_cdc_spark.analytics import corpus as corpus_ops
     from milvus_cdc_spark.functions import text as textf
+    from milvus_cdc_spark.suite import cache_frame, release_suite_caches
 
+    release_suite_caches()
     docs = _t(spark, sf_dir, "documents")
-    base = docs.select(
+    # base heads every stage arm (5 unioned counts re-derive the
+    # token_count + rolling-hash fingerprint projection), and dc — whose
+    # lineage embeds the n-gram decontaminate join — heads two; persist
+    # each once (the scan audit counted 9 documents scans unpersisted)
+    base = cache_frame(docs.select(
         "doc_id",
         "lang",
         textf.token_count(F.col("text")).alias("n_tokens"),
         textf.fingerprint(F.col("text")).alias("fp"),
-    )
+    ))
     en = base.filter(F.col("lang") == "en")
     q_ = en.filter(F.col("n_tokens") >= 20)
     ev = docs.filter(F.col("doc_id") % 97 == 0)
     tr = docs.filter(F.col("doc_id") % 97 != 0)
     contaminated = corpus_ops.decontaminate(tr, ev, n=3).select("doc_id")
-    dc = (
+    dc = cache_frame(
         q_.filter(F.col("doc_id") % 97 != 0)
         .join(contaminated, "doc_id", "left_anti")
     )
@@ -4347,14 +4353,19 @@ def preference_pair_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     wb = Window.partitionBy("source").orderBy(F.col("nll").asc(), "doc_id")
     ww = Window.partitionBy("source").orderBy(F.col("nll").desc(), "doc_id")
     wn = Window.partitionBy("source")
-    ranked = per_doc.select(
+    from milvus_cdc_spark.suite import cache_frame, release_suite_caches
+
+    release_suite_caches()
+    # ranked feeds both pair sides; unpersisted, each re-runs the token
+    # explode + unigram-LM scoring + three windows
+    ranked = cache_frame(per_doc.select(
         "source",
         "doc_id",
         "nll",
         F.row_number().over(wb).alias("r_best"),
         F.row_number().over(ww).alias("r_worst"),
         F.count("*").over(wn).alias("n"),
-    )
+    ))
     best = ranked.select(
         "source",
         F.col("r_best").alias("pair_rank"),
