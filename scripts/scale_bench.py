@@ -333,6 +333,26 @@ def queries():
         "bloom_semi_join_reduction": suite.QUERIES[
             "bloom_semi_join_reduction"
         ].fn,
+        # round-7 third session (scan-node audit reshapes): the persisted
+        # build tables (PQ codebooks/codes, posting index, Lloyd
+        # assignment) are the linear axis — each materializes once and
+        # query-side cost tracks probed lists / query terms / pool size,
+        # never re-derivation count. MMR's pool is fixed (top-8), so its
+        # 10x cost is the candidate scan alone.
+        "ivf_pq_recall": suite.QUERIES["ivf_pq_recall"].fn,
+        "kmeans_silhouette": suite.QUERIES["kmeans_silhouette"].fn,
+        "mmr_diversified_search": suite.QUERIES["mmr_diversified_search"].fn,
+        "maxscore_pruned_search": suite.QUERIES["maxscore_pruned_search"].fn,
+        "more_like_this": suite.QUERIES["more_like_this"].fn,
+        "pipeline_stage_accounting": suite.QUERIES[
+            "pipeline_stage_accounting"
+        ].fn,
+        "preference_pair_builder": suite.QUERIES[
+            "preference_pair_builder"
+        ].fn,
+        "domain_mixture_weights": suite.QUERIES["domain_mixture_weights"].fn,
+        "source_overlap_matrix": suite.QUERIES["source_overlap_matrix"].fn,
+        "cluster_density_report": suite.QUERIES["cluster_density_report"].fn,
     }
 
 
