@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from milvus_cdc_spark import suite
@@ -741,3 +743,34 @@ def test_co_group_pairs_no_self_join(spark, sf_dir):
     assert "Join" not in plan, plan[:3000]
     scan_nodes = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
     assert len(scan_nodes) == 1, plan[:3000]
+
+
+SCAN_NODE_BUDGETS = {
+    # query -> max DISTINCT parquet-scan node entries allowed in its
+    # formatted plan. These pin the round-7 scan-node-audit fixes
+    # (SCALE.md 5l): a regression re-introducing a re-derived training /
+    # posting / assignment subtree shows up as extra scan nodes long
+    # before it shows up in a bench. Budgets are the audited post-fix
+    # counts plus slack of 1 for plan-id/AQE drift.
+    "ivf_pq_recall": 13,        # was 82 unpersisted
+    "mmr_diversified_search": 2,  # was 50 before the pick checkpoints
+    "semdedup_prune": 9,        # was 24
+    "ivf_nprobe_recall_curve": 17,  # was 24
+    "pipeline_stage_accounting": 4,  # was 9
+    "domain_mixture_weights": 1,     # was 12
+    "preference_pair_builder": 5,    # was 8
+    "source_overlap_matrix": 5,      # was 8
+    "maxscore_pruned_search": 5,     # was 16
+    "cluster_density_report": 2,     # strong pairs persisted
+}
+
+
+@pytest.mark.parametrize("name", sorted(SCAN_NODE_BUDGETS))
+def test_scan_node_budget(spark, sf_dir, name):
+    """Distinct parquet-scan node entries stay within the audited
+    budget — the cheap detector for re-derived pipeline subtrees."""
+    df = suite.QUERIES[name].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    n = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
+    assert n <= SCAN_NODE_BUDGETS[name], (name, n, plan[:2000])
+    spark.catalog.clearCache()
