@@ -2034,3 +2034,75 @@ def test_bpe_fold_matches_python_reference_property(spark):
         assert got_seg == want_seg
 
     run()
+
+
+def test_silhouette_matches_python_reference_property(spark):
+    """Property: on random small vector sets and centroid sets, the
+    in-row silhouette (array_sort two-nearest) equals a pure-Python
+    reference computing the same simplified silhouette with the same
+    (d asc, id asc) tie order and the same floor(x*1e6 + 0.5) micro
+    rounding — pins the round-7 reshape (window + own/second self-join
+    -> one in-row pass) to the exact old semantics."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from milvus_cdc_spark.analytics.similarity import silhouette_stats
+
+    dim = 3
+    coord = st.integers(min_value=-3, max_value=3)
+    vec = st.lists(coord, min_size=dim, max_size=dim)
+
+    @given(
+        st.lists(vec, min_size=1, max_size=8),
+        st.lists(vec, min_size=2, max_size=4, unique_by=tuple),
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(vs, cs):
+        vectors = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vs)],
+            "vec_id bigint, embedding array<double>",
+        )
+        cents = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cs)],
+            "centroid_id bigint, centroid array<double>",
+        )
+        # pure-Python reference
+        per_cluster = {}
+        for v in vs:
+            ds = sorted(
+                (math.sqrt(sum((a - b) ** 2 for a, b in zip(v, c))), ci)
+                for ci, c in enumerate(cs)
+            )
+            (a, own), (b, _) = ds[0], ds[1]
+            s = 0.0 if max(a, b) == 0.0 else (b - a) / max(a, b)
+            per_cluster.setdefault(own, []).append(
+                math.floor(s * 1e6 + 0.5)
+            )
+        want = {
+            ci: (
+                len(ss),
+                sum(ss) // len(ss) if sum(ss) >= 0
+                else -((-sum(ss) + len(ss) - 1) // len(ss)),
+                min(ss),
+                max(ss),
+            )
+            for ci, ss in per_cluster.items()
+        }
+        got = {
+            r.centroid_id: (
+                r.n_members,
+                r.avg_sil_micro,
+                r.min_sil_micro,
+                r.max_sil_micro,
+            )
+            for r in silhouette_stats(vectors, cents).collect()
+        }
+        assert got == want, (vs, cs)
+
+    run()
