@@ -2106,3 +2106,39 @@ def test_silhouette_matches_python_reference_property(spark):
         assert got == want, (vs, cs)
 
     run()
+
+
+def test_cache_registries_release_on_next_build(spark, sf_dir):
+    """The release-at-next-build contract actually releases: running a
+    cache-registering query twice leaves exactly one generation of
+    frames in each registry (no unbounded growth across a long driver
+    session), and the release call empties it."""
+    from milvus_cdc_spark import suite as s
+    from milvus_cdc_spark.analytics import similarity, textrank
+
+    q = s.QUERIES["pq_adc_recall"].fn
+    q(spark, sf_dir).count()
+    first = list(similarity._SIM_CACHES)
+    q(spark, sf_dir).count()
+    second = list(similarity._SIM_CACHES)
+    assert len(second) == len(first)  # one generation, not two
+    assert not any(df is old for df in second for old in first)
+    similarity.release_similarity_caches()
+    assert not similarity._SIM_CACHES
+
+    q2 = s.QUERIES["bm25_topk"].fn
+    q2(spark, sf_dir).count()
+    n1 = len(textrank._TEXT_CACHES)
+    q2(spark, sf_dir).count()
+    assert len(textrank._TEXT_CACHES) == n1
+    textrank.release_text_caches()
+    assert not textrank._TEXT_CACHES
+
+    q3 = s.QUERIES["pipeline_stage_accounting"].fn
+    q3(spark, sf_dir).count()
+    n1 = len(s.SUITE_CACHES)
+    q3(spark, sf_dir).count()
+    assert len(s.SUITE_CACHES) == n1
+    s.release_suite_caches()
+    assert not s.SUITE_CACHES
+    spark.catalog.clearCache()
