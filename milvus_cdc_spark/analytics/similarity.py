@@ -221,7 +221,7 @@ def ivf_train(
         )
     )
     assigned = None
-    for _ in range(iters):
+    for it in range(iters):
         # NOTE (measured, do not "optimize"): an in-row argmin over a
         # collect_list'd centroid array (transform + array_min, zero
         # shuffle) was tried and REGRESSED 20-200% across this family —
@@ -256,6 +256,13 @@ def ivf_train(
             ).alias("centroid"),
             F.count("*").alias("n_members"),
         )
+        # k rows; the eager checkpoint truncates the per-iteration
+        # lineage doubling (consumers otherwise re-run EVERY iteration's
+        # corpus pass — measured ~25% on kmeans_silhouette at sf0.1).
+        # The FINAL iteration stays lazy so callers see the real
+        # broadcast-join + aggregate plan (and its plan tests hold).
+        if it < iters - 1:
+            cent = cent.localCheckpoint(eager=True)
     return cent.select("centroid_id", "centroid", "n_members")
 
 
