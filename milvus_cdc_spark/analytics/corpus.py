@@ -25,6 +25,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Frames persisted by corpus-LM scoring for reuse across their
+# consumers (the tokenize explode heads several aggregate arms) — same
+# release-at-next-build contract as the other analytics registries.
+_CORPUS_CACHES: list[DataFrame] = []
+
+
+def release_corpus_caches() -> None:
+    """Unpersist frames cached by prior corpus-LM scoring calls."""
+    while _CORPUS_CACHES:
+        _CORPUS_CACHES.pop().unpersist(False)
+
 
 def chunk_documents(
     docs: DataFrame,
@@ -463,9 +474,13 @@ def bigram_logprob(
     """
     from milvus_cdc_spark.functions import text as textf
 
+    release_corpus_caches()  # prior query's frames are consumed by now
+    # the tokenize projection heads the unigram arm, the bigram-count
+    # arm, AND the final per-doc scoring pass — persist it once
     base = docs.select(
         F.col(id_col), textf.tokens(F.lower(F.col(text_col))).alias("_toks")
-    )
+    ).persist()
+    _CORPUS_CACHES.append(base)
     arr = F.col("_toks")
     toks = base.select(F.col(id_col), F.explode(arr).alias("tok"))
     # bigrams zip in-row from the token array's shifted tails — no
@@ -479,7 +494,10 @@ def bigram_logprob(
     big = base.select(F.col(id_col), F.explode(pairs).alias("_p")).select(
         F.col(id_col), F.col("_p.prev").alias("prev"), F.col("_p.cur").alias("cur")
     )
-    c2 = big.groupBy("prev", "cur").agg(F.count("*").alias("n2"))
+    # vocab-sized, but its lineage embeds the bigram explode; it feeds
+    # both the context totals and the probability dim
+    c2 = big.groupBy("prev", "cur").agg(F.count("*").alias("n2")).persist()
+    _CORPUS_CACHES.append(c2)
     ctx = c2.groupBy("prev").agg(F.sum("n2").alias("nctx"))
     c1 = toks.groupBy("tok").agg(F.count("*").alias("n1"))
     tot = c1.agg(F.sum("n1").alias("_t"))
