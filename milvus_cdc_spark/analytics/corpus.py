@@ -405,12 +405,19 @@ def dsir_weights(
         "is_target",
         F.explode(F.concat(arr, bigr)).alias("feat"),
     )
-    # first two md5 nibbles as one conv — a single md5 per feature row
+    # first two md5 nibbles as one conv — a single md5 per feature row.
+    # The bucketed stream feeds BOTH the bucket-count aggregate and the
+    # final per-doc scoring join; persist it (feat text projected away —
+    # only the bucket survives) so the corpus explode + md5 runs once.
+    release_corpus_caches()  # prior query's frames are consumed by now
     md5 = F.md5(F.col("feat"))
-    feats = feats.withColumn(
-        "bucket",
-        F.conv(F.substring(md5, 1, 2), 16, 10).cast("bigint") % n_buckets,
-    )
+    feats = feats.select(
+        F.col(id_col),
+        "is_target",
+        (F.conv(F.substring(md5, 1, 2), 16, 10).cast("bigint") % n_buckets)
+        .alias("bucket"),
+    ).persist()
+    _CORPUS_CACHES.append(feats)
     counts = feats.groupBy("bucket").agg(
         F.sum(F.col("is_target").cast("bigint")).alias("tgt_n"),
         F.sum((~F.col("is_target")).cast("bigint")).alias("raw_n"),
