@@ -277,11 +277,25 @@ HEADLINE_HEAVY = [
     "setsim_prefix_join",           # AllPairs prefix-filtered Jaccard
 ]
 
+#: Queries whose r7 in-suite driver timings diverged 3-8x from every
+#: fresh-JVM measurement (ivf_pq_recall: 14.5 s in-suite vs 3.4-4.3 s
+#: isolated across three independent sessions) — pure shared-VM noise on
+#: a 251-query session, but expensive to re-diagnose each round. This
+#: third isolated anchor (``noisy_isolated``) pins their fresh-JVM number
+#: in every BENCH_r{N} so an in-suite phantom is recognizable on sight.
+HEADLINE_NOISY = [
+    "ivf_pq_recall",                # IVF_PQ build + probe-pruned ADC
+    "banded_cosine_near_dup",       # banded sign-LSH + exact verify
+    "partition_drop_replay",        # bulk-drop CDC replay
+    "streaming_watermark_finalize", # watermark-closed window finalize
+]
+
 #: Isolated-only segments: runnable via ``--segment``, excluded from the
 #: full run's query list and subtotals (their members already live in the
 #: cumulative SEGMENTS).
 ISOLATED_SEGMENTS: list[tuple[str, list[str]]] = [
     ("heavy", HEADLINE_HEAVY),
+    ("noisy", HEADLINE_NOISY),
 ]
 
 
@@ -408,9 +422,11 @@ def main() -> None:
     # Skippable for quick local iteration via SPARK_GRAFT_SKIP_ISOLATED=1.
     isolated: dict = {}
     heavy_iso: dict = {}
+    noisy_iso: dict = {}
     if not os.environ.get("SPARK_GRAFT_SKIP_ISOLATED"):
         isolated = _isolated_anchor_run(sf_dir)
         heavy_iso = _isolated_anchor_run(sf_dir, "heavy")
+        noisy_iso = _isolated_anchor_run(sf_dir, "noisy")
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -428,7 +444,10 @@ def main() -> None:
             sum(timings.get(n, 0.0) for n in cum), 3
         )
 
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    # 8 (was 10): the machine line sat at 3.85 KB of the driver's ~4 KB
+    # tail capture before the r8 noisy_isolated keys joined it — the full
+    # top-N lives in BENCH_DETAIL.json regardless
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
 
     detail = {
         "metric": "suite_total_runtime",
@@ -441,6 +460,8 @@ def main() -> None:
         "r1_isolated_queries": isolated.get("queries", {}),
         "heavy_isolated": heavy_iso.get("value"),
         "heavy_isolated_queries": heavy_iso.get("queries", {}),
+        "noisy_isolated": noisy_iso.get("value"),
+        "noisy_isolated_queries": noisy_iso.get("queries", {}),
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
@@ -462,6 +483,10 @@ def main() -> None:
         # r4 / 17.27 s r6; heavy: first recorded r7)
         "r1_isolated": isolated.get("value"),
         "heavy_isolated": heavy_iso.get("value"),
+        # fresh-JVM pins for the in-suite-noise-prone queries (r7 lesson:
+        # driver in-suite 14.5 s vs 3.4-4.3 s across every isolated run)
+        "noisy_isolated": noisy_iso.get("value"),
+        "noisy_isolated_queries": noisy_iso.get("queries", {}),
         "slowest": slowest,
         "detail": "BENCH_DETAIL.json",
     }, separators=(",", ":")))

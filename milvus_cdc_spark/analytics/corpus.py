@@ -883,6 +883,13 @@ def domain_mixture_weights(
     # token explode + frequency join — and FOUR downstream consumers
     # (corpus avg, excess, excess total, output) would each re-run it.
     # An eager localCheckpoint truncates the plan with one tiny job.
+    # SIDE EFFECT (ADVICE r7): building this frame therefore RUNS Spark
+    # jobs during construction, and localCheckpoint blocks are
+    # non-reliable — executor loss makes the result unrecoverable
+    # (recompute by re-calling) instead of lineage-recomputable. The
+    # frame is domain-cardinality (tiny), so the trade is deliberate;
+    # on a long-running cluster where recoverability matters, swap for
+    # persist() + count().
     per_dom = (
         toks.join(freq, "tok")
         .crossJoin(F.broadcast(tot))

@@ -540,9 +540,15 @@ def embedding_near_dup(
     release_dedup_caches()  # the prior query's frames are consumed by now
     # ``vectors`` feeds three consumers (bucketing + both verify sides);
     # persist so the input (often a derived/augmented frame) is computed
-    # once. _DEDUP_CACHES contract: caller owns the release point.
-    vectors = vectors.persist()
-    _DEDUP_CACHES.append(vectors)
+    # once. Only persist (and register for release) when the CALLER has
+    # not already cached it: persist() raises on a second call at a
+    # different storage level, and cache levels are not refcounted — an
+    # unpersist here would silently drop the caller's own cache
+    # (ADVICE r7). _DEDUP_CACHES contract: we release what WE persisted.
+    lvl = vectors.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        vectors = vectors.persist()
+        _DEDUP_CACHES.append(vectors)
     vec = F.col(vec_col)
     band_cols = []
     for b in range(n_bands):

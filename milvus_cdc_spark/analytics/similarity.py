@@ -37,11 +37,23 @@ from milvus_cdc_spark.functions import vector as vecf
 # recompute, never correctness.
 _SIM_CACHES: list[DataFrame] = []
 
+# mmr_rerank's pool persists live in their OWN registry: mmr is a
+# rerank stage that typically runs downstream of an index build whose
+# _SIM_CACHES outputs its caller may still be consuming lazily — a
+# shared release point at mmr entry would unpersist them mid-query
+# (ADVICE r7; only costs recompute, but defeats the persist the build
+# paid for). mmr releases its own prior pool at entry; the shared
+# release below still drains both, so the existing cleanup call sites
+# keep releasing everything.
+_MMR_CACHES: list[DataFrame] = []
+
 
 def release_similarity_caches() -> None:
-    """Unpersist frames cached by prior index-build calls."""
+    """Unpersist frames cached by prior index-build AND mmr calls."""
     while _SIM_CACHES:
         _SIM_CACHES.pop().unpersist(False)
+    while _MMR_CACHES:
+        _MMR_CACHES.pop().unpersist(False)
 
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -261,6 +273,11 @@ def ivf_train(
         # corpus pass — measured ~25% on kmeans_silhouette at sf0.1).
         # The FINAL iteration stays lazy so callers see the real
         # broadcast-join + aggregate plan (and its plan tests hold).
+        # SIDE EFFECT (ADVICE r7): construction runs a Spark job per
+        # iteration, and localCheckpoint blocks are non-reliable —
+        # executor loss loses them (re-call to recompute); k-row frames,
+        # deliberate trade. Use persist()+count() where recoverability
+        # on long-running clusters matters.
         if it < iters - 1:
             cent = cent.localCheckpoint(eager=True)
     return cent.select("centroid_id", "centroid", "n_members")
@@ -1205,16 +1222,24 @@ def mmr_rerank(
     unrolled rank), and each 1-row pick is localCheckpoint-ed: without
     the truncation rank r's plan embeds every earlier rank's whole
     plan, and the scan-node audit counted 50 parquet scans in one k=3
-    MMR query.
+    MMR query. SIDE EFFECT (ADVICE r7): the eager checkpoints mean
+    CONSTRUCTING the returned frame runs k Spark jobs, and the 1-row
+    checkpoint blocks are non-reliable — executor loss makes them
+    unrecoverable (re-call to recompute) rather than
+    lineage-recomputable; deliberate for pool-sized reranks.
     """
-    release_similarity_caches()  # prior query's frames consumed by now
+    # release only MMR's OWN prior pool — never the shared build registry:
+    # a caller may hand us candidates derived lazily from ivf_pq_build
+    # outputs that are still persisted in _SIM_CACHES (ADVICE r7)
+    while _MMR_CACHES:
+        _MMR_CACHES.pop().unpersist(False)
     remaining = candidates.select(
         F.col(id_col).alias("_id"), F.col(sim_col).alias("_sim")
     ).persist()
     pw = pairwise.select(
         F.col("a").alias("_pa"), F.col("b").alias("_pb"), F.col("psim").alias("_ps")
     ).persist()
-    _SIM_CACHES.extend([remaining, pw])
+    _MMR_CACHES.extend([remaining, pw])
     picks: list[DataFrame] = []
     selected: DataFrame | None = None
     for rank in range(1, k + 1):

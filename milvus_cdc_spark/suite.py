@@ -3375,89 +3375,87 @@ from milvus_cdc_spark import suite_eval  # noqa: E402,F401  (import-for-effect)
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness checks the FIRST 50
-# registry entries, so the front of the dict is curated. Round 7 executes
-# the rotation pre-staged in round 6 (and widens it from 44 to 48 backlog
-# promotions): 2 regression anchors (q1_pricing_summary, cdc_replay_summary
-# — driver-green every round r1-r6) + 48 queries that have NEVER had a
-# driver row (of the 62 never-checked after r6), spanning events/geo,
-# search/eval, corpus/mixing, stats/sketches, and dedup/audit. Everything
-# displaced has a cumulative driver-green row from r1-r6 and zero stale-red
-# remains anywhere in the ledger (CORRECTNESS_r06 cleared the last four).
-# The 14 still-never-checked queries after this window are
-# scripts/verify_local.py-green at sf0.01 (recorded full sweeps) and are
-# the entire r8 rotation (proposal below). Names listed here but not (yet)
-# registered are skipped, so the list can lead registration.
+# registry entries, so the front of the dict is curated. Round 8 executes
+# the rotation pre-staged in round 7: 2 regression anchors
+# (q1_pricing_summary, cdc_replay_summary — driver-green every round
+# r1-r7) + the FINAL 14 queries that have never had a driver row (each
+# scripts/verify_local.py-green at sf0.01 in the r7 judge sweep) — this
+# closes the cumulative ledger at 251/251 driver-checked — + 34 freshness
+# backfills: the oldest-checked rows, selected deterministically by
+# (latest driver round, name) ascending over the r1-r3 cohort (all 6 r1
+# rows + the first 28 of the 41 r3 rows). Everything displaced has a
+# cumulative driver-green row from r1-r7 and zero stale-red remains
+# anywhere in the ledger. Names listed here but not (yet) registered are
+# skipped, so the list can lead registration.
 # ---------------------------------------------------------------------------
 
-# r8 ROTATION PROPOSAL (pre-staged; deterministic set-difference of the
-# 62-query r7 backlog minus this window's 48): keep the two anchors, then
-# promote the FINAL 14 never-checked queries — audio_window_energy,
-# bloom_semi_join_reduction, clustering_compaction_stats,
-# compaction_bin_packing, context_length_histogram,
-# embedding_covariance_block, hard_negative_mining, interval_bucket_join,
-# label_centroid_distances, label_centroid_drift, length_lorenz_points,
-# partition_skew_report, pipeline_stage_accounting, preference_pair_builder
-# — closing the ledger at 251/251 driver-checked; backfill the remaining
-# ~34 slots with the oldest-checked (r1-r3) rows for freshness.
+# r9 ROTATION PROPOSAL (pre-staged; deterministic continuation of the
+# freshness sweep): keep the two anchors, then the 13 r1-r3 rows not
+# absorbed by this window's backfill — scalar_funcs, schema_hydration,
+# simhash_fingerprints, sparse_topk, streaming_dedupe,
+# streaming_positions, streaming_stream_join, streaming_tumbling_window,
+# text_quality, tpch_q16_supplier_parts, tpch_q3_shipping,
+# tpch_q9_product_profit, watermark_ts — then backfill the remaining ~35
+# slots with the oldest r4 rows by the same (round, name) rule. After r9
+# every registry row's latest driver check is r4+ and the freshness sweep
+# continues into the r5 cohort in r10.
 PRIORITY: tuple[str, ...] = (
-    # -- 2 regression anchors (driver-green r1-r6) --
+    # -- 2 regression anchors (driver-green r1-r7) --
     "q1_pricing_summary",        # flagship; TPC-H Q1 agg
     "cdc_replay_summary",        # A7/K1 replay
-    # -- 48 first-ever driver rows (never in CORRECTNESS_r01-r06) --
-    # events / geo family
-    "event_sessionization",      # gap-based session ids
-    "event_funnel_conversion",   # ordered funnel stage conversion
-    "event_transition_matrix",   # per-user Markov transitions
-    "event_path_trigrams",       # 3-step sequence mining
-    "cohort_retention",          # signup-cohort retention grid
-    "geo_point_filters",         # WKT bbox/radius predicates
-    "geo_fenced_ann",            # spatial prefilter + cosine ranking
-    "expr_geo_filter",           # ST_WITHIN/ST_DWITHIN in the expr compiler
-    # search / eval family
-    "superstructure_search",     # SUB/SUPERSTRUCTURE containment
-    "decay_reranked_search",     # gauss/exp/linear decay rankers
-    "more_like_this",            # tf-idf keywords -> BM25 expansion
-    "mrl_truncated_recall",      # Matryoshka truncated-dim recall
-    "hashed_embedding_search",   # hashing-trick text embedding
-    "pq_codebooks",              # product-quantization codebook train
-    "int8_ip_search_topk",       # INT8_VECTOR exact inner product
-    "ignore_growing_read",       # sealed-only serve
-    "kmeans_silhouette",         # per-cluster silhouette quality
-    "knn_label_accuracy",        # leave-one-out 5-NN majority vote
-    # corpus / mixing family
-    "bpe_pretoken_stats",        # GPT-2-ish pretokenizer stats
-    "ccnet_perplexity_buckets",  # head/middle/tail terciles
-    "domain_mixture_weights",    # DoReMi-lite mixture reweighting
-    "mixing_epoch_plan",         # temperature shares + epoch cap
-    "mlm_masking_plan",          # BERT-style 80/10/10 masking plan
-    "dataset_split_counts",      # deterministic 80/10/10 split
-    "dataset_card_summary",      # per-source dataset card rollup
-    "weighted_doc_sample",       # PPS priority sampling predicate
-    "vocab_coverage_curve",      # tokenizer-budget coverage curve
-    "random_sample_filter",      # RANDOM_SAMPLE(p) expr filter fn
-    # stats / sketch family
-    "linear_counting_distinct_parts",  # linear-counting distinct sketch
-    "rolling_active_users",      # 7-day sliding distinct via HLL merges
-    "pca_power_iteration",       # integer covariance + power method
-    "pearson_quality_length",    # exact-moment Pearson correlation
-    "psi_length_drift",          # population-stability index
-    "chi2_token_source",         # chi-square token/source independence
-    "grouped_auc_by_source",     # per-group Mann-Whitney AUC
-    "benford_first_digit",       # first-digit audit
-    "seasonal_forecast_error",   # MASE-lite seasonality check
-    "quality_quantile_normalize",  # per-source CDF -> global remap
-    # dedup / audit family
-    "containment_quote_detection",  # asymmetric containment join
-    "dedup_savings_report",      # near-dup pipeline savings rollup
-    "cluster_density_report",    # chain-link over-merge audit
-    "source_dedup_matrix",       # source-pair duplication matrix
-    "source_overlap_matrix",     # cross-source shingle Jaccard
-    "boilerplate_line_stats",    # CCNet site-chrome heuristic
-    # ops / layout extras (widening the staged 44 -> 48)
-    "ewma_event_rate",           # integer-exact EWMA decay
-    "pmi_collocations",          # integer PMI collocation lift
-    "zorder_layout_pruning",     # Morton-key zone-map pruning
-    "copurchase_lift_topk",      # market-basket support/confidence/lift
+    # -- 14 first-ever driver rows: the last never-checked queries;
+    #    closes the cumulative ledger at 251/251 --
+    "audio_window_energy",       # real int16 DSP over binary audio column
+    "bloom_semi_join_reduction", # Bloom-filter semi-join pre-reduction
+    "clustering_compaction_stats",  # major-compaction clustering stats
+    "compaction_bin_packing",    # FFD segment bin-packing plan
+    "context_length_histogram",  # token-length histogram buckets
+    "embedding_covariance_block",   # block-matrix covariance (integer)
+    "hard_negative_mining",      # in-batch hard-negative candidates
+    "interval_bucket_join",      # bucketed interval-overlap join
+    "label_centroid_distances",  # per-label centroid distance audit
+    "label_centroid_drift",      # centroid drift across snapshots
+    "length_lorenz_points",      # Lorenz curve / Gini of doc lengths
+    "partition_skew_report",     # partition-size skew diagnostics
+    "pipeline_stage_accounting", # per-stage row-count accounting
+    "preference_pair_builder",   # DPO chosen/rejected pair assembly
+    # -- 34 freshness backfills: oldest driver rows, (round, name) asc --
+    # the 6 r1-cohort rows (last checked in CORRECTNESS_r01)
+    "anti_join_customers",       # anti join (J-family)
+    "argmax_latest_op",          # A7 argmax alive-compare
+    "calendar_agg",              # calendar scalar family
+    "embedding_stats",           # embedding column stats
+    "semi_join_active_customers",  # semi join (J-family)
+    "string_key_parsing",        # etcd key split/parse funcs
+    # the first 28 r3-cohort rows alphabetically
+    "ann_multiprobe_topk",       # multiprobe bucketed ANN
+    "ann_recall",                # ANN recall vs brute force
+    "begin_ts_repair",           # T4 begin-ts repair
+    "bm25_topk",                 # BM25 ranked retrieval
+    "cosine_topk",               # exact cosine top-k baseline
+    "dedup_exact",               # exact hash dedup
+    "diff_reconcile",            # J8 data-diff reconciliation
+    "dim_join_enrich",           # J1-J4 broadcast dim join
+    "dispatcher_routing",        # S6 fan-out routing
+    "embedding_near_dup",        # embedding-cosine near-dup
+    "filtered_oplog_counts",     # P1 msg-type whitelist
+    "hamming_topk",              # binary Hamming top-k
+    "ivf_topk",                  # IVF coarse-quantized ANN
+    "json_extract_props",        # JSON scalar family
+    "kafka_envelope",            # K3/K4 sink envelope
+    "lag_gap_tracking",          # W5 lag last-sent tracking
+    "lang_detect",               # n-gram language ID
+    "latest_version_dedupe",     # W2 latest-version dedupe
+    "lifetime_asof_apply",       # P9/J7 as-of lifetime join
+    "metadata_watch_diff",       # S2 snapshot-diff watch
+    "metrics_counters",          # A5/A6 metrics accounting
+    "milvus_expr_filter",        # expr-compiler filter surface
+    "name_remap",                # P4/P5 name/ID remap
+    "pack_sort_order",           # W1 in-pack stable sort
+    "rank_zip_join",             # J5/W4 rank-zip join
+    "rbac_routing",              # P3 RBAC gate
+    "ready_set_equality",        # A2 ready-set equality
+    "rollup_region_nation",      # rollup/cube family
 )
 
 

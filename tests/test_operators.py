@@ -1019,6 +1019,35 @@ def test_embedding_near_dup_banding_and_verify(spark):
     assert all(3 not in pair and 4 not in pair for pair in got)
 
 
+def test_embedding_near_dup_respects_caller_cache(spark):
+    """ADVICE r7: a caller-persisted input must survive the call — the
+    function must neither re-persist it (raises at a non-default level)
+    nor register it for the next call's release (which would silently
+    drop the caller's own cache; levels are not refcounted)."""
+    from pyspark import StorageLevel
+
+    from milvus_cdc_spark.analytics.dedup import (
+        embedding_near_dup,
+        release_dedup_caches,
+    )
+
+    dim = 16
+    base = [float((i % 5) + 1) / 5.0 for i in range(dim)]
+    df = spark.createDataFrame(
+        [(0, base), (1, list(base))], "doc_id long, embedding array<double>"
+    ).persist(StorageLevel.DISK_ONLY)  # non-default level: persist() would raise
+    try:
+        got = embedding_near_dup(df, threshold=0.98, n_bands=4, band_dims=4)
+        assert got.count() == 1
+        # the caller's cache must still be registered at ITS chosen level
+        assert df.storageLevel.useDisk and not df.storageLevel.useMemory
+        # and the next dedup call's entry-release must not touch it
+        release_dedup_caches()
+        assert df.storageLevel.useDisk
+    finally:
+        df.unpersist()
+
+
 def test_decontaminate_ngram_overlap(spark):
     """A train doc sharing a 3-gram with the eval set is reported with
     the DISTINCT overlap count; disjoint docs are absent."""

@@ -1763,3 +1763,107 @@ def test_manifest_write_failure_rolls_back_memory(spark, monkeypatch):
     assert pipe._manifest["last_batch_id"] >= 0
     assert pipe._manifest["part_drops"] == {"c0|p0": 150}
     assert pipe.alive().count() == 0  # insert@100 < drop@150
+
+
+def test_state_format_version_refuses_newer_writer(spark):
+    """VERDICT r7 item 5: a MANIFEST.json stamped by a NEWER format than
+    this reader knows must refuse at load — the null-backfill migration
+    path is only proven for formats this reader predates, so silently
+    accepting a future layout would resurrect state with unknown
+    column semantics."""
+    import json
+    import os
+
+    from milvus_cdc_spark.streaming import pipeline as pipeline_mod
+
+    tmp = tempfile.mkdtemp(prefix="test_fmt_refuse_")
+    src, work = tmp + "/src", tmp + "/work"
+    spark.createDataFrame(
+        [(100, "insert", "default", "c0", "p0", "ch0", 1, 1, 1)],
+        pipeline_mod.OPLOG_SCHEMA,
+    ).coalesce(1).write.parquet(src)
+    state_dir = work + "/state"
+    os.makedirs(state_dir)
+    with open(state_dir + "/MANIFEST.json", "w") as f:
+        json.dump(
+            {
+                "buckets": {},
+                "last_batch_id": 7,
+                "history": [],
+                "format_version": pipeline_mod.STATE_FORMAT_VERSION + 1,
+            },
+            f,
+        )
+    with pytest.raises(pipeline_mod.StateFormatError):
+        CdcApplyPipeline(spark, src, work, n_buckets=2)
+
+
+def test_state_format_version_migrates_legacy_and_stamps_commit(spark):
+    """The migrate path: a version-less (format-1) manifest loads, the
+    in-memory copy is stamped with the current version, and the first
+    commit persists the stamp — so the next resume sees an explicitly
+    versioned manifest instead of re-inferring legacy every time."""
+    import json
+    import os
+
+    from milvus_cdc_spark.streaming import pipeline as pipeline_mod
+
+    tmp = tempfile.mkdtemp(prefix="test_fmt_migrate_")
+    src, work = tmp + "/src", tmp + "/work"
+    state_dir = work + "/state"
+    os.makedirs(state_dir)
+    with open(state_dir + "/MANIFEST.json", "w") as f:
+        json.dump({"buckets": {}, "last_batch_id": -1, "history": []}, f)
+    spark.createDataFrame(
+        [(100, "insert", "default", "c0", "p0", "ch0", 1, 1, 1)],
+        pipeline_mod.OPLOG_SCHEMA,
+    ).coalesce(1).write.parquet(src)
+    pipe = CdcApplyPipeline(spark, src, work, n_buckets=2)
+    assert pipe._manifest["format_version"] == pipeline_mod.STATE_FORMAT_VERSION
+    pipe.run_available_now()
+    with open(state_dir + "/MANIFEST.json") as f:
+        on_disk = json.load(f)
+    assert on_disk["format_version"] == pipeline_mod.STATE_FORMAT_VERSION
+    assert on_disk["last_batch_id"] >= 0
+    assert pipe.alive().count() == 1
+
+
+def test_manifest_serialization_failure_rolls_back_memory(spark, monkeypatch):
+    """ADVICE r7: a NON-OSError commit failure (json.dump dying on a
+    non-serializable manifest value) must also roll the in-memory
+    manifest back to the on-disk truth — the narrow `except OSError`
+    would have left the live process treating the batch as committed."""
+    from milvus_cdc_spark.streaming import pipeline as pipeline_mod
+
+    tmp = tempfile.mkdtemp(prefix="test_manifest_tc_")
+    spark.createDataFrame(
+        [
+            (100, "insert", "default", "c0", "p0", "ch0", 1, 1, 1),
+            (150, "drop_partition", "default", "c0", "p0", "ch0", -1, 0, 2),
+        ],
+        pipeline_mod.OPLOG_SCHEMA,
+    ).coalesce(1).write.parquet(tmp + "/src")
+    pipe = CdcApplyPipeline(spark, tmp + "/src", tmp + "/work", n_buckets=2)
+
+    real_commit = pipe._commit_manifest
+
+    def poison_then_commit():
+        # a non-JSON-serializable value sneaks into the manifest right
+        # before serialization — json.dump raises TypeError, not OSError
+        pipe._manifest["poison"] = object()
+        return real_commit()
+
+    monkeypatch.setattr(pipe, "_commit_manifest", poison_then_commit)
+    with pytest.raises(Exception):
+        pipe.run_available_now()
+    # memory == disk: rollback removed the poison AND the batch mutations
+    assert "poison" not in pipe._manifest
+    assert pipe._manifest["last_batch_id"] == -1
+    assert not pipe._manifest.get("part_drops")
+    assert pipe.alive().count() == 0
+
+    monkeypatch.setattr(pipe, "_commit_manifest", real_commit)
+    pipe.run_available_now()  # checkpoint retries the uncommitted batch
+    assert pipe._manifest["last_batch_id"] >= 0
+    assert pipe._manifest["part_drops"] == {"c0|p0": 150}
+    assert pipe.alive().count() == 0
