@@ -862,6 +862,24 @@ def set_similarity_join(
     expansion moved |A| rows per candidate through two joins and an
     aggregate.
 
+    Two further PPJoin prunes run INSIDE the candidate join, before
+    the distinct and the array-carrying verify joins (both exact —
+    they only discard pairs that cannot qualify):
+
+    - LENGTH filter (AllPairs): J >= t forces
+      ``min(|A|,|B|)*1e6 >= max(|A|,|B|)*t`` (inter <= min, and
+      inter >= t*uni >= t*max).
+    - POSITIONAL filter (PPJoin): both sets are ranked by the SAME
+      global (df, element) order, so at the FIRST common element —
+      positions (rn_a, rn_b) — every common element sits at or after
+      those positions in both sets, hence
+      ``inter <= 1 + min(|A|-rn_a, |B|-rn_b)``. J >= t needs
+      ``inter*(1e6+t) >= t*(|A|+|B|)``; rows whose upper bound misses
+      it are dropped. A qualifying pair's first-common-element row
+      always passes (the bound is valid there), so the pair survives
+      the distinct — zero false negatives. Measured at sf0.1: 409k ->
+      125k candidate pairs (-69%) feeding the verify stage.
+
     Returns (a, b, inter, uni, jacc_ppm) with a < b and
     jacc_ppm >= threshold_ppm.
     """
@@ -888,13 +906,27 @@ def set_similarity_join(
         - F.expr(f"(n * {threshold_ppm} + 999999) DIV 1000000")
         + F.lit(1)
     )
-    prefix = ranked.filter(F.col("rn") <= plen).select("id", "tok")
+    prefix = ranked.filter(F.col("rn") <= plen).select("id", "tok", "rn", "n")
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    na_, nb_ = F.col("pa.n").cast("bigint"), F.col("pb.n").cast("bigint")
+    overlap_ub = F.lit(1) + F.least(
+        na_ - F.col("pa.rn"), nb_ - F.col("pb.rn")
+    )
     cand = (
         pa.join(
             pb,
             (F.col("pa.tok") == F.col("pb.tok"))
-            & (F.col("pa.id") < F.col("pb.id")),
+            & (F.col("pa.id") < F.col("pb.id"))
+            # length filter: min*1e6 >= max*t
+            & (
+                F.least(na_, nb_) * 1000000
+                >= F.greatest(na_, nb_) * threshold_ppm
+            )
+            # positional filter: ubound*(1e6+t) >= t*(na+nb)
+            & (
+                overlap_ub * (1000000 + threshold_ppm)
+                >= (na_ + nb_) * threshold_ppm
+            ),
         )
         .select(F.col("pa.id").alias("a"), F.col("pb.id").alias("b"))
         .distinct()
@@ -968,6 +1000,14 @@ def containment_join(
     Same exact verification and integer-ceil arithmetic as
     :func:`set_similarity_join`; returns (a, b, inter, na,
     containment_ppm) with a != b, containment_ppm >= threshold.
+
+    The candidate join applies the one-sided analogues of the PPJoin
+    prunes (exact — see :func:`set_similarity_join`): LENGTH
+    (``inter <= |B|`` so ``|B|*1e6 >= t*|A|``) and POSITIONAL (B joins
+    the RANKED table so both positions are known; at the first common
+    element ``inter <= 1 + min(|A|-rn_a, |B|-rn_b)``, which must reach
+    ``ceil(t*|A|)`` — and that first common element is always inside
+    A's prefix for a qualifying pair, so it survives the distinct).
     """
     release_dedup_caches()  # the prior query's frames are consumed by now
     toks = (
@@ -991,13 +1031,21 @@ def containment_join(
         - F.expr(f"(n * {threshold_ppm} + 999999) DIV 1000000")
         + F.lit(1)
     )
-    prefix = ranked.filter(F.col("rn") <= plen).select("id", "tok")
+    prefix = ranked.filter(F.col("rn") <= plen).select("id", "tok", "rn", "n")
+    na_, nb_ = F.col("p.n").cast("bigint"), F.col("t.n").cast("bigint")
+    overlap_ub = F.lit(1) + F.least(
+        na_ - F.col("p.rn"), nb_ - F.col("t.rn")
+    )
     cand = (
         prefix.alias("p")
         .join(
-            toks.alias("t"),
+            ranked.alias("t"),
             (F.col("t.tok") == F.col("p.tok"))
-            & (F.col("t.id") != F.col("p.id")),
+            & (F.col("t.id") != F.col("p.id"))
+            # length filter: inter <= |B|, so |B|*1e6 >= t*|A|
+            & (nb_ * 1000000 >= na_ * threshold_ppm)
+            # positional filter: ubound*1e6 >= t*|A|
+            & (overlap_ub * 1000000 >= na_ * threshold_ppm),
         )
         .select(F.col("p.id").alias("a"), F.col("t.id").alias("b"))
         .distinct()
