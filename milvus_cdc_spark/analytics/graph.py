@@ -188,9 +188,13 @@ def label_propagation(
     Plan: a FIXED round count keeps the whole computation one lazy
     plan (the pagerank stance — no driver actions, no convergence
     collect); each round is one join + one (node, label) count
-    aggregate + one per-node argmax window, all keyed on the node —
-    three node-keyed shuffles per round, nothing data-squared, plan
-    depth linear in n_rounds (small: 2-4).
+    aggregate + one per-node argmax, all keyed on the node — three
+    node-keyed shuffles per round, nothing data-squared, plan depth
+    linear in n_rounds (small: 2-4). The argmax is
+    ``min(struct(-count, label))`` — a hash aggregate with map-side
+    partial combine — rather than a row_number window, which would
+    sort every (node, label) partition per round for a single
+    max-of-each-group answer.
 
     Returns (node, label); nodes sharing a label are one community.
     """
@@ -215,13 +219,13 @@ def label_propagation(
             .groupBy("src", "nl")
             .agg(F.count("*").alias("c"))
         )
-        w = Window.partitionBy("src").orderBy(
-            F.col("c").desc(), F.col("nl").asc()
-        )
+        # argmax by (c desc, nl asc) == min of struct(-c, nl); struct
+        # comparison is field-ordered, so this is exact for any
+        # orderable label type and partial-aggregates map-side.
         labels = (
-            counts.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(F.col("src").alias("node"), F.col("nl").alias("label"))
+            counts.groupBy("src")
+            .agg(F.min(F.struct((-F.col("c")).alias("_nc"), F.col("nl"))).alias("_m"))
+            .select(F.col("src").alias("node"), F.col("_m.nl").alias("label"))
         )
     return labels
 

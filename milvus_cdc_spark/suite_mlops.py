@@ -893,14 +893,20 @@ def kcore_prune_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = pairs.select(ck.alias("src"), sk.alias("dst")).union(
         pairs.select(sk.alias("src"), ck.alias("dst"))
     ).persist()
-    spark_ = spark
     out = []
     for r in range(1, _KCORE_ROUNDS + 1):
+        # alive is persisted: it feeds two broadcast joins AND the
+        # n_nodes count below — and counting it directly mirrors the
+        # oracle's `count(alive_r)` by construction (an alive node that
+        # lost every edge still counts), where a count_distinct(src)
+        # over the pruned edge list would both diverge on that case and
+        # pay a second wide aggregate per round.
         alive = (
             e.groupBy("src")
             .agg(F.count("*").alias("deg"))
             .filter(F.col("deg") >= _KCORE_K)
             .select(F.col("src").alias("node"))
+            .persist()
         )
         e = (
             e.join(alive.withColumnRenamed("node", "src"), "src")
@@ -908,11 +914,10 @@ def kcore_prune_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src", "dst")
             .persist()
         )
-        counts = e.agg(
+        counts = alive.agg(
             F.lit(r).cast("int").alias("round"),
-            F.count_distinct("src").cast("bigint").alias("n_nodes"),
-            F.count("*").cast("bigint").alias("n_edges"),
-        )
+            F.count("*").cast("bigint").alias("n_nodes"),
+        ).crossJoin(e.agg(F.count("*").cast("bigint").alias("n_edges")))
         out.append(counts)
     res = out[0]
     for f in out[1:]:
