@@ -581,6 +581,27 @@ def test_setsim_join_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoop" not in plan
 
 
+def test_setsim_candidate_join_carries_ppjoin_prunes(spark, sf_dir):
+    """The PPJoin length + positional filters must run INSIDE the
+    candidate equi-join (before the distinct and the array-carrying
+    verify joins), not as a later filter over materialized pairs. The
+    length filter's least/greatest pair and the positional bound's
+    (1e6 + t) multiplier are the plan fingerprints; both land in the
+    join's condition/filter section, which names the prefix rank
+    column rn — absent from every post-candidate stage."""
+    from milvus_cdc_spark.analytics import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = dedup.shingle_rows(docs, "doc_id", "text", n=3)
+    out = dedup.set_similarity_join(
+        sh, threshold_ppm=500000, id_col="doc_id", item_col="s"
+    )
+    plan = audit.formatted_plan(out)
+    assert "least(" in plan and "greatest(" in plan
+    assert "1500000" in plan  # (1e6 + t) positional multiplier
+    assert "rn" in plan  # prefix ranks reach the join, not just plen
+
+
 def test_scd2_asof_union_join_no_range_join(spark, sf_dir):
     """The union-sort as-of join exists to AVOID the range-join shape:
     the fact-to-version matching must be the key-partitioned window,
