@@ -1041,8 +1041,15 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         textf.fingerprint(F.col("text")).alias("fp"),
     )
     quality = scored.filter(F.col("n_tokens").between(20, 5000))
-    w = Window.partitionBy("fp").orderBy("doc_id")
-    deduped = quality.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # keep the min-doc_id row per fingerprint: doc_id is unique, so
+    # min(struct(doc_id, ...)) picks exactly the row the row_number
+    # window would — as a hash aggregate with map-side partial combine
+    # instead of a per-fp sort.
+    deduped = (
+        quality.groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "source", "n_tokens")).alias("_m"))
+        .select(F.col("_m.source").alias("source"), F.col("_m.n_tokens").alias("n_tokens"))
+    )
     return (
         deduped.groupBy("source")
         .agg(
@@ -2837,8 +2844,10 @@ def pipeline_stage_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_.filter(F.col("doc_id") % 97 != 0)
         .join(contaminated, "doc_id", "left_anti")
     )
-    w = Window.partitionBy("fp").orderBy("doc_id")
-    uq = dc.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # stage 5 only COUNTS the surviving canonical docs — one per
+    # fingerprint — so a distinct on the 16-byte fp replaces a full
+    # per-fp window sort whose picked rows were never read.
+    uq = dc.select("fp").distinct()
 
     def stage(name, df):
         return df.agg(
