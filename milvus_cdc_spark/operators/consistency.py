@@ -187,6 +187,9 @@ def read_your_writes(
 
     if session_ids is not None:
         n = len(session_ids)
+        # Persisted: this 1-row frame feeds BOTH the broadcast crossJoin
+        # and the guarantee-ts stack below — unpersisted, each consumer
+        # re-derives it with its own full op-log scan + aggregate.
         cuts_row = ops.agg(
             *[
                 F.max(
@@ -194,7 +197,7 @@ def read_your_writes(
                 ).alias(f"_g{i}")
                 for i, s in enumerate(session_ids)
             ]
-        )
+        ).persist()
         seen = ops.crossJoin(F.broadcast(cuts_row))
         cols = []
         for i in range(n):
