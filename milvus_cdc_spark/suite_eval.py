@@ -1054,8 +1054,6 @@ def delete_by_expr_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LWW replay with Milvus delete-by-expression ops: the two filter
     strings compile through functions.expr.compile_expr and erase rows
     whose latest insert precedes the delete's timestamp."""
-    from pyspark.sql import Window as W
-
     from milvus_cdc_spark.functions.expr import compile_expr
 
     li = _t(spark, sf_dir, "lineitem")
@@ -1086,29 +1084,41 @@ def delete_by_expr_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("flag"),
         F.col("l_orderkey").alias("seq"),
     )
-    w = W.partitionBy("collection", "pk").orderBy(
-        F.col("ts").desc(), F.col("seq").desc()
-    )
-    latest_ins = (
-        ops.filter(F.col("op_type") == "insert")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "collection", "pk", F.col("ts").alias("ins_ts"), "qty", "flag"
+    # Single-pass LWW state (the consistency-replay shape): one
+    # conditional aggregate replaces the window-sorted latest-insert
+    # branch + delete-max branch + their join. (ts, seq) is unique per
+    # (collection, pk) — (l_orderkey, l_linenumber) is the lineitem pk —
+    # so max(struct(ts, seq, qty, flag)) picks exactly the row the
+    # (ts desc, seq desc) row_number window kept.
+    latest = (
+        ops.groupBy("collection", "pk")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("op_type") == "insert",
+                    F.struct("ts", "seq", "qty", "flag"),
+                )
+            ).alias("_ins"),
+            F.max(
+                F.when(F.col("op_type") == "delete", F.col("ts"))
+            ).alias("_del_ts"),
         )
-    )
-    dels = (
-        ops.filter(F.col("op_type") == "delete")
-        .groupBy("collection", "pk")
-        .agg(F.max("ts").alias("del_ts"))
+        .filter(F.col("_ins").isNotNull())
+        .select(
+            "collection",
+            F.col("_ins.ts").alias("ins_ts"),
+            F.col("_ins.qty").alias("qty"),
+            F.col("_ins.flag").alias("flag"),
+            F.coalesce(F.col("_del_ts"), F.lit(-1)).alias("del_ts"),
+        )
     )
     fields = {"qty": F.col("qty"), "flag": F.col("flag")}
     m1 = compile_expr(_ED1_EXPR, fields) & (F.lit(_ED1_TS) > F.col("ins_ts"))
     m2 = compile_expr(_ED2_EXPR, fields) & (F.lit(_ED2_TS) > F.col("ins_ts"))
-    state = latest_ins.join(dels, ["collection", "pk"], "left").select(
+    state = latest.select(
         "collection",
         "ins_ts",
-        F.coalesce(F.col("del_ts"), F.lit(-1)).alias("del_ts"),
+        "del_ts",
         m1.cast("int").alias("m1"),
         m2.cast("int").alias("m2"),
     )
