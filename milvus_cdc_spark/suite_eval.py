@@ -1762,7 +1762,10 @@ def copurchase_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 co-purchased part pairs by integer-ppm lift (min support
     applied before the metric join)."""
     li = _t(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    # Persisted: the distinct basket table feeds THREE consumers (the
+    # n_orders scalar, the per-item counts, and the pair builder) —
+    # unpersisted, each re-scans lineitem and re-runs the distinct.
+    baskets = li.select("l_orderkey", "l_partkey").distinct().persist()
     n_orders_df = baskets.agg(
         F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
     )
@@ -1772,7 +1775,7 @@ def copurchase_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from milvus_cdc_spark.analytics import graph
 
     pairs = (
-        graph.co_group_pairs(li, "l_orderkey", "l_partkey")
+        graph.co_group_pairs(baskets, "l_orderkey", "l_partkey")
         .groupBy("pa", "pb")
         .agg(F.count("*").cast("bigint").alias("n_pair"))
         .filter(F.col("n_pair") >= _MB_MIN_PAIRS)
