@@ -1001,13 +1001,17 @@ def containment_join(
     :func:`set_similarity_join`; returns (a, b, inter, na,
     containment_ppm) with a != b, containment_ppm >= threshold.
 
-    The candidate join applies the one-sided analogues of the PPJoin
-    prunes (exact — see :func:`set_similarity_join`): LENGTH
-    (``inter <= |B|`` so ``|B|*1e6 >= t*|A|``) and POSITIONAL (B joins
-    the RANKED table so both positions are known; at the first common
-    element ``inter <= 1 + min(|A|-rn_a, |B|-rn_b)``, which must reach
-    ``ceil(t*|A|)`` — and that first common element is always inside
-    A's prefix for a qualifying pair, so it survives the distinct).
+    The one-sided LENGTH filter (exact: ``inter <= |B|`` so
+    ``|B|*1e6 >= t*|A|``) runs in the VERIFY stage, after both size
+    columns are joined but BEFORE the array intersection is computed —
+    zero extra operators, and the in-row intersect (the verify stage's
+    real cost) is skipped for pairs that cannot qualify. It does NOT
+    run inside the candidate join: B's size (or rank, for the PPJoin
+    positional filter) would price the whole element table through the
+    frequency-rank window, measured ~1.3x SLOWER end-to-end here — the
+    B side is otherwise a bare scan of the persisted distinct table
+    (contrast set_similarity_join, where BOTH sides are already ranked
+    for their prefixes and the length+positional prunes are free).
     """
     release_dedup_caches()  # the prior query's frames are consumed by now
     toks = (
@@ -1031,21 +1035,13 @@ def containment_join(
         - F.expr(f"(n * {threshold_ppm} + 999999) DIV 1000000")
         + F.lit(1)
     )
-    prefix = ranked.filter(F.col("rn") <= plen).select("id", "tok", "rn", "n")
-    na_, nb_ = F.col("p.n").cast("bigint"), F.col("t.n").cast("bigint")
-    overlap_ub = F.lit(1) + F.least(
-        na_ - F.col("p.rn"), nb_ - F.col("t.rn")
-    )
+    prefix = ranked.filter(F.col("rn") <= plen).select("id", "tok")
     cand = (
         prefix.alias("p")
         .join(
-            ranked.alias("t"),
+            toks.alias("t"),
             (F.col("t.tok") == F.col("p.tok"))
-            & (F.col("t.id") != F.col("p.id"))
-            # length filter: inter <= |B|, so |B|*1e6 >= t*|A|
-            & (nb_ * 1000000 >= na_ * threshold_ppm)
-            # positional filter: ubound*1e6 >= t*|A|
-            & (overlap_ub * 1000000 >= na_ * threshold_ppm),
+            & (F.col("t.id") != F.col("p.id")),
         )
         .select(F.col("p.id").alias("a"), F.col("t.id").alias("b"))
         .distinct()
@@ -1065,9 +1061,16 @@ def containment_join(
             "a",
         )
         .join(
-            arrs.select(F.col("id").alias("b"), F.col("_toks").alias("_tb")),
+            arrs.select(
+                F.col("id").alias("b"),
+                F.col("_toks").alias("_tb"),
+                F.col("_n").alias("_nb"),
+            ),
             "b",
         )
+        # one-sided length filter BEFORE the in-row intersect:
+        # inter <= |B|, so |B|*1e6 >= t*|A| or the pair cannot qualify
+        .filter(F.col("_nb") * 1000000 >= F.col("na") * threshold_ppm)
         .select(
             "a",
             "b",
