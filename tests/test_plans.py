@@ -766,6 +766,17 @@ def test_co_group_pairs_no_self_join(spark, sf_dir):
     assert len(scan_nodes) == 1, plan[:3000]
 
 
+def test_delete_by_expr_replay_single_pass(spark, sf_dir):
+    """The LWW + delete-by-expr state must stay ONE conditional
+    aggregate over the op stream: no Window sort, no latest-insert /
+    delete-max branch join — one lineitem scan node total."""
+    df = suite.QUERIES["delete_by_expr_replay"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert "Window" not in plan, plan[:3000]
+    scan_nodes = set(re.findall(r"^\((\d+)\) Scan parquet", plan, re.MULTILINE))
+    assert len(scan_nodes) == 1, plan[:3000]
+
+
 SCAN_NODE_BUDGETS = {
     # query -> max DISTINCT parquet-scan node entries allowed in its
     # formatted plan. These pin the round-7 scan-node-audit fixes
