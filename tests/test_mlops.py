@@ -471,6 +471,30 @@ def test_set_similarity_join_matches_bruteforce(spark):
     assert (5, 7) in got  # the exactly-at-threshold pair must survive
 
 
+def test_set_similarity_join_positional_bound_exactly_tight(spark):
+    """Adversarial pin for the PPJoin positional filter: a qualifying
+    pair whose overlap upper bound at the first common element sits
+    EXACTLY on the pass boundary. A = {u1,u2,c1..c4}, B = {u3,u4,
+    c1..c4}: the unique elements (df=1) rank first, so the first common
+    element is at rank 3 in both sets -> ubound = 1 + min(6-3, 6-3) = 4
+    = the true overlap, and 4*(1e6+t) == t*(na+nb) exactly at
+    t=500000. J = 4/8 = 0.5 qualifies; a >= -> > regression in the
+    filter would silently drop the pair."""
+    sets = {
+        1: {"u1", "u2", "c1", "c2", "c3", "c4"},
+        2: {"u3", "u4", "c1", "c2", "c3", "c4"},
+    }
+    rows = [(i, t) for i, s in sets.items() for t in s]
+    df = spark.createDataFrame(rows, "id bigint, item string")
+    from milvus_cdc_spark.analytics.dedup import set_similarity_join
+
+    got = {
+        (r.a, r.b): (r.inter, r.uni, r.jacc_ppm)
+        for r in set_similarity_join(df, threshold_ppm=500000).collect()
+    }
+    assert got == {(1, 2): (4, 8, 500000)}
+
+
 def test_set_similarity_join_property_random_sets(spark):
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
