@@ -1873,8 +1873,6 @@ def _quality_canonical_oracle() -> str:
 def quality_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per near-dup cluster: the longest member kept (ties -> smallest
     id) and the character savings from dropping the rest."""
-    from pyspark.sql import Window as W
-
     from milvus_cdc_spark.analytics import dedup
 
     docs = _t(spark, sf_dir, "documents")
@@ -1885,29 +1883,30 @@ def quality_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     member = comp.join(
         docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
     )
-    w = W.partitionBy("component").orderBy(
-        F.col("n_chars").desc(), F.col("node")
-    )
-    ranked = member.withColumn("rn", F.row_number().over(w))
-    return (
-        ranked.groupBy("component")
-        .agg(
-            F.count("*").cast("bigint").alias("n_members"),
-            F.min(F.when(F.col("rn") == 1, F.col("node")))
-            .cast("bigint")
-            .alias("kept_doc"),
-            F.min(F.when(F.col("rn") == 1, F.col("n_chars")))
-            .cast("bigint")
-            .alias("kept_chars"),
-            (
-                F.sum("n_chars")
-                - F.min(F.when(F.col("rn") == 1, F.col("n_chars")))
+    # per-component argmax (n_chars desc, node asc) as min(struct(
+    # -n_chars, node, ...)) — ONE hash aggregate with map-side partial
+    # combine replaces the row_number window sort + second groupBy the
+    # oracle's CTE shape mirrors.
+    picked = member.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum("n_chars").cast("bigint").alias("_chars_total"),
+        F.min(
+            F.struct(
+                (-F.col("n_chars")).alias("_neg"),
+                F.col("node"),
+                F.col("n_chars"),
             )
-            .cast("bigint")
-            .alias("chars_saved"),
-        )
-        .orderBy("component")
+        ).alias("_pick"),
     )
+    return picked.select(
+        "component",
+        "n_members",
+        F.col("_pick.node").cast("bigint").alias("kept_doc"),
+        F.col("_pick.n_chars").cast("bigint").alias("kept_chars"),
+        (F.col("_chars_total") - F.col("_pick.n_chars"))
+        .cast("bigint")
+        .alias("chars_saved"),
+    ).orderBy("component")
 
 
 # ---------------------------------------------------------------------------
