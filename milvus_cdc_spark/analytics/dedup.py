@@ -664,15 +664,24 @@ def semdedup(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    w = Window.partitionBy("_id").orderBy(F.col("_d2").asc(), F.col("centroid_id"))
     # assigned feeds THREE consumers (both pair sides + the band
     # buckets), each of which would otherwise re-run the whole Lloyd
-    # training + assignment lineage — persist it once.
+    # training + assignment lineage — persist it once. The nearest-
+    # centroid argmin is the _pq_assign min-of-struct idiom: the
+    # partial combine collapses n x k to n map-side, where the
+    # row_number window this replaces shuffled and sorted the full
+    # candidate set ((_d2, centroid_id) is unique within a group, so
+    # the trailing _v payload never compares).
     assigned = (
         j.withColumn("_d2", d2)
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select("_id", "centroid_id", "_v", "_d2")
+        .groupBy("_id")
+        .agg(F.min(F.struct("_d2", "centroid_id", "_v")).alias("_m"))
+        .select(
+            "_id",
+            F.col("_m.centroid_id").alias("centroid_id"),
+            F.col("_m._v").alias("_v"),
+            F.col("_m._d2").alias("_d2"),
+        )
         .persist()
     )
     _DEDUP_CACHES.append(assigned)

@@ -238,7 +238,7 @@ def ivf_train(
         # collect_list'd centroid array (transform + array_min, zero
         # shuffle) was tried and REGRESSED 20-200% across this family —
         # nested higher-order functions evaluate interpreted, losing to
-        # this codegen'd broadcast join + narrow per-vector window.
+        # this codegen'd broadcast join + min-of-struct aggregate.
         j = vectors.select(
             F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vvec")
         ).crossJoin(F.broadcast(cent.select("centroid_id", "centroid")))
@@ -250,14 +250,26 @@ def ivf_train(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        w = Window.partitionBy("_vid").orderBy(
-            F.col("_dist").asc(), F.col("centroid_id").asc()
-        )
+        # argmin by (dist asc, centroid_id asc) as a min-of-struct
+        # aggregate (the _pq_assign idiom): all k candidates of a vector
+        # sit in the same map task straight off the broadcast join, so
+        # the partial combine collapses n x k to n BEFORE the exchange —
+        # the row_number window this replaces shuffled and sorted the
+        # full candidate set. The trailing _vvec field never compares
+        # (centroid_id is unique within the group).
         assigned = (
             j.withColumn("_dist", dist)
-            .withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") == 1)
-            .select("_vid", "centroid_id", "_vvec")
+            .groupBy("_vid")
+            .agg(
+                F.min(
+                    F.struct("_dist", "centroid_id", "_vvec")
+                ).alias("_m")
+            )
+            .select(
+                "_vid",
+                F.col("_m.centroid_id").alias("centroid_id"),
+                F.col("_m._vvec").alias("_vvec"),
+            )
         )
         cent = assigned.groupBy("centroid_id").agg(
             F.array(
