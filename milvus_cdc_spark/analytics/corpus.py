@@ -25,16 +25,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from milvus_cdc_spark.cache_registry import CacheRegistry
+
 # Frames persisted by corpus-LM scoring for reuse across their
 # consumers (the tokenize explode heads several aggregate arms) — same
 # release-at-next-build contract as the other analytics registries.
-_CORPUS_CACHES: list[DataFrame] = []
+_CORPUS_CACHES = CacheRegistry("corpus_caches")
 
 
 def release_corpus_caches() -> None:
     """Unpersist frames cached by prior corpus-LM scoring calls."""
-    while _CORPUS_CACHES:
-        _CORPUS_CACHES.pop().unpersist(False)
+    _CORPUS_CACHES.release()
 
 
 def chunk_documents(

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from milvus_cdc_spark.cache_registry import CacheRegistry
+
 from milvus_cdc_spark.functions import text as textf
 
 # Persisted intermediates shared across a single query's stages (shingle
@@ -30,15 +32,14 @@ from milvus_cdc_spark.functions import text as textf
 # caller owns the release point — call release_dedup_caches() once the
 # returned frame has been materialized. Without it, repeated calls in a
 # long-lived session accumulate cached frames until catalog.clearCache().
-_DEDUP_CACHES: list[DataFrame] = []
+_DEDUP_CACHES = CacheRegistry("dedup_caches")
 
 
 def release_dedup_caches() -> None:
     """Unpersist intermediates cached by prior near_dup_pipeline /
     set_similarity_join / containment_join calls. Safe once their returned
     DataFrames have been materialized."""
-    while _DEDUP_CACHES:
-        _DEDUP_CACHES.pop().unpersist(False)
+    _DEDUP_CACHES.release()
 
 
 def shingle_rows(

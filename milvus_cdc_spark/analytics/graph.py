@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from milvus_cdc_spark.cache_registry import CacheRegistry
+
 # Total score mass in integer units: parts-per-10^12 keeps 6+ significant
 # digits after 10^6-node graphs divide it up.
 MASS = 10**12
@@ -39,13 +41,12 @@ MASS = 10**12
 # Unlike the rank caches there is no correctness dependency — an
 # unpersisted recompute walks the identical deterministic plan — so a
 # long-lived session may release at any time; it only costs recompute.
-_GRAPH_CACHES: list[DataFrame] = []
+_GRAPH_CACHES = CacheRegistry("graph_caches")
 
 
 def release_graph_caches() -> None:
     """Unpersist edge/node frames cached by prior pagerank() calls."""
-    while _GRAPH_CACHES:
-        _GRAPH_CACHES.pop().unpersist(False)
+    _GRAPH_CACHES.release()
 
 
 def co_group_pairs(

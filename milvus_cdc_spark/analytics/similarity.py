@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from milvus_cdc_spark.cache_registry import CacheRegistry
+
 from milvus_cdc_spark.functions import vector as vecf
 
 # Frames persisted by index-build pipelines (ivf_pq_build) for reuse
@@ -35,7 +37,7 @@ from milvus_cdc_spark.functions import vector as vecf
 # ivf_pq query plan. Same contract as dedup/graph: the next build call
 # releases the prior query's frames; an early release only costs
 # recompute, never correctness.
-_SIM_CACHES: list[DataFrame] = []
+_SIM_CACHES = CacheRegistry("sim_caches")
 
 # mmr_rerank's pool persists live in their OWN registry: mmr is a
 # rerank stage that typically runs downstream of an index build whose
@@ -45,15 +47,13 @@ _SIM_CACHES: list[DataFrame] = []
 # paid for). mmr releases its own prior pool at entry; the shared
 # release below still drains both, so the existing cleanup call sites
 # keep releasing everything.
-_MMR_CACHES: list[DataFrame] = []
+_MMR_CACHES = CacheRegistry("mmr_caches")
 
 
 def release_similarity_caches() -> None:
     """Unpersist frames cached by prior index-build AND mmr calls."""
-    while _SIM_CACHES:
-        _SIM_CACHES.pop().unpersist(False)
-    while _MMR_CACHES:
-        _MMR_CACHES.pop().unpersist(False)
+    _SIM_CACHES.release()
+    _MMR_CACHES.release()
 
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -1243,8 +1243,7 @@ def mmr_rerank(
     # release only MMR's OWN prior pool — never the shared build registry:
     # a caller may hand us candidates derived lazily from ivf_pq_build
     # outputs that are still persisted in _SIM_CACHES (ADVICE r7)
-    while _MMR_CACHES:
-        _MMR_CACHES.pop().unpersist(False)
+    _MMR_CACHES.release()
     remaining = candidates.select(
         F.col(id_col).alias("_id"), F.col(sim_col).alias("_sim")
     ).persist()

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from milvus_cdc_spark.cache_registry import CacheRegistry
+
 from milvus_cdc_spark.functions import text as textf
 
 K1_DEFAULT = 1.2
@@ -29,13 +31,12 @@ B_DEFAULT = 0.75
 # consumer re-runs the tokenize + three corpus aggregations. Same
 # release contract as dedup/graph/similarity: the next build call
 # frees the prior query's frames.
-_TEXT_CACHES: list[DataFrame] = []
+_TEXT_CACHES = CacheRegistry("text_caches")
 
 
 def release_text_caches() -> None:
     """Unpersist posting-list frames cached by prior bm25_index calls."""
-    while _TEXT_CACHES:
-        _TEXT_CACHES.pop().unpersist(False)
+    _TEXT_CACHES.release()
 
 
 def bm25_scores(

@@ -20,19 +20,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from milvus_cdc_spark.cache_registry import CacheRegistry
+
 # Aggregate frames persisted by replay_alive_with_drops for reuse across
 # its three consumers (two cutoff dims + the final filter). The graph.py
 # _GRAPH_CACHES contract: callers own the release point; an unpersisted
 # recompute walks the identical deterministic plan, so releasing early
 # only costs recompute, never correctness.
-_APPLY_CACHES: list[DataFrame] = []
+_APPLY_CACHES = CacheRegistry("apply_caches")
 
 
 def release_apply_caches() -> None:
     """Unpersist aggregate frames cached by prior replay_alive_with_drops
     calls."""
-    while _APPLY_CACHES:
-        _APPLY_CACHES.pop().unpersist(False)
+    _APPLY_CACHES.release()
 
 
 def replay_alive(ops: DataFrame) -> DataFrame:

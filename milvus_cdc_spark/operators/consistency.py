@@ -28,6 +28,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from milvus_cdc_spark.cache_registry import CacheRegistry
+
+# Persisted cutoff rows from prior read_your_writes calls (deferred
+# release: the next call drains the prior call's frame once its returned
+# plan has been consumed — the dedup/graph registry contract).
+_CONSISTENCY_CACHES = CacheRegistry("consistency")
+
+
+def release_consistency_caches() -> None:
+    """Unpersist cutoff frames cached by prior read_your_writes calls."""
+    _CONSISTENCY_CACHES.release()
+
+
 #: Hybrid-TSO physical-ms shift (Milvus TSO layout: physical ms << 18).
 TSO_SHIFT = 18
 
@@ -187,6 +200,7 @@ def read_your_writes(
 
     if session_ids is not None:
         n = len(session_ids)
+        release_consistency_caches()  # prior call's cutoffs consumed by now
         # Persisted: this 1-row frame feeds BOTH the broadcast crossJoin
         # and the guarantee-ts stack below — unpersisted, each consumer
         # re-derives it with its own full op-log scan + aggregate.
@@ -198,6 +212,7 @@ def read_your_writes(
                 for i, s in enumerate(session_ids)
             ]
         ).persist()
+        _CONSISTENCY_CACHES.append(cuts_row)
         seen = ops.crossJoin(F.broadcast(cuts_row))
         cols = []
         for i in range(n):

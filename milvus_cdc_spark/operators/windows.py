@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from milvus_cdc_spark.cache_registry import CacheRegistry
+
 
 def pack_sort_keys(ts_col: str = "ts", op_col: str = "op_type") -> list:
     """W1: sort msgs by BeginTs with Delete before Insert on equal ts
@@ -59,7 +61,7 @@ def monotonic_rebase(
 # bounds and silently mis-rank. Callers therefore own the release point —
 # call release_rank_caches() once returned frames have been materialized
 # (collected / written), which long-lived sessions should do between queries.
-_RANK_CACHES: list[DataFrame] = []
+_RANK_CACHES = CacheRegistry("rank_caches")
 
 
 def release_rank_caches() -> None:
@@ -68,8 +70,7 @@ def release_rank_caches() -> None:
     been materialized; re-executing an old returned frame AFTER release
     recomputes the range shuffle and may mis-rank — treat released results
     as consumed."""
-    while _RANK_CACHES:
-        _RANK_CACHES.pop().unpersist(False)
+    _RANK_CACHES.release()
 
 
 def _range_ranked(df: DataFrame, order_cols: list, n_partitions: int):

@@ -73,6 +73,12 @@ STATE_SCHEMA = (
 #:       readable — ``_upgrade_state_format`` null-backfills the column)
 #:   2 — current: ``partition`` in STATE_COLS, drop cutoffs + history in
 #:       the manifest.
+#: The migrate-on-load stamp in ``_load_manifest`` is a ONE-WAY upgrade
+#: for the state dir: committing even one batch from a v1 dir rewrites
+#: the manifest as v2, and a v1-era engine (which has no version gate)
+#: would mis-read v2-only manifest keys — roll back the engine only
+#: together with a state-dir restore (the history/time-travel entries
+#: exist for exactly that).
 #: A manifest from a NEWER writer is refused at load (``StateFormatError``)
 #: instead of silently null-backfilling columns whose semantics this
 #: reader does not know — the silent-accept path was VERDICT r7 item 5.

@@ -875,6 +875,13 @@ def _kcore_oracle() -> str:
 def kcore_prune_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nodes/edges surviving each of 3 rounds of degree->=-4 pruning on
     the 1995 trade graph."""
+    from milvus_cdc_spark.suite import SUITE_CACHES, release_suite_caches
+
+    # Per-round alive/e persists are registered in SUITE_CACHES and
+    # drained here at the NEXT call's entry (they can't be unpersisted
+    # inside the loop: the lazy per-round `counts` frames reference them
+    # until the caller materializes the result).
+    release_suite_caches()
     # Range predicate, not year() == 1995: a raw-column comparison reaches
     # the parquet scan as a min/max row-group filter (PushedFilters), which
     # F.year(col) — a function over the column — never does. Same rows.
@@ -893,6 +900,7 @@ def kcore_prune_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = pairs.select(ck.alias("src"), sk.alias("dst")).union(
         pairs.select(sk.alias("src"), ck.alias("dst"))
     ).persist()
+    SUITE_CACHES.append(e)
     out = []
     for r in range(1, _KCORE_ROUNDS + 1):
         # alive is persisted: it feeds two broadcast joins AND the
@@ -908,12 +916,14 @@ def kcore_prune_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("src").alias("node"))
             .persist()
         )
+        SUITE_CACHES.append(alive)
         e = (
             e.join(alive.withColumnRenamed("node", "src"), "src")
             .join(alive.withColumnRenamed("node", "dst"), "dst")
             .select("src", "dst")
             .persist()
         )
+        SUITE_CACHES.append(e)
         counts = alive.agg(
             F.lit(r).cast("int").alias("round"),
             F.count("*").cast("bigint").alias("n_nodes"),

@@ -702,5 +702,5 @@ def test_release_dedup_caches_empties_registry(spark):
     assert not first[0].is_cached
     cached = list(dedup._DEDUP_CACHES)
     dedup.release_dedup_caches()
-    assert dedup._DEDUP_CACHES == []
+    assert len(dedup._DEDUP_CACHES) == 0
     assert all(not c.is_cached for c in cached)

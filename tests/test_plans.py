@@ -599,7 +599,10 @@ def test_setsim_candidate_join_carries_ppjoin_prunes(spark, sf_dir):
     plan = audit.formatted_plan(out)
     assert "least(" in plan and "greatest(" in plan
     assert "1500000" in plan  # (1e6 + t) positional multiplier
-    assert "rn" in plan  # prefix ranks reach the join, not just plen
+    # Prefix ranks reach the join, not just plen: match a column
+    # REFERENCE token (rn#<exprId>), not the bare substring "rn" which
+    # appears inside unrelated plan words.
+    assert re.search(r"\brn#\d+", plan), "rn column reference not in plan"
 
 
 def test_scd2_asof_union_join_no_range_join(spark, sf_dir):
