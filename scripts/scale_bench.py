@@ -353,6 +353,13 @@ def queries():
         "domain_mixture_weights": suite.QUERIES["domain_mixture_weights"].fn,
         "source_overlap_matrix": suite.QUERIES["source_overlap_matrix"].fn,
         "cluster_density_report": suite.QUERIES["cluster_density_report"].fn,
+        # round-9 additions (the r8 reshapes whose same-window A/Bs were
+        # inside noise — VERDICT r8 #4): kcore's per-round cost is the
+        # degree aggregate + two semi-joins over a shrinking edge list
+        # (edges x10, rounds fixed); delete_by_expr's single-pass LWW
+        # fold is one conditional aggregate over the op stream (x10).
+        "kcore_prune_rounds": suite.QUERIES["kcore_prune_rounds"].fn,
+        "delete_by_expr_replay": suite.QUERIES["delete_by_expr_replay"].fn,
     }
 
 
