@@ -162,3 +162,56 @@ def test_registry_list_api_compat():
     reg.release()
     assert a.unpersisted and b.unpersisted and not c.unpersisted
     assert not reg
+
+
+def test_registry_thread_isolation_property():
+    """Property (no Spark needed): N threads each interleave
+    register/release randomly; an invariant violation would be a frame
+    unpersisted by a thread that did not register it. The fake DF records
+    which thread released it."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    class _FakeDF:
+        def __init__(self, owner):
+            self.owner = owner
+            self.released_by = None
+
+        def unpersist(self, blocking):
+            self.released_by = threading.get_ident()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        seeds=st.lists(st.integers(0, 2**31), min_size=2, max_size=4),
+        n_ops=st.integers(5, 40),
+    )
+    def run(seeds, n_ops):
+        reg = CacheRegistry("prop")
+        all_frames: list[_FakeDF] = []
+        lock = threading.Lock()
+
+        def worker(seed):
+            rng = random.Random(seed)
+            for _ in range(n_ops):
+                if rng.random() < 0.6:
+                    f = _FakeDF(threading.get_ident())
+                    with lock:
+                        all_frames.append(f)
+                    reg.append(f)
+                else:
+                    reg.release()
+            reg.release()
+
+        threads = [threading.Thread(target=worker, args=(s,)) for s in seeds]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for f in all_frames:
+            assert f.released_by == f.owner, (
+                "frame registered by one thread was released by another"
+            )
+
+    run()
