@@ -671,18 +671,21 @@ def semdedup(
     # centroid argmin is the _pq_assign min-of-struct idiom: the
     # partial combine collapses n x k to n map-side, where the
     # row_number window this replaces shuffled and sorted the full
-    # candidate set ((_d2, centroid_id) is unique within a group, so
-    # the trailing _v payload never compares).
+    # candidate set. The struct stays SKINNY (_d2 + centroid_id): an
+    # array field in the struct forces the SortAggregate fallback to
+    # sort the n x k candidates WITH their vector payloads — dropped,
+    # the sort moves ~24-byte rows and the vector joins back once by
+    # id (r9 A/B with the ivf_train twin of this reshape).
     assigned = (
         j.withColumn("_d2", d2)
         .groupBy("_id")
-        .agg(F.min(F.struct("_d2", "centroid_id", "_v")).alias("_m"))
+        .agg(F.min(F.struct("_d2", "centroid_id")).alias("_m"))
         .select(
             "_id",
             F.col("_m.centroid_id").alias("centroid_id"),
-            F.col("_m._v").alias("_v"),
             F.col("_m._d2").alias("_d2"),
         )
+        .join(v.select("_id", "_v"), "_id")
         .persist()
     )
     _DEDUP_CACHES.append(assigned)

@@ -255,20 +255,24 @@ def ivf_train(
         # sit in the same map task straight off the broadcast join, so
         # the partial combine collapses n x k to n BEFORE the exchange —
         # the row_number window this replaces shuffled and sorted the
-        # full candidate set. The trailing _vvec field never compares
-        # (centroid_id is unique within the group).
+        # full candidate set. The struct is kept SKINNY (dist + id, no
+        # vector): min(struct) with an array field falls back to
+        # SortAggregate, and the pre-aggregation sort would move the
+        # n x k candidate rows WITH their ~0.5 KB vector payloads; with
+        # the payload dropped the same sort moves ~24-byte rows and the
+        # vector travels exactly once, through the vid-keyed join below
+        # (r9 A/B: ivf/semdedup family ~25% faster at sf0.1).
         assigned = (
             j.withColumn("_dist", dist)
             .groupBy("_vid")
-            .agg(
-                F.min(
-                    F.struct("_dist", "centroid_id", "_vvec")
-                ).alias("_m")
-            )
-            .select(
+            .agg(F.min(F.struct("_dist", "centroid_id")).alias("_m"))
+            .select("_vid", F.col("_m.centroid_id").alias("centroid_id"))
+            .join(
+                vectors.select(
+                    F.col(id_col).alias("_vid"),
+                    F.col(vec_col).alias("_vvec"),
+                ),
                 "_vid",
-                F.col("_m.centroid_id").alias("centroid_id"),
-                F.col("_m._vvec").alias("_vvec"),
             )
         )
         cent = assigned.groupBy("centroid_id").agg(
