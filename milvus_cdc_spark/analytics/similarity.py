@@ -310,12 +310,15 @@ def ivf_assign(
     (ties → lower centroid id). The corpus uses n_probe=1 (the IVF list a
     vector lives in); queries probe several lists.
 
-    Plan: broadcast the (tiny) centroid set, per-vector argmin via
-    row_number — one pass over the corpus, no shuffle except the window's
-    per-vector partition (narrow: centroid count per vector). An in-row
-    variant (collect_list'd centroids + array_sort, zero shuffle) was
-    measured ~20% SLOWER here — nested higher-order functions evaluate
-    interpreted; see the ivf_train note.
+    Plan: broadcast the (tiny) centroid set, one pass over the corpus.
+    The corpus path (``n_probe=1``) is a min-of-struct aggregate (the
+    _pq_assign idiom: the partial combine collapses n x k to n map-side,
+    and the skinny (-csim, cid) struct keeps the SortAggregate fallback
+    sorting ~24-byte rows); the query path (``n_probe>1``) keeps the
+    row_number window — top-N per key has no aggregate form, and the
+    query side is small. An in-row variant (collect_list'd centroids +
+    array_sort, zero shuffle) was measured ~20% SLOWER here — nested
+    higher-order functions evaluate interpreted; see the ivf_train note.
     """
     cen = centroids.select(
         F.col(id_col).alias("centroid_id"),
@@ -334,6 +337,21 @@ def ivf_assign(
             vecf.dot(F.col("_vvec"), F.col("cvec")) / (F.col("_vn") * F.col("cn")), 6
         ).alias("_csim"),
     )
+    if n_probe == 1:
+        # argmax csim (ties -> lower centroid id) == min of (-csim, cid);
+        # -x on a rounded double is exact, so ordering matches the window
+        return (
+            scored.groupBy("_vid")
+            .agg(
+                F.min(F.struct(-F.col("_csim"), F.col("centroid_id"))).alias(
+                    "_m"
+                )
+            )
+            .select(
+                F.col("_vid").alias(id_col),
+                F.col("_m.centroid_id").alias("centroid_id"),
+            )
+        )
     w = Window.partitionBy("_vid").orderBy(F.col("_csim").desc(), F.col("centroid_id"))
     return (
         scored.withColumn("_r", F.row_number().over(w))
