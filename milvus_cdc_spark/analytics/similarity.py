@@ -837,13 +837,18 @@ def _pq_subvectors(
     )
 
 
-def _pq_assign(subv: DataFrame, codebooks: DataFrame) -> DataFrame:
+def _pq_assign(
+    subv: DataFrame, codebooks: DataFrame, with_sv: bool = True
+) -> DataFrame:
     """Nearest codeword per (vector, subspace): broadcast the M*K
     codebook rows, squared-L2 per candidate, then a min-of-struct
     aggregate — (dist asc, centroid_id asc) lexicographic min IS the
     Milvus/serial tie rule, and unlike a row_number window it partial-
     aggregates map-side, so the corpus x K candidate set collapses
-    before the one shuffle (keyed by vector x subspace)."""
+    before the one shuffle (keyed by vector x subspace).
+
+    ``with_sv``: re-attach the subvector (pq_train's mean step needs
+    it); encoding passes False and skips the join entirely."""
     j = subv.join(
         F.broadcast(codebooks.select("sub_id", "centroid_id", "centroid")),
         "sub_id",
@@ -853,22 +858,26 @@ def _pq_assign(subv: DataFrame, codebooks: DataFrame) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return (
+    # first(sv) in the aggregate buffer would force the SortAggregate
+    # fallback to sort the corpus x K candidates WITH the subvector
+    # payload; keeping the struct skinny sorts ~24-byte rows and the
+    # subvector joins back once by the group key (r9, the ivf_train
+    # skinny-assignment twin).
+    skinny = (
         j.withColumn("_dist", dist)
         .groupBy("_vid", "sub_id")
         .agg(
             F.min(F.struct(F.col("_dist"), F.col("centroid_id"))).alias("_b"),
-            # sv is functionally determined by the group key; first() is
-            # safe (identical in every row of the group)
-            F.first("sv").alias("sv"),
         )
         .select(
             "_vid",
             "sub_id",
             F.col("_b.centroid_id").alias("centroid_id"),
-            "sv",
         )
     )
+    if not with_sv:
+        return skinny
+    return skinny.join(subv.select("_vid", "sub_id", "sv"), ["_vid", "sub_id"])
 
 
 def pq_train(
@@ -936,7 +945,7 @@ def pq_encode(
     PQ index — 32x smaller than the float32 corpus at m=4/dim=64 — and
     the only corpus-sized input ``pq_adc_topk`` reads."""
     subv = _pq_subvectors(vectors, m, dim, id_col, vec_col)
-    return _pq_assign(subv, codebooks).select(
+    return _pq_assign(subv, codebooks, with_sv=False).select(
         F.col("_vid").alias(id_col),
         "sub_id",
         F.col("centroid_id").alias("code"),
