@@ -192,7 +192,8 @@ def label_propagation(
     aggregate + one per-node argmax, all keyed on the node — three
     node-keyed shuffles per round, nothing data-squared, plan depth
     linear in n_rounds (small: 2-4). The argmax is
-    ``min(struct(-count, label))`` — a hash aggregate with map-side
+    ``min(struct(-count, label))`` — a partial-aggregating extremum
+    (struct buffer => SortAggregate on skinny rows) with map-side
     partial combine — rather than a row_number window, which would
     sort every (node, label) partition per round for a single
     max-of-each-group answer.

@@ -1884,7 +1884,8 @@ def quality_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
     )
     # per-component argmax (n_chars desc, node asc) as min(struct(
-    # -n_chars, node, ...)) — ONE hash aggregate with map-side partial
+    # -n_chars, node, ...)) — ONE partial-aggregating extremum (struct
+    # buffer => SortAggregate on skinny rows) with map-side partial
     # combine replaces the row_number window sort + second groupBy the
     # oracle's CTE shape mirrors.
     picked = member.groupBy("component").agg(

@@ -1043,8 +1043,10 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = scored.filter(F.col("n_tokens").between(20, 5000))
     # keep the min-doc_id row per fingerprint: doc_id is unique, so
     # min(struct(doc_id, ...)) picks exactly the row the row_number
-    # window would — as a hash aggregate with map-side partial combine
-    # instead of a per-fp sort.
+    # window would — as a partial-aggregating extremum (struct-typed
+    # buffers run as SortAggregate, but the map-side combine collapses
+    # the group before the exchange; rows are skinny scalars) instead
+    # of a per-fp window sort.
     deduped = (
         quality.groupBy("fp")
         .agg(F.min(F.struct("doc_id", "source", "n_tokens")).alias("_m"))
