@@ -489,6 +489,8 @@ def main() -> None:
         "sf": sf,
         "canary_sec": canary,
         "canary_sec_r1_jvm": isolated.get("canary_sec"),
+        "canary_sec_heavy_jvm": heavy_iso.get("canary_sec"),
+        "canary_sec_noisy_jvm": noisy_iso.get("canary_sec"),
         "queries": timings,
         **subtotals,
         "r1_isolated": isolated.get("value"),
