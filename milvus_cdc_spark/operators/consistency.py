@@ -198,9 +198,14 @@ def read_your_writes(
     """
     from milvus_cdc_spark.operators.filters import insert_like
 
+    # Unconditional: a session_ids=None call must still drain the prior
+    # known-ids call's persisted cutoff row (no-op on an empty ledger),
+    # else alternating call shapes strand the last cuts_row until
+    # clearCache (round-9 ADVICE).
+    release_consistency_caches()
+
     if session_ids is not None:
         n = len(session_ids)
-        release_consistency_caches()  # prior call's cutoffs consumed by now
         # Persisted: this 1-row frame feeds BOTH the broadcast crossJoin
         # and the guarantee-ts stack below — unpersisted, each consumer
         # re-derives it with its own full op-log scan + aggregate.

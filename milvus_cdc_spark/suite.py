@@ -3376,83 +3376,83 @@ from milvus_cdc_spark import suite_eval  # noqa: E402,F401  (import-for-effect)
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness checks the FIRST 50
-# registry entries, so the front of the dict is curated. Round 9 executes
-# the rotation pre-staged in round 8 (deterministic freshness sweep over
-# the cumulative CORRECTNESS_r01-r08 ledger, which is 251/251 ever-green):
+# registry entries, so the front of the dict is curated. Round 10 executes
+# the rotation pre-staged in round 9 (deterministic freshness sweep over
+# the cumulative CORRECTNESS_r01-r09 ledger, which is 251/251 ever-green):
 # 2 regression anchors (q1_pricing_summary, cdc_replay_summary —
-# driver-green every round r1-r8) + the 13 rows whose latest driver check
-# is r3 + the 35 oldest r4-cohort rows, selected deterministically by
+# driver-green every round r1-r9) + the 9 rows whose latest driver check
+# is r4 + the 39 oldest r5-cohort rows, selected deterministically by
 # (latest driver round, name) ascending. Everything displaced has a green
-# driver row from r5-r8 and zero stale-red remains anywhere in the ledger.
-# After r9 every registry row's latest driver check is r4+ (anchors r9).
+# driver row from r6-r9 and zero stale-red remains anywhere in the ledger.
+# After r10 every registry row's latest driver check is r5+ (anchors r10).
 # Names listed here but not (yet) registered are skipped, so the list can
 # lead registration.
 # ---------------------------------------------------------------------------
 
-# r10 ROTATION PROPOSAL (pre-staged; deterministic continuation of the
+# r11 ROTATION PROPOSAL (pre-staged; deterministic continuation of the
 # freshness sweep by the same (latest driver round, name) ascending rule):
-# keep the two anchors, then the 9 r4-cohort rows not absorbed by this
-# window — streaming_session_window, streaming_state_tracker,
-# text_match_retrieval, top_supplier_revenue, topk_orders,
-# tpch_q5_local_volume, ttl_expiry, vocab_build, window_moving_avg —
-# then backfill the remaining ~39 slots with the oldest r5 rows
-# (alphabetical from analyzer_token_stats). After r10 every registry
-# row's latest driver check is r5+ and the sweep continues into the
-# r5/r6 cohorts in r11.
+# keep the two anchors, then the 9 r5-cohort rows not absorbed by this
+# window — sequence_packing, session_consistency_read, streaming_cdc_apply,
+# streaming_fingerprint_gate, temperature_mixing_rates, timetick_heartbeat,
+# unigram_logprob_quality, unpivot_part_metrics, winnowing_fingerprints —
+# then backfill the remaining 39 slots with the oldest r6 rows
+# (alphabetical from bigram_lm_quality through search_iterator_page).
+# After r11 every registry row's latest driver check is r6+ and the sweep
+# continues into the r6/r7 cohorts in r12.
 PRIORITY: tuple[str, ...] = (
-    # -- 2 regression anchors (driver-green r1-r8) --
+    # -- 2 regression anchors (driver-green r1-r9) --
     "q1_pricing_summary",        # flagship; TPC-H Q1 agg
     "cdc_replay_summary",        # A7/K1 replay
-    # -- 13 r3-cohort rows (latest driver check CORRECTNESS_r03) --
-    "scalar_funcs",
-    "schema_hydration",
-    "simhash_fingerprints",
-    "sparse_topk",
-    "streaming_dedupe",
-    "streaming_positions",
-    "streaming_stream_join",
-    "streaming_tumbling_window",
-    "text_quality",
-    "tpch_q16_supplier_parts",
-    "tpch_q3_shipping",
-    "tpch_q9_product_profit",
-    "watermark_ts",
-    # -- 35 oldest r4-cohort rows, (round, name) ascending --
-    "ann_bucketed_topk",
-    "approx_distinct_parts",
-    "array_field_filters",
-    "barrier_ready",
-    "bi_nation_volume",
-    "consistency_levels_read",
-    "cube_order_status",
-    "db_scoped_remap",
-    "ddl_op_routing",
-    "doc_chunking",
-    "filtered_ann_topk",
-    "grouping_search_labels",
-    "grouping_sets_revenue",
-    "growing_sealed_read",
-    "hamming_multiword_topk",
-    "hybrid_search_rrf",
-    "hybrid_search_weighted",
-    "ip_search_topk",
-    "jaccard_binary_topk",
-    "keyset_pagination",
-    "l2_search_topk",
-    "market_share",
-    "minhash_bands",
-    "monotonic_rebase",
-    "multimodal_features",
-    "ntile_quartiles",
-    "phrase_match_retrieval",
-    "pivot_priority_status",
-    "range_search_radius",
-    "salted_skew_join",
-    "search_pagination",
-    "set_ops_nations",
-    "sole_late_supplier",
-    "sq8_quantized_recall",
-    "stratified_mixing",
+    # -- 9 r4-cohort rows (latest driver check CORRECTNESS_r04) --
+    "streaming_session_window",
+    "streaming_state_tracker",
+    "text_match_retrieval",
+    "top_supplier_revenue",
+    "topk_orders",
+    "tpch_q5_local_volume",
+    "ttl_expiry",
+    "vocab_build",
+    "window_moving_avg",
+    # -- 39 oldest r5-cohort rows, (round, name) ascending --
+    "analyzer_token_stats",
+    "anti_exists_idle_customers",
+    "bag_set_ops",
+    "banded_cosine_near_dup",
+    "binary_quantized_recall",
+    "channel_msg_counts",
+    "conditional_priority_counts",
+    "corpus_pipeline",
+    "cust_order_distribution",
+    "disjunctive_filter_revenue",
+    "error_spike_detection",
+    "exists_late_orders",
+    "expr_text_match_filter",
+    "forecast_revenue_change",
+    "frame_sample",
+    "fulltext_sparse_search",
+    "grouping_search_group_size",
+    "having_in_large_orders",
+    "hybrid_dense_fulltext_rrf",
+    "ivf_kmeans_build",
+    "ivf_pq_recall",
+    "map_kv_extract",
+    "min_cost_supplier",
+    "nation_balance_share",
+    "near_dup_clusters",
+    "near_dup_pairs",
+    "nested_semi_promo_suppliers",
+    "ngram_decontamination",
+    "partition_drop_replay",
+    "partition_key_routing",
+    "percentile_acctbal",
+    "phrase_match_slop",
+    "pq_adc_recall",
+    "promo_revenue_ratio",
+    "quality_filter_funnel",
+    "rank_analytics",
+    "returned_items_topk",
+    "rolling_hash_fingerprint",
+    "scalar_subquery_small_qty",
 )
 
 
