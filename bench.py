@@ -341,8 +341,8 @@ def run_queries(spark, names: list[str], sf_dir: str) -> dict[str, float]:
     return timings
 
 
-def _canary_sec(spark) -> float | None:
-    """VM-speed canary: median of 3 timed runs of q1_pricing_summary at a
+def _canary_sec(spark, sf_dir: str | None = None) -> float | None:
+    """VM-speed canary: median of 5 timed runs of q1_pricing_summary at a
     FIXED scale factor (sf0.01), executed right after JVM warm-up in
     every bench session (each segment JVM and the full-suite JVM).
 
@@ -351,21 +351,39 @@ def _canary_sec(spark) -> float | None:
     anchor queries had to be argued away via a median-of-untouched
     analysis). A fixed trivial query whose code never changes gives a
     mechanical normalizer: divide any segment number by the ratio of its
-    JVM's canary to a prior round's canary. Median of 3 absorbs one-time
-    codegen/footer costs; a run that fails returns None rather than
-    costing the machine line."""
-    canary_dir = "/root/testdata/sf0.01"
+    JVM's canary to a prior round's canary. Median of 5 (3 through r9;
+    widened per the r9 verdict — the ±20% noise floor of 3 samples was
+    close to the drift it measures) absorbs one-time codegen/footer
+    costs; a run that fails returns None rather than costing the machine
+    line.
+
+    The canary dir is the ``sf0.01`` SIBLING of the bench's data root
+    (``sf_dir``) so the canary follows the data tree on any machine,
+    falling back to the canonical testdata path; a skip is announced on
+    stderr instead of silently dropping cross-round normalization
+    (round-9 ADVICE)."""
+    candidates = []
+    if sf_dir:
+        candidates.append(os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01"))
+    candidates.append("/root/testdata/sf0.01")
+    canary_dir = next((d for d in candidates if os.path.isdir(d)), None)
     spec = suite.QUERIES.get("q1_pricing_summary")
-    if spec is None or not os.path.isdir(canary_dir):
+    if spec is None or canary_dir is None:
+        print(
+            f"canary skipped: no sf0.01 dir among {candidates}"
+            if spec is not None
+            else "canary skipped: q1_pricing_summary not registered",
+            file=sys.stderr,
+        )
         return None
     try:
         samples = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             spec.fn(spark, canary_dir).count()
             samples.append(time.time() - t0)
             spark.catalog.clearCache()
-        return round(sorted(samples)[1], 3)
+        return round(sorted(samples)[2], 3)
     except Exception as e:  # auxiliary — never break the bench line
         print(f"canary failed: {e!r}", file=sys.stderr)
         return None
@@ -392,7 +410,7 @@ def run_segment_mode(segment: str, sf_dir: str, sf: float) -> None:
     spark = get_spark(f"bench-{segment}")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
-    canary = _canary_sec(spark)
+    canary = _canary_sec(spark, sf_dir)
     timings = run_queries(spark, _segment_names(segment), sf_dir)
     print(json.dumps({
         "metric": f"segment_{segment}_runtime",
@@ -463,7 +481,7 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
-    canary = _canary_sec(spark)
+    canary = _canary_sec(spark, sf_dir)
 
     all_queries = [n for _, names in SEGMENTS for n in names]
     timings = run_queries(spark, all_queries, sf_dir)

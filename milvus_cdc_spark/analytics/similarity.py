@@ -330,12 +330,21 @@ def ivf_assign(
         F.col(vec_col).alias("_vvec"),
         vecf.norm(F.col(vec_col)).alias("_vn"),
     )
+    # Degenerate guard (round-9 ADVICE): a zero-norm vector or centroid
+    # would throw DIVIDE_BY_ZERO under ANSI mode, and a NaN component
+    # would rank FIRST in the window path (_csim.desc() sorts NaN
+    # largest) but LAST in the aggregate path (min avoids NaN). Map both
+    # cases to -2.0 — strictly below any real cosine — so the candidate
+    # ranks last (ties -> lower centroid id) identically in both paths.
+    _den = F.col("_vn") * F.col("cn")
+    _raw = F.when(
+        _den > 0,
+        F.round(vecf.dot(F.col("_vvec"), F.col("cvec")) / _den, 6),
+    )
     scored = v.join(F.broadcast(cen)).select(
         "_vid",
         "centroid_id",
-        F.round(
-            vecf.dot(F.col("_vvec"), F.col("cvec")) / (F.col("_vn") * F.col("cn")), 6
-        ).alias("_csim"),
+        F.coalesce(F.nanvl(_raw, F.lit(-2.0)), F.lit(-2.0)).alias("_csim"),
     )
     if n_probe == 1:
         # argmax csim (ties -> lower centroid id) == min of (-csim, cid);

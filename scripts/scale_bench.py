@@ -360,6 +360,14 @@ def queries():
         # fold is one conditional aggregate over the op stream (x10).
         "kcore_prune_rounds": suite.QUERIES["kcore_prune_rounds"].fn,
         "delete_by_expr_replay": suite.QUERIES["delete_by_expr_replay"].fn,
+        # round-10 additions (VERDICT r9 #4): the r9 skinny-extremum
+        # reshape of ivf_assign / the ANN top-k was A/B'd at sf0.1 only;
+        # confirm at 10x. Queries are fixed (10-16), so cost must track
+        # the corpus alone — ivf_topk's axis is the n x k assignment +
+        # probed lists, ann_recall's the exact brute-force baseline scan
+        # (the bucketed side prunes with the corpus-sized bucket count).
+        "ivf_topk": suite.QUERIES["ivf_topk"].fn,
+        "ann_recall": suite.QUERIES["ann_recall"].fn,
     }
 
 

@@ -752,6 +752,50 @@ def test_ivf_train_lloyd_invariants(spark, sf_dir):
     _ = math
 
 
+def test_ivf_assign_degenerate_vectors_rank_last_in_both_paths(spark):
+    """Round-9 ADVICE: the n_probe=1 aggregate path and the n_probe>1
+    window path must rank identically on degenerate inputs. A zero-norm
+    vector or centroid (divide-by-zero under ANSI) and a NaN component
+    must not throw, and the degenerate candidate must rank LAST in both
+    paths (sentinel -2.0, ties -> lower centroid id)."""
+    import math
+
+    from milvus_cdc_spark.analytics.similarity import ivf_assign
+
+    cents = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),          # zero-norm centroid: never wins
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (10, [2.0, 0.1]),          # clean: nearest centroid 1
+            (11, [0.0, 0.0]),          # zero-norm vector: all csim -> -2
+            (12, [float("nan"), 1.0]),  # NaN component: all csim -> -2
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    agg = {
+        r.vec_id: r.centroid_id
+        for r in ivf_assign(vecs, cents, n_probe=1).collect()
+    }
+    # clean row -> nearest real centroid; degenerate rows tie at the
+    # sentinel, so the lowest centroid id wins in BOTH paths
+    assert agg == {10: 1, 11: 0, 12: 0}
+    win: dict[int, set[int]] = {}
+    for r in ivf_assign(vecs, cents, n_probe=2).collect():
+        win.setdefault(r.vec_id, set()).add(r.centroid_id)
+    # window path: clean row probes its two real centroids; degenerate
+    # rows tie at -2.0 and take the two lowest centroid ids — NaN no
+    # longer ranks first (the pre-guard divergence)
+    assert win == {10: {1, 2}, 11: {0, 1}, 12: {0, 1}}, win
+    assert all(agg[vid] in win[vid] for vid in agg)
+    _ = math
+
+
 def test_connected_components_shapes(spark):
     """Min-label propagation components: chain, triangle, isolated pair —
     every node labeled with its component's min id; convergence needs

@@ -809,3 +809,60 @@ def test_scan_node_budget(spark, sf_dir, name):
     n = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
     assert n <= SCAN_NODE_BUDGETS[name], (name, n, plan[:2000])
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# BNLJ build-side audit (round-9 verdict #5): every BroadcastNestedLoopJoin
+# must broadcast a BOUNDED frame — 1-row cutoffs, LUTs, centroid frames,
+# literal query sets. A reshape that routes a data-sized frame into a BNLJ
+# build side OOMs the driver at 100 TB; the audit catches it structurally.
+# ---------------------------------------------------------------------------
+
+
+def test_bnlj_build_sides_bounded_in_plans_md():
+    """Audit the checked-in PLANS.md artifact: every BNLJ build side in
+    every dumped plan must classify bounded. PLANS.md is regenerated by
+    scripts/dump_plans.py each round (which now fails on a violation
+    itself); this test re-checks the artifact so a stale or hand-edited
+    dump cannot hide an unbounded broadcast."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    md = open(path).read()
+    sections = re.split(r"^## ", md, flags=re.M)[1:]
+    assert len(sections) >= 50, "PLANS.md unexpectedly small"
+    total = 0
+    bad = []
+    for sec in sections:
+        name = sec.splitlines()[0].strip()
+        m = re.search(r"```\n(.*?)```", sec, re.S)
+        if not m:
+            continue
+        for rec in audit.bnlj_build_audit(m.group(1)):
+            total += 1
+            if rec["verdict"] != "bounded":
+                bad.append((name, rec))
+    assert total >= 50, f"expected many BNLJs across PLANS.md, saw {total}"
+    assert not bad, bad
+
+
+def test_bnlj_audit_flags_data_sized_broadcast(spark, sf_dir):
+    """Negative control: a deliberate data-sized broadcast (full
+    documents scan, no filter/aggregate, crossJoined) must be flagged
+    unbounded — proving the auditor can actually fail."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    one = spark.range(1)
+    df = one.crossJoin(F.broadcast(docs.select("doc_id", "text")))
+    recs = audit.bnlj_build_audit(audit.formatted_plan(df))
+    assert recs, "expected a BNLJ in the deliberate cross join"
+    assert any(r["verdict"] == "unbounded" for r in recs), recs
+
+
+def test_bnlj_audit_accepts_live_bounded_queries(spark, sf_dir):
+    """Positive control on live plans (not the artifact): two BNLJ-heavy
+    queries from different families classify bounded end-to-end."""
+    for name in ("filtered_ann_topk", "temperature_mixing_rates"):
+        df = suite.QUERIES[name].fn(spark, sf_dir)
+        recs = audit.assert_bnlj_bounded(audit.formatted_plan(df), name)
+        assert recs, f"{name}: expected at least one BNLJ"
+    spark.catalog.clearCache()
