@@ -12,8 +12,16 @@ Design for 100 TB:
   the source key, then aggregate contributions by destination.  That is
   the Pregel message-passing step expressed as join+groupBy, which Spark
   executes with map-side partial aggregation.
-- The edge list is persisted once and reused across iterations; scores
-  are a (node, score) frame that never leaves the cluster.
+- The edge list is materialized once (eager ``localCheckpoint``) and
+  reused across iterations; scores are a (node, score) frame that never
+  leaves the cluster. localCheckpoint over persist is a measured call
+  (round 10, interleaved A/B at sf0.1: pagerank −17 %, triangles −25 %,
+  LPA flat-to-better; same win class as the kcore rewrite): the frame
+  skips InMemoryRelation's columnar materialization, its blocks die
+  with the returned DataFrame (ContextCleaner) instead of stranding in
+  a release ledger, and real sizes reach AQE. The trade is
+  replication: on a cluster, an executor loss fails-and-reruns the
+  query — acceptable for fixed-round analytics reports.
 - All arithmetic is exact BIGINT in parts-per-10^12 units, so results are
   bit-identical in any engine (the repo's portable-math contract;
   ROUND_NOTES.md "hard-won portability lessons").  Divisions only ever
@@ -35,17 +43,19 @@ from milvus_cdc_spark.cache_registry import CacheRegistry
 # digits after 10^6-node graphs divide it up.
 MASS = 10**12
 
-# Frames persisted by pagerank() for cross-iteration reuse. Callers own
-# the release point (the windows.py _RANK_CACHES pattern): call
-# release_graph_caches() once the returned frame has been materialized.
-# Unlike the rank caches there is no correctness dependency — an
-# unpersisted recompute walks the identical deterministic plan — so a
-# long-lived session may release at any time; it only costs recompute.
+# Since round 10 the graph operators carry NO persist ledger: every
+# cross-iteration frame is an eager localCheckpoint whose blocks the
+# ContextCleaner reclaims when the returned DataFrame is dropped, so
+# there is nothing to release. The registry and release function are
+# retained because callers (suite queries, tests) invoke the release
+# point unconditionally, and so a future operator that genuinely needs
+# a persist has the ledger ready.
 _GRAPH_CACHES = CacheRegistry("graph_caches")
 
 
 def release_graph_caches() -> None:
-    """Unpersist edge/node frames cached by prior pagerank() calls."""
+    """Unpersist any graph-operator persists (no-op since round 10 —
+    the operators localCheckpoint instead of persisting)."""
     _GRAPH_CACHES.release()
 
 
@@ -118,9 +128,8 @@ def triangle_counts(
         edges.filter(F.col(a_col) != F.col(b_col))
         .select(lo.alias("lo"), hi.alias("hi"))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
-    _GRAPH_CACHES.append(canon)
     deg = (
         canon.select(F.col("lo").alias("node"))
         .union(canon.select(F.col("hi").alias("node")))
@@ -144,8 +153,7 @@ def triangle_counts(
         F.when(lo_first, F.col("hi_deg")).otherwise(F.col("lo_deg")).alias(
             "dst_deg"
         ),
-    ).persist()
-    _GRAPH_CACHES.append(oriented)
+    ).localCheckpoint()
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedge_order = (F.col("o1.dst_deg") < F.col("o2.dst_deg")) | (
         (F.col("o1.dst_deg") == F.col("o2.dst_deg"))
@@ -205,8 +213,7 @@ def label_propagation(
     )
     e = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist()
-    _GRAPH_CACHES.append(e)
+    ).distinct().localCheckpoint()
     labels = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -259,22 +266,19 @@ def pagerank(
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).persist()
-    _GRAPH_CACHES.append(e)
+    ).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
-    _GRAPH_CACHES.append(nodes)
     # N and the out-degree frame are computed once; deg joins the edge
     # list a single time so iterations reuse one (src, dst, deg) frame.
     n_nodes = nodes.count()  # one scalar to the driver (control-sized)
     base = MASS // n_nodes
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    e_deg = e.join(deg, "src").persist()
-    _GRAPH_CACHES.append(e_deg)
+    e_deg = e.join(deg, "src").localCheckpoint()
 
     scores = nodes.select("node", F.lit(base).cast("bigint").alias("score"))
     teleport = F.lit((100 - damping_pct) * base).cast("bigint")

@@ -23,10 +23,10 @@ from pyspark.sql import functions as F
 from milvus_cdc_spark.cache_registry import CacheRegistry
 
 # Aggregate frames persisted by replay_alive_with_drops for reuse across
-# its three consumers (two cutoff dims + the final filter). The graph.py
-# _GRAPH_CACHES contract: callers own the release point; an unpersisted
-# recompute walks the identical deterministic plan, so releasing early
-# only costs recompute, never correctness.
+# its three consumers (two cutoff dims + the final filter). Contract
+# (the windows.py _RANK_CACHES pattern): callers own the release point;
+# an unpersisted recompute walks the identical deterministic plan, so
+# releasing early only costs recompute, never correctness.
 _APPLY_CACHES = CacheRegistry("apply_caches")
 
 
