@@ -531,11 +531,13 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf,
-        # VM-speed canary (median-of-3 q1@sf0.01, this JVM + the r1
-        # segment JVM): divide cross-round numbers by the canary ratio
-        # to normalize away whole-VM drift (r8 lesson)
+        # VM-speed canary (median-of-5 q1@sf0.01, one per JVM): divide a
+        # segment by ITS JVM's canary ratio to normalize whole-VM drift
+        # (r8 lesson; method + calibration limits in BENCH_NORMALIZED.md)
         "canary_sec": canary,
         "canary_sec_r1_jvm": isolated.get("canary_sec"),
+        "canary_sec_heavy_jvm": heavy_iso.get("canary_sec"),
+        "canary_sec_noisy_jvm": noisy_iso.get("canary_sec"),
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
         **subtotals,
         # anchor segments in fresh JVMs before anything else ran — the
