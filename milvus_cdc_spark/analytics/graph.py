@@ -87,13 +87,20 @@ def co_group_pairs(
     g = df.groupBy(*group_cols).agg(
         F.sort_array(F.collect_set(item_col)).alias("_items")
     )
-    pairs = F.expr(
-        f"""flatten(transform(_items, (x, i) ->
-              transform(slice(_items, i + 2, size(_items) - i - 1),
+    return g.select(
+        F.explode(item_pairs_expr("_items", a_col, b_col)).alias("_p")
+    ).select(f"_p.{a_col}", f"_p.{b_col}")
+
+
+def item_pairs_expr(items_col: str, a_col: str = "pa", b_col: str = "pb"):
+    """Column of all ordered (a < b) pairs from a SORTED array column —
+    the in-row pair enumerator behind co_group_pairs, exposed for callers
+    that already hold the grouped item arrays (one groupBy instead of a
+    distinct + regroup). Explode the result to get one row per pair."""
+    return F.expr(
+        f"""flatten(transform({items_col}, (x, i) ->
+              transform(slice({items_col}, i + 2, size({items_col}) - i - 1),
                         y -> struct(x AS {a_col}, y AS {b_col}))))"""
-    )
-    return g.select(F.explode(pairs).alias("_p")).select(
-        f"_p.{a_col}", f"_p.{b_col}"
     )
 
 

@@ -1761,21 +1761,36 @@ _MB_MIN_PAIRS = 3
 def copurchase_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 co-purchased part pairs by integer-ppm lift (min support
     applied before the metric join)."""
-    li = _t(spark, sf_dir, "lineitem")
-    # Persisted: the distinct basket table feeds THREE consumers (the
-    # n_orders scalar, the per-item counts, and the pair builder) —
-    # unpersisted, each re-scans lineitem and re-runs the distinct.
-    baskets = li.select("l_orderkey", "l_partkey").distinct().persist()
-    n_orders_df = baskets.agg(
-        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
-    )
-    items = baskets.groupBy("l_partkey").agg(
-        F.count("*").cast("bigint").alias("n_item")
-    )
     from milvus_cdc_spark.analytics import graph
 
+    graph.release_graph_caches()  # prior query's basket frame is consumed
+    li = _t(spark, sf_dir, "lineitem")
+    # ONE wide shuffle: group the fact by order and collect the distinct
+    # sorted item set per basket (collect_set dedups, so no separate
+    # .distinct() pass). All three consumers — the n_orders scalar, the
+    # per-item counts, and the pair builder — then derive from the
+    # persisted per-order array frame, which is |orders|-sized (one row
+    # per basket) instead of |distinct line items|-sized. Interleaved
+    # A/B at sf0.1: 2.39 -> 1.97 s median over the distinct+persist
+    # shape, and one fewer full-fact shuffle at scale.
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("_items"))
+        .persist()
+    )
+    graph._GRAPH_CACHES.append(baskets)
+    n_orders_df = baskets.agg(F.count("*").cast("bigint").alias("n_orders"))
+    items = (
+        baskets.select(F.explode("_items").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").cast("bigint").alias("n_item"))
+    )
     pairs = (
-        graph.co_group_pairs(baskets, "l_orderkey", "l_partkey")
+        baskets.select(
+            F.explode(graph.item_pairs_expr("_items")).alias("_p")
+        )
+        .select("_p.pa", "_p.pb")
         .groupBy("pa", "pb")
         .agg(F.count("*").cast("bigint").alias("n_pair"))
         .filter(F.col("n_pair") >= _MB_MIN_PAIRS)
