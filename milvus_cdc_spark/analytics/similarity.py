@@ -56,6 +56,37 @@ def release_similarity_caches() -> None:
     _MMR_CACHES.release()
 
 
+def parallelize_expansion(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a small input ahead of a row-EXPANDING
+    operator (a crossJoin scorer, a candidate fan-out) when its scan
+    parallelism is below the session's core count.
+
+    A quadratic scorer's work is |corpus| x |queries| while its input is
+    |corpus|-sized, so Spark's split sizing (bytes in) wildly
+    under-parallelizes it: a sub-4 MB single-file corpus scans as ONE
+    split and the whole expansion serializes on one core while 31 idle.
+    Shuffling the small side first costs ~nothing relative to the
+    expansion (interleaved A/B at sf0.1, knn shape: 1.83 -> 0.83 s
+    median). At real scale the input already carries >= cores splits and
+    this reduces to the getNumPartitions probe; row order downstream is
+    irrelevant because every consumer re-shuffles (groupBy / window) by
+    its own key.
+
+    Boundary (measured, do not widen): this pays ONLY where the
+    expansion factor is large — brute_force_topk's |queries|-way
+    crossJoin (hundreds of pairs per input row). Applying it at the
+    ivf_train / ivf_assign / pq_train / pq_encode / _l2_assign_one
+    entries was a wash-to-regression in an interleaved on/off A/B at
+    sf0.1 (semdedup_prune +12%): their k<=16-way expansions with
+    map-side combine do too little work per input row to repay the
+    extra shuffle plus the plan->RDD probe on already-derived inputs.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -87,7 +118,7 @@ def brute_force_topk(
         F.col(vec_col).alias("qvec"),
         vecf.norm(F.col(vec_col)).alias("qnorm"),
     )
-    c = corpus.select(
+    c = parallelize_expansion(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         vecf.norm(F.col(vec_col)).alias("cnorm"),
