@@ -18,6 +18,16 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right fold — matches a serial engine's '+'
+    chain bit-for-bit.
+
+    NOTE (measured, do not "optimize"): unrolling this into a flat
+    128-term element_at sum for a fixed 64-dim ran 4x SLOWER at sf0.1
+    (SCALE.md §5p — expression-size/codegen blowout), and the in-row
+    collect_list'd variants regressed 20-200% (§5l). The HOF shape is
+    the fast one; parallelism concerns belong to the CALLER's
+    partitioning (similarity.parallelize_expansion), not this
+    expression."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

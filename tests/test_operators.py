@@ -206,6 +206,26 @@ def test_bf16_encode_nan_inf_and_rounding(spark):
     assert (got[finite] == want[finite]).all()
 
 
+def test_parallelize_expansion_spreads_single_split_only(spark, sf_dir):
+    """The crossJoin-scorer input spreads to defaultParallelism when its
+    scan is under-split (the local single-file case), passes through
+    UNTOUCHED when already at/above it (the at-scale case), and never
+    changes the row multiset."""
+    from milvus_cdc_spark.analytics import similarity
+    from milvus_cdc_spark.catalog import load_table
+
+    target = spark.sparkContext.defaultParallelism
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert emb.rdd.getNumPartitions() < target  # fixture premise
+    out = similarity.parallelize_expansion(emb)
+    assert out.rdd.getNumPartitions() == target
+    assert sorted(r.vec_id for r in out.select("vec_id").collect()) == sorted(
+        r.vec_id for r in emb.select("vec_id").collect()
+    )
+    wide = emb.repartition(target)
+    assert similarity.parallelize_expansion(wide) is wide
+
+
 def test_multiprobe_recall_dominates_single_bucket(spark, sf_dir):
     """The recall/cost dial is real: multi-probe recall@3 >= single-bucket
     recall@3 on every query, and strictly better in aggregate here."""
