@@ -93,6 +93,16 @@ _PUSHED_LIMIT_RE = _re.compile(
 #: Driver-side Filter conditions that bound or fixed-fraction-sample the
 #: scan: modulo-equality query sampling ((vec_id % 20) = 0) or a literal
 #: numeric comparison that did not push down (casts in the way).
+#: Pushed literal key-set filters — In(col, [lit, ...]) / EqualTo(col,
+#: lit). PushedFilters only ever carry literal operands, so any match
+#: fixes the scan's KEY cardinality (not its row count — callers pair
+#: this with an aggregate-on-path check).
+_PUSHED_KEYSET_RE = _re.compile(r"(?:In|EqualTo)\([A-Za-z_][\w.]*,\s*\[?[^)]*\)")
+#: The same key-set evidence as a driver-side Filter condition (post-
+#: cache filters don't push): ``tok#123 IN (batch,data,...)`` /
+#: ``INSET``. Filter conditions only compare against literals on the
+#: right of IN/INSET, so a match fixes the scan's key cardinality.
+_FILTER_KEYSET_RE = _re.compile(r"#\d+L?\s+(?:IN\s*\(|INSET\s)")
 _FILTER_SAMPLE_RE = _re.compile(r"%\s*\d+\)?\s*\)?\s*=\s*\d+")
 _FILTER_LIMIT_RE = _re.compile(r"#\d+L?\)?\s*(?:<|<=|=)\s*-?\d+(?:\.\d+)?\)")
 
@@ -281,4 +291,135 @@ def assert_bnlj_bounded(plan: str, context: str = "") -> list[dict]:
     recs = bnlj_build_audit(plan)
     bad = [r for r in recs if r["verdict"] != "bounded"]
     assert not bad, f"{context}: unbounded BNLJ build sides: {bad}"
+    return recs
+
+
+def single_partition_audit(plan: str) -> list[dict]:
+    """Classify every ``Exchange SinglePartition`` in a formatted plan.
+
+    A SinglePartition exchange funnels its whole input through ONE task —
+    the structural opposite of "scales with the data". The benign class
+    is the global-scalar shuffle: the exchange's child is a PARTIAL
+    aggregate (``partial_sum``/``partial_count``/... in its Functions
+    detail), so exactly one buffer row per upstream partition moves.
+    Also benign: a ``LocalLimit`` child (<= limit rows per partition)
+    and subtrees whose only sources are literal-sized leaves
+    (LocalTableScan / Range / ReusedExchange / ExistingRDD control
+    frames). Anything else — canonically a Window or global
+    row_number over an empty partitionBy on a data-sized frame — is
+    *data_sized*: at 100 TB that task is the job.
+
+    Returns one record per SinglePartition exchange::
+
+        {"exchange_id": int, "verdict": "benign" | "data_sized",
+         "evidence": [str, ...]}
+    """
+    nodes = parse_plan_tree(plan)
+    details = node_details(plan)
+    out: list[dict] = []
+    for i, (depth, name, nid) in enumerate(nodes):
+        if "Exchange" not in name or "ReusedExchange" in name:
+            continue
+        if "SinglePartition" not in details.get(nid, ""):
+            continue
+        rec = {"exchange_id": nid, "verdict": "data_sized", "evidence": []}
+        sub = _subtree(nodes, i)
+        child = sub[1] if len(sub) > 1 else None
+        if child is not None and "Aggregate" in child[1]:
+            funcs = details.get(child[2], "")
+            if _re.search(r"Functions(?: \[\d+\])?: \[[^\]]*partial_", funcs):
+                rec["verdict"] = "benign"
+                rec["evidence"].append(
+                    f"child partial aggregate ({child[2]}): one buffer row "
+                    f"per upstream partition"
+                )
+                out.append(rec)
+                continue
+        if child is not None and child[1].startswith("LocalLimit"):
+            rec["verdict"] = "benign"
+            rec["evidence"].append(
+                f"child LocalLimit ({child[2]}): <= limit rows per partition"
+            )
+            out.append(rec)
+            continue
+        scans = [(k, n) for k, n in enumerate(sub) if "Scan parquet" in n[1]]
+        if not scans:
+            kinds = sorted({n[1].split()[0] for n in sub[1:]})
+            rec["verdict"] = "benign"
+            rec["evidence"].append(f"literal-only sources below: {kinds}")
+            out.append(rec)
+            continue
+        # Per-scan bounding evidence, STRICTER than the BNLJ audit's: a
+        # bare aggregate ancestor does NOT bound a SinglePartition input
+        # (groupBy(doc_id) -> global window is exactly the accident this
+        # catches). What does: a pushed literal numeric limit; a pushed
+        # literal In/EqualTo key filter COMBINED with an aggregate on the
+        # path (the scan collapses to <= |literal set| key groups — the
+        # drop_ratio query-vector shape); or a sampling/limit Filter.
+        all_ok = True
+        for k, scan in scans:
+            path = []
+            want = scan[0]
+            for n in reversed(sub[:k]):
+                if n[0] < want:
+                    path.append(n)
+                    want = n[0]
+            pf = details.get(scan[2], "")
+            pushed = _re.search(r"PushedFilters: \[([^\]]*\]?[^\]]*)\]", pf)
+            ptxt = pushed.group(1) if pushed else ""
+            agg = next((n for n in path if "Aggregate" in n[1]), None)
+            if _PUSHED_LIMIT_RE.search(ptxt):
+                rec["evidence"].append(
+                    f"scan({scan[2]}) pushed literal limit: {ptxt}"
+                )
+                continue
+            keyset_filter = next(
+                (
+                    n
+                    for n in path
+                    if n[1].startswith("Filter")
+                    and _FILTER_KEYSET_RE.search(details.get(n[2], ""))
+                ),
+                None,
+            )
+            if agg is not None and (
+                _PUSHED_KEYSET_RE.search(ptxt) or keyset_filter is not None
+            ):
+                rec["evidence"].append(
+                    f"scan({scan[2]}) literal key-set filter + aggregate "
+                    f"({agg[2]}): collapses to the literal set's groups"
+                )
+                continue
+            filt = next(
+                (
+                    n
+                    for n in path
+                    if n[1].startswith("Filter")
+                    and (
+                        _FILTER_SAMPLE_RE.search(details.get(n[2], ""))
+                        or _FILTER_LIMIT_RE.search(details.get(n[2], ""))
+                    )
+                ),
+                None,
+            )
+            if filt is not None:
+                rec["evidence"].append(
+                    f"scan({scan[2]}) under sampling/limit Filter ({filt[2]})"
+                )
+                continue
+            all_ok = False
+            rec["evidence"].append(
+                f"scan({scan[2]}) DATA-SIZED into one task (child "
+                f"{child[1] if child else '?'}; PushedFilters={ptxt or '?'})"
+            )
+        rec["verdict"] = "benign" if all_ok else "data_sized"
+        out.append(rec)
+    return out
+
+
+def assert_single_partition_benign(plan: str, context: str = "") -> list[dict]:
+    """Raise AssertionError if any SinglePartition exchange is data-sized."""
+    recs = single_partition_audit(plan)
+    bad = [r for r in recs if r["verdict"] != "benign"]
+    assert not bad, f"{context}: data-sized SinglePartition exchanges: {bad}"
     return recs

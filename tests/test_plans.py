@@ -846,6 +846,62 @@ def test_bnlj_build_sides_bounded_in_plans_md():
     assert not bad, bad
 
 
+def test_single_partition_benign_in_plans_md():
+    """Audit the checked-in PLANS.md artifact: every SinglePartition
+    exchange must classify benign (partial-aggregate buffers, LocalLimit,
+    literal-only sources, or key-set-bounded scans). Regenerated dumps
+    fail on a violation themselves; this re-checks the artifact."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    md = open(path).read()
+    sections = re.split(r"^## ", md, flags=re.M)[1:]
+    total = 0
+    bad = []
+    for sec in sections:
+        name = sec.splitlines()[0].strip()
+        m = re.search(r"```\n(.*?)```", sec, re.S)
+        if not m:
+            continue
+        for rec in audit.single_partition_audit(m.group(1)):
+            total += 1
+            if rec["verdict"] != "benign":
+                bad.append((name, rec))
+    assert total >= 30, f"expected many SinglePartition exchanges, saw {total}"
+    assert not bad, bad
+
+
+def test_single_partition_audit_flags_global_window(spark, sf_dir):
+    """Negative control: a global row_number (empty partitionBy) over a
+    raw parquet frame funnels the whole table through one task — must
+    classify data_sized, proving the auditor can fail."""
+    from pyspark.sql import Window as W
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # r > 5, not r <= 5: a top-k filter is rewritten by
+    # LimitPushdownThroughWindow into TakeOrderedAndProject (no exchange
+    # at all — itself a nice property), so invert it to force the real
+    # SinglePartition window funnel.
+    df = docs.withColumn(
+        "r", F.row_number().over(W.orderBy("doc_id"))
+    ).filter(F.col("r") > 5)
+    recs = audit.single_partition_audit(audit.formatted_plan(df))
+    assert recs, "expected a SinglePartition exchange under the global window"
+    assert any(r["verdict"] == "data_sized" for r in recs), recs
+
+
+def test_single_partition_audit_accepts_live_benign_queries(spark, sf_dir):
+    """Positive control on live plans: a global-scalar family and the
+    drop_ratio query-vector shape both classify benign end-to-end."""
+    for name in ("ks_drift_test", "fulltext_drop_ratio"):
+        df = suite.QUERIES[name].fn(spark, sf_dir)
+        recs = audit.assert_single_partition_benign(
+            audit.formatted_plan(df), name
+        )
+        assert recs, f"{name}: expected at least one SinglePartition"
+    spark.catalog.clearCache()
+
+
 def test_bnlj_audit_flags_data_sized_broadcast(spark, sf_dir):
     """Negative control: a deliberate data-sized broadcast (full
     documents scan, no filter/aggregate, crossJoined) must be flagged
