@@ -3399,6 +3399,16 @@ from milvus_cdc_spark import suite_eval  # noqa: E402,F401  (import-for-effect)
 # (alphabetical from bigram_lm_quality through search_iterator_page).
 # After r11 every registry row's latest driver check is r6+ and the sweep
 # continues into the r6/r7 cohorts in r12.
+#
+# r12 ROTATION PROPOSAL (same rule, one more step): anchors + the 9
+# r6-remainder rows — semdedup_prune, session_window_agg,
+# setsim_prefix_join, sliding_window_agg, streaming_watermark_finalize,
+# tfidf_keywords, tombstone_metadata_filter, triangle_parts_topk,
+# tumbling_window — then the 39 oldest r7 rows (alphabetical from
+# benford_first_digit through quality_quantile_normalize). r13 then
+# takes the 9 r7-remainder rows (random_sample_filter …
+# zorder_layout_pruning) plus the oldest r8 rows, and the sweep is
+# fully caught up to the rotation cadence.
 PRIORITY: tuple[str, ...] = (
     # -- 2 regression anchors (driver-green r1-r9) --
     "q1_pricing_summary",        # flagship; TPC-H Q1 agg
