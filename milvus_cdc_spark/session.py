@@ -87,5 +87,20 @@ def get_spark(app_name: str = "milvus_cdc_spark", shuffle_partitions: int | None
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
         )
+        # AQE coalesces post-shuffle partitions by BYTES, and the default
+        # 1 MB floor under-parallelizes expression-dense stages whose
+        # array payloads arrive via broadcast joins (the candidate-verify
+        # frames of the dedup/vector families measured 2-task stages with
+        # 30 cores idle). 64 KB lets AQE keep CPU-heavy small-byte stages
+        # wide; interleaved on/off A/Bs over 22 queries at sf0.1 were
+        # uniformly flat-to-better (banded_cosine −58 %, near_dup_clusters
+        # −36 %, zero regressions, values identical — SCALE.md §5q). At
+        # real scale post-shuffle partitions dwarf both floors and the
+        # 64 MB advisory target governs; the floor binds exactly when
+        # bytes underestimate work.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
+        )
     )
     return builder.getOrCreate()
