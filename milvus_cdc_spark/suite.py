@@ -3376,31 +3376,23 @@ from milvus_cdc_spark import suite_eval  # noqa: E402,F401  (import-for-effect)
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness checks the FIRST 50
-# registry entries, so the front of the dict is curated. Round 10 executes
-# the rotation pre-staged in round 9 (deterministic freshness sweep over
-# the cumulative CORRECTNESS_r01-r09 ledger, which is 251/251 ever-green):
+# registry entries, so the front of the dict is curated. Round 11 executes
+# the rotation pre-staged in round 10 (deterministic freshness sweep over
+# the cumulative CORRECTNESS_r01-r10 ledger, which is 251/251 ever-green):
 # 2 regression anchors (q1_pricing_summary, cdc_replay_summary —
-# driver-green every round r1-r9) + the 9 rows whose latest driver check
-# is r4 + the 39 oldest r5-cohort rows, selected deterministically by
+# driver-green every round r1-r10) + the 9 rows whose latest driver check
+# is r5 + the 39 oldest r6-cohort rows, selected deterministically by
 # (latest driver round, name) ascending. Everything displaced has a green
-# driver row from r6-r9 and zero stale-red remains anywhere in the ledger.
-# After r10 every registry row's latest driver check is r5+ (anchors r10).
-# Names listed here but not (yet) registered are skipped, so the list can
-# lead registration.
+# driver row from r6-r10 and zero stale-red remains anywhere in the
+# ledger. After r11 every registry row's latest driver check is r6+
+# (anchors r11). Names listed here but not (yet) registered are skipped,
+# so the list can lead registration.
 # ---------------------------------------------------------------------------
 
-# r11 ROTATION PROPOSAL (pre-staged; deterministic continuation of the
-# freshness sweep by the same (latest driver round, name) ascending rule):
-# keep the two anchors, then the 9 r5-cohort rows not absorbed by this
-# window — sequence_packing, session_consistency_read, streaming_cdc_apply,
-# streaming_fingerprint_gate, temperature_mixing_rates, timetick_heartbeat,
-# unigram_logprob_quality, unpivot_part_metrics, winnowing_fingerprints —
-# then backfill the remaining 39 slots with the oldest r6 rows
-# (alphabetical from bigram_lm_quality through search_iterator_page).
-# After r11 every registry row's latest driver check is r6+ and the sweep
-# continues into the r6/r7 cohorts in r12.
-#
-# r12 ROTATION PROPOSAL (same rule, one more step): anchors + the 9
+# r12 ROTATION PROPOSAL (pre-staged; deterministic continuation of the
+# freshness sweep by the same (latest driver round, name) ascending rule,
+# recomputed against the r01-r10 ledger and matching the r10 staging
+# exactly): anchors + the 9
 # r6-remainder rows — semdedup_prune, session_window_agg,
 # setsim_prefix_join, sliding_window_agg, streaming_watermark_finalize,
 # tfidf_keywords, tombstone_metadata_filter, triangle_parts_topk,
@@ -3410,59 +3402,59 @@ from milvus_cdc_spark import suite_eval  # noqa: E402,F401  (import-for-effect)
 # zorder_layout_pruning) plus the oldest r8 rows, and the sweep is
 # fully caught up to the rotation cadence.
 PRIORITY: tuple[str, ...] = (
-    # -- 2 regression anchors (driver-green r1-r9) --
+    # -- 2 regression anchors (driver-green r1-r10) --
     "q1_pricing_summary",        # flagship; TPC-H Q1 agg
     "cdc_replay_summary",        # A7/K1 replay
-    # -- 9 r4-cohort rows (latest driver check CORRECTNESS_r04) --
-    "streaming_session_window",
-    "streaming_state_tracker",
-    "text_match_retrieval",
-    "top_supplier_revenue",
-    "topk_orders",
-    "tpch_q5_local_volume",
-    "ttl_expiry",
-    "vocab_build",
-    "window_moving_avg",
-    # -- 39 oldest r5-cohort rows, (round, name) ascending --
-    "analyzer_token_stats",
-    "anti_exists_idle_customers",
-    "bag_set_ops",
-    "banded_cosine_near_dup",
-    "binary_quantized_recall",
-    "channel_msg_counts",
-    "conditional_priority_counts",
-    "corpus_pipeline",
-    "cust_order_distribution",
-    "disjunctive_filter_revenue",
-    "error_spike_detection",
-    "exists_late_orders",
-    "expr_text_match_filter",
-    "forecast_revenue_change",
-    "frame_sample",
-    "fulltext_sparse_search",
-    "grouping_search_group_size",
-    "having_in_large_orders",
-    "hybrid_dense_fulltext_rrf",
-    "ivf_kmeans_build",
-    "ivf_pq_recall",
-    "map_kv_extract",
-    "min_cost_supplier",
-    "nation_balance_share",
-    "near_dup_clusters",
-    "near_dup_pairs",
-    "nested_semi_promo_suppliers",
-    "ngram_decontamination",
-    "partition_drop_replay",
-    "partition_key_routing",
-    "percentile_acctbal",
-    "phrase_match_slop",
-    "pq_adc_recall",
-    "promo_revenue_ratio",
-    "quality_filter_funnel",
-    "rank_analytics",
-    "returned_items_topk",
-    "rolling_hash_fingerprint",
-    "scalar_subquery_small_qty",
+    # -- 9 r5-cohort remainder rows (latest driver check CORRECTNESS_r05) --
+    "sequence_packing",
+    "session_consistency_read",
+    "streaming_cdc_apply",
+    "streaming_fingerprint_gate",
+    "temperature_mixing_rates",
+    "timetick_heartbeat",
+    "unigram_logprob_quality",
+    "unpivot_part_metrics",
+    "winnowing_fingerprints",
+    # -- 39 oldest r6-cohort rows, (round, name) ascending --
+    "bigram_lm_quality",
+    "bpe_encode_vocab",
+    "bpe_merge_training",
+    "cdc_alive_rows",
+    "cms_heavy_hitters",
+    "corpus_line_dedup",
+    "default_value_fill",
+    "delete_by_expr_replay",
+    "dsir_importance_selection",
+    "duplicate_span_coverage",
+    "expr_count_star",
+    "full_datatype_roundtrip",
+    "fulltext_drop_ratio",
+    "gopher_repetition_flags",
+    "hamming_banded_join",
+    "histogram_quantile_sketch",
+    "hll_distinct_users",
+    "hll_union_sources",
+    "ivf_nprobe_recall_curve",
+    "kcore_prune_rounds",
+    "ks_drift_test",
+    "label_propagation_communities",
+    "langid_precision_recall",
+    "maxscore_pruned_search",
+    "maxsim_ann_rerank",
+    "maxsim_multivector_topk",
+    "mmr_diversified_search",
+    "ndcg_search_eval",
+    "pagerank_trade_graph",
+    "pii_redaction_stats",
+    "pk_get_by_ids",
+    "quality_canonical_selection",
+    "quantile_sketch_merge",
+    "range_search_annulus",
+    "roc_auc_quality",
+    "scd2_asof_enrich",
+    "schema_evolution_apply",
+    "score_decile_lift",
+    "search_iterator_page",
 )
 
 
