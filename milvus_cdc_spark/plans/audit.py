@@ -87,8 +87,12 @@ import re as _re
 _NODE_RE = _re.compile(r"([A-Za-z][^()]*?)\s*\((\d+)\)\s*$")
 #: Pushed filters that bound a scan to a literal number of rows. Date-range
 #: pushdowns deliberately do NOT count: a year of orders is data-sized.
+#: The ``(?<!Not\()`` lookbehind rejects negated pushdowns: a pushed
+#: ``Not(EqualTo(col,5))``/``Not(In(col,[...]))`` selects the COMPLEMENT
+#: (data-sized), so it must not count as bounding evidence.
 _PUSHED_LIMIT_RE = _re.compile(
-    r"(?:LessThan|LessThanOrEqual|EqualTo|In)\([A-Za-z_][\w.]*,\s*-?\d+(?:\.\d+)?\)"
+    r"(?<!Not\()(?:LessThan|LessThanOrEqual|EqualTo|In)"
+    r"\([A-Za-z_][\w.]*,\s*-?\d+(?:\.\d+)?\)"
 )
 #: Driver-side Filter conditions that bound or fixed-fraction-sample the
 #: scan: modulo-equality query sampling ((vec_id % 20) = 0) or a literal
@@ -96,13 +100,32 @@ _PUSHED_LIMIT_RE = _re.compile(
 #: Pushed literal key-set filters — In(col, [lit, ...]) / EqualTo(col,
 #: lit). PushedFilters only ever carry literal operands, so any match
 #: fixes the scan's KEY cardinality (not its row count — callers pair
-#: this with an aggregate-on-path check).
-_PUSHED_KEYSET_RE = _re.compile(r"(?:In|EqualTo)\([A-Za-z_][\w.]*,\s*\[?[^)]*\)")
+#: this with an aggregate-on-path check). Negated forms
+#: (``Not(In(...))``) select the complement — data-sized — and are
+#: rejected by the lookbehind.
+_PUSHED_KEYSET_RE = _re.compile(
+    r"(?<!Not\()(?:In|EqualTo)\([A-Za-z_][\w.]*,\s*\[?[^)]*\)"
+)
 #: The same key-set evidence as a driver-side Filter condition (post-
 #: cache filters don't push): ``tok#123 IN (batch,data,...)`` /
 #: ``INSET``. Filter conditions only compare against literals on the
 #: right of IN/INSET, so a match fixes the scan's key cardinality.
-_FILTER_KEYSET_RE = _re.compile(r"#\d+L?\s+(?:IN\s*\(|INSET\s)")
+#: The optional leading group captures a negation (``NOT (tok#1 IN``/
+#: ``NOT tok#1 INSET``); matches where it fires are complements and
+#: must NOT count — use :func:`_filter_keyset_positive`.
+_FILTER_KEYSET_RE = _re.compile(
+    r"(NOT\s*\(?\s*)?[A-Za-z_][\w.]*#\d+L?\s+(?:IN\s*\(|INSET\s)"
+)
+
+
+def _filter_keyset_positive(text: str) -> bool:
+    """True iff the Filter condition carries a NON-negated literal
+    key-set predicate (``col#N IN (...)``/``INSET``). A ``NOT``-wrapped
+    IN/INSET selects the complement of a literal set — data-sized — so
+    only matches without the negation prefix count."""
+    return any(
+        m.group(1) is None for m in _FILTER_KEYSET_RE.finditer(text)
+    )
 _FILTER_SAMPLE_RE = _re.compile(r"%\s*\d+\)?\s*\)?\s*=\s*\d+")
 _FILTER_LIMIT_RE = _re.compile(r"#\d+L?\)?\s*(?:<|<=|=)\s*-?\d+(?:\.\d+)?\)")
 
@@ -252,7 +275,7 @@ def bnlj_build_audit(plan: str) -> list[dict]:
                 )
                 continue
             pf = details.get(scan[2], "")
-            pushed = _re.search(r"PushedFilters: \[([^\]]*)\]", pf)
+            pushed = _re.search(r"PushedFilters: \[(.*)\]", pf)
             if pushed and _PUSHED_LIMIT_RE.search(pushed.group(1)):
                 rec["evidence"].append(
                     f"scan({scan[2]}) pushed literal limit: {pushed.group(1)}"
@@ -302,6 +325,11 @@ def single_partition_audit(plan: str) -> list[dict]:
     is the global-scalar shuffle: the exchange's child is a PARTIAL
     aggregate (``partial_sum``/``partial_count``/... in its Functions
     detail), so exactly one buffer row per upstream partition moves.
+    ``partial_collect_*`` and exact ``partial_percentile`` do NOT
+    qualify for that blanket rule — their one buffer row carries the
+    partition's whole payload — and instead need an aggregate below the
+    collect on each scan path (one element per group; the group-
+    cardinality residual risk is the BNLJ audit's, documented there).
     Also benign: a ``LocalLimit`` child (<= limit rows per partition)
     and subtrees whose only sources are literal-sized leaves
     (LocalTableScan / Range / ReusedExchange / ExistingRDD control
@@ -325,13 +353,27 @@ def single_partition_audit(plan: str) -> list[dict]:
         rec = {"exchange_id": nid, "verdict": "data_sized", "evidence": []}
         sub = _subtree(nodes, i)
         child = sub[1] if len(sub) > 1 else None
+        unbounded_buffer = False
         if child is not None and "Aggregate" in child[1]:
             funcs = details.get(child[2], "")
-            if _re.search(r"Functions(?: \[\d+\])?: \[[^\]]*partial_", funcs):
+            # One buffer ROW per upstream partition is only benign when
+            # the buffer is fixed-SIZE. partial_collect_list/_set (and
+            # exact partial_percentile, which buffers every value) ship
+            # the partition's whole payload inside that one row, so the
+            # single final task is still data-sized in BYTES — those
+            # fall through to the per-scan evidence checks below, where
+            # an aggregate on the scan's path becomes acceptable again
+            # (the collect then holds one element per group).
+            fm = _re.search(r"Functions(?: \[\d+\])?: \[([^\]]*)\]", funcs)
+            ftxt = fm.group(1) if fm else ""
+            unbounded_buffer = bool(
+                _re.search(r"partial_(?:collect_|percentile\()", ftxt)
+            )
+            if "partial_" in ftxt and not unbounded_buffer:
                 rec["verdict"] = "benign"
                 rec["evidence"].append(
-                    f"child partial aggregate ({child[2]}): one buffer row "
-                    f"per upstream partition"
+                    f"child partial aggregate ({child[2]}): one fixed-size "
+                    f"buffer row per upstream partition"
                 )
                 out.append(rec)
                 continue
@@ -364,8 +406,12 @@ def single_partition_audit(plan: str) -> list[dict]:
                 if n[0] < want:
                     path.append(n)
                     want = n[0]
+            # Greedy to the last ']' on the line: the detail renders
+            # PushedFilters on one line, and entries like In(col,[..])
+            # embed ']' — a non-greedy/char-class bound truncates there
+            # and drops later entries (fail-closed, but fragile).
             pf = details.get(scan[2], "")
-            pushed = _re.search(r"PushedFilters: \[([^\]]*\]?[^\]]*)\]", pf)
+            pushed = _re.search(r"PushedFilters: \[(.*)\]", pf)
             ptxt = pushed.group(1) if pushed else ""
             agg = next((n for n in path if "Aggregate" in n[1]), None)
             if _PUSHED_LIMIT_RE.search(ptxt):
@@ -378,7 +424,7 @@ def single_partition_audit(plan: str) -> list[dict]:
                     n
                     for n in path
                     if n[1].startswith("Filter")
-                    and _FILTER_KEYSET_RE.search(details.get(n[2], ""))
+                    and _filter_keyset_positive(details.get(n[2], ""))
                 ),
                 None,
             )
@@ -388,6 +434,32 @@ def single_partition_audit(plan: str) -> list[dict]:
                 rec["evidence"].append(
                     f"scan({scan[2]}) literal key-set filter + aggregate "
                     f"({agg[2]}): collapses to the literal set's groups"
+                )
+                continue
+            # Collect-buffer child (partial_collect_/partial_percentile):
+            # an aggregate BELOW the collect bounds its element count to
+            # one per group, so the single task holds |groups| structs —
+            # the BNLJ audit's contract. Residual risk, accepted and
+            # mirrored from there: an aggregate KEYED BY a data-sized
+            # column (groupBy(doc_id) -> collect_list) still passes;
+            # static plan text cannot see group cardinality. A collect
+            # straight off a raw scan stays data_sized.
+            below_agg = next(
+                (
+                    n
+                    for n in path
+                    if "Aggregate" in n[1]
+                    and (child is None or n[2] != child[2])
+                ),
+                None,
+            )
+            if unbounded_buffer and below_agg is not None:
+                keys = "Keys: []" in details.get(below_agg[2], "")
+                rec["evidence"].append(
+                    f"scan({scan[2]}) collect-buffer over "
+                    f"{'global' if keys else 'keyed'} aggregate "
+                    f"({below_agg[2]}): one element per group "
+                    f"(residual risk: group cardinality unproven)"
                 )
                 continue
             filt = next(

@@ -922,3 +922,73 @@ def test_bnlj_audit_accepts_live_bounded_queries(spark, sf_dir):
         recs = audit.assert_bnlj_bounded(audit.formatted_plan(df), name)
         assert recs, f"{name}: expected at least one BNLJ"
     spark.catalog.clearCache()
+
+
+def test_keyset_evidence_rejects_negations():
+    """ADVICE r10 (medium): a negated key-set predicate selects the
+    COMPLEMENT of a literal set — data-sized — and must not count as
+    bounding evidence, pushed or driver-side."""
+    # pushed side: positive forms match, Not(...)-wrapped forms don't
+    assert audit._PUSHED_KEYSET_RE.search("In(lang, [en,fr])")
+    assert audit._PUSHED_KEYSET_RE.search("EqualTo(lang,en)")
+    assert not audit._PUSHED_KEYSET_RE.search("Not(In(lang, [en,fr]))")
+    assert not audit._PUSHED_KEYSET_RE.search("Not(EqualTo(lang,en))")
+    # pushed literal limit: same negation rule
+    assert audit._PUSHED_LIMIT_RE.search("LessThan(vec_id,5)")
+    assert not audit._PUSHED_LIMIT_RE.search("Not(EqualTo(vec_id,5))")
+    # driver-side Filter condition
+    assert audit._filter_keyset_positive("lang#5 IN (en,fr)")
+    assert audit._filter_keyset_positive("tok#12L INSET batch,data")
+    assert not audit._filter_keyset_positive("NOT (lang#5 IN (en,fr))")
+    assert not audit._filter_keyset_positive("NOT lang#5 INSET en,fr")
+    assert not audit._filter_keyset_positive(
+        "isnotnull(lang#5) AND NOT (lang#5 IN (en,fr))"
+    )
+    # a genuine positive alongside a negation still counts
+    assert audit._filter_keyset_positive(
+        "src#1 IN (a,b) AND NOT (lang#5 IN (en,fr))"
+    )
+
+
+def test_pushed_filters_capture_spans_embedded_brackets():
+    """ADVICE r10 (low): the PushedFilters capture must survive multiple
+    embedded ']' — e.g. two In(col,[...]) entries followed by a literal
+    limit — without truncating away later entries."""
+    detail = (
+        "Scan parquet\nOutput [2]: [a#1, b#2]\n"
+        "PushedFilters: [In(a, [1,2]), In(b, [3,4]), LessThan(vec_id,5)]\n"
+        "ReadSchema: struct<a:int,b:int>"
+    )
+    m = re.search(r"PushedFilters: \[(.*)\]", detail)
+    assert m and "LessThan(vec_id,5)" in m.group(1), m and m.group(1)
+    assert audit._PUSHED_LIMIT_RE.search(m.group(1))
+
+
+def test_single_partition_audit_flags_global_collect(spark, sf_dir):
+    """ADVICE r10 (low): a global collect_list straight off a raw scan
+    ships every row's payload into ONE final task — the partial_collect_
+    buffer is partition-count-bounded in ROWS but data-sized in BYTES,
+    so it must classify data_sized, not benign."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = docs.agg(F.collect_list("text").alias("all_texts"))
+    recs = audit.single_partition_audit(audit.formatted_plan(df))
+    assert recs, "expected a SinglePartition exchange under global collect"
+    assert any(r["verdict"] == "data_sized" for r in recs), recs
+
+
+def test_single_partition_audit_accepts_collect_over_aggregate(spark, sf_dir):
+    """Positive control for the refined collect rule: collecting the
+    result of a keyed aggregate holds one element per group (the
+    kmeans_silhouette centroid-frame shape) — classifies benign with
+    the residual-risk evidence string."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_lang = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    df = per_lang.agg(F.collect_list(F.struct("lang", "n")).alias("dist"))
+    recs = audit.single_partition_audit(audit.formatted_plan(df))
+    assert recs, "expected a SinglePartition exchange"
+    assert all(r["verdict"] == "benign" for r in recs), recs
+    assert any(
+        "collect-buffer over keyed aggregate" in e
+        for r in recs
+        for e in r["evidence"]
+    ), recs
