@@ -495,3 +495,352 @@ def assert_single_partition_benign(plan: str, context: str = "") -> list[dict]:
     bad = [r for r in recs if r["verdict"] != "benign"]
     assert not bad, f"{context}: data-sized SinglePartition exchanges: {bad}"
     return recs
+
+
+# ---------------------------------------------------------------------------
+# Broadcast provenance audit (round-10 verdict, next-round #6).
+#
+# The BNLJ and SinglePartition gates bound nested-loop build sides and
+# one-task funnels; the remaining 100x-scale hazard class is an
+# ``F.broadcast()`` HINT applied to a frame whose size grows with the
+# data — the planner honors an explicit hint regardless of its size
+# estimate, so a data-sized forced broadcast OOMs every executor at
+# 100 TB while sailing through sf0.1. Two layers, because the physical
+# plan cannot show whether a broadcast was hinted or planner-chosen:
+#
+# 1. ``broadcast_provenance_audit`` (static, physical text): classify
+#    every BroadcastExchange build side by its sources — catalog_sized
+#    (literal/control frames, fixed tables), k_sized (aggregate-
+#    collapsed), query_sized (literal limit / sample / key-set),
+#    dim_sized (SF-scaled dimension tables — the documented broadcast-
+#    dim contract, SCALE.md §1), planner_sized (a fact-table scan with
+#    no structural bound: legitimate ONLY as a size-estimate threshold
+#    choice, which AQE demotes at scale — never failed statically,
+#    because the text cannot show the hint).
+# 2. ``broadcast_hint_audit`` (live, optimized LOGICAL plan): every
+#    ``leftHint/rightHint=(strategy=broadcast)`` join side must carry
+#    structural bounding evidence (literal source, fixed table,
+#    aggregate, limit, sample/key-set filter) or scan only dim-class
+#    tables; a hinted side scanning a fact-class table unbounded is
+#    *data_sized* — the dump and the negative-control test FAIL on it.
+# ---------------------------------------------------------------------------
+
+#: Fixed-cardinality tables: size independent of scale factor.
+_FIXED_TABLES = frozenset({"nation", "region"})
+#: SF-scaled dimension tables — broadcast by documented contract
+#: (planner threshold + AQE demotion at scale; a forced hint on a RAW
+#: dim scan is accepted as the engine's dim-join idiom, the residual
+#: risk the contract owns).
+_DIM_TABLES = frozenset({"supplier", "customer", "part", "orders"})
+#: Fact-class tables: grow linearly with the corpus; never broadcastable
+#: raw.
+_FACT_TABLES = frozenset({"lineitem", "events", "documents", "embeddings"})
+#: First-column fingerprints for logical ``Relation [cols] parquet``
+#: nodes (the optimized plan shows columns, not paths).
+_TABLE_BY_FIRST_COL = {
+    "n_nationkey": "nation",
+    "r_regionkey": "region",
+    "s_suppkey": "supplier",
+    "c_custkey": "customer",
+    "p_partkey": "part",
+    "o_orderkey": "orders",
+    "l_orderkey": "lineitem",
+    "event_id": "events",
+    "doc_id": "documents",
+    "vec_id": "embeddings",
+}
+
+
+def _scan_table(detail: str) -> str:
+    m = _re.search(r"Location:.*?/(\w+)\.parquet", detail)
+    return m.group(1) if m else "?"
+
+
+def broadcast_provenance_audit(plan: str) -> list[dict]:
+    """Classify every ``BroadcastExchange`` build side in a formatted
+    physical plan. Returns one record per exchange::
+
+        {"exchange_id": int,
+         "verdict": "catalog_sized" | "k_sized" | "query_sized" |
+                    "dim_sized" | "planner_sized",
+         "evidence": [str, ...]}
+
+    The verdict is the WEAKEST class over the subtree's parquet scans
+    (catalog < k < query < dim < planner). ``planner_sized`` — a
+    fact-table scan bounded by nothing structural — is reported, not
+    failed: the physical text cannot distinguish a size-estimate
+    threshold choice (self-demoting under AQE at scale) from a forced
+    hint; :func:`broadcast_hint_audit` is the failing gate for hints.
+    """
+    order = [
+        "catalog_sized", "k_sized", "query_sized", "dim_sized",
+        "planner_sized",
+    ]
+    nodes = parse_plan_tree(plan)
+    details = node_details(plan)
+    out: list[dict] = []
+    for i, (depth, name, nid) in enumerate(nodes):
+        if "BroadcastExchange" not in name:
+            continue
+        rec = {"exchange_id": nid, "verdict": "catalog_sized", "evidence": []}
+        sub = _subtree(nodes, i)
+        scans = [(k, n) for k, n in enumerate(sub) if "Scan parquet" in n[1]]
+        if not scans:
+            kinds = sorted({n[1].split()[0] for n in sub[1:]})
+            rec["evidence"].append(f"literal/control sources only: {kinds}")
+            out.append(rec)
+            continue
+        worst = 0
+        for k, scan in scans:
+            path = []
+            want = scan[0]
+            for n in reversed(sub[:k]):
+                if n[0] < want:
+                    path.append(n)
+                    want = n[0]
+            table = _scan_table(details.get(scan[2], ""))
+            pf = details.get(scan[2], "")
+            pushed = _re.search(r"PushedFilters: \[(.*)\]", pf)
+            ptxt = pushed.group(1) if pushed else ""
+            agg = next((n for n in path if "Aggregate" in n[1]), None)
+            if table in _FIXED_TABLES:
+                cls = "catalog_sized"
+                why = f"scan({scan[2]}) fixed table {table}"
+            elif agg is not None:
+                cls = "k_sized"
+                why = (
+                    f"scan({scan[2]}) {table} collapsed by aggregate "
+                    f"({agg[2]})"
+                )
+            elif _PUSHED_LIMIT_RE.search(ptxt) or any(
+                n[1].startswith("Filter")
+                and (
+                    _FILTER_SAMPLE_RE.search(details.get(n[2], ""))
+                    or _FILTER_LIMIT_RE.search(details.get(n[2], ""))
+                    or _filter_keyset_positive(details.get(n[2], ""))
+                )
+                for n in path
+            ):
+                cls = "query_sized"
+                why = f"scan({scan[2]}) {table} under literal limit/sample"
+            elif table in _DIM_TABLES:
+                cls = "dim_sized"
+                why = f"scan({scan[2]}) dim table {table} (contract: SCALE.md)"
+            else:
+                cls = "planner_sized"
+                why = (
+                    f"scan({scan[2]}) {table} unbounded: threshold choice "
+                    f"only (hint audit owns the forced case)"
+                )
+            worst = max(worst, order.index(cls))
+            rec["evidence"].append(why)
+        rec["verdict"] = order[worst]
+        out.append(rec)
+    return out
+
+
+def optimized_logical_plan(df: DataFrame) -> str:
+    """The optimized logical plan text — the only layer where an
+    explicit broadcast hint is still visible (physical text shows the
+    same BroadcastExchange either way)."""
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _parse_logical_tree(text: str) -> list[tuple[int, str]]:
+    """Logical plan text -> (depth, node_text) rows, pre-order, using
+    the same 3-column ``:-``/``+-`` indent scheme as the physical
+    tree."""
+    rows: list[tuple[int, str]] = []
+    for line in text.splitlines():
+        if not line.strip():
+            continue
+        m = _re.search(r"(?::-|\+-) ", line)
+        if m:
+            depth = m.start() // 3 + 1
+            rows.append((depth, line[m.end():].strip()))
+        elif not rows:
+            rows.append((0, line.strip()))
+        # continuation lines (':  ' padding without a marker) are detail
+        # text of the previous node; bounding evidence lives in the node
+        # head line, so they are skipped.
+    return rows
+
+
+def _logical_subtree(rows, idx):
+    d = rows[idx][0]
+    out = [rows[idx]]
+    for r in rows[idx + 1:]:
+        if r[0] <= d:
+            break
+        out.append(r)
+    return out
+
+
+def broadcast_hint_audit(logical: str) -> list[dict]:
+    """Classify every EXPLICIT broadcast-hinted join side in an
+    optimized logical plan (``leftHint``/``rightHint`` with
+    ``strategy=broadcast`` — exactly the ``F.broadcast()``/hint call
+    sites; planner threshold choices carry no hint). Returns one record
+    per hinted side::
+
+        {"join": str, "side": "left" | "right",
+         "verdict": "catalog_sized" | "k_sized" | "query_sized" |
+                    "dim_sized" | "data_sized",
+         "evidence": [str, ...]}
+
+    A hinted side is bounded when each of its parquet relations is a
+    fixed table, collapsed by an Aggregate / GlobalLimit / LocalLimit
+    on its path, under a sample / literal-limit / positive key-set
+    Filter, a dim-class table (the documented broadcast-dim contract),
+    or JOIN-BOUNDED: an inner/semi equi-join on its path whose other
+    side classifies bounded (catalog/k/query) — the output then holds
+    at most |bounded side| x per-key multiplicity rows (the PQ
+    centroid-init shape: full embeddings inner-joined to 16 seed ids).
+    A fact-class relation with none of those is *data_sized*: the hint
+    pins the broadcast at any scale — AQE cannot demote it — so the
+    audit (and the dump) FAILS. Residual risks, accepted as in the BNLJ
+    audit and documented here: an aggregate keyed by a data-sized
+    column passes (group cardinality is not statically visible), and
+    join-bounding trusts per-key multiplicity to be small (true for the
+    unique-key equi-joins it appears in; a many-per-key join against a
+    k-sized key set would still pass).
+    """
+    rows = _parse_logical_tree(logical)
+    out: list[dict] = []
+    for i, (depth, text) in enumerate(rows):
+        if not text.startswith("Join "):
+            continue
+        hints = []
+        if _re.search(r"leftHint=\([^)]*strategy=broadcast", text):
+            hints.append("left")
+        if _re.search(r"rightHint=\([^)]*strategy=broadcast", text):
+            hints.append("right")
+        if not hints:
+            continue
+        sub = _logical_subtree(rows, i)
+        kids = [j for j in range(1, len(sub)) if sub[j][0] == depth + 1]
+        for side in hints:
+            rec = {
+                "join": text.split(",")[0],
+                "side": side,
+                "verdict": "catalog_sized",
+                "evidence": [],
+            }
+            if len(kids) < 2:
+                rec["verdict"] = "data_sized"
+                rec["evidence"].append("could not resolve join children")
+                out.append(rec)
+                continue
+            cidx = kids[0] if side == "left" else kids[1]
+            st = _logical_subtree(sub, cidx)
+            verdict, evidence = _classify_logical_side(st)
+            rec["verdict"] = verdict
+            rec["evidence"] = evidence
+            out.append(rec)
+    return out
+
+
+_SIDE_ORDER = [
+    "catalog_sized", "k_sized", "query_sized", "dim_sized", "data_sized",
+]
+
+
+def _classify_logical_side(st: list[tuple[int, str]]) -> tuple[str, list[str]]:
+    """Classify one logical subtree (a hinted join side) by the weakest
+    class over its parquet relations; see broadcast_hint_audit for the
+    evidence rules. Recurses through join-bounding (the other side of
+    an inner/semi equi-join on a relation's path)."""
+    rels = [
+        (k, r) for k, r in enumerate(st) if _re.match(r"Relation \[", r[1])
+    ]
+    if not rels:
+        kinds = sorted({r[1].split()[0] for r in st})
+        return "catalog_sized", [f"literal/control sources: {kinds}"]
+    worst = 0
+    evidence: list[str] = []
+    for k, rel in rels:
+        first = _re.match(r"Relation \[([^,\]#]+)", rel[1])
+        table = _TABLE_BY_FIRST_COL.get(first.group(1) if first else "", "?")
+        path = []
+        want = rel[0]
+        for r in reversed(st[:k]):
+            if r[0] < want:
+                path.append(r)
+                want = r[0]
+        bounded_filter = any(
+            r[1].startswith("Filter")
+            and (
+                _FILTER_SAMPLE_RE.search(r[1])
+                or _FILTER_LIMIT_RE.search(r[1])
+                or _filter_keyset_positive(r[1])
+            )
+            for r in path
+        )
+        if table in _FIXED_TABLES:
+            cls, why = "catalog_sized", f"fixed table {table}"
+        elif any("Aggregate" in r[1].split(" ", 1)[0] for r in path):
+            cls, why = "k_sized", f"{table} collapsed by aggregate"
+        elif any(
+            r[1].startswith(("GlobalLimit", "LocalLimit")) for r in path
+        ) or bounded_filter:
+            cls, why = "query_sized", f"{table} under limit/sample"
+        elif table in _DIM_TABLES:
+            cls, why = "dim_sized", f"dim table {table} (contract)"
+        else:
+            cls, why = _join_bounded_class(st, k, rel, path, table)
+        worst = max(worst, _SIDE_ORDER.index(cls))
+        evidence.append(why)
+    return _SIDE_ORDER[worst], evidence
+
+
+def _join_bounded_class(st, k, rel, path, table) -> tuple[str, str]:
+    """Last-resort evidence for an otherwise-unbounded relation: an
+    inner/semi EQUI-join on its path whose other side classifies
+    bounded caps the output at |other side| x per-key rows. Cross
+    joins don't qualify (no key, pure multiplication)."""
+    for j, r in enumerate(path):
+        head = r[1].split(",")[0]
+        if not r[1].startswith("Join ") or "(" not in r[1]:
+            continue
+        if head not in ("Join Inner", "Join LeftSemi"):
+            continue
+        # locate this Join node in st and its two children; recurse on
+        # the child NOT containing our relation
+        jidx = next(
+            (x for x, rr in enumerate(st) if rr is r), None
+        )
+        if jidx is None:
+            continue
+        jsub = _logical_subtree(st, jidx)
+        jk = [
+            x for x in range(1, len(jsub)) if jsub[x][0] == r[0] + 1
+        ]
+        if len(jk) != 2:
+            continue
+        # our relation sits between the two children in pre-order:
+        # child 0's subtree spans jsub[jk[0]:jk[1]]
+        rel_pos = next(
+            (x for x, rr in enumerate(jsub) if rr is rel), None
+        )
+        if rel_pos is None:
+            continue
+        other = jk[1] if rel_pos < jk[1] else jk[0]
+        ocls, _oev = _classify_logical_side(_logical_subtree(jsub, other))
+        if ocls in ("catalog_sized", "k_sized", "query_sized"):
+            return ocls, (
+                f"{table} join-bounded: {head} against a {ocls} side "
+                f"(residual risk: per-key multiplicity)"
+            )
+    return "data_sized", (
+        f"HINTED broadcast of unbounded {table} relation — pinned at "
+        f"any scale, AQE cannot demote it"
+    )
+
+
+def assert_broadcast_hints_bounded(df: DataFrame, context: str = "") -> list[dict]:
+    """Raise AssertionError if any explicit broadcast hint pins a
+    data-sized side."""
+    recs = broadcast_hint_audit(optimized_logical_plan(df))
+    bad = [r for r in recs if r["verdict"] == "data_sized"]
+    assert not bad, f"{context}: data-sized broadcast hints: {bad}"
+    return recs

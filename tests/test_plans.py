@@ -992,3 +992,83 @@ def test_single_partition_audit_accepts_collect_over_aggregate(spark, sf_dir):
         for r in recs
         for e in r["evidence"]
     ), recs
+
+
+def test_broadcast_provenance_classes_in_plans_md():
+    """Audit the checked-in PLANS.md artifact: every BroadcastExchange
+    classifies into one of the five provenance classes, and the
+    planner_sized share (threshold choices AQE demotes at scale) stays
+    a minority — the structural broadcasts are catalog/k/query/dim."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    md = open(path).read()
+    sections = re.split(r"^## ", md, flags=re.M)[1:]
+    counts: dict[str, int] = {}
+    for sec in sections:
+        m = re.search(r"```\n(.*?)```", sec, re.S)
+        if not m:
+            continue
+        for rec in audit.broadcast_provenance_audit(m.group(1)):
+            counts[rec["verdict"]] = counts.get(rec["verdict"], 0) + 1
+    total = sum(counts.values())
+    assert total >= 100, f"expected many broadcasts across PLANS.md: {counts}"
+    assert set(counts) <= {
+        "catalog_sized", "k_sized", "query_sized", "dim_sized",
+        "planner_sized",
+    }, counts
+    assert counts.get("planner_sized", 0) < total / 2, counts
+
+
+def test_broadcast_hint_audit_flags_forced_data_sized(spark, sf_dir):
+    """Negative controls: an explicit F.broadcast() on a raw fact frame
+    must classify data_sized — both the crossJoin shape and the inner
+    equi-join against another data-sized side (join-bounding must not
+    excuse it)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bad = spark.range(1).crossJoin(F.broadcast(docs.select("doc_id", "text")))
+    recs = audit.broadcast_hint_audit(audit.optimized_logical_plan(bad))
+    assert any(r["verdict"] == "data_sized" for r in recs), recs
+    with pytest.raises(AssertionError, match="data-sized broadcast hints"):
+        audit.assert_broadcast_hints_bounded(bad, "neg")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bad2 = li.join(
+        F.broadcast(docs.select(F.col("doc_id").alias("l_orderkey"), "text")),
+        "l_orderkey",
+    )
+    recs2 = audit.broadcast_hint_audit(audit.optimized_logical_plan(bad2))
+    assert any(r["verdict"] == "data_sized" for r in recs2), recs2
+
+
+def test_broadcast_hint_audit_accepts_bounded_shapes(spark, sf_dir):
+    """Positive controls: a hinted fixed-table dim join classifies
+    catalog_sized, and the join-bounded shape (full fact inner-joined
+    to a k-row limited frame, then hinted) classifies bounded via the
+    other side's limit — the PQ centroid-init pattern."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    good = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    recs = audit.assert_broadcast_hints_bounded(good, "dim")
+    assert recs and all(r["verdict"] == "catalog_sized" for r in recs), recs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seeds = emb.select("vec_id").orderBy("vec_id").limit(16)
+    init = emb.join(F.broadcast(seeds), "vec_id")
+    outer = emb.select(F.col("vec_id").alias("qid")).crossJoin(
+        F.broadcast(init.select("vec_id", "embedding"))
+    )
+    recs2 = audit.assert_broadcast_hints_bounded(outer, "join-bounded")
+    assert any(
+        "join-bounded" in e or "under limit" in e
+        for r in recs2
+        for e in r["evidence"]
+    ), recs2
+
+
+def test_broadcast_hint_audit_live_query_panel(spark, sf_dir):
+    """Live gate over hint-heavy queries from different families: every
+    explicit broadcast hint classifies bounded end-to-end (the full
+    102-plan sweep runs in scripts/dump_plans.py each round)."""
+    for name in ("pq_codebooks", "tpch_q9_product_profit", "semdedup_prune"):
+        df = suite.QUERIES[name].fn(spark, sf_dir)
+        audit.assert_broadcast_hints_bounded(df, name)
+    spark.catalog.clearCache()
