@@ -483,8 +483,21 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     canary = _canary_sec(spark, sf_dir)
 
-    all_queries = [n for _, names in SEGMENTS for n in names]
-    timings = run_queries(spark, all_queries, sf_dir)
+    # Front, MID, and END canaries in the suite JVM (r10 verdict #2):
+    # the 251-query single-JVM session accumulates state (codegen cache
+    # churn, GC pressure) that ONE front-of-run canary cannot normalize
+    # — r10's driver raw total ran +6% over two fresh-JVM re-runs of the
+    # same tree while every isolated segment improved. Three canaries
+    # make intra-JVM drift across the ~165 s run measurable: if
+    # canary_sec_end/canary_sec diverges, in-suite per-query deltas are
+    # session artifacts, not code regressions; compare against the
+    # isolated anchors instead.
+    half = [n for _, names in SEGMENTS[:7] for n in names]
+    rest = [n for _, names in SEGMENTS[7:] for n in names]
+    timings = run_queries(spark, half, sf_dir)
+    canary_mid = _canary_sec(spark, sf_dir)
+    timings.update(run_queries(spark, rest, sf_dir))
+    canary_end = _canary_sec(spark, sf_dir)
     total = round(sum(timings.values()), 3)
 
     subtotals: dict[str, float] = {}
@@ -506,6 +519,8 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "canary_sec": canary,
+        "canary_sec_mid": canary_mid,
+        "canary_sec_end": canary_end,
         "canary_sec_r1_jvm": isolated.get("canary_sec"),
         "canary_sec_heavy_jvm": heavy_iso.get("canary_sec"),
         "canary_sec_noisy_jvm": noisy_iso.get("canary_sec"),
@@ -533,8 +548,12 @@ def main() -> None:
         "sf": sf,
         # VM-speed canary (median-of-5 q1@sf0.01, one per JVM): divide a
         # segment by ITS JVM's canary ratio to normalize whole-VM drift
-        # (r8 lesson; method + calibration limits in BENCH_NORMALIZED.md)
+        # (r8 lesson; method + calibration limits in BENCH_NORMALIZED.md).
+        # mid/end re-runs of the same canary in the SAME suite JVM
+        # expose intra-session drift over the long run (r10 lesson).
         "canary_sec": canary,
+        "canary_sec_mid": canary_mid,
+        "canary_sec_end": canary_end,
         "canary_sec_r1_jvm": isolated.get("canary_sec"),
         "canary_sec_heavy_jvm": heavy_iso.get("canary_sec"),
         "canary_sec_noisy_jvm": noisy_iso.get("canary_sec"),
