@@ -624,6 +624,7 @@ def bpe_train(
     docs: DataFrame,
     n_merges: int = 4,
     text_col: str = "text",
+    merge_budget: int = 256,
 ) -> list[tuple[int, str, str, int]]:
     """BPE merge-rule training (Sennrich et al., ACL 2016) as an
     iterative DataFrame computation: start from character symbols plus
@@ -641,9 +642,30 @@ def bpe_train(
     argmax row per iteration. State is persisted per step and the
     previous step unpersisted, so lineage stays flat.
 
+    Practical merge-count CEILING: greedy BPE is inherently sequential
+    in its argmax, so each merge costs ~5 blocking Spark jobs (the AQE
+    stages behind the 1-row pair-count argmax plus the rebuild
+    materialization; measured on local[32] at sf0.01, ~0.6 s/merge).
+    That is fine for suite-scale rule tables (tens of merges) and
+    unacceptable for a production 32k-merge vocabulary (~160k driver
+    round-trips — hours of pure scheduling even with a tiny vocab
+    table). ``merge_budget`` (default 256) guards the boundary:
+    requesting more raises ValueError rather than silently launching a
+    driver-iteration storm. A real 32k-merge trainer wants a
+    specialized single-node pass over the (vocabulary-sized) word
+    table, not this loop — raise the budget explicitly only if you
+    understand the jobs/merge cost.
+
     Returns the learned merge table [(merge_idx, left, right, count)];
     ``bpe_apply`` encodes a corpus with it.
     """
+    if n_merges > merge_budget:
+        raise ValueError(
+            f"bpe_train: n_merges={n_merges} exceeds merge_budget="
+            f"{merge_budget}; each merge is ~5 blocking Spark jobs "
+            f"(driver-sequential argmax). Raise merge_budget explicitly "
+            f"if this cost is understood."
+        )
     words = _bpe_word_table(docs, text_col).persist()
     merges: list[tuple[int, str, str, int]] = []
     try:

@@ -1773,6 +1773,12 @@ def copurchase_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per basket) instead of |distinct line items|-sized. Interleaved
     # A/B at sf0.1: 2.39 -> 1.97 s median over the distinct+persist
     # shape, and one fewer full-fact shuffle at scale.
+    # Contract: collect_set DROPS NULL items, where the old
+    # select().distinct() kept (order, NULL) rows and counted a NULL
+    # group in the item/pair supports. Equivalent here only because
+    # TPC-H l_partkey is NOT NULL — reusing this shape for a nullable
+    # item column silently changes supports (same implicit behavior in
+    # graph.co_group_pairs).
     baskets = (
         li.select("l_orderkey", "l_partkey")
         .groupBy("l_orderkey")

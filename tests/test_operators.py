@@ -216,7 +216,11 @@ def test_parallelize_expansion_spreads_single_split_only(spark, sf_dir):
 
     target = spark.sparkContext.defaultParallelism
     emb = load_table(spark, sf_dir, "embeddings")
-    assert emb.rdd.getNumPartitions() < target  # fixture premise
+    if emb.rdd.getNumPartitions() >= target:
+        # On a low-core runner (defaultParallelism near 1) a single-split
+        # scan already meets the target and the expansion case can't be
+        # exercised — environment, not code under test.
+        pytest.skip("scan already at defaultParallelism; nothing to expand")
     out = similarity.parallelize_expansion(emb)
     assert out.rdd.getNumPartitions() == target
     assert sorted(r.vec_id for r in out.select("vec_id").collect()) == sorted(
@@ -1564,6 +1568,20 @@ def test_bpe_train_greedy_run_semantics(spark):
     # aa) beats low</w>? both 3 -> 'aa' < 'low'
     assert got == [(0, "a", "a", 7), (1, "l", "o", 5),
                    (2, "lo", "w", 5), (3, "aa", "</w>", 3)]
+
+
+def test_bpe_train_merge_budget_guard(spark):
+    """bpe_train is driver-sequential per merge (~5 jobs each), so a
+    32k-merge request must fail fast at the budget, not launch a
+    driver-iteration storm; an explicit raised budget is honored."""
+    from milvus_cdc_spark.analytics.corpus import bpe_train
+
+    docs = spark.createDataFrame([(0, "ab ab")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="merge_budget"):
+        bpe_train(docs, n_merges=32000)
+    # raising the budget explicitly works (corpus exhausts after 2 rules)
+    got = bpe_train(docs, n_merges=300, merge_budget=300)
+    assert [(x, y) for _, x, y, _ in got] == [("a", "b"), ("ab", "</w>")]
 
 
 def test_sessionize_gap_boundaries(spark):
