@@ -3216,3 +3216,117 @@ def source_dedup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_pairs").desc(), "source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-level Simpson concentration: an integer-exact stand-in for
+# character-entropy quality scoring (low-entropy == gibberish/repetition,
+# the C4/Gopher-family signal family). Simpson's index sum(p_i^2) over a
+# doc's character distribution needs NO transcendental math — unlike
+# Shannon entropy it keeps the repo's portable-math contract (pure
+# BIGINT algebra, DIV on non-negative operands), so Spark and DuckDB
+# agree bit-for-bit. Scale shape: the per-doc score is ONE O(len)
+# in-row fold (array_sort + run-length sum-of-squares via F.aggregate —
+# no per-char explode, no shuffle); the only exchange is the final
+# per-source aggregate, keyed by a catalog-sized column.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "char_diversity_quality",
+    """
+    WITH d AS (
+      SELECT doc_id, source, lower(text) AS t
+      FROM documents WHERE length(text) > 0
+    ),
+    ch AS (
+      SELECT doc_id, source, unnest(string_split(t, '')) AS c FROM d
+    ),
+    cnt AS (
+      SELECT doc_id, source, c, count(*)::BIGINT AS n
+      FROM ch GROUP BY 1, 2, 3
+    ),
+    per AS (
+      SELECT doc_id, source, sum(n * n)::BIGINT AS sumsq,
+             sum(n)::BIGINT AS len
+      FROM cnt GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT source, (sumsq * 1000000) // (len * len) AS conc_ppm FROM per
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN conc_ppm > 85000 THEN 1 ELSE 0 END)::BIGINT
+             AS n_concentrated,
+           (sum(conc_ppm) // count(*))::BIGINT AS avg_conc_ppm,
+           min(conc_ppm)::BIGINT AS min_conc_ppm,
+           max(conc_ppm)::BIGINT AS max_conc_ppm
+    FROM scored GROUP BY source ORDER BY source
+    """,
+    "llm",
+    "quality",
+    "text",
+    "pipeline",
+)
+def char_diversity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-concentration profile: Simpson index
+    sum(c_i^2)*1e6 DIV len^2 over each doc's character counts (lowered
+    text), flagging docs above 85,000 ppm as repetition-concentrated.
+
+    The per-doc score is computed WITHOUT exploding characters: sort
+    the char array once, then a single run-length fold accumulates the
+    sum of squared run lengths in-row (state = (prev char, run length,
+    acc)). That keeps the corpus-sized stage shuffle-free — at 100 TB
+    the chars-exploded variant would shuffle ~5x the token count, while
+    this shape ships only one (source, conc_ppm) row per doc into the
+    final catalog-keyed aggregate.
+    """
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chars = F.array_sort(F.split(F.lower(F.col("text")), ""))
+    zero = F.struct(
+        F.lit("").alias("p"),
+        F.lit(0).cast("long").alias("r"),
+        F.lit(0).cast("long").alias("s"),
+    )
+    sumsq = F.aggregate(
+        chars,
+        zero,
+        lambda st, c: F.when(
+            c == st["p"],
+            F.struct(
+                st["p"].alias("p"),
+                (st["r"] + F.lit(1)).alias("r"),
+                st["s"].alias("s"),
+            ),
+        ).otherwise(
+            F.struct(
+                c.alias("p"),
+                F.lit(1).cast("long").alias("r"),
+                (st["s"] + st["r"] * st["r"]).alias("s"),
+            )
+        ),
+        lambda st: st["s"] + st["r"] * st["r"],
+    )
+    scored = docs.select(
+        "source",
+        sumsq.alias("sumsq"),
+        F.length("text").cast("long").alias("len"),
+    ).select(
+        "source",
+        F.expr("sumsq * 1000000 DIV (len * len)").alias("conc_ppm"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("conc_ppm") > 85000).cast("bigint"))
+            .cast("bigint")
+            .alias("n_concentrated"),
+            F.expr("sum(conc_ppm) DIV count(*)")
+            .cast("bigint")
+            .alias("avg_conc_ppm"),
+            F.min("conc_ppm").cast("bigint").alias("min_conc_ppm"),
+            F.max("conc_ppm").cast("bigint").alias("max_conc_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -1072,3 +1072,20 @@ def test_broadcast_hint_audit_live_query_panel(spark, sf_dir):
         df = suite.QUERIES[name].fn(spark, sf_dir)
         audit.assert_broadcast_hints_bounded(df, name)
     spark.catalog.clearCache()
+
+
+def test_hint_stamps_all_bounded_in_plans_md():
+    """The dump stamps `hints=N hints_bounded=M` per section from the
+    LIVE optimized logical plan (not recoverable from the physical
+    text); this artifact check asserts every stamp parses and no
+    section shipped with an unbounded hinted side."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    md = open(path).read()
+    stamps = re.findall(r"hints=(\d+) hints_bounded=(\d+)", md)
+    assert len(stamps) >= 100, f"expected a stamp per section: {len(stamps)}"
+    total = sum(int(h) for h, _ in stamps)
+    assert total >= 50, f"expected many hinted sides across the suite: {total}"
+    bad = [(h, b) for h, b in stamps if int(b) != int(h)]
+    assert not bad, f"sections with unbounded hinted sides: {bad}"
