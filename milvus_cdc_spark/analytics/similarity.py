@@ -1117,13 +1117,16 @@ def ivf_pq_build(
 
     ``checkpoint=True`` additionally TRUNCATES lineage (eager
     localCheckpoint instead of persist) so downstream probe plans treat
-    the index as four leaf tables. Measured (r11, interleaved A/B on
-    the full build+probe+recall composite): sf0.1 medians 7.50 ->
-    6.23 s (-17 %, results identical); 10x corpus flat (15.95 vs
-    16.10 s) — the win is Catalyst planning/codegen over the
-    186-exchange lineage plan, which stops growing once the index is a
-    leaf. The suite query passes True; default stays False so
-    incremental-equals-batch tests exercise the raw lineage path too.
+    the index as four leaf tables. MEASURED AND REJECTED for the suite
+    path (r11, SCALE.md §5r): a first unbalanced A/B read -17 % at
+    sf0.1, but the balanced protocol (B A A B B A A B B A, canary per
+    iteration, stable VM window) measured persist 3.8 s vs checkpoint
+    7.7 s median — checkpointed leaves surface as stats-less
+    LogicalRDDs, so Catalyst loses size estimates and exchange reuse
+    across the probe/recall joins, which costs roughly 2x what lineage
+    re-planning saves. The parameter stays for callers that genuinely
+    need a plan-depth cut (the §5o iterative-graph rule, where lineage
+    DOUBLES per round); results are identical either way.
     """
     release_similarity_caches()  # prior query's build frames consumed
 

@@ -1752,14 +1752,15 @@ def ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from milvus_cdc_spark.analytics import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
-    # checkpoint=True: the probe phase plans against the four
-    # materialized index tables instead of replaying build lineage into
-    # a 186-exchange composite plan. Interleaved A/B (r11): sf0.1
-    # medians 7.50 -> 6.23 s (-17%, rows identical); 10x corpus flat
-    # (15.95 vs 16.10 — execution dominates planning there, no cost).
+    # checkpoint=False (measured REVERT, r11): an early unbalanced A/B
+    # suggested localCheckpoint-ing the index between build and probe
+    # saved 17%, but the balanced re-run (B A A B B A A B B A with a
+    # per-iteration canary, stable 0.24-0.47) measured persist 3.8 s vs
+    # checkpoint 7.7 s median at sf0.1 — checkpointed leaves lose
+    # Catalyst statistics and ReusedExchange, costing far more than the
+    # lineage re-planning saves. Full numbers in SCALE.md §5r.
     coarse, assigned, cb, codes = similarity.ivf_pq_build(
-        emb, k_coarse=_IVFPQ_KC, m=_PQ_M, k_pq=_PQ_K, dim=64,
-        checkpoint=True,
+        emb, k_coarse=_IVFPQ_KC, m=_PQ_M, k_pq=_PQ_K, dim=64
     )
     queries = emb.filter(F.col("vec_id") < 5)
     approx = similarity.ivf_pq_adc_topk(
