@@ -3391,16 +3391,18 @@ from milvus_cdc_spark import suite_eval  # noqa: E402,F401  (import-for-effect)
 
 # r12 ROTATION PROPOSAL (pre-staged; deterministic continuation of the
 # freshness sweep by the same (latest driver round, name) ascending rule,
-# recomputed against the r01-r10 ledger and matching the r10 staging
-# exactly): anchors + the 9
+# recomputed against the r01-r10 ledger; a NEVER-checked query sorts as
+# round 0, so r11's new registration leads the window): anchors +
+# char_diversity_quality (registered r11, no driver check yet) + the 9
 # r6-remainder rows — semdedup_prune, session_window_agg,
 # setsim_prefix_join, sliding_window_agg, streaming_watermark_finalize,
 # tfidf_keywords, tombstone_metadata_filter, triangle_parts_topk,
-# tumbling_window — then the 39 oldest r7 rows (alphabetical from
-# benford_first_digit through quality_quantile_normalize). r13 then
-# takes the 9 r7-remainder rows (random_sample_filter …
-# zorder_layout_pruning) plus the oldest r8 rows, and the sweep is
-# fully caught up to the rotation cadence.
+# tumbling_window — then the 38 oldest r7 rows (alphabetical from
+# benford_first_digit through quality_filter_funnel). r13 then takes
+# the 10 r7-remainder rows (quality_quantile_normalize,
+# random_sample_filter … zorder_layout_pruning) plus the oldest r8
+# rows (ann_multiprobe_topk …), and the sweep is fully caught up to
+# the rotation cadence.
 PRIORITY: tuple[str, ...] = (
     # -- 2 regression anchors (driver-green r1-r10) --
     "q1_pricing_summary",        # flagship; TPC-H Q1 agg
