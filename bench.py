@@ -533,8 +533,13 @@ def main() -> None:
         "noisy_isolated": noisy_iso.get("value"),
         "noisy_isolated_queries": noisy_iso.get("queries", {}),
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
+    # SPARK_GRAFT_DETAIL_PATH redirects the side file: the contract
+    # test runs bench.py as a subprocess at sf0.001, and without the
+    # override every pytest session silently clobbers the repo-root
+    # BENCH_DETAIL.json sealed from the real sf0.1 run.
+    detail_path = os.environ.get("SPARK_GRAFT_DETAIL_PATH") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 

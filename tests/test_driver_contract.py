@@ -54,8 +54,14 @@ def test_entry_runs_and_returns_rows(spark):
     assert set(df.columns) >= {"l_returnflag", "l_linestatus", "sum_qty"}
 
 
-def test_bench_prints_single_json_line():
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+def test_bench_prints_single_json_line(tmp_path):
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        # keep the sf0.001 smoke from clobbering the repo-root detail
+        # file sealed from the real sf0.1 bench run
+        SPARK_GRAFT_DETAIL_PATH=str(tmp_path / "BENCH_DETAIL.json"),
+    )
     out = subprocess.run(
         [sys.executable, "/root/repo/bench.py"],
         capture_output=True,
