@@ -3376,87 +3376,90 @@ from milvus_cdc_spark import suite_eval  # noqa: E402,F401  (import-for-effect)
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness checks the FIRST 50
-# registry entries, so the front of the dict is curated. Round 11 executes
-# the rotation pre-staged in round 10 (deterministic freshness sweep over
-# the cumulative CORRECTNESS_r01-r10 ledger, which is 251/251 ever-green):
+# registry entries, so the front of the dict is curated. Round 12 executes
+# the rotation pre-staged in round 11 (deterministic freshness sweep over
+# the cumulative CORRECTNESS_r01-r11 ledger, which is 251/251 ever-green;
+# a NEVER-driver-checked query sorts as round 0 so it leads the window):
 # 2 regression anchors (q1_pricing_summary, cdc_replay_summary —
-# driver-green every round r1-r10) + the 9 rows whose latest driver check
-# is r5 + the 39 oldest r6-cohort rows, selected deterministically by
-# (latest driver round, name) ascending. Everything displaced has a green
-# driver row from r6-r10 and zero stale-red remains anywhere in the
-# ledger. After r11 every registry row's latest driver check is r6+
-# (anchors r11). Names listed here but not (yet) registered are skipped,
-# so the list can lead registration.
+# driver-green every round r1-r11) + char_diversity_quality (registered
+# r11, first driver check here) + the 9 rows whose latest driver check is
+# r6 + the 38 oldest r7-cohort rows, selected deterministically by
+# (latest driver round, name) ascending. NOTE: the r11 staging comment
+# named the r7 span's endpoint as quality_filter_funnel — a label error
+# (its latest check is r10); the recomputed deterministic span ends at
+# psi_length_drift, and quality_quantile_normalize (r7 row #39) shifts to
+# r13 exactly as staged. Everything displaced has a green driver row from
+# r7-r11 and zero stale-red remains anywhere in the ledger. After r12
+# every registry row's latest driver check is r7+ (anchors r12). Names
+# listed here but not (yet) registered are skipped, so the list can lead
+# registration.
 # ---------------------------------------------------------------------------
 
-# r12 ROTATION PROPOSAL (pre-staged; deterministic continuation of the
+# r13 ROTATION PROPOSAL (pre-staged; deterministic continuation of the
 # freshness sweep by the same (latest driver round, name) ascending rule,
-# recomputed against the r01-r10 ledger; a NEVER-checked query sorts as
-# round 0, so r11's new registration leads the window): anchors +
-# char_diversity_quality (registered r11, no driver check yet) + the 9
-# r6-remainder rows — semdedup_prune, session_window_agg,
-# setsim_prefix_join, sliding_window_agg, streaming_watermark_finalize,
-# tfidf_keywords, tombstone_metadata_filter, triangle_parts_topk,
-# tumbling_window — then the 38 oldest r7 rows (alphabetical from
-# benford_first_digit through quality_filter_funnel). r13 then takes
-# the 10 r7-remainder rows (quality_quantile_normalize,
-# random_sample_filter … zorder_layout_pruning) plus the oldest r8
-# rows (ann_multiprobe_topk …), and the sweep is fully caught up to
-# the rotation cadence.
+# recomputed against the r01-r11 ledger with the r12 window marked green):
+# anchors + the 10 r7-remainder rows — quality_quantile_normalize,
+# random_sample_filter, rolling_active_users, seasonal_forecast_error,
+# source_dedup_matrix, source_overlap_matrix, superstructure_search,
+# vocab_coverage_curve, weighted_doc_sample, zorder_layout_pruning —
+# then the 38 oldest r8-cohort rows (alphabetical from
+# ann_multiprobe_topk onward; recompute at swap time in case r12
+# registers new queries, which sort as round 0 and lead the window).
 PRIORITY: tuple[str, ...] = (
-    # -- 2 regression anchors (driver-green r1-r10) --
+    # -- 2 regression anchors (driver-green r1-r11) --
     "q1_pricing_summary",        # flagship; TPC-H Q1 agg
     "cdc_replay_summary",        # A7/K1 replay
-    # -- 9 r5-cohort remainder rows (latest driver check CORRECTNESS_r05) --
-    "sequence_packing",
-    "session_consistency_read",
-    "streaming_cdc_apply",
-    "streaming_fingerprint_gate",
-    "temperature_mixing_rates",
-    "timetick_heartbeat",
-    "unigram_logprob_quality",
-    "unpivot_part_metrics",
-    "winnowing_fingerprints",
-    # -- 39 oldest r6-cohort rows, (round, name) ascending --
-    "bigram_lm_quality",
-    "bpe_encode_vocab",
-    "bpe_merge_training",
-    "cdc_alive_rows",
-    "cms_heavy_hitters",
-    "corpus_line_dedup",
-    "default_value_fill",
-    "delete_by_expr_replay",
-    "dsir_importance_selection",
-    "duplicate_span_coverage",
-    "expr_count_star",
-    "full_datatype_roundtrip",
-    "fulltext_drop_ratio",
-    "gopher_repetition_flags",
-    "hamming_banded_join",
-    "histogram_quantile_sketch",
-    "hll_distinct_users",
-    "hll_union_sources",
-    "ivf_nprobe_recall_curve",
-    "kcore_prune_rounds",
-    "ks_drift_test",
-    "label_propagation_communities",
-    "langid_precision_recall",
-    "maxscore_pruned_search",
-    "maxsim_ann_rerank",
-    "maxsim_multivector_topk",
-    "mmr_diversified_search",
-    "ndcg_search_eval",
-    "pagerank_trade_graph",
-    "pii_redaction_stats",
-    "pk_get_by_ids",
-    "quality_canonical_selection",
-    "quantile_sketch_merge",
-    "range_search_annulus",
-    "roc_auc_quality",
-    "scd2_asof_enrich",
-    "schema_evolution_apply",
-    "score_decile_lift",
-    "search_iterator_page",
+    # -- never-driver-checked (registered r11; sorts as round 0) --
+    "char_diversity_quality",
+    # -- 9 r6-cohort remainder rows (latest driver check CORRECTNESS_r06) --
+    "semdedup_prune",
+    "session_window_agg",
+    "setsim_prefix_join",
+    "sliding_window_agg",
+    "streaming_watermark_finalize",
+    "tfidf_keywords",
+    "tombstone_metadata_filter",
+    "triangle_parts_topk",
+    "tumbling_window",
+    # -- 38 oldest r7-cohort rows, (round, name) ascending --
+    "benford_first_digit",
+    "boilerplate_line_stats",
+    "bpe_pretoken_stats",
+    "ccnet_perplexity_buckets",
+    "chi2_token_source",
+    "cluster_density_report",
+    "cohort_retention",
+    "containment_quote_detection",
+    "copurchase_lift_topk",
+    "dataset_card_summary",
+    "dataset_split_counts",
+    "decay_reranked_search",
+    "dedup_savings_report",
+    "domain_mixture_weights",
+    "event_funnel_conversion",
+    "event_path_trigrams",
+    "event_sessionization",
+    "event_transition_matrix",
+    "ewma_event_rate",
+    "expr_geo_filter",
+    "geo_fenced_ann",
+    "geo_point_filters",
+    "grouped_auc_by_source",
+    "hashed_embedding_search",
+    "ignore_growing_read",
+    "int8_ip_search_topk",
+    "kmeans_silhouette",
+    "knn_label_accuracy",
+    "linear_counting_distinct_parts",
+    "mixing_epoch_plan",
+    "mlm_masking_plan",
+    "more_like_this",
+    "mrl_truncated_recall",
+    "pca_power_iteration",
+    "pearson_quality_length",
+    "pmi_collocations",
+    "pq_codebooks",
+    "psi_length_drift",
 )
 
 

@@ -1659,18 +1659,47 @@ def langid_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = docs.select(
         "lang", textf.detect_lang(F.col("text")).alias("predicted")
     )
-    classes = pred.select(F.col("lang").alias("cls")).distinct()
-    joined = classes.crossJoin(pred)
-    stats = joined.groupBy("cls").agg(
-        F.sum(
-            ((F.col("lang") == F.col("cls")) & (F.col("predicted") == F.col("cls"))).cast("int")
-        ).cast("bigint").alias("tp"),
-        F.sum(
-            ((F.col("lang") != F.col("cls")) & (F.col("predicted") == F.col("cls"))).cast("int")
-        ).cast("bigint").alias("fp"),
-        F.sum(
-            ((F.col("lang") == F.col("cls")) & (F.col("predicted") != F.col("cls"))).cast("int")
-        ).cast("bigint").alias("fn"),
+    # ONE corpus pass: the confusion matrix is catalog-sized
+    # (|langs| x |langs|+1), so everything after this aggregate is tiny.
+    # The previous shape (classes.crossJoin(pred)) replicated every
+    # document row per class — a |classes|x scan-and-shuffle blowup at
+    # scale with identical output.
+    cm = pred.groupBy("lang", "predicted").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    # Unpivot each matrix cell into its per-class contributions: the
+    # true-label side collects tp (diagonal) / fn (off-diagonal), the
+    # predicted side collects fp (off-diagonal). A class is a TRUE class
+    # (the original DISTINCT lang) iff its row-total tp+fn > 0, which
+    # drops predicted-only labels such as 'und' exactly as the
+    # classes-driven shape did.
+    diag = F.col("lang") == F.col("predicted")
+    contrib = cm.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("lang").alias("cls"),
+                    F.when(diag, F.col("n")).otherwise(F.lit(0)).alias("tp"),
+                    F.lit(0).cast("bigint").alias("fp"),
+                    F.when(~diag, F.col("n")).otherwise(F.lit(0)).alias("fn"),
+                ),
+                F.struct(
+                    F.col("predicted").alias("cls"),
+                    F.lit(0).cast("bigint").alias("tp"),
+                    F.when(~diag, F.col("n")).otherwise(F.lit(0)).alias("fp"),
+                    F.lit(0).cast("bigint").alias("fn"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    stats = (
+        contrib.groupBy("cls")
+        .agg(
+            F.sum("tp").cast("bigint").alias("tp"),
+            F.sum("fp").cast("bigint").alias("fp"),
+            F.sum("fn").cast("bigint").alias("fn"),
+        )
+        .where(F.col("tp") + F.col("fn") > 0)
     )
     p = F.when(F.col("tp") + F.col("fp") == 0, F.lit(0)).otherwise(
         F.expr("tp * 1000000 DIV (tp + fp)")
