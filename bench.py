@@ -298,8 +298,48 @@ ISOLATED_SEGMENTS: list[tuple[str, list[str]]] = [
     ("noisy", HEADLINE_NOISY),
 ]
 
+# ---------------------------------------------------------------------------
+# Bench coverage rotation (round-11 verdict #5): the cumulative segments
+# time 140 of the 252 registered queries; the other ~112 never had a
+# recorded timing, so a perf regression there was invisible. ``--segment
+# bcov`` times a deterministic alphabetical window of the UNTIMED set in
+# its own fresh JVM (spawned by the full run like the other isolated
+# segments); BCOV_ROUND_OFFSET advances by BCOV_WINDOW each round (a
+# one-edit rotation, same discipline as suite.PRIORITY) so every untimed
+# query gets a first-ever timing within ceil(112/38) = 3 rounds. The
+# results land in BENCH_DETAIL.json (``bcov_queries``) and the machine
+# line carries only the segment total — timings of this window are
+# COVERAGE, not cross-round anchors (the window moves every round).
+# ---------------------------------------------------------------------------
 
-def run_queries(spark, names: list[str], sf_dir: str) -> dict[str, float]:
+#: Window size: full coverage of the ~112 untimed queries in 3 rounds.
+BCOV_WINDOW = 38
+#: r12 starts the rotation at the alphabetical front; r13 -> 38, r14 -> 76.
+BCOV_ROUND_OFFSET = 0
+
+
+def _bcov_names() -> list[str]:
+    """The current round's coverage window: registered queries outside
+    every timed segment, alphabetical, rotated by BCOV_ROUND_OFFSET
+    (wrapping; never repeats a name within one window)."""
+    timed = {
+        n for _, names in SEGMENTS + ISOLATED_SEGMENTS for n in names
+    }
+    untimed = sorted(n for n in suite.QUERIES if n not in timed)
+    if not untimed:
+        return []
+    off = BCOV_ROUND_OFFSET % len(untimed)
+    window = (untimed + untimed)[off : off + BCOV_WINDOW]
+    return window[: len(untimed)]
+
+
+def run_queries(
+    spark,
+    names: list[str],
+    sf_dir: str,
+    ref: dict[str, float] | None = None,
+    redraws: dict[str, list[float]] | None = None,
+) -> dict[str, float]:
     """Time each query (count() as the action), warm + cache-clear per query.
 
     Warm-up is PER QUERY, immediately before its timed run — not one
@@ -318,6 +358,18 @@ def run_queries(spark, names: list[str], sf_dir: str) -> dict[str, float]:
     whose lifetime is the query, not the session — without the clear,
     a 70+-query session accumulates orphaned cached frames and later
     timings ride earlier caches.
+
+    Stall redraws (round-11 verdict #3): the r11 driver run drew 13.4 s
+    on a query the same tree seals at 0.43 s, while the canary triplet
+    proved the JVM body was fast — a sporadic per-task stall neither a
+    canary nor an isolated anchor can attribute. When ``ref`` (the prior
+    round's sealed BENCH_DETAIL per-query map at the same sf) is given
+    and a draw exceeds 3x its reference (and +1 s absolute, so sub-second
+    jitter never triggers), the query is re-timed ONCE in the same JVM;
+    ``timings`` keeps the first draw (the total stays an honest account
+    of the session) and both draws land in ``redraws`` — a stalled draw
+    is then recognizable on sight instead of polluting round-over-round
+    comparison.
     """
     warm_dir = "/root/testdata/sf0.001"
     do_warm = os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/")
@@ -335,9 +387,22 @@ def run_queries(spark, names: list[str], sf_dir: str) -> dict[str, float]:
         t0 = time.time()
         df = spec.fn(spark, sf_dir)
         n = df.count() if hasattr(df, "count") else len(df.collect())
-        timings[name] = round(time.time() - t0, 3)
+        t = round(time.time() - t0, 3)
+        timings[name] = t
         _ = n
         spark.catalog.clearCache()
+        ref_t = (ref or {}).get(name)
+        if (
+            redraws is not None
+            and ref_t
+            and t > 3 * ref_t
+            and t - ref_t > 1.0
+        ):
+            t1 = time.time()
+            spec.fn(spark, sf_dir).count()
+            t2 = round(time.time() - t1, 3)
+            redraws[name] = [t, t2]
+            spark.catalog.clearCache()
     return timings
 
 
@@ -390,12 +455,14 @@ def _canary_sec(spark, sf_dir: str | None = None) -> float | None:
 
 
 def _segment_names(segment: str) -> list[str]:
+    if segment == "bcov":
+        return _bcov_names()
     for key, names in SEGMENTS + ISOLATED_SEGMENTS:
         if key == segment:
             return list(names)
     raise SystemExit(
         f"unknown segment {segment!r}; "
-        f"known: {[k for k, _ in SEGMENTS + ISOLATED_SEGMENTS]}"
+        f"known: {[k for k, _ in SEGMENTS + ISOLATED_SEGMENTS]} + ['bcov']"
     )
 
 
@@ -473,10 +540,29 @@ def main() -> None:
     isolated: dict = {}
     heavy_iso: dict = {}
     noisy_iso: dict = {}
+    bcov_iso: dict = {}
     if not os.environ.get("SPARK_GRAFT_SKIP_ISOLATED"):
         isolated = _isolated_anchor_run(sf_dir)
         heavy_iso = _isolated_anchor_run(sf_dir, "heavy")
         noisy_iso = _isolated_anchor_run(sf_dir, "noisy")
+        # coverage rotation (round-11 verdict #5): first-ever timings
+        # for this round's window of the never-timed queries
+        bcov_iso = _isolated_anchor_run(sf_dir, "bcov")
+
+    # Prior round's sealed per-query map: the stall-redraw reference.
+    # Only comparable at the same scale factor.
+    ref: dict[str, float] = {}
+    ref_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(ref_path) as f:
+            prior = json.load(f)
+        if prior.get("sf") == sf:
+            ref = prior.get("queries", {})
+    except (OSError, json.JSONDecodeError):
+        pass
+    redraws: dict[str, list[float]] = {}
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -494,9 +580,11 @@ def main() -> None:
     # isolated anchors instead.
     half = [n for _, names in SEGMENTS[:7] for n in names]
     rest = [n for _, names in SEGMENTS[7:] for n in names]
-    timings = run_queries(spark, half, sf_dir)
+    timings = run_queries(spark, half, sf_dir, ref=ref, redraws=redraws)
     canary_mid = _canary_sec(spark, sf_dir)
-    timings.update(run_queries(spark, rest, sf_dir))
+    timings.update(
+        run_queries(spark, rest, sf_dir, ref=ref, redraws=redraws)
+    )
     canary_end = _canary_sec(spark, sf_dir)
     total = round(sum(timings.values()), 3)
 
@@ -532,6 +620,10 @@ def main() -> None:
         "heavy_isolated_queries": heavy_iso.get("queries", {}),
         "noisy_isolated": noisy_iso.get("value"),
         "noisy_isolated_queries": noisy_iso.get("queries", {}),
+        "bcov_offset": BCOV_ROUND_OFFSET,
+        "bcov_total": bcov_iso.get("value"),
+        "bcov_queries": bcov_iso.get("queries", {}),
+        "redraws": redraws,
     }
     # SPARK_GRAFT_DETAIL_PATH redirects the side file: the contract
     # test runs bench.py as a subprocess at sf0.001, and without the
@@ -573,6 +665,16 @@ def main() -> None:
         # driver in-suite 14.5 s vs 3.4-4.3 s across every isolated run)
         "noisy_isolated": noisy_iso.get("value"),
         "noisy_isolated_queries": noisy_iso.get("queries", {}),
+        # coverage rotation: this round's window of never-timed queries
+        # (first-ever timings; the window moves each round — coverage,
+        # not a cross-round anchor; per-query map in BENCH_DETAIL.json)
+        "bcov_offset": BCOV_ROUND_OFFSET,
+        "bcov_total": bcov_iso.get("value"),
+        # stall redraws (r11 lesson): [first, second] same-JVM draws for
+        # any in-suite timing > 3x (and +1 s) its prior-round sealed
+        # value — a one-off stall shows a fast second draw; a real
+        # regression repeats. Totals keep the first draw.
+        "redraws": redraws,
         "slowest": slowest,
         "detail": "BENCH_DETAIL.json",
     }, separators=(",", ":")))

@@ -1126,7 +1126,11 @@ def ivf_pq_build(
     across the probe/recall joins, which costs roughly 2x what lineage
     re-planning saves. The parameter stays for callers that genuinely
     need a plan-depth cut (the §5o iterative-graph rule, where lineage
-    DOUBLES per round); results are identical either way.
+    DOUBLES per round); results are identical either way. Release is
+    explicit on both branches: CacheRegistry.release() also drops
+    localCheckpoint RDD blocks (r11 ADVICE — plain unpersist left them
+    to ContextCleaner GC), so the next build call frees the prior
+    build's storage deterministically.
     """
     release_similarity_caches()  # prior query's build frames consumed
 

@@ -89,11 +89,39 @@ class CacheRegistry:
     def __iter__(self) -> Iterator[DataFrame]:
         return iter(self._frames)
 
+    @staticmethod
+    def _drop_checkpoint_blocks(df: DataFrame) -> None:
+        """Explicitly free a localCheckpoint'd frame's RDD blocks.
+
+        ``DataFrame.unpersist()`` uncaches via the CacheManager and does
+        NOT drop localCheckpoint storage — without this, checkpoint-mode
+        index builds freed their blocks only when the JVM ContextCleaner
+        GC'd the RDD (round-11 ADVICE). A checkpointed frame's analyzed
+        plan is a ``LogicalRDD`` holding the materialized RDD, which is
+        unpersisted directly. Best-effort by design: the py4j reflection
+        is version-sensitive, and a miss only restores the old
+        deferred-GC behavior. NOTE the contract change this buys: a
+        released checkpoint frame cannot RECOMPUTE (lineage truncated),
+        so consuming a frame after its family's next call fails hard
+        instead of recomputing — safe under the documented same-thread
+        serial contract (release happens at the next call's entry, when
+        the prior call's frames are no longer consumed).
+        """
+        try:
+            analyzed = df._jdf.queryExecution().analyzed()
+            if analyzed.getClass().getSimpleName() == "LogicalRDD":
+                analyzed.rdd().unpersist(False)
+        except Exception:
+            pass
+
     def release(self) -> None:
-        """Unpersist every frame this THREAD registered, newest first."""
+        """Unpersist every frame this THREAD registered, newest first
+        (localCheckpoint blocks included — see _drop_checkpoint_blocks)."""
         frames = self._frames
         while frames:
-            frames.pop().unpersist(False)
+            df = frames.pop()
+            df.unpersist(False)
+            self._drop_checkpoint_blocks(df)
 
     def release_all(self) -> None:
         """Unpersist EVERY thread's frames (teardown/idle-point sweep).
@@ -107,6 +135,12 @@ class CacheRegistry:
         corruption). Empty dead-thread ledgers are dropped from the
         side table; the CALLING thread's ledger entry is retained
         because its threading.local slot still references the list.
+
+        Checkpointed frames are NOT block-dropped here (plain unpersist
+        only, storage freed when the ContextCleaner GCs the RDD): a
+        cross-thread sweep may race a thread still lazily consuming its
+        frame, and a truncated-lineage frame cannot recompute — the
+        recompute-not-corruption guarantee above would not hold.
         """
         with self._table_lock:
             snapshot = list(self._ledgers.items())

@@ -126,6 +126,53 @@ def _filter_keyset_positive(text: str) -> bool:
     return any(
         m.group(1) is None for m in _FILTER_KEYSET_RE.finditer(text)
     )
+
+
+def _toplevel_conjuncts(ptxt: str) -> list[str]:
+    """Split a PushedFilters list body into its top-level
+    comma-separated entries (paren/bracket depth tracked), then DROP any
+    entry nested inside a ``Not(...)`` or ``Or(...)`` wrapper. The
+    lookbehind on the regexes only rejects a DIRECTLY-wrapped negation;
+    a pushed ``Not(Or(EqualTo(c,5),EqualTo(c,6)))`` or a disjunct like
+    ``Or(EqualTo(c,5),GreaterThan(d,10))`` still contains a positive-
+    looking inner EqualTo, though both select data-sized row sets — so
+    bounding evidence is scored on surviving top-level conjuncts only
+    (a pushed filter list is a conjunction; each surviving entry
+    independently bounds the scan)."""
+    entries: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in ptxt:
+        if ch == "," and depth == 0:
+            entries.append("".join(cur).strip())
+            cur = []
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth = max(0, depth - 1)
+        cur.append(ch)
+    if cur:
+        entries.append("".join(cur).strip())
+    return [
+        e for e in entries if not _re.match(r"(?:Not|Or)\(", e)
+    ]
+
+
+def _pushed_limit_positive(ptxt: str) -> bool:
+    """Pushed literal numeric limit on a NON-negated, NON-disjunctive
+    top-level conjunct (see :func:`_toplevel_conjuncts`)."""
+    return any(
+        _PUSHED_LIMIT_RE.search(e) for e in _toplevel_conjuncts(ptxt)
+    )
+
+
+def _pushed_keyset_positive(ptxt: str) -> bool:
+    """Pushed literal key-set filter on a NON-negated, NON-disjunctive
+    top-level conjunct (see :func:`_toplevel_conjuncts`)."""
+    return any(
+        _PUSHED_KEYSET_RE.search(e) for e in _toplevel_conjuncts(ptxt)
+    )
 _FILTER_SAMPLE_RE = _re.compile(r"%\s*\d+\)?\s*\)?\s*=\s*\d+")
 _FILTER_LIMIT_RE = _re.compile(r"#\d+L?\)?\s*(?:<|<=|=)\s*-?\d+(?:\.\d+)?\)")
 
@@ -276,7 +323,7 @@ def bnlj_build_audit(plan: str) -> list[dict]:
                 continue
             pf = details.get(scan[2], "")
             pushed = _re.search(r"PushedFilters: \[(.*)\]", pf)
-            if pushed and _PUSHED_LIMIT_RE.search(pushed.group(1)):
+            if pushed and _pushed_limit_positive(pushed.group(1)):
                 rec["evidence"].append(
                     f"scan({scan[2]}) pushed literal limit: {pushed.group(1)}"
                 )
@@ -414,7 +461,7 @@ def single_partition_audit(plan: str) -> list[dict]:
             pushed = _re.search(r"PushedFilters: \[(.*)\]", pf)
             ptxt = pushed.group(1) if pushed else ""
             agg = next((n for n in path if "Aggregate" in n[1]), None)
-            if _PUSHED_LIMIT_RE.search(ptxt):
+            if _pushed_limit_positive(ptxt):
                 rec["evidence"].append(
                     f"scan({scan[2]}) pushed literal limit: {ptxt}"
                 )
@@ -429,7 +476,7 @@ def single_partition_audit(plan: str) -> list[dict]:
                 None,
             )
             if agg is not None and (
-                _PUSHED_KEYSET_RE.search(ptxt) or keyset_filter is not None
+                _pushed_keyset_positive(ptxt) or keyset_filter is not None
             ):
                 rec["evidence"].append(
                     f"scan({scan[2]}) literal key-set filter + aggregate "
@@ -612,7 +659,7 @@ def broadcast_provenance_audit(plan: str) -> list[dict]:
                     f"scan({scan[2]}) {table} collapsed by aggregate "
                     f"({agg[2]})"
                 )
-            elif _PUSHED_LIMIT_RE.search(ptxt) or any(
+            elif _pushed_limit_positive(ptxt) or any(
                 n[1].startswith("Filter")
                 and (
                     _FILTER_SAMPLE_RE.search(details.get(n[2], ""))
@@ -685,8 +732,13 @@ def broadcast_hint_audit(logical: str) -> list[dict]:
 
         {"join": str, "side": "left" | "right",
          "verdict": "catalog_sized" | "k_sized" | "query_sized" |
-                    "dim_sized" | "data_sized",
+                    "dim_sized" | "dim_hinted" | "data_sized",
          "evidence": [str, ...]}
+
+    ``dim_hinted`` (a hint on a RAW dim-class scan) is non-failing —
+    the documented broadcast-dim contract — but distinct, so dumps
+    surface hinted raw-dim sides for review instead of folding them
+    into the accepted classes.
 
     A hinted side is bounded when each of its parquet relations is a
     fixed table, collapsed by an Aggregate / GlobalLimit / LocalLimit
@@ -741,7 +793,8 @@ def broadcast_hint_audit(logical: str) -> list[dict]:
 
 
 _SIDE_ORDER = [
-    "catalog_sized", "k_sized", "query_sized", "dim_sized", "data_sized",
+    "catalog_sized", "k_sized", "query_sized", "dim_sized", "dim_hinted",
+    "data_sized",
 ]
 
 
@@ -785,7 +838,17 @@ def _classify_logical_side(st: list[tuple[int, str]]) -> tuple[str, list[str]]:
         ) or bounded_filter:
             cls, why = "query_sized", f"{table} under limit/sample"
         elif table in _DIM_TABLES:
-            cls, why = "dim_sized", f"dim table {table} (contract)"
+            # Distinct NON-FAILING verdict for a HINTED raw dim scan:
+            # unlike a planner threshold choice, AQE cannot demote a
+            # hint, so at 100 TB a forced broadcast of raw orders OOMs
+            # exactly like the fact case. The documented broadcast-dim
+            # contract (SCALE.md §1) accepts the risk, but dumps surface
+            # these sides for review instead of folding them into the
+            # silently-accepted dim_sized class.
+            cls, why = "dim_hinted", (
+                f"HINTED raw dim table {table} (contract: accepted, "
+                f"AQE cannot demote a hint — review at scale)"
+            )
         else:
             cls, why = _join_bounded_class(st, k, rel, path, table)
         worst = max(worst, _SIDE_ORDER.index(cls))
@@ -793,16 +856,39 @@ def _classify_logical_side(st: list[tuple[int, str]]) -> tuple[str, list[str]]:
     return _SIDE_ORDER[worst], evidence
 
 
+_HINT_SPAN_RE = _re.compile(r"(?:left|right)Hint=\([^)]*\)")
+#: A plain attribute equality in a logical Join head: ``...#12L = ...``
+#: (optionally through closing parens of a wrapping expression). ``<=``/
+#: ``>=`` fail the ``\s*`` gap; ``!=`` renders as ``NOT (a = b)``.
+_JOIN_EQUI_RE = _re.compile(r"#\d+L?\)*\s*=\s")
+
+
+def _join_condition_equi(text: str) -> bool:
+    """True iff a logical Join node's condition carries at least one
+    EQUALITY comparison (`` = `` or null-safe ``<=>``). Hint spans are
+    stripped first — ``rightHint=(strategy=broadcast)`` embeds ``=``
+    signs that are not comparisons. A theta join (``a#1 < b#2``) has a
+    condition but no equality, so it must NOT grant join-bounding: k
+    rows joined non-equi against a fact can emit |fact|-sized output."""
+    stripped = _HINT_SPAN_RE.sub("", text)
+    return bool(_JOIN_EQUI_RE.search(stripped)) or "<=>" in stripped
+
+
 def _join_bounded_class(st, k, rel, path, table) -> tuple[str, str]:
     """Last-resort evidence for an otherwise-unbounded relation: an
     inner/semi EQUI-join on its path whose other side classifies
     bounded caps the output at |other side| x per-key rows. Cross
-    joins don't qualify (no key, pure multiplication)."""
+    joins don't qualify (no key, pure multiplication), and neither do
+    conditioned NON-equi joins (a theta join against k rows can emit
+    |fact|-sized output) — the condition must contain an equality
+    (:func:`_join_condition_equi`)."""
     for j, r in enumerate(path):
         head = r[1].split(",")[0]
         if not r[1].startswith("Join ") or "(" not in r[1]:
             continue
         if head not in ("Join Inner", "Join LeftSemi"):
+            continue
+        if not _join_condition_equi(r[1]):
             continue
         # locate this Join node in st and its two children; recurse on
         # the child NOT containing our relation
@@ -843,4 +929,212 @@ def assert_broadcast_hints_bounded(df: DataFrame, context: str = "") -> list[dic
     recs = broadcast_hint_audit(optimized_logical_plan(df))
     bad = [r for r in recs if r["verdict"] == "data_sized"]
     assert not bad, f"{context}: data-sized broadcast hints: {bad}"
+    return recs
+
+
+# ---------------------------------------------------------------------------
+# Condition-less cross audit (round-11 verdict, next-round #4).
+#
+# The BNLJ gate bounds BUILD sides; the remaining nested-loop hazard is
+# the condition-less cross itself: every build row multiplies the whole
+# stream, so a k-row build over an unbounded stream emits k x |stream|
+# rows into whatever shuffles next. Whether that is a defect depends on
+# the BUILD side's cardinality CLASS, not just on it being "bounded":
+#
+#   * global aggregate (``Keys: []``) / literal / limit build -> the
+#     multiplier is 1 (scalar augment) or an author-chosen constant
+#     (query frames, config rows, brute-force baselines). Deliberate.
+#   * KEYED aggregate build -> the multiplier is a GROUP COUNT the plan
+#     text cannot bound, and the shape is frequently avoidable — the
+#     langid_precision_recall accident (classes.crossJoin(pred), a
+#     |classes|x corpus blowup replaced by one confusion-matrix
+#     aggregate) is the live negative control. FAILS unless the query
+#     is explicitly reviewed into KEYED_CROSS_ALLOWED.
+#   * raw CartesianProduct (neither side broadcastable) -> both sides
+#     are data-sized by construction; FAILS unless both carry evidence.
+# ---------------------------------------------------------------------------
+
+#: Reviewed keyed-aggregate-build crosses: the group count is bounded by
+#: an ALGORITHM constant or the channel catalog, not the data — the one
+#: thing static plan text cannot see, recorded here per query instead.
+KEYED_CROSS_ALLOWED: dict[str, str] = {
+    "ivf_pq_recall": (
+        "PQ codebook/centroid frames keyed by (subspace, code): <= m*k "
+        "rows by construction (m subspaces x k=2^nbits codes); every "
+        "embedding row genuinely needs every codebook row for ADC"
+    ),
+    "semdedup_prune": (
+        "cluster-centroid frame keyed by cluster id: <= k clusters by "
+        "construction; every doc row needs every centroid to pick its "
+        "nearest cluster"
+    ),
+    "consistency_levels_read": (
+        "3-row consistency-levels frame (strong/bounded/eventually "
+        "cutoffs); the keyed per-vchannel max collapses to a global "
+        "min inside a UNION of three 1-row selects"
+    ),
+}
+
+#: Build/side cardinality classes, strongest-bound first.
+_CROSS_RANK = {
+    "global_agg": 3, "literal": 3, "query": 3, "reused": 3,
+    "keyed_agg": 1, "unbounded": 0,
+}
+
+
+def _cross_scan_class(bt, k, scan, details) -> str:
+    """Bounding class of one parquet scan inside a cross-join side."""
+    path = []
+    want = scan[0]
+    for n in reversed(bt[:k]):
+        if n[0] < want:
+            path.append(n)
+            want = n[0]
+    agg = next((n for n in path if "Aggregate" in n[1]), None)
+    if agg is not None:
+        return (
+            "global_agg"
+            if "Keys: []" in details.get(agg[2], "")
+            else "keyed_agg"
+        )
+    pf = details.get(scan[2], "")
+    pushed = _re.search(r"PushedFilters: \[(.*)\]", pf)
+    if pushed and _pushed_limit_positive(pushed.group(1)):
+        return "query"
+    if any(
+        n[1].startswith("Filter")
+        and (
+            _FILTER_SAMPLE_RE.search(details.get(n[2], ""))
+            or _FILTER_LIMIT_RE.search(details.get(n[2], ""))
+        )
+        for n in path
+    ):
+        return "query"
+    return "unbounded"
+
+
+def _cross_side_class(nodes, details, idx) -> tuple[str, list[str]]:
+    """Weakest bounding class over one cross-join child subtree.
+    ``reused`` trusts the original occurrence of the exchange in the
+    same plan (classified where it is built); residual risk, accepted:
+    a keyed-agg exchange reused under a second cross with a WIDER
+    stream is only audited against its first stream."""
+    if "ReusedExchange" in nodes[idx][1]:
+        return "reused", ["ReusedExchange (validated at original)"]
+    bt = _subtree(nodes, idx)
+    scans = [(k, n) for k, n in enumerate(bt) if "Scan parquet" in n[1]]
+    if not scans:
+        kinds = sorted({n[1].split()[0] for n in bt})
+        return "literal", [f"literal/control sources only: {kinds}"]
+    classes = [
+        (_cross_scan_class(bt, k, s, details), s[2]) for k, s in scans
+    ]
+    worst = min(classes, key=lambda c: _CROSS_RANK[c[0]])
+    ev = [f"scan({nid}) {cls}" for cls, nid in classes]
+    return worst[0], ev
+
+
+def cartesian_audit(plan: str) -> list[dict]:
+    """Classify every condition-less cross in a formatted physical plan:
+    ``CartesianProduct`` nodes and ``BroadcastNestedLoopJoin`` nodes
+    whose detail shows ``Join condition: None`` (conditioned BNLJs are
+    theta joins — their output is condition-filtered, and their build
+    sides are :func:`bnlj_build_audit`'s contract). Returns one record
+    per node::
+
+        {"node_id": int, "kind": "cartesian" | "cross_bnlj",
+         "verdict": "bounded" | "scalar_augment" | "literal_multiplied"
+                    | "keyed_multiplied" | "unbounded",
+         "evidence": [str, ...]}
+
+    Verdicts: *bounded* — both sides carry bounding evidence (k x k at
+    worst). *scalar_augment* — unbounded stream x global-aggregate
+    build: multiplier exactly 1 (the mean/count/cutoff augment idiom).
+    *literal_multiplied* — unbounded stream x literal/limit build: an
+    author-chosen constant factor (query panels, config frames,
+    labeled brute-force baselines). *keyed_multiplied* — unbounded
+    stream x KEYED-aggregate build: the multiplier is a group count
+    the plan cannot bound and the shape is frequently avoidable (the
+    langid accident); FAILS unless the query is reviewed into
+    :data:`KEYED_CROSS_ALLOWED`. *unbounded* — a side with no evidence
+    at all (raw cartesian, or a data-sized build the BNLJ gate also
+    fails); always FAILS.
+    """
+    nodes = parse_plan_tree(plan)
+    details = node_details(plan)
+    out: list[dict] = []
+    for i, (depth, name, nid) in enumerate(nodes):
+        is_cart = "CartesianProduct" in name
+        is_bnlj = "BroadcastNestedLoopJoin" in name
+        if not (is_cart or is_bnlj):
+            continue
+        if is_bnlj and "Join condition: None" not in details.get(nid, ""):
+            continue
+        rec = {
+            "node_id": nid,
+            "kind": "cartesian" if is_cart else "cross_bnlj",
+            "verdict": "unbounded",
+            "evidence": [],
+        }
+        sub = _subtree(nodes, i)
+        kids = [
+            j
+            for j in range(i + 1, i + len(sub))
+            if nodes[j][0] == depth + 1
+        ]
+        if len(kids) != 2:
+            rec["evidence"].append("could not resolve both children")
+            out.append(rec)
+            continue
+        build = next(
+            (j for j in kids if "Exchange" in nodes[j][1]), None
+        )
+        if is_cart or build is None:
+            # raw cartesian: no broadcast side; both children must
+            # carry evidence (a bounded side would have broadcast)
+            sides = [
+                _cross_side_class(nodes, details, j) for j in kids
+            ]
+            rec["evidence"] = [e for _, ev in sides for e in ev]
+            rec["verdict"] = (
+                "bounded"
+                if all(_CROSS_RANK[c] >= 1 for c, _ in sides)
+                else "unbounded"
+            )
+            out.append(rec)
+            continue
+        stream = next(j for j in kids if j != build)
+        bcls, bev = _cross_side_class(nodes, details, build)
+        scls, sev = _cross_side_class(nodes, details, stream)
+        rec["evidence"] = [f"build: {e}" for e in bev] + [
+            f"stream: {e}" for e in sev
+        ]
+        if bcls == "unbounded":
+            # an evidence-free BUILD is data-sized into every executor
+            # regardless of the stream (also bnlj_build_audit's fail)
+            rec["verdict"] = "unbounded"
+        elif _CROSS_RANK[scls] >= 1:
+            rec["verdict"] = "bounded"
+        elif bcls == "global_agg":
+            rec["verdict"] = "scalar_augment"
+        elif _CROSS_RANK[bcls] >= 3:
+            rec["verdict"] = "literal_multiplied"
+        else:
+            rec["verdict"] = "keyed_multiplied"
+        out.append(rec)
+    return out
+
+
+def assert_cartesian_bounded(
+    plan: str, context: str = "", allow_keyed: bool = False
+) -> list[dict]:
+    """Raise AssertionError on an ``unbounded`` cross, or on a
+    ``keyed_multiplied`` one unless the caller passed ``allow_keyed``
+    (dumps pass ``context in KEYED_CROSS_ALLOWED``)."""
+    recs = cartesian_audit(plan)
+    failing = {"unbounded"} | (
+        set() if allow_keyed else {"keyed_multiplied"}
+    )
+    bad = [r for r in recs if r["verdict"] in failing]
+    assert not bad, f"{context}: unbounded/keyed cross joins: {bad}"
     return recs

@@ -277,3 +277,24 @@ def test_registry_thread_isolation_property():
             )
 
     run()
+
+
+def test_release_drops_local_checkpoint_blocks(spark):
+    """ADVICE r11 (low): release() must free localCheckpoint RDD storage
+    explicitly — DataFrame.unpersist() alone leaves the blocks to the
+    ContextCleaner's GC, silently weakening the 'prior build released at
+    next call' contract on checkpoint-mode index builds."""
+    from milvus_cdc_spark.cache_registry import CacheRegistry
+
+    reg = CacheRegistry("test_ckpt")
+    ck = spark.range(50_000).selectExpr("id", "id * 2 AS v").localCheckpoint()
+    rdd_id = ck._jdf.queryExecution().analyzed().rdd().id()
+    sc = spark.sparkContext._jsc.sc()
+    assert any(
+        info.id() == rdd_id for info in sc.getRDDStorageInfo()
+    ), "expected the checkpoint RDD to hold storage"
+    reg.append(ck)
+    reg.release()
+    assert not any(
+        info.id() == rdd_id for info in sc.getRDDStorageInfo()
+    ), "checkpoint blocks must be dropped at release()"

@@ -1089,3 +1089,171 @@ def test_hint_stamps_all_bounded_in_plans_md():
     assert total >= 50, f"expected many hinted sides across the suite: {total}"
     bad = [(h, b) for h, b in stamps if int(b) != int(h)]
     assert not bad, f"sections with unbounded hinted sides: {bad}"
+
+
+# ---------------------------------------------------------------------------
+# Condition-less cross audit (round-11 verdict #4): a keyed-aggregate
+# build multiplying an unbounded stream is the langid accident class —
+# the multiplier is a group count static text can't bound, and the shape
+# is frequently replaceable by one aggregate. The gate fails it unless
+# the query is reviewed into audit.KEYED_CROSS_ALLOWED.
+# ---------------------------------------------------------------------------
+
+
+def test_cartesian_audit_flags_keyed_cross_of_corpus(spark, sf_dir):
+    """Live negative control: the pre-fix langid shape — a distinct
+    (keyed aggregate) class frame crossJoined onto the full corpus —
+    must classify keyed_multiplied and fail the assert."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    classes = docs.select(F.col("lang").alias("cls")).distinct()
+    # hint the class frame so the small test SF can't flip the planner
+    # into broadcasting the corpus side instead (at scale the distinct
+    # IS the broadcast side, as the pre-fix langid plan shows)
+    joined = docs.select("lang", "doc_id").crossJoin(F.broadcast(classes))
+    out = joined.groupBy("cls").agg(F.count("*").alias("n"))
+    recs = audit.cartesian_audit(audit.formatted_plan(out))
+    assert recs, "expected a condition-less cross"
+    assert any(r["verdict"] == "keyed_multiplied" for r in recs), recs
+    with pytest.raises(AssertionError, match="unbounded/keyed cross"):
+        audit.assert_cartesian_bounded(audit.formatted_plan(out), "neg")
+    # the reviewed-in escape hatch accepts the same plan
+    audit.assert_cartesian_bounded(
+        audit.formatted_plan(out), "neg", allow_keyed=True
+    )
+
+
+def test_cartesian_audit_accepts_scalar_and_literal_builds(spark, sf_dir):
+    """Positive controls: a global-aggregate (1-row) build classifies
+    scalar_augment; a literal build (spark.range) classifies
+    literal_multiplied — both non-failing deliberate idioms."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mean = docs.agg(F.avg(F.length("text")).alias("mu"))
+    aug = docs.crossJoin(F.broadcast(mean))
+    recs = audit.assert_cartesian_bounded(audit.formatted_plan(aug), "scalar")
+    assert any(r["verdict"] == "scalar_augment" for r in recs), recs
+    panel = spark.range(3).withColumnRenamed("id", "probe")
+    lit = docs.crossJoin(F.broadcast(panel))
+    recs2 = audit.assert_cartesian_bounded(audit.formatted_plan(lit), "lit")
+    assert any(r["verdict"] == "literal_multiplied" for r in recs2), recs2
+
+
+def test_cartesian_audit_langid_fix_has_no_cross(spark, sf_dir):
+    """The reshaped langid_precision_recall (confusion-matrix aggregate)
+    carries NO condition-less cross at all — the gate's live positive."""
+    df = suite.QUERIES["langid_precision_recall"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    recs = audit.assert_cartesian_bounded(plan, "langid")
+    assert not [r for r in recs if r["verdict"] == "keyed_multiplied"], recs
+    spark.catalog.clearCache()
+
+
+def test_cartesian_audit_allowlisted_queries_still_keyed(spark, sf_dir):
+    """The KEYED_CROSS_ALLOWED entries are real: each allowlisted query
+    actually plans a keyed_multiplied cross (else the entry is stale),
+    and passes only via the reviewed escape hatch."""
+    for name in sorted(audit.KEYED_CROSS_ALLOWED):
+        df = suite.QUERIES[name].fn(spark, sf_dir)
+        plan = audit.formatted_plan(df)
+        recs = audit.assert_cartesian_bounded(plan, name, allow_keyed=True)
+        assert any(
+            r["verdict"] == "keyed_multiplied" for r in recs
+        ), (name, recs)
+        spark.catalog.clearCache()
+
+
+def test_cartesian_classes_in_plans_md():
+    """Artifact sweep: every condition-less cross in PLANS.md classifies
+    into the taxonomy and no failing instance ships (langid's pre-fix
+    plan was the one keyed_multiplied outside the allowlist; the
+    regenerated dump must not contain another)."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    md = open(path).read()
+    sections = re.split(r"^## ", md, flags=re.M)[1:]
+    total = 0
+    bad = []
+    for sec in sections:
+        name = sec.splitlines()[0].strip()
+        m = re.search(r"```\n(.*?)```", sec, re.S)
+        if not m:
+            continue
+        for rec in audit.cartesian_audit(m.group(1)):
+            total += 1
+            failing = {"unbounded"} | (
+                set()
+                if name in audit.KEYED_CROSS_ALLOWED
+                else {"keyed_multiplied"}
+            )
+            if rec["verdict"] in failing:
+                bad.append((name, rec))
+    assert total >= 50, f"expected many crosses across PLANS.md: {total}"
+    assert not bad, bad
+
+
+def test_join_bounding_requires_equality(spark, sf_dir):
+    """ADVICE r11 (medium): a theta join (non-equi condition) against a
+    k-sized side must NOT grant join-bounding to a hinted fact-side
+    broadcast — a theta join against k rows can emit |fact|-sized
+    output. The equi form still qualifies."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seeds = emb.select(F.col("vec_id").alias("cutoff")).limit(4)
+    # non-equi: every hint-side row survives for vec_id < max(cutoff)
+    theta = emb.join(seeds, emb.vec_id < seeds.cutoff, "inner")
+    bad = spark.range(1).crossJoin(
+        F.broadcast(theta.select("vec_id", "embedding"))
+    )
+    recs = audit.broadcast_hint_audit(audit.optimized_logical_plan(bad))
+    assert any(r["verdict"] == "data_sized" for r in recs), recs
+    # equi control: same frames joined on equality stay join-bounded
+    equi = emb.join(seeds, emb.vec_id == seeds.cutoff, "inner")
+    good = spark.range(1).crossJoin(
+        F.broadcast(equi.select("vec_id", "embedding"))
+    )
+    recs2 = audit.broadcast_hint_audit(audit.optimized_logical_plan(good))
+    assert recs2 and all(r["verdict"] != "data_sized" for r in recs2), recs2
+    # unit: hint spans' '=' must not read as an equality
+    assert not audit._join_condition_equi(
+        "Join Inner, (l_ship#3 < cutoff#9), rightHint=(strategy=broadcast)"
+    )
+    assert audit._join_condition_equi(
+        "Join Inner, (l_orderkey#1L = o_orderkey#5L), "
+        "rightHint=(strategy=broadcast)"
+    )
+    assert audit._join_condition_equi("Join Inner, (a#1 <=> b#2)")
+
+
+def test_pushed_evidence_rejects_nested_negations():
+    """ADVICE r11 (low): Not(Or(...))-nested and disjunctive pushed
+    filters must not count as bounding evidence; top-level positive
+    conjuncts still do — even alongside a negated sibling."""
+    assert not audit._pushed_limit_positive(
+        "Not(Or(EqualTo(c,5),EqualTo(c,6)))"
+    )
+    assert not audit._pushed_limit_positive(
+        "Or(EqualTo(c,5),GreaterThan(d,10))"
+    )
+    assert audit._pushed_limit_positive(
+        "IsNotNull(c), EqualTo(c,5), Not(In(d, [1,2]))"
+    )
+    assert not audit._pushed_keyset_positive("Not(In(lang, [en,fr]))")
+    assert not audit._pushed_keyset_positive(
+        "Or(In(lang, [en,fr]),GreaterThan(len,10))"
+    )
+    assert audit._pushed_keyset_positive(
+        "In(lang, [en,fr]), Not(EqualTo(src,web))"
+    )
+
+
+def test_hinted_raw_dim_surfaces_as_dim_hinted(spark, sf_dir):
+    """ADVICE r11 (low): a FORCED F.broadcast() on a raw SF-scaled dim
+    scan reports the distinct non-failing dim_hinted verdict so dumps
+    surface it for review (AQE cannot demote a hint), instead of
+    folding it into the silently-accepted dim_sized class."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = li.join(
+        F.broadcast(orders), li.l_orderkey == orders.o_orderkey
+    )
+    recs = audit.assert_broadcast_hints_bounded(df, "dim-hint")
+    assert any(r["verdict"] == "dim_hinted" for r in recs), recs
