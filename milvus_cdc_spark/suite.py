@@ -3398,13 +3398,15 @@ from milvus_cdc_spark import suite_eval  # noqa: E402,F401  (import-for-effect)
 # r13 ROTATION PROPOSAL (pre-staged; deterministic continuation of the
 # freshness sweep by the same (latest driver round, name) ascending rule,
 # recomputed against the r01-r11 ledger with the r12 window marked green):
-# anchors + the 10 r7-remainder rows — quality_quantile_normalize,
-# random_sample_filter, rolling_active_users, seasonal_forecast_error,
-# source_dedup_matrix, source_overlap_matrix, superstructure_search,
-# vocab_coverage_curve, weighted_doc_sample, zorder_layout_pruning —
-# then the 38 oldest r8-cohort rows (alphabetical from
-# ann_multiprobe_topk onward; recompute at swap time in case r12
-# registers new queries, which sort as round 0 and lead the window).
+# anchors + the 2 never-driver-checked r12 registrations (sort as round
+# 0) — lexical_diversity_ttr, token_burstiness_topk — + the 10
+# r7-remainder rows — quality_quantile_normalize, random_sample_filter,
+# rolling_active_users, seasonal_forecast_error, source_dedup_matrix,
+# source_overlap_matrix, superstructure_search, vocab_coverage_curve,
+# weighted_doc_sample, zorder_layout_pruning — then the 36 oldest
+# r8-cohort rows (alphabetical from ann_multiprobe_topk onward;
+# recompute at swap time in case r13's builder registers more queries,
+# which sort as round 0 and lead the window).
 PRIORITY: tuple[str, ...] = (
     # -- 2 regression anchors (driver-green r1-r11) --
     "q1_pricing_summary",        # flagship; TPC-H Q1 agg

@@ -3359,3 +3359,162 @@ def char_diversity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical-diversity profile: type-token ratio + hapax-legomenon share
+# per source — the vocabulary-growth (Heaps-law) quality family. A
+# template-generated or boilerplate-heavy source shows a LOW TTR and a
+# low hapax share (few one-off words); a diverse natural corpus shows
+# high shares of both. Pure BIGINT algebra (counts and DIV), portable
+# bit-for-bit. Scale shape: one token explode -> groupBy(source, tok)
+# (map-side-combinable; shuffle keyed by the token vocab, which grows
+# sublinearly) -> catalog-keyed per-source aggregate.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "lexical_diversity_ttr",
+    f"""
+    WITH t AS (
+      SELECT source, unnest({_SQL_TOKS}) AS tok FROM documents
+    ),
+    cnt AS (
+      SELECT source, tok, count(*)::BIGINT AS n FROM t GROUP BY 1, 2
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_types,
+           sum(n)::BIGINT AS n_tokens,
+           sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+           (count(*) * 1000000 // sum(n))::BIGINT AS ttr_ppm,
+           (sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000
+              // count(*))::BIGINT AS hapax_ppm
+    FROM cnt GROUP BY source ORDER BY source
+    """,
+    "llm",
+    "quality",
+    "text",
+    "pipeline",
+)
+def lexical_diversity_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source type-token ratio and hapax share in integer ppm:
+    n_types distinct tokens, n_tokens total, n_hapax tokens occurring
+    exactly once in the source; ttr = types/tokens, hapax = hapax/types.
+    """
+    from milvus_cdc_spark.functions import text as textf
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(textf.tokens(F.lower(F.col("text")))).alias("tok"),
+    )
+    cnt = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return (
+        cnt.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_types"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.sum((F.col("n") == 1).cast("bigint"))
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_types",
+            "n_tokens",
+            "n_hapax",
+            F.expr("n_types * 1000000 DIV n_tokens")
+            .cast("bigint")
+            .alias("ttr_ppm"),
+            F.expr("n_hapax * 1000000 DIV n_types")
+            .cast("bigint")
+            .alias("hapax_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token burstiness (dispersion index): variance-to-mean ratio of a
+# token's per-document counts over the WHOLE corpus (zeros included —
+# algebraically, via N, sum(c), sum(c^2), so no dense zero-fill is ever
+# materialized). A token with VMR >> 1 concentrates in few documents —
+# the signature of boilerplate blocks, templated spans, and topic-spam;
+# VMR ~ 1 is Poisson-like background. Complements chi2_token_source
+# (token-vs-SOURCE association): burstiness is per-DOCUMENT clumping,
+# source-agnostic. Integer-exact: population variance/mean reduces to
+# (N*sumsq - tot^2) * 1e6 DIV (N * tot) — non-negative by
+# Cauchy-Schwarz. Scale shape: explode -> (tok, doc) counts -> per-tok
+# moments (both map-side-combinable) -> one scalar_augment cross with
+# the 1-row corpus count -> TakeOrderedAndProject top-k.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "token_burstiness_topk",
+    f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    ),
+    cd AS (
+      SELECT tok, doc_id, count(*)::BIGINT AS c FROM t GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT tok, sum(c)::BIGINT AS total_count,
+             sum(c * c)::BIGINT AS sumsq,
+             count(*)::BIGINT AS n_docs_with
+      FROM cd GROUP BY tok
+    ),
+    nn AS (SELECT count(*)::BIGINT AS n FROM documents)
+    SELECT tok, total_count, n_docs_with,
+           ((nn.n * sumsq - total_count * total_count) * 1000000
+              // (nn.n * total_count))::BIGINT AS vmr_ppm
+    FROM st, nn
+    WHERE total_count >= 30
+    ORDER BY vmr_ppm DESC, tok
+    LIMIT 15
+    """,
+    "llm",
+    "quality",
+    "text",
+    "pipeline",
+)
+def token_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 frequent tokens (>= 30 occurrences) by per-document
+    dispersion index (variance-to-mean, ppm), zeros handled
+    algebraically against the 1-row corpus count."""
+    from milvus_cdc_spark.functions import text as textf
+
+    docs = _t(spark, sf_dir, "documents")
+    cd = (
+        docs.select(
+            "doc_id",
+            F.explode(textf.tokens(F.lower(F.col("text")))).alias("tok"),
+        )
+        .groupBy("tok", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    st = cd.groupBy("tok").agg(
+        F.sum("c").cast("bigint").alias("total_count"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sumsq"),
+        F.count("*").cast("bigint").alias("n_docs_with"),
+    ).filter(F.col("total_count") >= 30)
+    n = docs.agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        st.crossJoin(F.broadcast(n))
+        .select(
+            "tok",
+            "total_count",
+            "n_docs_with",
+            F.expr(
+                "(n * sumsq - total_count * total_count) * 1000000 "
+                "DIV (n * total_count)"
+            )
+            .cast("bigint")
+            .alias("vmr_ppm"),
+        )
+        .orderBy(F.col("vmr_ppm").desc(), "tok")
+        .limit(15)
+    )
