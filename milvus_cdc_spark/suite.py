@@ -1002,6 +1002,18 @@ _ORACLE_WATERMARK = f"""
 
 @q("watermark_ts", _ORACLE_WATERMARK, "agg", "watermark", "cdc")
 def watermark_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel max ts + the global min across channels (A3/A4).
+
+    The global min is an empty-partitionBy window over the per-channel
+    aggregate — a SinglePartition pass over ONE ROW PER VCHANNEL, i.e.
+    catalog-sized at any corpus scale (channels are deployment config).
+    This is the audited catalog-keyed-aggregate class
+    (plans/audit._CATALOG_KEY_COLS): the r12 full gate sweep first
+    flagged it, a scalar-augment cross reshape was measured to cost a
+    SECOND corpus scan (column pruning gives the two aggregate branches
+    different partial aggregates, so ReusedExchange cannot fire), and
+    the one-scan window shape won — the audit now carries the catalog
+    knowledge instead."""
     ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"))
     per_channel = ops.groupBy("vchannel").agg(
         F.max("ts").alias("channel_max_ts"), F.count("*").alias("n_msgs")

@@ -1177,6 +1177,12 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(255).cast("bigint"),
         ).alias("bucket")
     ).agg(F.count("*").cast("bigint").alias("c"))
+    # Semantically a no-op (least(..., 255) caps the histogram at 256
+    # groups), but it plants the <=256 bound IN THE PLAN as a LocalLimit
+    # so the SinglePartition exchange under the cumulative windows is
+    # statically benign (the audit cannot read group cardinality out of
+    # a bucketing expression — r12 full gate sweep).
+    hist = hist.limit(256)
     w_cum = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

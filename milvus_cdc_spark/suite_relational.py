@@ -1780,6 +1780,18 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anomaly",
 )
 def error_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error-rate spikes vs the previous EXISTING hour bucket.
+
+    The lag is a rank self-join (distributed_row_number over hour_start,
+    then an equi-join on rn = rn−1), not a lag() over an unpartitioned
+    window: the window funneled the whole bucket table through one
+    task's sort (Exchange SinglePartition), and unlike the histogram
+    sketch the bucket count here grows with the corpus's TIME SPAN, so
+    no static bound exists to plant. Rank semantics == lag semantics
+    (previous existing bucket, gaps included) regardless of missing
+    hours (r12 full gate sweep)."""
+    from milvus_cdc_spark.operators.windows import distributed_row_number
+
     ev = _t(spark, sf_dir, "events")
     hourly = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"))
@@ -1791,22 +1803,24 @@ def error_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("hour_start"), "n_errors", "n_events")
     )
-    w = Window.orderBy("hour_start")
     rate = F.col("n_errors") / F.col("n_events")
-    rated = hourly.select(
-        "hour_start",
-        "n_errors",
-        "n_events",
-        F.round(rate, 6).alias("err_rate"),
-        F.round(F.lag(rate).over(w), 6).alias("prev_rate"),
+    ranked = distributed_row_number(hourly, ["hour_start"], rank_col="rn")
+    prev = ranked.select(
+        (F.col("rn") + 1).alias("rn"),
+        F.round(rate, 6).alias("prev_rate"),
     )
     return (
-        rated.filter(
-            F.col("prev_rate").isNotNull()
-            & (F.col("err_rate") > 2 * F.col("prev_rate"))
+        ranked.join(prev, "rn")
+        .filter(
+            (F.round(rate, 6) > 2 * F.col("prev_rate"))
             & (F.col("n_errors") >= 5)
         )
-        .select("hour_start", "n_errors", "n_events", "err_rate")
+        .select(
+            "hour_start",
+            "n_errors",
+            "n_events",
+            F.round(rate, 6).alias("err_rate"),
+        )
         .orderBy("hour_start")
     )
 

@@ -1257,3 +1257,50 @@ def test_hinted_raw_dim_surfaces_as_dim_hinted(spark, sf_dir):
     )
     recs = audit.assert_broadcast_hints_bounded(df, "dim-hint")
     assert any(r["verdict"] == "dim_hinted" for r in recs), recs
+
+
+def test_single_partition_accepts_catalog_keyed_aggregate(spark, sf_dir):
+    """r12 full-gate-sweep follow-up: a global window over the OUTPUT of
+    an aggregate keyed exclusively by catalog-cardinality columns (one
+    row per vchannel — the watermark_ts shape) is benign; the same
+    window over a doc_id-keyed aggregate still fails (document keys are
+    corpus-sized)."""
+    df = suite.QUERIES["watermark_ts"].fn(spark, sf_dir)
+    recs = audit.assert_single_partition_benign(
+        audit.formatted_plan(df), "watermark_ts"
+    )
+    assert any(
+        "catalog-keyed aggregate" in e for r in recs for e in r["evidence"]
+    ), recs
+    # negative control: corpus-keyed aggregate into a global window
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_doc = docs.groupBy("doc_id").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window as W
+
+    bad = per_doc.withColumn(
+        "total", F.sum("n").over(W.partitionBy().orderBy("doc_id"))
+    )
+    recs2 = audit.single_partition_audit(audit.formatted_plan(bad))
+    assert any(r["verdict"] == "data_sized" for r in recs2), recs2
+    spark.catalog.clearCache()
+
+
+def test_full_registry_gate_clean_trio(spark, sf_dir):
+    """The three queries the r12 FULL-registry sweep flagged (the first
+    gate findings outside the 104-plan showcase) are clean under all
+    five gates after their fixes: watermark_ts via the catalog-keyed
+    allowance, histogram_quantile_sketch via the plan-visible
+    limit(256) bound, error_spike_detection via the rank-self-join lag
+    reshape (no unpartitioned window at all)."""
+    for name in (
+        "watermark_ts",
+        "error_spike_detection",
+        "histogram_quantile_sketch",
+    ):
+        df = suite.QUERIES[name].fn(spark, sf_dir)
+        plan = audit.formatted_plan(df)
+        audit.assert_bnlj_bounded(plan, name)
+        audit.assert_single_partition_benign(plan, name)
+        audit.assert_broadcast_hints_bounded(df, name)
+        audit.assert_cartesian_bounded(plan, name)
+        spark.catalog.clearCache()
