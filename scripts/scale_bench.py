@@ -368,6 +368,23 @@ def queries():
         # (the bucketed side prunes with the corpus-sized bucket count).
         "ivf_topk": suite.QUERIES["ivf_topk"].fn,
         "ann_recall": suite.QUERIES["ann_recall"].fn,
+        # round-12 additions: langid is the confusion-matrix reshape
+        # (SCALE.md §5s) — ONE corpus aggregate, so cost must track the
+        # scan alone (the old classes-cross shape would have multiplied
+        # the 10x by |classes|); ttr/burstiness are explode -> two
+        # map-side-combinable aggregates whose shuffle keys grow with
+        # the vocabulary (sublinear — though the salted 10x corpus
+        # grows vocab ~10x by construction, the honest worst case);
+        # the histogram sketch's bucket table is FIXED (<=256), so its
+        # 10x cost is the fact scan alone.
+        "langid_precision_recall": suite.QUERIES[
+            "langid_precision_recall"
+        ].fn,
+        "lexical_diversity_ttr": suite.QUERIES["lexical_diversity_ttr"].fn,
+        "token_burstiness_topk": suite.QUERIES["token_burstiness_topk"].fn,
+        "histogram_quantile_sketch": suite.QUERIES[
+            "histogram_quantile_sketch"
+        ].fn,
     }
 
 
