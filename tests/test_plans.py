@@ -1304,3 +1304,41 @@ def test_full_registry_gate_clean_trio(spark, sf_dir):
         audit.assert_broadcast_hints_bounded(df, name)
         audit.assert_cartesian_bounded(plan, name)
         spark.catalog.clearCache()
+
+
+def test_catalog_key_cols_are_scale_invariant():
+    """The audit's catalog-keyed-aggregate allowance rests on a factual
+    claim: _CATALOG_KEY_COLS columns have cardinality fixed by config /
+    the generator, NOT the corpus. Tripwire it on the fixtures — if a
+    regenerated fixture ever makes one of these scale with SF, the
+    allowance premise (and this test) breaks loudly."""
+    import duckdb
+
+    from milvus_cdc_spark import oplog
+
+    con = duckdb.connect()
+    seen = []
+    for sf in ("sf0.001", "sf0.01"):
+        for t in ("lineitem", "documents", "events"):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM '/root/testdata/{sf}/{t}.parquet'"
+            )
+        ops = oplog.ORACLE_OPLOG_SQL
+        seen.append(
+            con.execute(
+                f"""
+                SELECT
+                  (SELECT count(DISTINCT source) FROM documents),
+                  (SELECT count(DISTINCT lang) FROM documents),
+                  (SELECT count(DISTINCT event_type) FROM events),
+                  (SELECT count(DISTINCT vchannel) FROM ({ops})),
+                  (SELECT count(DISTINCT collection) FROM ({ops})),
+                  (SELECT count(DISTINCT op_type) FROM ({ops}))
+                """
+            ).fetchone()
+        )
+    assert seen[0] == seen[1], (
+        "catalog-column cardinality moved with scale factor: "
+        f"{dict(zip(['source','lang','event_type','vchannel','collection','op_type'], zip(*seen)))}"
+    )
