@@ -454,6 +454,45 @@ def _canary_sec(spark, sf_dir: str | None = None) -> float | None:
         return None
 
 
+def _canary2_sec(spark, sf_dir: str | None = None) -> float | None:
+    """Parallel-stage canary: median of 3 timed runs of cosine_topk at
+    sf0.01, right after the q1 canary in every bench JVM.
+
+    Why a second canary (r12): the q1 canary is a 0.4-0.6 s scan-agg
+    whose runtime is dominated by fixed per-query overheads, so it
+    UNDER-CORRECTS slowdowns of 32-way-parallel compute stages — the
+    documented calibration limit that left r11's elevated segment draws
+    arguable until a tree-vs-tree A/B settled them. cosine_topk is a
+    round-1 anchor (frozen code), embarrassingly parallel (brute-force
+    scorer over every row), and ~4x the q1 canary's weight — exactly
+    the stage shape the blind spot hides. Reading rule: normalize
+    SEGMENT numbers by THIS canary's ratio once two rounds of data
+    exist (first recorded r12); q1's `canary_sec` remains the
+    cross-round reference chain back to r9. Median of 3 (not 5): the
+    probe is ~4x heavier, and its job is segment-scale drift, not the
+    q1 chain's tighter floor."""
+    candidates = []
+    if sf_dir:
+        candidates.append(os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01"))
+    candidates.append("/root/testdata/sf0.01")
+    canary_dir = next((d for d in candidates if os.path.isdir(d)), None)
+    spec = suite.QUERIES.get("cosine_topk")
+    if spec is None or canary_dir is None:
+        print("canary2 skipped: missing query or sf0.01 dir", file=sys.stderr)
+        return None
+    try:
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            spec.fn(spark, canary_dir).count()
+            samples.append(time.time() - t0)
+            spark.catalog.clearCache()
+        return round(sorted(samples)[1], 3)
+    except Exception as e:  # auxiliary — never break the bench line
+        print(f"canary2 failed: {e!r}", file=sys.stderr)
+        return None
+
+
 def _segment_names(segment: str) -> list[str]:
     if segment == "bcov":
         return _bcov_names()
@@ -478,6 +517,7 @@ def run_segment_mode(segment: str, sf_dir: str, sf: float) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
     canary = _canary_sec(spark, sf_dir)
+    canary2 = _canary2_sec(spark, sf_dir)
     timings = run_queries(spark, _segment_names(segment), sf_dir)
     print(json.dumps({
         "metric": f"segment_{segment}_runtime",
@@ -485,6 +525,7 @@ def run_segment_mode(segment: str, sf_dir: str, sf: float) -> None:
         "unit": "sec",
         "sf": sf,
         "canary_sec": canary,
+        "canary2_sec": canary2,
         "queries": timings,
     }, separators=(",", ":")))
     spark.stop()
@@ -568,6 +609,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
     canary = _canary_sec(spark, sf_dir)
+    canary2 = _canary2_sec(spark, sf_dir)
 
     # Front, MID, and END canaries in the suite JVM (r10 verdict #2):
     # the 251-query single-JVM session accumulates state (codegen cache
@@ -612,6 +654,10 @@ def main() -> None:
         "canary_sec_r1_jvm": isolated.get("canary_sec"),
         "canary_sec_heavy_jvm": heavy_iso.get("canary_sec"),
         "canary_sec_noisy_jvm": noisy_iso.get("canary_sec"),
+        "canary2_sec": canary2,
+        "canary2_sec_r1_jvm": isolated.get("canary2_sec"),
+        "canary2_sec_heavy_jvm": heavy_iso.get("canary2_sec"),
+        "canary2_sec_noisy_jvm": noisy_iso.get("canary2_sec"),
         "queries": timings,
         **subtotals,
         "r1_isolated": isolated.get("value"),
@@ -654,6 +700,14 @@ def main() -> None:
         "canary_sec_r1_jvm": isolated.get("canary_sec"),
         "canary_sec_heavy_jvm": heavy_iso.get("canary_sec"),
         "canary_sec_noisy_jvm": noisy_iso.get("canary_sec"),
+        # parallel-stage canary (r12): median-of-3 cosine_topk@sf0.01
+        # per JVM — sees 32-way-parallel stage slowdowns the 0.4 s q1
+        # canary under-corrects; normalize SEGMENT deltas by ITS ratio
+        # from r13 on (q1 stays the cross-round chain back to r9)
+        "canary2_sec": canary2,
+        "canary2_sec_r1_jvm": isolated.get("canary2_sec"),
+        "canary2_sec_heavy_jvm": heavy_iso.get("canary2_sec"),
+        "canary2_sec_noisy_jvm": noisy_iso.get("canary2_sec"),
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
         **subtotals,
         # anchor segments in fresh JVMs before anything else ran — the
