@@ -2315,3 +2315,105 @@ def test_char_concentration_fold_matches_python_reference(spark):
         assert got == want
 
     run()
+
+
+def test_rank_join_lag_equals_window_lag_with_gaps(spark):
+    """r12 reshape equivalence (error_spike_detection): a
+    distributed_row_number rank self-join on rn = rn−1 must reproduce
+    lag() over a global-ordered window EXACTLY — including across GAPS
+    in the key sequence (lag means previous EXISTING row, not key−1).
+    Randomized bucket frames with gaps and varied values."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    rng = random.Random(1207)
+    for trial in range(3):
+        keys = sorted(rng.sample(range(100), rng.randint(5, 40)))
+        rows = [(k, rng.randint(1, 50)) for k in keys]
+        df = spark.createDataFrame(rows, "k int, v int")
+        expected = {
+            (r.k, r.prev)
+            for r in df.select(
+                "k", F.lag("v").over(W.orderBy("k")).alias("prev")
+            ).collect()
+        }
+        ranked = windows.distributed_row_number(df, ["k"], rank_col="rn")
+        prev = ranked.select(
+            (F.col("rn") + 1).alias("rn"), F.col("v").alias("prev")
+        )
+        got = {
+            (r.k, r.prev)
+            for r in ranked.join(prev, "rn", "left")
+            .select("k", "prev")
+            .collect()
+        }
+        assert got == expected, (trial, sorted(got), sorted(expected))
+        windows.release_rank_caches()
+
+
+def test_confusion_matrix_unpivot_equals_class_cross(spark):
+    """r12 reshape equivalence (langid_precision_recall): per-class
+    tp/fp/fn derived from the confusion-matrix cell unpivot must equal
+    the classes-crossJoin conditional-aggregate formula on random
+    (truth, predicted) frames — including predicted-only labels, which
+    must NOT form classes."""
+    import random
+
+    rng = random.Random(415)
+    langs = ["en", "es", "fr", "de", "zh"]
+    for trial in range(3):
+        rows = [
+            (
+                rng.choice(langs[:4]),                # truth: never 'zh'
+                rng.choice(langs + ["und"]),          # pred may be novel
+            )
+            for _ in range(rng.randint(20, 120))
+        ]
+        pred = spark.createDataFrame(rows, "lang string, predicted string")
+        # reference: the old cross shape
+        classes = pred.select(F.col("lang").alias("cls")).distinct()
+        ref = {
+            (r.cls, r.tp, r.fp, r.fn)
+            for r in classes.crossJoin(pred)
+            .groupBy("cls")
+            .agg(
+                F.sum(((F.col("lang") == F.col("cls")) & (F.col("predicted") == F.col("cls"))).cast("int")).alias("tp"),
+                F.sum(((F.col("lang") != F.col("cls")) & (F.col("predicted") == F.col("cls"))).cast("int")).alias("fp"),
+                F.sum(((F.col("lang") == F.col("cls")) & (F.col("predicted") != F.col("cls"))).cast("int")).alias("fn"),
+            )
+            .collect()
+        }
+        # new shape: matrix + cell unpivot, classes recovered as tp+fn>0
+        cm = pred.groupBy("lang", "predicted").agg(F.count("*").alias("n"))
+        diag = F.col("lang") == F.col("predicted")
+        contrib = cm.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("lang").alias("cls"),
+                        F.when(diag, F.col("n")).otherwise(F.lit(0)).alias("tp"),
+                        F.lit(0).cast("bigint").alias("fp"),
+                        F.when(~diag, F.col("n")).otherwise(F.lit(0)).alias("fn"),
+                    ),
+                    F.struct(
+                        F.col("predicted").alias("cls"),
+                        F.lit(0).cast("bigint").alias("tp"),
+                        F.when(~diag, F.col("n")).otherwise(F.lit(0)).alias("fp"),
+                        F.lit(0).cast("bigint").alias("fn"),
+                    ),
+                )
+            ).alias("s")
+        ).select("s.*")
+        got = {
+            (r.cls, r.tp, r.fp, r.fn)
+            for r in contrib.groupBy("cls")
+            .agg(
+                F.sum("tp").alias("tp"),
+                F.sum("fp").alias("fp"),
+                F.sum("fn").alias("fn"),
+            )
+            .where(F.col("tp") + F.col("fn") > 0)
+            .collect()
+        }
+        assert got == ref, (trial, sorted(got), sorted(ref))
