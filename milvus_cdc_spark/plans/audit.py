@@ -918,14 +918,45 @@ _HINT_SPAN_RE = _re.compile(r"(?:left|right)Hint=\([^)]*\)")
 _JOIN_EQUI_RE = _re.compile(r"#\d+L?\)*\s*=\s")
 
 
+def _strip_not_spans(text: str) -> str:
+    """Remove every ``NOT (...)`` span (balanced parens) from a
+    rendered condition. ``a != b`` renders as ``NOT (a#1 = b#2)`` — the
+    inner ``=`` is an INEQUALITY and must not read as equi-join
+    evidence; likewise a negated equality inside a larger boolean
+    (``x AND NOT (a = b)``) bounds nothing. Dropping the whole span is
+    semantically safe: no equality UNDER a NOT constrains output size."""
+    out: list[str] = []
+    i = 0
+    while True:
+        j = text.find("NOT (", i)
+        if j < 0:
+            out.append(text[i:])
+            return "".join(out)
+        out.append(text[i:j])
+        depth = 0
+        k = j + 4  # index of the opening paren
+        while k < len(text):
+            if text[k] == "(":
+                depth += 1
+            elif text[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        i = k + 1
+
+
 def _join_condition_equi(text: str) -> bool:
     """True iff a logical Join node's condition carries at least one
     EQUALITY comparison (`` = `` or null-safe ``<=>``). Hint spans are
     stripped first — ``rightHint=(strategy=broadcast)`` embeds ``=``
-    signs that are not comparisons. A theta join (``a#1 < b#2``) has a
+    signs that are not comparisons — and so are ``NOT (...)`` spans: a
+    pure ``!=`` theta join renders as ``NOT (a#1 = b#2)`` whose inner
+    ``=`` must not grant join-bounding (near-cross, |fact|-sized output
+    per key; round-13 ADVICE). A theta join (``a#1 < b#2``) has a
     condition but no equality, so it must NOT grant join-bounding: k
     rows joined non-equi against a fact can emit |fact|-sized output."""
-    stripped = _HINT_SPAN_RE.sub("", text)
+    stripped = _strip_not_spans(_HINT_SPAN_RE.sub("", text))
     return bool(_JOIN_EQUI_RE.search(stripped)) or "<=>" in stripped
 
 
@@ -1023,11 +1054,19 @@ KEYED_CROSS_ALLOWED: dict[str, str] = {
         "construction; every doc row needs every centroid to pick its "
         "nearest cluster"
     ),
-    "consistency_levels_read": (
-        "3-row consistency-levels frame (strong/bounded/eventually "
-        "cutoffs); the keyed per-vchannel max collapses to a global "
-        "min inside a UNION of three 1-row selects"
+    "scd2_asof_enrich": (
+        "distinct-weeks frame keyed by date_trunc('week', ts): bounded "
+        "by the data's TIME SPAN (~52 rows/year), not its row count; "
+        "the users x weeks cross deliberately synthesizes the SCD2 "
+        "dim fixture (one tier version per user per week) that a real "
+        "deployment would read as a table. Surfaced by the r13 "
+        "outermost-aggregate fix; previously hidden under the "
+        "keyed-stream-grants-bounded rule."
     ),
+    # consistency_levels_read was reviewed in here r11 under the
+    # nearest-aggregate rule; the r13 outermost-aggregate fix reads its
+    # build correctly as a 1-row global min (scalar_augment), so the
+    # entry is retired — the stale-entry test enforces removal.
 }
 
 #: Build/side cardinality classes, strongest-bound first.
@@ -1045,11 +1084,18 @@ def _cross_scan_class(bt, k, scan, details) -> str:
         if n[0] < want:
             path.append(n)
             want = n[0]
-    agg = next((n for n in path if "Aggregate" in n[1]), None)
-    if agg is not None:
+    # Classify by the OUTERMOST aggregate on the path (nearest the
+    # cross-child root): that is what fixes the side's cardinality. A
+    # scalar computed through a keyed intermediate — count(distinct k),
+    # avg over groupBy(doc) lengths (the BM25 avgdl/N build) — plans as
+    # HashAggregate(keys=[k]) under HashAggregate(keys=[]), and reading
+    # the NEAREST agg would misclassify the 1-row build as keyed
+    # (round-13 ADVICE follow-through).
+    aggs = [n for n in path if "Aggregate" in n[1]]
+    if aggs:
         return (
             "global_agg"
-            if "Keys: []" in details.get(agg[2], "")
+            if "Keys: []" in details.get(aggs[-1][2], "")
             else "keyed_agg"
         )
     pf = details.get(scan[2], "")
@@ -1141,21 +1187,42 @@ def cartesian_audit(plan: str) -> list[dict]:
             rec["evidence"].append("could not resolve both children")
             out.append(rec)
             continue
+        # Match the broadcast build SPECIFICALLY (round-13 ADVICE): a
+        # stream side sitting directly under a shuffle Exchange
+        # (hashpartitioning/SinglePartition) must not be mistaken for
+        # the BNLJ build. ReusedExchange is the fallback — a broadcast
+        # build reusing an earlier BroadcastExchange prints as
+        # ReusedExchange, and under a BNLJ the reused side IS the build.
         build = next(
-            (j for j in kids if "Exchange" in nodes[j][1]), None
+            (j for j in kids if "BroadcastExchange" in nodes[j][1]),
+            None,
         )
+        if build is None:
+            build = next(
+                (j for j in kids if "ReusedExchange" in nodes[j][1]),
+                None,
+            )
         if is_cart or build is None:
             # raw cartesian: no broadcast side; both children must
-            # carry evidence (a bounded side would have broadcast)
+            # carry rank>=3 evidence — a keyed aggregate's group count
+            # cannot be bounded from plan text, so keyed x keyed /
+            # keyed x literal crosses are allowlist-gated, not silently
+            # 'bounded' (round-13 ADVICE). A scalar (global_agg) side
+            # multiplies by exactly 1, so scalar x keyed stays the
+            # non-failing scalar_augment class.
             sides = [
                 _cross_side_class(nodes, details, j) for j in kids
             ]
             rec["evidence"] = [e for _, ev in sides for e in ev]
-            rec["verdict"] = (
-                "bounded"
-                if all(_CROSS_RANK[c] >= 1 for c, _ in sides)
-                else "unbounded"
-            )
+            ranks = [_CROSS_RANK[c] for c, _ in sides]
+            if min(ranks) == 0:
+                rec["verdict"] = "unbounded"
+            elif all(r >= 3 for r in ranks):
+                rec["verdict"] = "bounded"
+            elif any(c == "global_agg" for c, _ in sides):
+                rec["verdict"] = "scalar_augment"
+            else:
+                rec["verdict"] = "keyed_multiplied"
             out.append(rec)
             continue
         stream = next(j for j in kids if j != build)
@@ -1164,11 +1231,19 @@ def cartesian_audit(plan: str) -> list[dict]:
         rec["evidence"] = [f"build: {e}" for e in bev] + [
             f"stream: {e}" for e in sev
         ]
+        # Ladder ordered by the BUILD (= multiplier) class; round-13
+        # ADVICE tightening: only rank>=3 sides grant 'bounded', so a
+        # keyed-agg STREAM no longer bounds a keyed-agg build — a
+        # both-keyed cross is |g1| x |g2|, two group counts plan text
+        # cannot bound (allowlist-gated). A keyed stream under a
+        # literal/scalar build stays non-failing: its output is a
+        # constant multiple (x k / x 1) of the aggregated stream,
+        # strictly smaller than the accepted fact x literal shape.
         if bcls == "unbounded":
             # an evidence-free BUILD is data-sized into every executor
             # regardless of the stream (also bnlj_build_audit's fail)
             rec["verdict"] = "unbounded"
-        elif _CROSS_RANK[scls] >= 1:
+        elif _CROSS_RANK[scls] >= 3:
             rec["verdict"] = "bounded"
         elif bcls == "global_agg":
             rec["verdict"] = "scalar_augment"

@@ -1790,8 +1790,12 @@ def error_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     no static bound exists to plant. Rank semantics == lag semantics
     (previous existing bucket, gaps included) regardless of missing
     hours (r12 full gate sweep)."""
-    from milvus_cdc_spark.operators.windows import distributed_row_number
+    from milvus_cdc_spark.operators.windows import (
+        distributed_row_number,
+        release_rank_caches,
+    )
 
+    release_rank_caches()  # prior query's rank cache is consumed by now
     ev = _t(spark, sf_dir, "events")
     hourly = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"))

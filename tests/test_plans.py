@@ -1223,6 +1223,77 @@ def test_join_bounding_requires_equality(spark, sf_dir):
     assert audit._join_condition_equi("Join Inner, (a#1 <=> b#2)")
 
 
+def test_join_bounding_rejects_not_equal(spark, sf_dir):
+    """ADVICE r13 (medium): a pure ``!=`` theta join renders as
+    ``NOT (a#1 = b#2)`` and its inner ``=`` must NOT read as equi-join
+    evidence — a !=-join against k rows emits |fact|-sized output
+    (near-cross). Equalities OUTSIDE a NOT span still qualify."""
+    # unit: the NOT-span renderings
+    assert not audit._join_condition_equi(
+        "Join Inner, NOT (l_shipmode#3 = probe#9), "
+        "rightHint=(strategy=broadcast)"
+    )
+    assert not audit._join_condition_equi(
+        "Join Inner, NOT ((a#1 = b#2) OR (c#3 = d#4))"
+    )
+    assert not audit._join_condition_equi("Join Inner, NOT (a#1 <=> b#2)")
+    assert audit._join_condition_equi(
+        "Join Inner, ((a#1 = b#2) AND NOT (c#3 = d#4))"
+    )
+    # live: the !=-joined frame must classify data_sized under a hint
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seeds = emb.select(F.col("vec_id").alias("cutoff")).limit(4)
+    neq = emb.join(seeds, emb.vec_id != seeds.cutoff, "inner")
+    bad = spark.range(1).crossJoin(
+        F.broadcast(neq.select("vec_id", "embedding"))
+    )
+    recs = audit.broadcast_hint_audit(audit.optimized_logical_plan(bad))
+    assert any(r["verdict"] == "data_sized" for r in recs), recs
+
+
+def test_cartesian_audit_keyed_x_keyed_not_bounded(spark, sf_dir):
+    """ADVICE r13 (low): a cross of two KEYED aggregates (e.g. distinct
+    x distinct) must classify keyed_multiplied, not bounded — the
+    audit's own premise is that a keyed aggregate's group count cannot
+    be bounded from plan text. A scalar (global-agg) side crossing a
+    keyed side stays non-failing (multiplier exactly 1)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    langs = docs.select("lang").distinct()
+    sources = docs.select("source").distinct()
+    both_keyed = langs.crossJoin(F.broadcast(sources))
+    recs = audit.cartesian_audit(audit.formatted_plan(both_keyed))
+    assert recs and any(
+        r["verdict"] == "keyed_multiplied" for r in recs
+    ), recs
+    with pytest.raises(AssertionError, match="unbounded/keyed cross"):
+        audit.assert_cartesian_bounded(
+            audit.formatted_plan(both_keyed), "kxk"
+        )
+    # scalar x keyed: multiplier 1 — must stay non-failing
+    mu = docs.agg(F.avg(F.length("text")).alias("mu"))
+    scalar_keyed = langs.crossJoin(F.broadcast(mu))
+    recs2 = audit.assert_cartesian_bounded(
+        audit.formatted_plan(scalar_keyed), "sxk"
+    )
+    assert all(r["verdict"] != "keyed_multiplied" for r in recs2), recs2
+
+
+def test_cartesian_audit_build_is_broadcast_exchange(spark, sf_dir):
+    """ADVICE r13 (low): the BNLJ build side must be located by
+    ``BroadcastExchange`` specifically — a stream side sitting directly
+    under a shuffle Exchange (round-robin repartition here) must not be
+    misread as the build, which would swap build/stream classes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mu = docs.agg(F.avg(F.length("text")).alias("mu"))
+    # repartition puts a shuffle Exchange directly under the cross on
+    # the STREAM side; the build is the broadcast global aggregate
+    aug = docs.repartition(8).crossJoin(F.broadcast(mu))
+    plan = audit.formatted_plan(aug)
+    assert "Exchange" in plan, plan  # shape check: shuffle present
+    recs = audit.assert_cartesian_bounded(plan, "shuffled-stream")
+    assert any(r["verdict"] == "scalar_augment" for r in recs), recs
+
+
 def test_pushed_evidence_rejects_nested_negations():
     """ADVICE r11 (low): Not(Or(...))-nested and disjunctive pushed
     filters must not count as bounding evidence; top-level positive
