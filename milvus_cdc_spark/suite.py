@@ -3388,92 +3388,89 @@ from milvus_cdc_spark import suite_eval  # noqa: E402,F401  (import-for-effect)
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness checks the FIRST 50
-# registry entries, so the front of the dict is curated. Round 12 executes
-# the rotation pre-staged in round 11 (deterministic freshness sweep over
-# the cumulative CORRECTNESS_r01-r11 ledger, which is 251/251 ever-green;
-# a NEVER-driver-checked query sorts as round 0 so it leads the window):
-# 2 regression anchors (q1_pricing_summary, cdc_replay_summary —
-# driver-green every round r1-r11) + char_diversity_quality (registered
-# r11, first driver check here) + the 9 rows whose latest driver check is
-# r6 + the 38 oldest r7-cohort rows, selected deterministically by
-# (latest driver round, name) ascending. NOTE: the r11 staging comment
-# named the r7 span's endpoint as quality_filter_funnel — a label error
-# (its latest check is r10); the recomputed deterministic span ends at
-# psi_length_drift, and quality_quantile_normalize (r7 row #39) shifts to
-# r13 exactly as staged. Everything displaced has a green driver row from
-# r7-r11 and zero stale-red remains anywhere in the ledger. After r12
-# every registry row's latest driver check is r7+ (anchors r12). Names
-# listed here but not (yet) registered are skipped, so the list can lead
-# registration.
+# registry entries, so the front of the dict is curated. Round 13 executes
+# the rotation pre-staged in round 12 (deterministic freshness sweep by
+# (latest driver round, name) ascending over the cumulative
+# CORRECTNESS_r01-r12 ledger — 252 distinct queries driver-checked, zero
+# red on latest check; a NEVER-driver-checked query sorts as round 0 so
+# it leads the window): 2 regression anchors (q1_pricing_summary,
+# cdc_replay_summary — driver-green every round r1-r12) + the 2 r12
+# registrations with no driver check yet (lexical_diversity_ttr,
+# token_burstiness_topk) + the 10 r7-remainder rows + the 36 oldest
+# r8-cohort rows (alphabetical ann_multiprobe_topk .. metrics_counters).
+# Recomputed at swap time against the full r01-r12 ledger; the result
+# matches the r12 staging comment exactly. After r13 the ledger's oldest
+# latest-check moves to r8 (12 r8 rows remain). Names listed here but
+# not (yet) registered are skipped, so the list can lead registration.
 # ---------------------------------------------------------------------------
 
-# r13 ROTATION PROPOSAL (pre-staged; deterministic continuation of the
+# r14 ROTATION PROPOSAL (pre-staged; deterministic continuation of the
 # freshness sweep by the same (latest driver round, name) ascending rule,
-# recomputed against the r01-r11 ledger with the r12 window marked green):
-# anchors + the 2 never-driver-checked r12 registrations (sort as round
-# 0) — lexical_diversity_ttr, token_burstiness_topk — + the 10
-# r7-remainder rows — quality_quantile_normalize, random_sample_filter,
-# rolling_active_users, seasonal_forecast_error, source_dedup_matrix,
-# source_overlap_matrix, superstructure_search, vocab_coverage_curve,
-# weighted_doc_sample, zorder_layout_pruning — then the 36 oldest
-# r8-cohort rows (alphabetical from ann_multiprobe_topk onward;
-# recompute at swap time in case r13's builder registers more queries,
-# which sort as round 0 and lead the window).
+# recomputed against the r01-r12 ledger with the r13 window marked
+# green): anchors + any never-driver-checked r13 registrations (sort as
+# round 0; none at staging time) + the 12 r8-remainder rows —
+# milvus_expr_filter, name_remap, pack_sort_order, partition_skew_report,
+# pipeline_stage_accounting, preference_pair_builder, rank_zip_join,
+# rbac_routing, ready_set_equality, rollup_region_nation,
+# semi_join_active_customers, string_key_parsing — then the 36 oldest
+# r9-cohort rows (alphabetical from ann_bucketed_topk through
+# sole_late_supplier; recompute at swap time in case r14's builder
+# registers more queries, which sort as round 0 and lead the window).
 PRIORITY: tuple[str, ...] = (
-    # -- 2 regression anchors (driver-green r1-r11) --
+    # -- 2 regression anchors (driver-green r1-r12) --
     "q1_pricing_summary",        # flagship; TPC-H Q1 agg
     "cdc_replay_summary",        # A7/K1 replay
-    # -- never-driver-checked (registered r11; sorts as round 0) --
-    "char_diversity_quality",
-    # -- 9 r6-cohort remainder rows (latest driver check CORRECTNESS_r06) --
-    "semdedup_prune",
-    "session_window_agg",
-    "setsim_prefix_join",
-    "sliding_window_agg",
-    "streaming_watermark_finalize",
-    "tfidf_keywords",
-    "tombstone_metadata_filter",
-    "triangle_parts_topk",
-    "tumbling_window",
-    # -- 38 oldest r7-cohort rows, (round, name) ascending --
-    "benford_first_digit",
-    "boilerplate_line_stats",
-    "bpe_pretoken_stats",
-    "ccnet_perplexity_buckets",
-    "chi2_token_source",
-    "cluster_density_report",
-    "cohort_retention",
-    "containment_quote_detection",
-    "copurchase_lift_topk",
-    "dataset_card_summary",
-    "dataset_split_counts",
-    "decay_reranked_search",
-    "dedup_savings_report",
-    "domain_mixture_weights",
-    "event_funnel_conversion",
-    "event_path_trigrams",
-    "event_sessionization",
-    "event_transition_matrix",
-    "ewma_event_rate",
-    "expr_geo_filter",
-    "geo_fenced_ann",
-    "geo_point_filters",
-    "grouped_auc_by_source",
-    "hashed_embedding_search",
-    "ignore_growing_read",
-    "int8_ip_search_topk",
-    "kmeans_silhouette",
-    "knn_label_accuracy",
-    "linear_counting_distinct_parts",
-    "mixing_epoch_plan",
-    "mlm_masking_plan",
-    "more_like_this",
-    "mrl_truncated_recall",
-    "pca_power_iteration",
-    "pearson_quality_length",
-    "pmi_collocations",
-    "pq_codebooks",
-    "psi_length_drift",
+    # -- never-driver-checked (registered r12; sort as round 0) --
+    "lexical_diversity_ttr",
+    "token_burstiness_topk",
+    # -- 10 r7-cohort remainder rows (latest driver check CORRECTNESS_r07) --
+    "quality_quantile_normalize",
+    "random_sample_filter",
+    "rolling_active_users",
+    "seasonal_forecast_error",
+    "source_dedup_matrix",
+    "source_overlap_matrix",
+    "superstructure_search",
+    "vocab_coverage_curve",
+    "weighted_doc_sample",
+    "zorder_layout_pruning",
+    # -- 36 oldest r8-cohort rows, (round, name) ascending --
+    "ann_multiprobe_topk",
+    "ann_recall",
+    "anti_join_customers",
+    "argmax_latest_op",
+    "audio_window_energy",
+    "begin_ts_repair",
+    "bloom_semi_join_reduction",
+    "bm25_topk",
+    "calendar_agg",
+    "clustering_compaction_stats",
+    "compaction_bin_packing",
+    "context_length_histogram",
+    "cosine_topk",
+    "dedup_exact",
+    "diff_reconcile",
+    "dim_join_enrich",
+    "dispatcher_routing",
+    "embedding_covariance_block",
+    "embedding_near_dup",
+    "embedding_stats",
+    "filtered_oplog_counts",
+    "hamming_topk",
+    "hard_negative_mining",
+    "interval_bucket_join",
+    "ivf_topk",
+    "json_extract_props",
+    "kafka_envelope",
+    "label_centroid_distances",
+    "label_centroid_drift",
+    "lag_gap_tracking",
+    "lang_detect",
+    "latest_version_dedupe",
+    "length_lorenz_points",
+    "lifetime_asof_apply",
+    "metadata_watch_diff",
+    "metrics_counters",
 )
 
 
