@@ -48,6 +48,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -279,6 +280,12 @@ class CdcApplyPipeline:
         # disk, not an in-memory counter, is the source of truth
         self._manifest_path = os.path.join(self.state_dir, "MANIFEST.json")
         self._manifest = self._load_manifest()
+        #: per-batch wall-clock phase breakdown (control collect / state
+        #: merge+write / positions write / manifest commit+GC), one dict
+        #: per applied batch — the observability that sized the r13
+        #: per-microbatch cost profile (SCALE.md §5t). ~4 clock reads per
+        #: batch; negligible against any Spark job it brackets.
+        self.phase_timings: list[dict] = []
         # optional downstream mirror (the Kafka-sink analog, K3): ops are
         # monotonic-ts-repaired (T2) before emission, exactly the
         # reference's handlePack → sink ordering
@@ -485,6 +492,7 @@ class CdcApplyPipeline:
                 t in self.msg_types
                 for t in ("drop_collection", "drop_partition")
             )
+            t0 = time.time()
             if may_drop:
                 drop_agg = (
                     ops.filter(
@@ -499,6 +507,7 @@ class CdcApplyPipeline:
                 control = bucket_probe.unionByName(drop_agg).collect()
             else:
                 control = bucket_probe.collect()
+            t_control = time.time()
             drop_rows = [r for r in control if r.op_type is not None]
             # buckets present in THIS batch — the only state partitions the
             # merge reads and rewrites (driver list, bounded by n_buckets)
@@ -508,25 +517,48 @@ class CdcApplyPipeline:
             if touched:
                 existing = self.read_state(touched)
                 merged = self._bucket(merge_state(existing, update))
+                # Align the shuffle with the storage layout: hash-
+                # repartition on bucket so each bucket lands in exactly
+                # one task → ONE file per touched bucket per version.
+                # Without it the merge's 32 groupBy tasks each scatter
+                # into every bucket dir (32 x n_buckets files/version —
+                # the r13 profile measured 2048 state files after four
+                # batches, and every subsequent read_state paid the
+                # open-per-file cost; at 100 TB on an object store that
+                # listing amplification is the difference between a
+                # bounded MERGE and a metadata storm). The extra
+                # exchange moves exactly the rows the groupBy already
+                # shuffled once; bucket files are hash-uniform so the
+                # repartition is skew-free by construction.
                 # keyed-by-batch_id overwrite → replay-idempotent
-                merged.write.mode("overwrite").partitionBy("bucket").parquet(
+                merged.repartition(len(touched), "bucket").write.mode(
+                    "overwrite"
+                ).partitionBy("bucket").parquet(
                     os.path.join(self.state_dir, f"v{batch_id}")
                 )
                 for b in touched:
                     self._manifest["buckets"][str(b)] = batch_id
+            t_state = time.time()
             if self._repair is not None:
                 repaired = self._repair.process(ops)
                 repaired.write.mode("overwrite").parquet(
                     os.path.join(self.mirror_dir, f"batch_id={batch_id}")
                 )
             # position write-back AFTER successful apply (reference ordering);
-            # per-batch partition dir + overwrite = idempotent under replay
+            # per-batch partition dir + overwrite = idempotent under replay.
+            # Measured (r13 A/B, SCALE.md §5t): this distributed
+            # groupBy-over-the-cached-batch is ~0.2 s/batch; folding the
+            # aggregate into the control collect and writing the rows from
+            # a driver createDataFrame costs ~4.6 s/batch — a Python-
+            # parallelize-backed write pays a Python-worker roundtrip the
+            # JVM-side aggregate never does. Keep the distributed form.
             positions = ops.groupBy("vchannel").agg(
                 F.max("ts").alias("position_ts"), F.count("*").alias("n_msgs")
             )
             positions.write.mode("overwrite").parquet(
                 os.path.join(self.positions_dir, f"batch_id={batch_id}")
             )
+            t_positions = time.time()
         finally:
             update.unpersist()
             ops.unpersist()
@@ -550,6 +582,13 @@ class CdcApplyPipeline:
         self._gc_stale_state_versions()
         if self.compact_every and batch_id % self.compact_every == self.compact_every - 1:
             self.compact_positions()
+        self.phase_timings.append({
+            "batch_id": batch_id,
+            "control_collect": round(t_control - t0, 3),
+            "state_merge_write": round(t_state - t_control, 3),
+            "positions_write": round(t_positions - t_state, 3),
+            "commit_gc": round(time.time() - t_positions, 3),
+        })
 
     def _gc_stale_state_versions(self) -> None:
         """Drop version directories no bucket references anymore (bounded

@@ -24,17 +24,42 @@ def _stage_events(spark: SparkSession, sf_dir: str, n_files: int = 4) -> tuple[s
     return stage, ev
 
 
-def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
+def _run_to_memory(
+    df: DataFrame, mode: str, state_partitions: int | None = None
+) -> DataFrame:
+    """Drain a streaming frame into a memory sink and return the table.
+
+    ``state_partitions`` right-sizes the stateful-operator partition
+    count for THIS query: a streaming query pins
+    ``spark.sql.shuffle.partitions`` into its checkpoint at first batch,
+    and every stateful operator then commits one state store per
+    partition per microbatch — for a stream-stream join that is 4 stores
+    x partitions x batches of checkpoint I/O regardless of data volume.
+    Inheriting the batch-tuned 32 gives a per-trigger file's worth of
+    rows 128 store commits per batch (the r13 profile's dominant cost);
+    production sizes this to stream throughput, so the suite queries
+    pass an explicit, documented value instead of the batch default.
+    The conf is restored after the drain — suite queries run
+    sequentially, and batch queries plan their own shuffle count at
+    execution time anyway."""
+    spark = df.sparkSession
     sink = f"mem_{_uuid.uuid4().hex[:8]}"
-    query = (
-        df.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return df.sparkSession.table(sink)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        query = (
+            df.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink)
 
 
 # ---------------------------------------------------------------------------
@@ -76,7 +101,11 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = interval_attribution_join(
         clicks, buys, key="user_id", max_gap="1 hour", watermark="31 days"
     )
-    out = _run_to_memory(pairs, "append")
+    # 8 state partitions for a one-file-per-trigger stream (see
+    # _run_to_memory): 4x fewer state-store commits per batch; the r13
+    # interleaved A/B measured 12.3-15.8 s at 32 partitions vs 5.1-5.6 s
+    # at 8, identical 371 output rows (SCALE.md §5t)
+    out = _run_to_memory(pairs, "append", state_partitions=8)
     return (
         out.groupBy(F.to_date(F.date_trunc("day", "l_ts")).alias("click_day"))
         .agg(
@@ -113,7 +142,9 @@ def streaming_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(stage)
     )
     uniq = dedupe(stream, ["user_id", "event_type"], watermark="31 days")
-    out = _run_to_memory(uniq.select("user_id", "event_type"), "append")
+    out = _run_to_memory(
+        uniq.select("user_id", "event_type"), "append", state_partitions=8
+    )
     return (
         out.groupBy("event_type")
         .agg(F.count("*").alias("n_unique_users"))
@@ -154,7 +185,7 @@ def streaming_state_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(OPLOG_SCHEMA).option("maxFilesPerTrigger", 2).parquet(src)
     )
     tracked = channel_ts_tracker(stream)
-    out = _run_to_memory(tracked, "update")
+    out = _run_to_memory(tracked, "update", state_partitions=8)
     # the tracker's max_ts and n_packs are monotonic across emissions, so
     # the converged state per channel is simply the per-key max
     return (
@@ -254,7 +285,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
-    out = _run_to_memory(agg, "complete")
+    out = _run_to_memory(agg, "complete", state_partitions=8)
     return (
         out.select(
             "user_id",
@@ -659,7 +690,7 @@ def streaming_watermark_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
-    out = _run_to_memory(agg, "append")
+    out = _run_to_memory(agg, "append", state_partitions=8)
     return out.select(
         F.col("w.start").cast("date").alias("day"), "n_events", "total_value"
     ).orderBy("day")
