@@ -315,7 +315,7 @@ ISOLATED_SEGMENTS: list[tuple[str, list[str]]] = [
 #: Window size: full coverage of the ~112 untimed queries in 3 rounds.
 BCOV_WINDOW = 38
 #: r12 starts the rotation at the alphabetical front; r13 -> 38, r14 -> 76.
-BCOV_ROUND_OFFSET = 0
+BCOV_ROUND_OFFSET = 38
 
 
 def _bcov_names() -> list[str]:
