@@ -2069,14 +2069,24 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
     )
     sink = f"mem_{_uuid.uuid4().hex[:8]}"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    # 8 state partitions for a one-file-per-trigger stream: the stateful
+    # window agg commits one state store per shuffle partition per
+    # microbatch, and the batch-tuned 32 is 4x more commit I/O than this
+    # stream's volume warrants (measured on the stream-stream join,
+    # SCALE.md §5t; same rationale as suite_streaming_ext._run_to_memory)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
         spark.table(sink)
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")

@@ -826,6 +826,34 @@ def test_streaming_ivf_index_maintenance(spark, sf_dir):
     assert got == want
 
 
+def test_state_version_writes_one_file_per_bucket(spark, oplog_dir):
+    """r13 layout guard: the state merge repartitions on bucket before
+    the partitionBy write, so each version dir holds AT MOST one parquet
+    file per touched bucket — without it the merge's shuffle tasks each
+    scatter into every bucket dir (measured 32 x n_buckets files per
+    version, SCALE.md §5t) and every subsequent read_state pays the
+    per-file open cost."""
+    import os
+
+    work = tempfile.mkdtemp(prefix="state_layout_")
+    pipe = CdcApplyPipeline(spark, oplog_dir, work)
+    pipe.run_available_now()
+    versions = [
+        d for d in os.listdir(pipe.state_dir)
+        if d.startswith(("v", "c")) and
+        os.path.isdir(os.path.join(pipe.state_dir, d))
+    ]
+    assert versions, "expected at least one committed state version"
+    for v in versions:
+        vdir = os.path.join(pipe.state_dir, v)
+        for b in os.listdir(vdir):
+            bdir = os.path.join(vdir, b)
+            if not os.path.isdir(bdir):
+                continue
+            n = sum(1 for f in os.listdir(bdir) if f.endswith(".parquet"))
+            assert n <= 1, (v, b, n)
+
+
 def test_positions_compaction(spark, oplog_dir):
     """Compaction folds the per-batch position appends into one summary
     per vchannel without changing the answer."""
