@@ -1148,18 +1148,23 @@ def cartesian_audit(plan: str) -> list[dict]:
                     | "keyed_multiplied" | "unbounded",
          "evidence": [str, ...]}
 
-    Verdicts: *bounded* — both sides carry bounding evidence (k x k at
-    worst). *scalar_augment* — unbounded stream x global-aggregate
+    Verdicts: *bounded* — the stream side carries rank>=3 evidence
+    (global-agg / literal / limit / reused) against a non-unbounded
+    build: k x k at worst. Since r13 (ADVICE) a keyed-aggregate side
+    NEVER grants bounded — its group count is exactly what plan text
+    cannot bound. *scalar_augment* — any stream x global-aggregate
     build: multiplier exactly 1 (the mean/count/cutoff augment idiom).
-    *literal_multiplied* — unbounded stream x literal/limit build: an
-    author-chosen constant factor (query panels, config frames,
-    labeled brute-force baselines). *keyed_multiplied* — unbounded
-    stream x KEYED-aggregate build: the multiplier is a group count
-    the plan cannot bound and the shape is frequently avoidable (the
-    langid accident); FAILS unless the query is reviewed into
-    :data:`KEYED_CROSS_ALLOWED`. *unbounded* — a side with no evidence
-    at all (raw cartesian, or a data-sized build the BNLJ gate also
-    fails); always FAILS.
+    *literal_multiplied* — keyed or unbounded stream x literal/limit
+    build: an author-chosen constant factor (query panels, config
+    frames, labeled brute-force baselines); a keyed stream under a
+    constant multiplier is strictly smaller than the accepted
+    fact x literal shape. *keyed_multiplied* — keyed or unbounded
+    stream x KEYED-aggregate build (incl. both-keyed crosses): the
+    multiplier is a group count the plan cannot bound and the shape is
+    frequently avoidable (the langid accident); FAILS unless the query
+    is reviewed into :data:`KEYED_CROSS_ALLOWED`. *unbounded* — a side
+    with no evidence at all (raw cartesian, or a data-sized build the
+    BNLJ gate also fails); always FAILS.
     """
     nodes = parse_plan_tree(plan)
     details = node_details(plan)
