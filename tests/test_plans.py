@@ -1251,6 +1251,37 @@ def test_join_bounding_rejects_not_equal(spark, sf_dir):
     assert any(r["verdict"] == "data_sized" for r in recs), recs
 
 
+def test_strip_not_spans_property():
+    """Property: after stripping, no ``NOT (`` survives; equalities
+    outside NOT spans survive verbatim; text without NOT is unchanged.
+    Randomized nesting over a small grammar (seeded — deterministic)."""
+    import random
+
+    rng = random.Random(1313)
+
+    def gen(depth=0):
+        # returns (text, has_outside_equality)
+        kind = rng.randrange(4 if depth < 3 else 2)
+        if kind == 0:
+            return f"(a#{rng.randrange(99)} < b#{rng.randrange(99)})", False
+        if kind == 1:
+            return f"(a#{rng.randrange(99)}L = b#{rng.randrange(99)}L)", True
+        if kind == 2:
+            inner, _ = gen(depth + 1)
+            return f"NOT {inner if inner.startswith('(') else '(' + inner + ')'}", False
+        l, le = gen(depth + 1)
+        r, re_ = gen(depth + 1)
+        return f"({l} AND {r})", le or re_
+
+    for _ in range(300):
+        text, has_eq = gen()
+        stripped = audit._strip_not_spans(text)
+        assert "NOT (" not in stripped, (text, stripped)
+        assert audit._join_condition_equi("Join Inner, " + text) == has_eq, (
+            text, stripped, has_eq,
+        )
+
+
 def test_cartesian_audit_keyed_x_keyed_not_bounded(spark, sf_dir):
     """ADVICE r13 (low): a cross of two KEYED aggregates (e.g. distinct
     x distinct) must classify keyed_multiplied, not bounded — the
