@@ -956,3 +956,54 @@ def domain_mixture_weights(
             "weight_ppm",
         )
     )
+
+
+#: Stand-in blocklist over the fixture vocabulary — production swaps in
+#: the real C4 "List of Dirty, Naughty, Obscene or Otherwise Bad Words".
+#: Mixed frequencies on purpose (one common, one mid, one rare token) so
+#: the per-source funnel is discriminative at every test scale.
+C4_BLOCKLIST: tuple[str, ...] = ("slow", "dup", "big")
+
+
+def blocklist_stats(
+    docs: DataFrame,
+    blocklist: tuple[str, ...] = C4_BLOCKLIST,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4 badwords-gate accounting (Raffel et al. 2020 §2.2: "discarded
+    any page that contained any word on the blocklist") — the one named
+    C4 stage the quality_filter_funnel composite does not carry.
+
+    Per ``group_col``: document count, documents flagged (>= 1 blocklist
+    token), total blocklist-token occurrences (multiplicity — the
+    severity signal a soft-threshold variant gates on), and the kept
+    share in integer ppm. Everything is a column expression over ONE
+    scan: whitespace tokens (lower/trim, empties dropped — the suite's
+    shared token law) filtered against a literal lexicon, so the hot
+    path is whole-stage-codegen JVM work with a map-side partial
+    aggregate; no UDF, no extra shuffle beyond the group-by. At 100 TB
+    the blocklist is a literal in the plan (kilobytes), never a join
+    side.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
+    n_hits = F.size(F.filter(toks, lambda t: t.isin(*blocklist)))
+    per_doc = docs.select(F.col(group_col), n_hits.alias("_n_hits"))
+    return (
+        per_doc.groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("_n_hits") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.sum("_n_hits").cast("bigint").alias("total_hits"),
+        )
+        .withColumn(
+            "kept_ppm",
+            F.expr("(n_docs - n_flagged) * 1000000 DIV n_docs").cast("bigint"),
+        )
+        .orderBy(group_col)
+    )

@@ -3404,33 +3404,37 @@ from milvus_cdc_spark import suite_eval  # noqa: E402,F401  (import-for-effect)
 # CORRECTNESS_r01-r12 ledger — 252 distinct queries driver-checked, zero
 # red on latest check; a NEVER-driver-checked query sorts as round 0 so
 # it leads the window): 2 regression anchors (q1_pricing_summary,
-# cdc_replay_summary — driver-green every round r1-r12) + the 2 r12
-# registrations with no driver check yet (lexical_diversity_ttr,
-# token_burstiness_topk) + the 10 r7-remainder rows + the 36 oldest
-# r8-cohort rows (alphabetical ann_multiprobe_topk .. metrics_counters).
-# Recomputed at swap time against the full r01-r12 ledger; the result
-# matches the r12 staging comment exactly. After r13 the ledger's oldest
-# latest-check moves to r8 (12 r8 rows remain). Names listed here but
-# not (yet) registered are skipped, so the list can lead registration.
+# cdc_replay_summary — driver-green every round r1-r12) + the 3 rows
+# with no driver check yet (blocklist_filter_stats — REGISTERED r13, the
+# round's single reviewed addition, verified at sf0.001/0.01/0.1 before
+# registration — plus the r12 registrations lexical_diversity_ttr and
+# token_burstiness_topk) + the 10 r7-remainder rows + the 35 oldest
+# r8-cohort rows (alphabetical ann_multiprobe_topk .. metadata_watch_diff;
+# metrics_counters shifts to r14 exactly per the round-0 rule). Verified
+# by scripts/rotation_check.py against the full r01-r12 ledger, and the
+# whole window pre-verified 50/50 at sf0.01. Names listed here but not
+# (yet) registered are skipped, so the list can lead registration.
 # ---------------------------------------------------------------------------
 
 # r14 ROTATION PROPOSAL (pre-staged; deterministic continuation of the
-# freshness sweep by the same (latest driver round, name) ascending rule,
-# recomputed against the r01-r12 ledger with the r13 window marked
-# green): anchors + any never-driver-checked r13 registrations (sort as
-# round 0; none at staging time) + the 12 r8-remainder rows —
+# freshness sweep by the same (latest driver round, name) ascending rule
+# — scripts/rotation_check.py --next prints it from the ledger): anchors
+# + any never-driver-checked r14 registrations (sort as round 0; none at
+# staging time) + the 13 r8-remainder rows — metrics_counters,
 # milvus_expr_filter, name_remap, pack_sort_order, partition_skew_report,
 # pipeline_stage_accounting, preference_pair_builder, rank_zip_join,
 # rbac_routing, ready_set_equality, rollup_region_nation,
-# semi_join_active_customers, string_key_parsing — then the 36 oldest
+# semi_join_active_customers, string_key_parsing — then the 35 oldest
 # r9-cohort rows (alphabetical from ann_bucketed_topk through
-# sole_late_supplier; recompute at swap time in case r14's builder
+# simhash_fingerprints; recompute at swap time in case r14's builder
 # registers more queries, which sort as round 0 and lead the window).
 PRIORITY: tuple[str, ...] = (
     # -- 2 regression anchors (driver-green r1-r12) --
     "q1_pricing_summary",        # flagship; TPC-H Q1 agg
     "cdc_replay_summary",        # A7/K1 replay
-    # -- never-driver-checked (registered r12; sort as round 0) --
+    # -- never-driver-checked (round 0; name-ascending): the r13
+    # registration + the 2 r12 registrations --
+    "blocklist_filter_stats",
     "lexical_diversity_ttr",
     "token_burstiness_topk",
     # -- 10 r7-cohort remainder rows (latest driver check CORRECTNESS_r07) --
@@ -3480,7 +3484,6 @@ PRIORITY: tuple[str, ...] = (
     "length_lorenz_points",
     "lifetime_asof_apply",
     "metadata_watch_diff",
-    "metrics_counters",
 )
 
 

@@ -2369,6 +2369,53 @@ def bpe_pretoken_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# C4 badwords gate (Raffel et al. 2020 §2.2: "discarded any page that
+# contained any word on the blocklist") — the one named C4 stage the
+# quality_filter_funnel composite does not carry. Registered r13 (the
+# round's single reviewed addition per the registry discipline); the
+# fixture lexicon corpus.C4_BLOCKLIST mixes common/mid/rare tokens so
+# the per-source funnel is discriminative at every scale factor.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "blocklist_filter_stats",
+    """
+    WITH hits AS (
+      SELECT source,
+             len(list_filter(
+                   list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                               t -> t != ''),
+                   t -> list_contains(['slow', 'dup', 'big'], t))) AS n_hits
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(sum(n_hits) AS BIGINT) AS total_hits,
+           CAST((count(*) - sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END))
+                * 1000000 // count(*) AS BIGINT) AS kept_ppm
+    FROM hits
+    GROUP BY source
+    ORDER BY source
+    """,
+    "llm",
+    "quality",
+    "blocklist",
+    "c4",
+    "pipeline",
+)
+def blocklist_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source C4 badwords-gate accounting (corpus.blocklist_stats):
+    flagged docs, total lexicon hits, kept share in integer ppm."""
+    from milvus_cdc_spark.analytics import corpus as corpus_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_ops.blocklist_stats(docs)
+
+
 @q(
     "quality_filter_funnel",
     f"""

@@ -1753,6 +1753,28 @@ def test_pseudo_lines_widths_and_ragged_tail(spark):
     assert not any(d == 3 for d, _ in rows)
 
 
+def test_blocklist_stats_counts_hits_and_kept_share(spark):
+    """C4 badwords gate (corpus.blocklist_stats): hit multiplicity,
+    flagged-doc counts, and the DIV-floored kept ppm; tokenization is
+    the shared lower/trim/whitespace law (case-insensitive hits)."""
+    from milvus_cdc_spark.analytics import corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "SLOW start slow end", "a"),     # 2 hits (case-folded)
+            (2, "clean text here", "a"),          # 0 hits
+            (3, "  dup   dup big  ", "a"),        # 3 hits, ragged spaces
+            (4, "nothing flagged", "b"),          # 0 hits
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    out = {r.source: r for r in corpus.blocklist_stats(docs).collect()}
+    assert (out["a"].n_docs, out["a"].n_flagged, out["a"].total_hits) == (3, 2, 5)
+    assert out["a"].kept_ppm == 333333  # floor(1 * 1e6 / 3)
+    assert (out["b"].n_docs, out["b"].n_flagged, out["b"].total_hits) == (1, 0, 0)
+    assert out["b"].kept_ppm == 1000000
+
+
 def test_line_level_dedup_drops_corpus_repeats(spark):
     from milvus_cdc_spark.analytics import corpus
 
