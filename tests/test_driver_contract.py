@@ -109,8 +109,16 @@ def test_embeddings_fixture_width():
 def test_bcov_window_covers_untimed_queries_in_three_rounds():
     """Round-11 verdict #5: the bench coverage rotation must (a) pick
     only queries no timed segment covers, (b) never repeat a name within
-    a window, and (c) cover the whole untimed set within 3 rounds at the
-    documented offsets (0, 38, 76)."""
+    a window, and (c) cover the whole untimed set within
+    ceil(len(untimed) / BCOV_WINDOW) rounds at offsets 0, W, 2W, ... —
+    derived, not hardcoded, so a registry registration that grows the
+    untimed set past a multiple of W widens the schedule instead of
+    silently orphaning the alphabetically-last query (r13: the 255th
+    registration pushed the set to 115 and the hardcoded 3x38 left
+    watermark_ts uncovered). The window size must still keep the
+    promised 3-round full pass."""
+    import math
+
     import bench
     from milvus_cdc_spark import suite
 
@@ -120,11 +128,16 @@ def test_bcov_window_covers_untimed_queries_in_three_rounds():
     }
     untimed = sorted(n for n in suite.QUERIES if n not in timed)
     assert untimed, "coverage rotation is moot if everything is timed"
+    rounds = math.ceil(len(untimed) / bench.BCOV_WINDOW)
+    assert rounds <= 3, (
+        f"{len(untimed)} untimed queries need {rounds} rounds at window "
+        f"{bench.BCOV_WINDOW}; widen BCOV_WINDOW to keep the 3-round pass"
+    )
     covered: set[str] = set()
     orig = bench.BCOV_ROUND_OFFSET
     try:
-        for off in (0, bench.BCOV_WINDOW, 2 * bench.BCOV_WINDOW):
-            bench.BCOV_ROUND_OFFSET = off
+        for r in range(rounds):
+            bench.BCOV_ROUND_OFFSET = r * bench.BCOV_WINDOW
             window = bench._bcov_names()
             assert len(window) == min(bench.BCOV_WINDOW, len(untimed))
             assert len(set(window)) == len(window), "window repeats a name"
