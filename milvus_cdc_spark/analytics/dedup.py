@@ -373,8 +373,14 @@ def connected_components(
                     # matching the distributed loop and the oracle SQL
                     parent[max(ra, rb)] = min(ra, rb)
             out = [(n, find(n)) for n in parent]
-            return spark.createDataFrame(
-                out, f"node {a_type}, component {a_type}"
+            # Arrow-backed local frame, not a Python-parallelize one:
+            # the result is consumed by a downstream groupBy in every
+            # caller, and a pickled-RDD backing pays a Python-worker
+            # roundtrip per action (measured 0.44-3.3 s vs 0.2 s, r13)
+            from milvus_cdc_spark.catalog import local_frame
+
+            return local_frame(
+                spark, out, f"node {a_type}, component {a_type}"
             )
         finally:
             edges.unpersist()

@@ -89,3 +89,25 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def local_frame(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Driver-local rows → DataFrame through the ARROW path, not the
+    Python-parallelize path.
+
+    ``spark.createDataFrame(list, schema)`` backs the frame with a
+    pickled Python RDD, so EVERY downstream action pays a Python-worker
+    roundtrip — measured 0.44-3.3 s per action for a 500-row frame vs
+    0.20-0.28 s via a pandas/Arrow-backed local table (r13; the same
+    mechanism measured 4.6 s/batch in the streaming positions A/B,
+    SCALE.md §5t). Control-plane dims (drop cutoffs, union-find results,
+    name mappings) are built once and joined repeatedly, so the backing
+    matters. Rows are materialized into a pandas frame column-wise; the
+    explicit DDL schema pins types exactly as before (including empty
+    input).
+    """
+    import pandas as pd
+
+    names = [f.name for f in T.StructType.fromDDL(schema).fields]
+    pdf = pd.DataFrame(list(rows), columns=names)
+    return spark.createDataFrame(pdf, schema)

@@ -45,7 +45,12 @@ def name_mapping_df(spark: SparkSession, mappings: list[dict]) -> DataFrame:
             rows.append((src_db, ALL, dst_db, ALL))
         for s, t in colls.items():
             rows.append((src_db, s, dst_db, t))
-    return spark.createDataFrame(rows, MAPPING_SCHEMA)
+    # Arrow-backed local dim (catalog.local_frame): the mapping is
+    # broadcast-joined onto every microbatch, and a pickled-RDD backing
+    # pays a Python-worker roundtrip per action (r13 measurement)
+    from milvus_cdc_spark.catalog import local_frame
+
+    return local_frame(spark, rows, MAPPING_SCHEMA)
 
 
 def mapping_pairs(mappings: list[dict]) -> dict[str, str]:

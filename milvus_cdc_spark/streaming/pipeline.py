@@ -259,8 +259,13 @@ class CdcApplyPipeline:
                 for c, vs in start_positions.items()
                 for v, ts in vs.items()
             ]
-            self._start_pos_df = spark.createDataFrame(
-                rows, "collection string, vchannel string, start_ts bigint"
+            from milvus_cdc_spark.catalog import local_frame
+
+            # Arrow-backed: this dim is broadcast-joined onto EVERY
+            # microbatch; a pickled-RDD backing would pay a Python-worker
+            # roundtrip per batch
+            self._start_pos_df = local_frame(
+                spark, rows, "collection string, vchannel string, start_ts bigint"
             )
         self.n_buckets = n_buckets
         self.compact_every = compact_every
@@ -647,15 +652,23 @@ class CdcApplyPipeline:
         if not coll_drops and not part_drops:
             return base
         out = base
+        # local_frame (Arrow-backed), not createDataFrame(list): the
+        # cutoff dims are rejoined on every alive() action and a
+        # pickled-RDD backing pays a Python-worker roundtrip per action
+        from milvus_cdc_spark.catalog import local_frame
+
         if coll_drops:
-            cdf = self.spark.createDataFrame(
-                list(coll_drops.items()), "collection string, _coll_drop_ts bigint"
+            cdf = local_frame(
+                self.spark,
+                coll_drops.items(),
+                "collection string, _coll_drop_ts bigint",
             )
             out = out.join(F.broadcast(cdf), "collection", "left")
         else:
             out = out.withColumn("_coll_drop_ts", F.lit(None).cast("bigint"))
         if part_drops:
-            pdf = self.spark.createDataFrame(
+            pdf = local_frame(
+                self.spark,
                 [(*k.split("|", 1), v) for k, v in part_drops.items()],
                 "collection string, partition string, _part_drop_ts bigint",
             )
