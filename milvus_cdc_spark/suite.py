@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from milvus_cdc_spark.cache_registry import CacheRegistry
+from milvus_cdc_spark.catalog import local_frame as _local_frame
 
 from milvus_cdc_spark import catalog, oplog
 from milvus_cdc_spark.functions import serde, text, ts as tsf, vector
@@ -227,7 +228,7 @@ def partition_drop_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partition",
         F.concat(F.lit("p_"), (F.col("pk") % 2).cast("string")),
     )
-    drops = spark.createDataFrame(
+    drops = _local_frame(spark, 
         [
             (_PART_DROP_TS, "drop_partition", "default", "coll_0", "p_1",
              "ch_0", None, None, None),
@@ -914,7 +915,7 @@ def lifetime_asof_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def name_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"))
-    mapping = spark.createDataFrame(
+    mapping = _local_frame(spark, 
         [("coll_0", "coll_zero"), ("coll_2", "coll_two")], "src string, dst string"
     )
     remapped = ops.join(F.broadcast(mapping), ops.collection == mapping.src, "left")
@@ -2429,8 +2430,8 @@ def schema_hydration(spark: SparkSession, sf_dir: str) -> DataFrame:
     fields + dbs, hide system fields (P7), detect `$meta` dynamic field —
     as broadcast joins + collect_list."""
     colls = _meta_collections(spark, sf_dir).filter(F.col("state") != "dropped")
-    fields = spark.createDataFrame(_FIELD_DEFS, "field_id int, field_name string")
-    dbs = spark.createDataFrame(_DB_NAMES, "db_id int, db_name string")
+    fields = _local_frame(spark, _FIELD_DEFS, "field_id int, field_name string")
+    dbs = _local_frame(spark, _DB_NAMES, "db_id int, db_name string")
     hydrated = (
         colls.crossJoin(F.broadcast(fields))
         .join(F.broadcast(dbs), "db_id")

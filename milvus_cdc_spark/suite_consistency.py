@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from milvus_cdc_spark import oplog
+from milvus_cdc_spark.catalog import local_frame as _local_frame
 from milvus_cdc_spark.operators import apply as apply_op
 from milvus_cdc_spark.operators import consistency
 from milvus_cdc_spark.suite import _t, q
@@ -121,7 +122,7 @@ _SQL_TTL_PROPS = ", ".join(f"('{c}', {t})" for c, t in TTL_PROPS)
 def ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"))
     alive = apply_op.replay_alive(ops)
-    props = ops.sparkSession.createDataFrame(
+    props = _local_frame(ops.sparkSession, 
         list(TTL_PROPS), "collection string, ttl_seconds bigint"
     )
     return consistency.ttl_visible(alive, props).select(

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from milvus_cdc_spark.suite import _SQL_COSINE, _SQL_TOKS, _t, q
+from milvus_cdc_spark.catalog import local_frame as _local_frame
 
 # ---------------------------------------------------------------------------
 # Exact ROC-AUC via the Mann-Whitney U statistic: does document length
@@ -2011,7 +2012,7 @@ def context_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc = docs.select(
         F.size(textf.tokens(F.lower(F.col("text")))).alias("n_toks")
     )
-    lens = docs.sparkSession.createDataFrame(
+    lens = _local_frame(docs.sparkSession, 
         [(x,) for x in _CTX_LENS], "seq_len int"
     )
     j = tc.crossJoin(F.broadcast(lens))
@@ -2214,7 +2215,7 @@ def quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(w_cum).cast("bigint").alias("cum_c"),
         F.sum("c").over(W.partitionBy("scope")).cast("bigint").alias("total"),
     )
-    pcts = li.sparkSession.createDataFrame(
+    pcts = _local_frame(li.sparkSession, 
         [(p,) for p in _QSM_PCTS], "p int"
     )
     chosen = (
@@ -2534,7 +2535,7 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     obs = digits.groupBy("digit").agg(F.count("*").cast("bigint").alias("n"))
     tot = obs.agg(F.sum("n").cast("bigint").alias("t"))
-    expect = li.sparkSession.createDataFrame(
+    expect = _local_frame(li.sparkSession, 
         [(d, p) for d, p in _BENFORD_PPM.items()],
         "digit int, benford_ppm bigint",
     )
@@ -2845,7 +2846,7 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="rnk",
     )
     tot = ranked.agg(F.sum("c").cast("bigint").alias("t"))
-    sizes = docs.sparkSession.createDataFrame(
+    sizes = _local_frame(docs.sparkSession, 
         [(n,) for n in _VC_SIZES], "vocab_size int"
     )
     covered = (

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from milvus_cdc_spark.suite import _SQL_COSINE, _t, q
+from milvus_cdc_spark.catalog import local_frame as _local_frame
 
 # ---------------------------------------------------------------------------
 # PageRank over the customer<->supplier trade graph. Corpus-curation
@@ -436,7 +437,7 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = [sum(cmat[i][j] * v[j] for j in range(d)) for i in range(d)]
         ma = max(abs(x) for x in w)
         v = [tdiv(x * _PCA_VSCALE, ma) for x in w]
-    return spark.createDataFrame(
+    return _local_frame(spark, 
         [(i, v[i]) for i in range(d)], "idx int, v_scaled bigint"
     ).orderBy("idx")
 
@@ -1192,7 +1193,7 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(w_cum).cast("bigint").alias("cum_c"),
         F.sum("c").over(Window.partitionBy()).cast("bigint").alias("total"),
     )
-    pcts = spark.createDataFrame(
+    pcts = _local_frame(spark, 
         [(p,) for p in _HQ_PCTS], "p int"
     )
     chosen = (
@@ -1329,7 +1330,7 @@ def ewma_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(unix_millis(ts) DIV 3600000 AS BIGINT)").alias("h"),
     ).agg(F.count("*").cast("bigint").alias("c"))
     mx = hours.agg(F.max("h").alias("hmax"))
-    lags = spark.createDataFrame(
+    lags = _local_frame(spark, 
         list(enumerate(_EWMA_W)), "lag int, w long"
     )
     types = hours.select("event_type").distinct()

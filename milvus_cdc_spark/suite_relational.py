@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from milvus_cdc_spark.suite import _SQL_COSINE, _SQL_TOKS, _t, q
+from milvus_cdc_spark.catalog import local_frame as _local_frame
 
 # ---------------------------------------------------------------------------
 # Correlated EXISTS (TPC-H Q4 shape): orders that have at least one late
@@ -744,7 +745,7 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from milvus_cdc_spark.operators.joins import salted_join
 
     li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
-    dim = spark.createDataFrame(
+    dim = _local_frame(spark, 
         [("R", "returned"), ("A", "acknowledged"), ("N", "none")],
         "l_returnflag string, flag_desc string",
     )
@@ -2098,7 +2099,7 @@ def stratified_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from milvus_cdc_spark.analytics import corpus
 
     docs = _t(spark, sf_dir, "documents")
-    rates = docs.sparkSession.createDataFrame(
+    rates = _local_frame(docs.sparkSession, 
         list(_MIX_RATES), "source string, rate_permille bigint"
     )
     return (
@@ -3215,7 +3216,7 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     merges = corpus.bpe_train(docs, n_merges=_BPE_N_MERGES)
-    return spark.createDataFrame(
+    return _local_frame(spark, 
         [(int(k), x, y, int(c)) for k, x, y, c in merges],
         "merge_idx bigint, left_sym string, right_sym string, pair_count bigint",
     ).orderBy("merge_idx")

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from milvus_cdc_spark import catalog, oplog
+from milvus_cdc_spark.catalog import local_frame as _local_frame
 from milvus_cdc_spark.suite import q
 
 
@@ -426,7 +427,7 @@ def rbac_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.lit("create_collection"))
     ops = orders.select(op_type.alias("op_type"))
-    flags = spark.createDataFrame([(True,), (False,)], "enabled boolean")
+    flags = _local_frame(spark, [(True,), (False,)], "enabled boolean")
     route = (
         F.when(F.col("op_type") == "create_collection", F.lit("collection_ddl"))
         .when(~F.col("enabled"), F.lit("filtered"))
