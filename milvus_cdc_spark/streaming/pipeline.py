@@ -366,7 +366,9 @@ class CdcApplyPipeline:
         )
 
     def _empty_state(self) -> DataFrame:
-        return self.spark.createDataFrame([], STATE_SCHEMA)
+        from milvus_cdc_spark.catalog import local_frame
+
+        return local_frame(self.spark, [], STATE_SCHEMA)
 
     def read_state(self, buckets: list[int] | None = None,
                    as_of_batch_id: int | None = None) -> DataFrame:
@@ -781,7 +783,9 @@ class CdcApplyPipeline:
         try:
             pos = self.spark.read.parquet(self.positions_dir)
         except Exception:
-            return self.spark.createDataFrame(
-                [], "vchannel string, position_ts bigint"
+            from milvus_cdc_spark.catalog import local_frame
+
+            return local_frame(
+                self.spark, [], "vchannel string, position_ts bigint"
             )
         return pos.groupBy("vchannel").agg(F.max("position_ts").alias("position_ts"))

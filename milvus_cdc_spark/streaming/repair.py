@@ -92,7 +92,9 @@ class MonotonicRepairStage:
 
     def read_channel_max(self) -> DataFrame:
         if self._version == 0:
-            return self.spark.createDataFrame([], "vchannel string, max_ts bigint")
+            from milvus_cdc_spark.catalog import local_frame
+
+            return local_frame(self.spark, [], "vchannel string, max_ts bigint")
         return self.spark.read.parquet(os.path.join(self.state_dir, f"v{self._version}"))
 
     def process(self, batch: DataFrame) -> DataFrame:
