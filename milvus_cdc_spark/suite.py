@@ -15,6 +15,8 @@ BOTH sides so double summation-order noise can't flip the hash.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -1953,11 +1955,32 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-def _write_oplog_files(spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 8) -> None:
+#: Process-lifetime fixture cache: (abs sf_dir, n_files) -> staged dir.
+#: The derived op-log is DETERMINISTIC per source table, so queries in
+#: one session (the bench suite body, a verify sweep) share one staging
+#: instead of each paying the derive+repartition+write (~2-4 s at
+#: sf0.1). Process-scoped on purpose — no cross-run staleness when the
+#: derivation code changes, and readers never mutate the staged dir.
+_OPLOG_STAGE_CACHE: dict[tuple[str, int], str] = {}
+
+
+def _write_oplog_files(spark: SparkSession, sf_dir: str, out_dir: str | None = None, n_files: int = 8) -> str:
     """Materialize the derived op-log as n parquet files so the file source
-    produces multiple microbatches (maxFilesPerTrigger=2 → ≥4 batches)."""
+    produces multiple microbatches (maxFilesPerTrigger=2 → ≥4 batches).
+    Returns the staged directory; with ``out_dir=None`` the staging is
+    memoized per (sf_dir, n_files) for the life of the process."""
+    import tempfile as _tempfile
+
+    key = (os.path.abspath(sf_dir), n_files)
+    if out_dir is None:
+        cached = _OPLOG_STAGE_CACHE.get(key)
+        if cached and os.path.isdir(cached):
+            return cached
+        out_dir = _tempfile.mkdtemp(prefix="oplog_stage_") + "/files"
     ops = oplog.derive_oplog(catalog.load_table(spark, sf_dir, "lineitem"))
     ops.repartition(n_files).write.mode("overwrite").parquet(out_dir)
+    _OPLOG_STAGE_CACHE[key] = out_dir
+    return out_dir
 
 
 @q(
@@ -1990,8 +2013,7 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from milvus_cdc_spark.streaming.pipeline import CdcApplyPipeline
 
     tmp = tempfile.mkdtemp(prefix="cdc_stream_")
-    src = f"{tmp}/oplog"
-    _write_oplog_files(spark, sf_dir, src)
+    src = _write_oplog_files(spark, sf_dir)  # memoized staging
     pipe = CdcApplyPipeline(spark, src, f"{tmp}/work")
     pipe.run_available_now()
     return (
@@ -2024,8 +2046,7 @@ def streaming_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from milvus_cdc_spark.streaming.pipeline import CdcApplyPipeline
 
     tmp = tempfile.mkdtemp(prefix="cdc_pos_")
-    src = f"{tmp}/oplog"
-    _write_oplog_files(spark, sf_dir, src)
+    src = _write_oplog_files(spark, sf_dir)  # memoized staging
     pipe = CdcApplyPipeline(spark, src, f"{tmp}/work")
     pipe.run_available_now()
     return pipe.positions().orderBy("vchannel")
