@@ -1753,6 +1753,39 @@ def test_pseudo_lines_widths_and_ragged_tail(spark):
     assert not any(d == 3 for d, _ in rows)
 
 
+def test_local_frame_equivalent_to_createDataFrame(spark):
+    """Randomized equivalence for catalog.local_frame (r13: every
+    driver-local control dim and suite panel now routes through it):
+    for random schemas over {bigint, string, boolean, double} and random
+    rows including NULLs, the Arrow-backed frame collects exactly what
+    createDataFrame(list, schema) does — schema and values. Seeded."""
+    import random
+
+    from milvus_cdc_spark import catalog
+
+    rng = random.Random(1313)
+    gens = {
+        "bigint": lambda: rng.choice([None, rng.randint(-(2**40), 2**40)]),
+        "string": lambda: rng.choice([None, "", "x", "héllo", "a|b,c"]),
+        "boolean": lambda: rng.choice([None, True, False]),
+        "double": lambda: rng.choice([None, 0.0, -1.5, 3.25e10]),
+    }
+    for trial in range(12):
+        n_cols = rng.randint(1, 5)
+        types = [rng.choice(list(gens)) for _ in range(n_cols)]
+        schema = ", ".join(f"c{i} {t}" for i, t in enumerate(types))
+        n_rows = rng.randint(0, 8)
+        rows = [
+            tuple(gens[t]() for t in types) for _ in range(n_rows)
+        ]
+        got = catalog.local_frame(spark, rows, schema)
+        want = spark.createDataFrame(rows, schema)
+        assert got.schema == want.schema, (trial, schema)
+        assert sorted(map(tuple, got.collect()), key=repr) == sorted(
+            map(tuple, want.collect()), key=repr
+        ), (trial, schema, rows)
+
+
 def test_blocklist_stats_counts_hits_and_kept_share(spark):
     """C4 badwords gate (corpus.blocklist_stats): hit multiplicity,
     flagged-doc counts, and the DIV-floored kept ppm; tokenization is
