@@ -749,9 +749,14 @@ class CdcApplyPipeline:
             return
         epoch = self._manifest.get("compact_epoch", 0) + 1
         out = os.path.join(self.state_dir, f"c{epoch}")
-        self._bucket(self.read_state()).write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(out)
+        # Same bucket-aligned layout as the per-batch merge write (r13):
+        # without the repartition every read task scatters into every
+        # bucket dir and the compaction epoch reintroduces the small-file
+        # blowup compaction exists to fix.
+        full = self._bucket(self.read_state())
+        full.repartition(self.n_buckets, "bucket").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(out)
         for b in self._manifest["buckets"]:
             self._manifest["buckets"][b] = f"c{epoch}"
         self._manifest["compact_epoch"] = epoch

@@ -838,6 +838,7 @@ def test_state_version_writes_one_file_per_bucket(spark, oplog_dir):
     work = tempfile.mkdtemp(prefix="state_layout_")
     pipe = CdcApplyPipeline(spark, oplog_dir, work)
     pipe.run_available_now()
+    pipe.compact_state()  # the compaction epoch must keep the layout too
     versions = [
         d for d in os.listdir(pipe.state_dir)
         if d.startswith(("v", "c")) and
