@@ -1109,3 +1109,147 @@ def containment_join(
         )
         .filter(F.col("containment_ppm") >= threshold_ppm)
     )
+
+
+def paragraph_near_dup(
+    docs: DataFrame,
+    width: int = 40,
+    shingle_n: int = 5,
+    max_df: int = 64,
+    threshold_ppm: int = 500000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Paragraph-granularity near-duplicate accounting — the dedup stage
+    BETWEEN line-level exact dedup (corpus.line_level_dedup, C4 §2.2)
+    and whole-document MinHash: a paragraph is flagged when some
+    paragraph of a DIFFERENT document shares >= ``threshold_ppm``
+    (integer Jaccard over distinct ``shingle_n``-token shingles) with
+    it — the "same boilerplate paragraph pasted across pages / quoted
+    passage" detector that neither neighbor granularity catches (a
+    duplicated paragraph is invisible to whole-doc MinHash when the
+    rest of the document differs, and invisible to exact line dedup
+    when one token changed).
+
+    The fixture corpus carries no newlines, so fixed-width ``width``-
+    token windows (corpus.pseudo_lines) stand in for paragraphs — swap
+    the splitter for ``split(text, '\\n\\n')`` on a real corpus; every
+    plan below is unchanged.
+
+    Scale shape (the reason this is bucketed, not all-pairs):
+
+    - Shingles are keyed by a 16-hex md5 prefix, so every shuffle
+      carries 16-byte fingerprints, never paragraph text.
+    - Candidate pairs come ONLY from an equi-self-join on the shingle
+      fingerprint; a shingle occurring in more than ``max_df``
+      paragraphs corpus-wide is a stop-shingle and is dropped from the
+      join via a left_anti against the (small by construction)
+      stop-list, bounding any one join key's fan-out at
+      ``max_df * (max_df - 1) / 2`` pairs. Jaccard denominators keep
+      the UNCAPPED per-paragraph shingle counts, so the cap can only
+      under-count ``shared`` — a conservative, deterministic miss on
+      pairs whose overlap rides boilerplate shingles (both engines
+      apply the identical cap, so the oracle reproduces it exactly).
+    - Per-paragraph shingle sets are DISTINCT before sizing and
+      joining: set semantics, and the join input is minimal.
+
+    Returns per-doc (id, n_paras, n_flagged, flagged_ppm) over
+    paragraphs long enough to shingle (>= ``shingle_n`` tokens);
+    flagged_ppm is integer parts-per-million.
+    """
+    from milvus_cdc_spark.analytics import corpus
+
+    release_dedup_caches()  # the prior query's frames are consumed by now
+    paras = corpus.pseudo_lines(docs, width, id_col, text_col)
+    base = paras.select(
+        F.col(id_col),
+        F.col("line_id").alias("para_id"),
+        textf.tokens(F.col("line_text")).alias("_toks"),
+    )
+    arr = F.col("_toks")
+    m = F.greatest(F.size(arr) - (shingle_n - 1), F.lit(0))
+    z = F.slice(arr, 1, m)
+    for k in range(2, shingle_n + 1):
+        z = F.zip_with(
+            z, F.slice(arr, k, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    sh = (
+        base.select(F.col(id_col), F.col("para_id"), F.explode(z).alias("s"))
+        .select(
+            F.col(id_col),
+            F.col("para_id"),
+            F.substring(F.md5(F.col("s")), 1, 16).alias("k"),
+        )
+        .distinct()
+        .persist()
+    )
+    _DEDUP_CACHES.append(sh)
+    sizes = sh.groupBy(id_col, "para_id").agg(
+        F.count("*").alias("n_sh")
+    )
+    stop = (
+        sh.groupBy("k")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("k")
+    )
+    # no broadcast hint: the stop-list is tiny at test scale but grows
+    # with corpus vocabulary — let AQE broadcast it while it fits and
+    # demote to a shuffled anti-join when it doesn't (a pinned hint
+    # could not be demoted at 100 TB)
+    shf = sh.join(stop, "k", "left_anti")
+    a = shf.select(
+        F.col(id_col).alias("doc_a"), F.col("para_id").alias("para_a"), "k"
+    )
+    b = shf.select(
+        F.col(id_col).alias("doc_b"), F.col("para_id").alias("para_b"), "k"
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "para_a", "doc_b", "para_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("para_id").alias("para_a"),
+        F.col("n_sh").alias("na"),
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("para_id").alias("para_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    scored = (
+        pairs.join(sa, ["doc_a", "para_a"])
+        .join(sb, ["doc_b", "para_b"])
+        .withColumn(
+            "j_ppm", F.expr("shared * 1000000 DIV (na + nb - shared)")
+        )
+        .filter(F.col("j_ppm") >= threshold_ppm)
+    )
+    flagged = (
+        scored.select(
+            F.col("doc_a").alias(id_col), F.col("para_a").alias("para_id")
+        )
+        .union(
+            scored.select(
+                F.col("doc_b").alias(id_col),
+                F.col("para_b").alias("para_id"),
+            )
+        )
+        .distinct()
+        .withColumn("_f", F.lit(1))
+    )
+    return (
+        sizes.join(flagged, [id_col, "para_id"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_paras"),
+            F.count("_f").cast("bigint").alias("n_flagged"),
+        )
+        .withColumn(
+            "flagged_ppm",
+            F.expr("n_flagged * 1000000 DIV n_paras").cast("bigint"),
+        )
+    )

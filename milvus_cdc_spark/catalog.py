@@ -105,9 +105,31 @@ def local_frame(spark: SparkSession, rows, schema: str) -> DataFrame:
     matters. Rows are materialized into a pandas frame column-wise; the
     explicit DDL schema pins types exactly as before (including empty
     input).
+
+    Integral and boolean columns get pandas NULLABLE dtypes derived
+    from the DDL schema (ADVICE r13): a plain ``pd.DataFrame`` coerces
+    a bigint column containing a NULL to float64, silently corrupting
+    values above 2^53 (ns-epoch timestamps live well above it) through
+    the Arrow float→int64 cast. Every other type keeps object dtype so
+    Arrow converts the original Python values under the schema.
     """
     import pandas as pd
 
-    names = [f.name for f in T.StructType.fromDDL(schema).fields]
-    pdf = pd.DataFrame(list(rows), columns=names)
+    _nullable = {
+        T.ByteType: "Int8",
+        T.ShortType: "Int16",
+        T.IntegerType: "Int32",
+        T.LongType: "Int64",
+        T.BooleanType: "boolean",
+    }
+    fields = T.StructType.fromDDL(schema).fields
+    data = [tuple(r) for r in rows]
+    cols = {
+        f.name: pd.Series(
+            [r[i] for r in data],
+            dtype=_nullable.get(type(f.dataType), object),
+        )
+        for i, f in enumerate(fields)
+    }
+    pdf = pd.DataFrame(cols, columns=[f.name for f in fields])
     return spark.createDataFrame(pdf, schema)

@@ -658,6 +658,29 @@ def _scan_table(detail: str) -> str:
     return m.group(1) if m else "?"
 
 
+def reused_broadcast_count(plan: str) -> int:
+    """Number of ``ReusedExchange`` nodes whose referenced operator is
+    a ``BroadcastExchange``. GATES.json counts these TOGETHER with
+    fresh BroadcastExchanges (the ``bex`` counter): whether the planner
+    re-derives an identical broadcast subtree or prints a
+    ReusedExchange pointing at the first one is JVM-nondeterministic —
+    observed r13 as a 410-vs-411 single-node wobble across re-runs of
+    the same tree — so only the combined count is reproducible across
+    sweeps. Reuses of SHUFFLE exchanges are excluded (shuffle
+    exchanges were never part of ``bex``)."""
+    nodes = parse_plan_tree(plan)
+    details = node_details(plan)
+    by_id = {nid: name for _, name, nid in nodes}
+    n = 0
+    for _, name, nid in nodes:
+        if "ReusedExchange" not in name:
+            continue
+        m = _re.search(r"Reuses operator id: (\d+)", details.get(nid, ""))
+        if m and "BroadcastExchange" in by_id.get(int(m.group(1)), ""):
+            n += 1
+    return n
+
+
 def broadcast_provenance_audit(plan: str) -> list[dict]:
     """Classify every ``BroadcastExchange`` build side in a formatted
     physical plan. Returns one record per exchange::
@@ -1158,7 +1181,12 @@ def cartesian_audit(plan: str) -> list[dict]:
     build: an author-chosen constant factor (query panels, config
     frames, labeled brute-force baselines); a keyed stream under a
     constant multiplier is strictly smaller than the accepted
-    fact x literal shape. *keyed_multiplied* — keyed or unbounded
+    fact x literal shape. NOTE (ADVICE r13): this class applies only
+    to broadcast (BNLJ) crosses, where the literal side is provably
+    the build; a RAW CartesianProduct of keyed x literal gets no
+    broadcast-build anchor, so it classifies *keyed_multiplied* and
+    is allowlist-gated — the asymmetry is intentional (see the
+    raw-cartesian branch below). *keyed_multiplied* — keyed or unbounded
     stream x KEYED-aggregate build (incl. both-keyed crosses): the
     multiplier is a group count the plan cannot bound and the shape is
     frequently avoidable (the langid accident); FAILS unless the query

@@ -3658,6 +3658,89 @@ def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Paragraph-granularity shingle-overlap near-dup — the dedup stage between
+# line-level exact dedup and whole-document MinHash (reviewed r14
+# registration). 40-token pseudo-paragraphs, distinct 5-token shingles
+# keyed on a 64-bit md5 prefix, stop-shingle df cap 64 on the candidate
+# join, integer-ppm Jaccard >= 0.5 over UNCAPPED sizes.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "paragraph_near_dup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS arr FROM documents
+    ),
+    paras AS (
+      SELECT doc_id, i AS para_id,
+             list_slice(arr, i * 40 + 1, i * 40 + 40) AS parr
+      FROM toks,
+           unnest(generate_series(0, CAST(ceil(len(arr) / 40.0) AS INT) - 1))
+             AS t(i)
+      WHERE len(arr) > 0
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, para_id,
+             substr(md5(array_to_string(list_slice(parr, j + 1, j + 5), ' ')),
+                    1, 16) AS k
+      FROM paras,
+           unnest(generate_series(0, len(parr) - 5)) AS u(j)
+      WHERE len(parr) >= 5
+    ),
+    sizes AS (
+      SELECT doc_id, para_id, count(*) AS n_sh FROM sh GROUP BY doc_id, para_id
+    ),
+    keep AS (SELECT k FROM sh GROUP BY k HAVING count(*) <= 64),
+    shf AS (SELECT sh.* FROM sh JOIN keep USING (k)),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, a.para_id AS para_a,
+             b.doc_id AS doc_b, b.para_id AS para_b,
+             count(*) AS shared
+      FROM shf a JOIN shf b USING (k)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY doc_a, para_a, doc_b, para_b
+    ),
+    scored AS (
+      SELECT p.doc_a, p.para_a, p.doc_b, p.para_b
+      FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.doc_a AND sa.para_id = p.para_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b AND sb.para_id = p.para_b
+      WHERE p.shared * 1000000 // (sa.n_sh + sb.n_sh - p.shared) >= 500000
+    ),
+    flagged AS (
+      SELECT DISTINCT doc_id, para_id FROM (
+        SELECT doc_a AS doc_id, para_a AS para_id FROM scored
+        UNION ALL
+        SELECT doc_b AS doc_id, para_b AS para_id FROM scored
+      )
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(count(f.para_id) AS BIGINT) AS n_flagged,
+           CAST(count(f.para_id) * 1000000 // count(*) AS BIGINT)
+             AS flagged_ppm
+    FROM sizes s
+    LEFT JOIN flagged f
+      ON f.doc_id = s.doc_id AND f.para_id = s.para_id
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+    "dedup",
+    "paragraph-near-dup",
+    "llm",
+)
+def paragraph_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document paragraph-level near-dup accounting
+    (dedup.paragraph_near_dup): 40-token pseudo-paragraphs, 5-token
+    shingle Jaccard >= 0.5 against any paragraph of another document."""
+    from milvus_cdc_spark.analytics import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.paragraph_near_dup(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # tf-idf keyword extraction: per-doc top-5 terms, integer idf ratio
 # (N * 1e6 DIV df) so the ranking is bit-equal across engines.
 # ---------------------------------------------------------------------------

@@ -54,7 +54,12 @@ def main() -> None:
         sp = audit.single_partition_audit(plan)
         counts["sp"] += len(sp)
         bad += [r for r in sp if r["verdict"] != "benign"]
-        counts["bex"] += len(audit.broadcast_provenance_audit(plan))
+        # fresh + reused-broadcast counted together: Reused-vs-fresh is
+        # JVM-nondeterministic (r13: 410 vs 411 on the same tree); only
+        # the combined count is reproducible across sweeps
+        counts["bex"] += len(
+            audit.broadcast_provenance_audit(plan)
+        ) + audit.reused_broadcast_count(plan)
         h = audit.broadcast_hint_audit(logical)
         counts["hints"] += len(h)
         bad += [r for r in h if r["verdict"] == "data_sized"]

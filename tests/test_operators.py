@@ -1758,14 +1758,21 @@ def test_local_frame_equivalent_to_createDataFrame(spark):
     driver-local control dim and suite panel now routes through it):
     for random schemas over {bigint, string, boolean, double} and random
     rows including NULLs, the Arrow-backed frame collects exactly what
-    createDataFrame(list, schema) does — schema and values. Seeded."""
+    createDataFrame(list, schema) does — schema and values. Seeded.
+    The bigint generator spans past 2^53 (ADVICE r13): a NULL-bearing
+    int64 column routed through a float64 pandas dtype would corrupt
+    exactly those values, and ±2^40 draws could never detect it."""
     import random
 
     from milvus_cdc_spark import catalog
 
     rng = random.Random(1313)
     gens = {
-        "bigint": lambda: rng.choice([None, rng.randint(-(2**40), 2**40)]),
+        "bigint": lambda: rng.choice(
+            [None, rng.randint(-(2**40), 2**40),
+             rng.randint(2**53, 2**63 - 1),
+             rng.randint(-(2**63), -(2**53))]
+        ),
         "string": lambda: rng.choice([None, "", "x", "héllo", "a|b,c"]),
         "boolean": lambda: rng.choice([None, True, False]),
         "double": lambda: rng.choice([None, 0.0, -1.5, 3.25e10]),
@@ -2472,3 +2479,56 @@ def test_confusion_matrix_unpivot_equals_class_cross(spark):
             .collect()
         }
         assert got == ref, (trial, sorted(got), sorted(ref))
+
+
+def test_paragraph_near_dup_flags_cross_doc_only(spark):
+    """A paragraph sharing 3 of its 4 shingles with another DOCUMENT's
+    paragraph (Jaccard 3/5 = 0.6) is flagged on both sides; a unique
+    paragraph is not; a paragraph duplicated WITHIN one document never
+    pairs with itself (cross-doc predicate)."""
+    from milvus_cdc_spark.analytics.dedup import paragraph_near_dup
+
+    para_a = "alpha bravo charlie delta echo foxtrot"
+    para_a2 = "alpha bravo charlie delta echo golf"  # last token changed
+    para_b = "hotel india juliet kilo lima mike"
+    para_c = "november oscar papa quebec romeo sierra"
+    rows = [
+        (1, f"{para_a} {para_b}"),
+        (2, para_a2),
+        (3, f"{para_c} {para_c}"),  # self-duplicate, same doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_paras, r.n_flagged)
+        for r in paragraph_near_dup(
+            df, width=6, shingle_n=3, threshold_ppm=500000
+        ).collect()
+    }
+    assert got == {1: (2, 1), 2: (1, 1), 3: (2, 0)}, got
+
+
+def test_paragraph_near_dup_stop_shingle_cap(spark):
+    """With the df cap below the duplicate fan-out, every shingle of the
+    repeated paragraph is a stop-shingle, no candidate pairs form, and
+    nothing is flagged — the boundedness guard is observable."""
+    from milvus_cdc_spark.analytics.dedup import paragraph_near_dup
+
+    para = "alpha bravo charlie delta echo foxtrot"
+    df = spark.createDataFrame(
+        [(i, para) for i in range(4)], "doc_id long, text string"
+    )
+    flagged = {
+        r.doc_id: r.n_flagged
+        for r in paragraph_near_dup(
+            df, width=6, shingle_n=3, max_df=3, threshold_ppm=500000
+        ).collect()
+    }
+    assert flagged == {0: 0, 1: 0, 2: 0, 3: 0}, flagged
+    # and with the cap relaxed the same corpus flags everything
+    flagged2 = {
+        r.doc_id: r.n_flagged
+        for r in paragraph_near_dup(
+            df, width=6, shingle_n=3, max_df=64, threshold_ppm=500000
+        ).collect()
+    }
+    assert flagged2 == {0: 1, 1: 1, 2: 1, 3: 1}, flagged2

@@ -1444,3 +1444,36 @@ def test_catalog_key_cols_are_scale_invariant():
         "catalog-column cardinality moved with scale factor: "
         f"{dict(zip(['source','lang','event_type','vchannel','collection','op_type'], zip(*seen)))}"
     )
+
+
+def test_reused_broadcast_counted_with_fresh(spark):
+    """reused_broadcast_count resolves a ReusedExchange back to the
+    BroadcastExchange it reuses (and ignores shuffle reuse), so the
+    GATES.json bex counter — fresh + reused together — is invariant to
+    the JVM's reuse-vs-rederive choice (the r13 410-vs-411 wobble)."""
+    from pyspark.sql import functions as F
+
+    from milvus_cdc_spark.plans import audit
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        dim = spark.range(8).withColumnRenamed("id", "k")
+        fact = spark.range(512).withColumnRenamed("id", "k")
+        # different aggregates ABOVE an identical broadcast join: the
+        # shared subtree is exactly the dim broadcast, so the second
+        # branch's build prints as either a fresh BroadcastExchange or
+        # a ReusedExchange pointing at the first one
+        j1 = fact.join(F.broadcast(dim), "k").agg(
+            F.count("*").alias("a")
+        )
+        j2 = fact.join(F.broadcast(dim), "k").agg(
+            F.sum("k").alias("a")
+        )
+        plan = audit.formatted_plan(j1.unionAll(j2))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    fresh = len(audit.broadcast_provenance_audit(plan))
+    reused = audit.reused_broadcast_count(plan)
+    # two identical broadcast builds: however the JVM splits them
+    # between fresh and reused, the combined count is exactly 2
+    assert fresh + reused == 2, (fresh, reused, plan)
