@@ -312,12 +312,12 @@ ISOLATED_SEGMENTS: list[tuple[str, list[str]]] = [
 # COVERAGE, not cross-round anchors (the window moves every round).
 # ---------------------------------------------------------------------------
 
-#: Window size: full coverage of the untimed set (115 after the r13
+#: Window size: full coverage of the untimed set (116 after the r14
 #: registration) in 3 rounds; the contract test derives the round count
 #: and fails if the registry outgrows 3 x BCOV_WINDOW.
 BCOV_WINDOW = 39
 #: r12 starts the rotation at the alphabetical front; r13 -> 39, r14 -> 78.
-BCOV_ROUND_OFFSET = 39
+BCOV_ROUND_OFFSET = 78
 
 
 def _bcov_names() -> list[str]:
