@@ -2532,3 +2532,81 @@ def test_paragraph_near_dup_stop_shingle_cap(spark):
         ).collect()
     }
     assert flagged2 == {0: 1, 1: 1, 2: 1, 3: 1}, flagged2
+
+
+def test_paragraph_near_dup_matches_bruteforce_reference(spark):
+    """Randomized property: on small corpora drawn from a tiny vocab
+    (forcing shingle collisions), paragraph_near_dup equals a pure-
+    Python brute-force reference implementing the same law — fixed-
+    width paragraphs, DISTINCT shingles, df-capped candidate shingles
+    with UNCAPPED Jaccard denominators, cross-doc-only flagging.
+    Exercises both a binding and a non-binding stop-shingle cap."""
+    import random
+
+    from milvus_cdc_spark.analytics.dedup import paragraph_near_dup
+
+    rng = random.Random(1414)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+
+    def reference(docs, width, n, max_df, thr_ppm):
+        paras = {}  # (doc, pid) -> distinct shingle set
+        for doc_id, text in docs:
+            toks = text.lower().split()
+            for pid in range((len(toks) + width - 1) // width):
+                p = toks[pid * width : (pid + 1) * width]
+                if len(p) < n:
+                    continue
+                paras[(doc_id, pid)] = {
+                    " ".join(p[j : j + n]) for j in range(len(p) - n + 1)
+                }
+        df_count = {}
+        for sset in paras.values():
+            for s in sset:
+                df_count[s] = df_count.get(s, 0) + 1
+        keep = {s for s, c in df_count.items() if c <= max_df}
+        flagged = set()
+        keys = sorted(paras)
+        for i, ka in enumerate(keys):
+            for kb in keys[i + 1 :]:
+                if ka[0] == kb[0]:
+                    continue
+                shared = len(paras[ka] & paras[kb] & keep)
+                if shared == 0:
+                    continue
+                denom = len(paras[ka]) + len(paras[kb]) - shared
+                if shared * 1000000 // denom >= thr_ppm:
+                    flagged.add(ka)
+                    flagged.add(kb)
+        out = {}
+        for doc_id, pid in paras:
+            n_p, n_f = out.get(doc_id, (0, 0))
+            out[doc_id] = (n_p + 1, n_f + ((doc_id, pid) in flagged))
+        return out
+
+    for trial in range(6):
+        n_docs = rng.randint(2, 6)
+        docs = [
+            (
+                d,
+                " ".join(
+                    rng.choice(vocab)
+                    for _ in range(rng.randint(0, 14))
+                ),
+            )
+            for d in range(n_docs)
+        ]
+        width, n = 4, 2
+        max_df = rng.choice([2, 64])  # binding and non-binding caps
+        want = reference(docs, width, n, max_df, 500000)
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_paras, r.n_flagged)
+            for r in paragraph_near_dup(
+                df,
+                width=width,
+                shingle_n=n,
+                max_df=max_df,
+                threshold_ppm=500000,
+            ).collect()
+        }
+        assert got == want, (trial, max_df, docs, got, want)
