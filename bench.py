@@ -312,9 +312,16 @@ ISOLATED_SEGMENTS: list[tuple[str, list[str]]] = [
 # COVERAGE, not cross-round anchors (the window moves every round).
 # ---------------------------------------------------------------------------
 
-#: Window size: full coverage of the untimed set (116 after the r14
-#: registration) in 3 rounds; the contract test derives the round count
-#: and fails if the registry outgrows 3 x BCOV_WINDOW.
+#: Window size: a full pass over a FIXED untimed set takes
+#: ceil(116/39) = 3 rounds; the contract test derives the round count
+#: and fails if the registry outgrows 3 x BCOV_WINDOW. Mid-cycle
+#: registrations shift the alphabetical ring under the moving offset,
+#: so a name inserted BELOW the current offset is not reached until
+#: the ring wraps back around (r14: paragraph_near_dup at index 72
+#: first enters a window at the r16 offset-40 draw; its first sf0.1
+#: timings were therefore taken ad hoc and recorded in ROUND_NOTES
+#: r14). gcd(39, ring length) has been 1 so far, so every name IS
+#: eventually drawn — later than the 3-round pass, never never.
 BCOV_WINDOW = 39
 #: r12 starts the rotation at the alphabetical front; r13 -> 39, r14 -> 78.
 BCOV_ROUND_OFFSET = 78
@@ -515,20 +522,39 @@ def _segment_names(segment: str) -> list[str]:
     )
 
 
-def run_segment_mode(segment: str, sf_dir: str, sf: float) -> None:
+def _parse_sf(sf_dir: str) -> float:
+    """Scale factor from a path like ``.../sf0.1``; -1.0 when the path
+    carries none (including paths where 'sf' appears mid-word, which
+    would otherwise raise on float())."""
+    if "sf" not in sf_dir:
+        return -1.0
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return -1.0
+
+
+def run_segment_mode(
+    segment: str, sf_dir: str, sf: float, names: list[str] | None = None
+) -> None:
     """Fresh-session single-segment run (``bench.py --segment r1``).
 
     Prints one compact JSON line. Used directly for anchor-regression
     bisection, and spawned by the full run to produce ``r1_isolated`` —
     an anchor number measured in a fresh JVM with nothing else in the
-    session, immune to suite growth.
+    session, immune to suite growth. ``names`` overrides the segment's
+    query list while keeping the identical output contract — the
+    second-draw replay path (scripts/bcov_second_draw.py), so contract
+    changes here reach second draws automatically.
     """
     spark = get_spark(f"bench-{segment}")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
     canary = _canary_sec(spark, sf_dir)
     canary2 = _canary2_sec(spark, sf_dir)
-    timings = run_queries(spark, _segment_names(segment), sf_dir)
+    timings = run_queries(
+        spark, names if names is not None else _segment_names(segment), sf_dir
+    )
     print(json.dumps({
         "metric": f"segment_{segment}_runtime",
         "value": round(sum(timings.values()), 3),
@@ -573,7 +599,7 @@ def _isolated_anchor_run(sf_dir: str, segment: str = "r1") -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    sf = _parse_sf(sf_dir)
 
     if len(sys.argv) >= 2 and sys.argv[1] == "--segment":
         if len(sys.argv) < 3:

@@ -42,23 +42,41 @@ def release_dedup_caches() -> None:
     _DEDUP_CACHES.release()
 
 
+def _shingle_array(arr, n: int):
+    """Column of space-joined ``n``-token shingles built from a token
+    ARRAY column by zipping it with its own shifted tails (n-1 zip_with
+    passes, each O(tokens) per row). ``arr`` MUST be a plain column
+    reference (an attribute), not an inline expression: inlining the
+    tokenization here re-evaluates it per zip pass — the O(tokens²)
+    trap pinned on ``functions.text.shingles``. The shingle count is
+    clamped at 0 because a row shorter than n tokens yields a NEGATIVE
+    slice length, which throws; the empty array explodes to nothing.
+    Shared by :func:`shingle_rows` (per-document) and
+    :func:`paragraph_near_dup` (per-paragraph)."""
+    m = F.greatest(F.size(arr) - (n - 1), F.lit(0))
+    z = F.slice(arr, 1, m)
+    for k in range(2, n + 1):
+        z = F.zip_with(
+            z, F.slice(arr, k, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return z
+
+
 def shingle_rows(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
     n_partitions: int = 32,
 ) -> DataFrame:
     """(id, shingle) rows — may contain duplicate shingles per doc.
 
-    Array plan: shingle INSIDE the row by zipping the token array with
-    its own shifted tails (n-1 zip_with passes, each O(tokens) per doc),
-    then explode the finished shingles. No per-token window: the old
+    Array plan: shingle INSIDE the row (:func:`_shingle_array`), then
+    explode the finished shingles. No per-token window: the old
     posexplode + lead() shape paid a per-partition sort over exploded
     token rows before every downstream shuffle — measured 2x on the
     shingle->distinct stage every dedup pipeline starts with. The token
     array is projected to a column FIRST so the slice/zip lambdas
     reference an attribute, never re-evaluating the tokenization
-    (inlining it is the O(tokens²) trap the previous docstring pinned on
-    ``functions.text.shingles``; CollapseProject keeps the two-step
-    projection because the alias is non-cheap and multiply referenced).
+    (CollapseProject keeps the two-step projection because the alias is
+    non-cheap and multiply referenced).
 
     The id-keyed repartition happens BEFORE tokenization: it
     parallelizes the work even from a single-file scan, and the shuffle
@@ -67,15 +85,7 @@ def shingle_rows(
     base = df.repartition(n_partitions, F.col(id_col)).select(
         F.col(id_col), textf.tokens(F.lower(F.col(text_col))).alias("_toks")
     )
-    arr = F.col("_toks")
-    # shingle count, clamped at 0: a doc shorter than n tokens yields an
-    # empty slice (a negative slice length throws), which explode drops
-    m = F.greatest(F.size(arr) - (n - 1), F.lit(0))
-    z = F.slice(arr, 1, m)
-    for k in range(2, n + 1):
-        z = F.zip_with(
-            z, F.slice(arr, k, m), lambda a, b: F.concat(a, F.lit(" "), b)
-        )
+    z = _shingle_array(F.col("_toks"), n)
     return base.select(F.col(id_col), F.explode(z).alias("s"))
 
 
@@ -1166,13 +1176,7 @@ def paragraph_near_dup(
         F.col("line_id").alias("para_id"),
         textf.tokens(F.col("line_text")).alias("_toks"),
     )
-    arr = F.col("_toks")
-    m = F.greatest(F.size(arr) - (shingle_n - 1), F.lit(0))
-    z = F.slice(arr, 1, m)
-    for k in range(2, shingle_n + 1):
-        z = F.zip_with(
-            z, F.slice(arr, k, m), lambda a, b: F.concat(a, F.lit(" "), b)
-        )
+    z = _shingle_array(F.col("_toks"), shingle_n)
     sh = (
         base.select(F.col(id_col), F.col("para_id"), F.explode(z).alias("s"))
         .select(

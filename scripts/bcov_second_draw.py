@@ -13,9 +13,11 @@ Usage:
     python scripts/bcov_second_draw.py [detail_json] [sf_dir]
 
 Reads ``bcov_queries`` keys from detail_json (default the sealed
-BENCH_DETAIL.json), times exactly those queries in this fresh session,
-and prints the same one-line JSON contract as ``bench.py --segment
-bcov`` (metric segment_bcov_runtime + canaries + per-query timings).
+BENCH_DETAIL.json) and replays exactly those queries through
+``bench.run_segment_mode`` in this fresh session — the SAME code path
+and one-line JSON contract as ``bench.py --segment bcov``, so contract
+changes there (new canary fields, timing discipline) reach second
+draws automatically.
 """
 
 from __future__ import annotations
@@ -38,34 +40,8 @@ def main() -> None:
         sys.exit(2)
 
     import bench
-    from milvus_cdc_spark.session import get_spark
 
-    sf = (
-        float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-        if "sf" in sf_dir
-        else -1.0
-    )
-    spark = get_spark("bench-bcov2")
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1000).selectExpr("sum(id)").collect()
-    canary = bench._canary_sec(spark, sf_dir)
-    canary2 = bench._canary2_sec(spark, sf_dir)
-    timings = bench.run_queries(spark, names, sf_dir)
-    print(
-        json.dumps(
-            {
-                "metric": "segment_bcov_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "sf": sf,
-                "canary_sec": canary,
-                "canary2_sec": canary2,
-                "queries": timings,
-            },
-            separators=(",", ":"),
-        )
-    )
-    spark.stop()
+    bench.run_segment_mode("bcov", sf_dir, bench._parse_sf(sf_dir), names)
 
 
 if __name__ == "__main__":

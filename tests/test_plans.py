@@ -1477,3 +1477,41 @@ def test_reused_broadcast_counted_with_fresh(spark):
     # two identical broadcast builds: however the JVM splits them
     # between fresh and reused, the combined count is exactly 2
     assert fresh + reused == 2, (fresh, reused, plan)
+
+
+def test_reused_broadcast_count_parses_canned_plan():
+    """Deterministic complement to the invariance test (which a
+    reuse-free planner can satisfy without exercising the resolver):
+    on a canned formatted plan, a ReusedExchange pointing at a
+    BroadcastExchange counts 1 and one pointing at a shuffle Exchange
+    counts 0."""
+    from milvus_cdc_spark.plans import audit
+
+    plan = """== Physical Plan ==
+* Project (5)
+:- * BroadcastHashJoin Inner BuildRight (3)
+:  :- * ColumnarToRow (1)
+:  +- BroadcastExchange (2)
+:- ReusedExchange (4)
++- ReusedExchange (6)
+
+(1) ColumnarToRow
+Input [1]: [k#1L]
+
+(2) BroadcastExchange
+Input [1]: [k#1L]
+
+(3) BroadcastHashJoin
+Join type: Inner
+
+(4) ReusedExchange [Reuses operator id: 2]
+Output [1]: [k#2L]
+
+(5) Project
+
+(6) ReusedExchange [Reuses operator id: 1]
+Output [1]: [k#3L]
+"""
+    assert audit.reused_broadcast_count(plan) == 1
+    # and a plan with no reuse at all counts 0
+    assert audit.reused_broadcast_count("== Physical Plan ==\n* Scan parquet (1)\n\n(1) Scan parquet\n") == 0
