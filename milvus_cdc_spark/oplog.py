@@ -17,13 +17,20 @@ engines replay it to the same answer.
 Scale notes: the derivation is a pure projection — no shuffle, fully
 pipelined in whole-stage codegen, safe at any scale. Collision-heavy pk
 choice (l_partkey-based) deliberately creates multi-op histories per pk so
-the replay aggregation is non-trivial.
+the replay aggregation is non-trivial. The one local-fixture caveat: the
+projection's md5/concat/timestamp chain is expression-dense, and a
+single-row-group fixture file scans as ONE task, so the whole derivation
+(plus the map-side partial aggregate of whatever consumes it) serializes
+on one core — ``partitioning.widen_small_scan`` guards that (no-op at
+real scale, where the input arrives with >= cores splits).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from milvus_cdc_spark.partitioning import widen_small_scan
 
 # Share of ops that are deletes: first md5 hex nibble in 0..3 → 4/16 = 25 %.
 _DELETE_NIBBLES = ("0", "1", "2", "3")
@@ -33,14 +40,27 @@ _DELETE_NIBBLES = ("0", "1", "2", "3")
 N_VCHANNELS = 4
 
 
-def derive_oplog(lineitem: DataFrame) -> DataFrame:
+def derive_oplog(lineitem: DataFrame, widen: bool = False) -> DataFrame:
     """Derive the canonical op-event log from ``lineitem``.
 
     - pk collides across orders (partkey-based) so pks accumulate histories;
     - ts is hybrid-TSO-style: shipdate epoch-ms << 18, plus a per-row
       logical component so ties are rare but possible;
     - op_type is an md5 coin flip — deterministic and portable.
+
+    ``widen=True`` hash-repartitions the input up to the session's core
+    count BEFORE the projection when its scan is under-parallelized
+    (partitioning.widen_small_scan; no-op at real scale). OPT-IN per call
+    site, not blanket: the r14 in-JVM interleaved A/B over all 22 batch
+    consumers measured the heavy replay/consistency aggregations at
+    −15..−46 % (the md5/concat projection plus the downstream map-side
+    partial aggregate otherwise serialize inside the single-split scan
+    stage) but the light projection-only consumers (argmax, envelope
+    serde, remap routing) at +0.2-0.5 s — the extra exchange plus the
+    plan→RDD partition probe costs more than their derivation work.
     """
+    if widen:
+        lineitem = widen_small_scan(lineitem, "l_orderkey", "l_linenumber")
     pk = (F.col("l_partkey") * F.lit(100) + F.col("l_linenumber")).cast("bigint")
     ts = (
         F.shiftleft(F.unix_millis(F.col("l_shipdate")), 18)

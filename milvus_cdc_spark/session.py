@@ -103,4 +103,17 @@ def get_spark(app_name: str = "milvus_cdc_spark", shuffle_partitions: int | None
             os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
         )
     )
+    # Generic conf passthrough for A/B measurement and cluster overrides:
+    # semicolon-separated key=value pairs, applied last so they win over
+    # the defaults above. Static SQL confs (e.g. codegen cache sizing)
+    # only take effect when set here, before the JVM launches — which is
+    # exactly why this hook lives in the session factory rather than in
+    # per-query code.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in extra.split(";"):
+        pair = pair.strip()
+        if not pair or "=" not in pair:
+            continue
+        key, _, value = pair.partition("=")
+        builder = builder.config(key.strip(), value.strip())
     return builder.getOrCreate()

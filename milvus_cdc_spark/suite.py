@@ -155,7 +155,7 @@ _ORACLE_REPLAY = f"""
 
 @q("cdc_replay_summary", _ORACLE_REPLAY, "cdc", "agg", "conditional-agg")
 def cdc_replay_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"))
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"), widen=True)
     return apply_op.replay_summary(ops)
 
 
@@ -226,7 +226,7 @@ def partition_drop_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast joins against catalog-sized drop cutoffs read back out of
     the persisted aggregate."""
     apply_op.release_apply_caches()  # prior replay query's frames consumed
-    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem")).withColumn(
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"), widen=True).withColumn(
         "partition",
         F.concat(F.lit("p_"), (F.col("pk") % 2).cast("string")),
     )
@@ -269,7 +269,7 @@ def partition_drop_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg",
 )
 def cdc_alive_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"))
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"), widen=True)
     return apply_op.replay_alive(ops)
 
 
@@ -876,7 +876,7 @@ _ORACLE_LIFETIME = f"""
 
 @q("lifetime_asof_apply", _ORACLE_LIFETIME, "join", "range", "cdc")
 def lifetime_asof_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"))
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"), widen=True)
     lifetimes = ops.groupBy("collection").agg(
         F.min("ts").alias("create_ts"),
         F.when(
@@ -1215,7 +1215,7 @@ def kafka_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc",
 )
 def pack_sort_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"))
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"), widen=True)
     w = Window.partitionBy("vchannel").orderBy(*windows.pack_sort_keys(), F.col("pk"))
     return (
         ops.withColumn("apply_rank", F.row_number().over(w))

@@ -65,7 +65,7 @@ from milvus_cdc_spark.suite import _t, q
     "guarantee-ts",
 )
 def consistency_levels_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"))
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"), widen=True)
     return consistency.read_at_levels(ops)
 
 
@@ -120,7 +120,7 @@ _SQL_TTL_PROPS = ", ".join(f"('{c}', {t})" for c, t in TTL_PROPS)
     "properties",
 )
 def ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"))
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"), widen=True)
     alive = apply_op.replay_alive(ops)
     props = _local_frame(ops.sparkSession, 
         list(TTL_PROPS), "collection string, ttl_seconds bigint"
@@ -180,7 +180,7 @@ def growing_sealed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_state,
     )
 
-    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"))
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"), widen=True)
     sealed = batch_to_state(ops.filter(F.col("ts") <= F.lit(SEAL_CUTOFF_TS)))
     growing = batch_to_state(ops.filter(F.col("ts") > F.lit(SEAL_CUTOFF_TS)))
     merged = merge_state(sealed, growing)
@@ -237,7 +237,7 @@ def growing_sealed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     "read-your-writes",
 )
 def session_consistency_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem")).withColumn(
+    ops = oplog.derive_oplog(_t(spark, sf_dir, "lineitem"), widen=True).withColumn(
         "session", F.col("pk") % 4
     )
     return consistency.read_your_writes(ops, session_ids=(0, 1, 2, 3))

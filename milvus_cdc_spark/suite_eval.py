@@ -1056,8 +1056,11 @@ def delete_by_expr_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings compile through functions.expr.compile_expr and erase rows
     whose latest insert precedes the delete's timestamp."""
     from milvus_cdc_spark.functions.expr import compile_expr
+    from milvus_cdc_spark.partitioning import widen_small_scan
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = widen_small_scan(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_linenumber"
+    )
     pk = (F.col("l_partkey") * 100 + F.col("l_linenumber")).cast("bigint")
     ts = (
         F.shiftleft(F.unix_millis(F.col("l_shipdate")), 18)
