@@ -2078,14 +2078,17 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     over events, watermark + window groupBy, complete-mode memory sink.
     Late-data tolerance: watermark of 1 day ≫ max disorder in the fixture,
     so nothing is dropped and the result equals the batch oracle."""
-    import tempfile
     import uuid as _uuid
 
     # stage normalized events into a directory (file stream sources read
-    # directories; also converts the nanos timestamps once)
-    ev = catalog.load_table(spark, sf_dir, "events")
-    stage = tempfile.mkdtemp(prefix="events_stream_") + "/files"
-    ev.repartition(4).write.mode("overwrite").parquet(stage)
+    # directories; also converts the nanos timestamps once) — via the
+    # shared per-process memo (suite_streaming_ext._stage_events): the
+    # staged layout (4 files, deterministic content) is identical to the
+    # other event-stream queries', so this query no longer re-derives
+    # and re-writes the same fixture on every call
+    from milvus_cdc_spark.suite_streaming_ext import _stage_events
+
+    stage, ev = _stage_events(spark, sf_dir)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)

@@ -1516,6 +1516,8 @@ def maxsim_multivector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra."""
     from pyspark.sql import Window as W
 
+    from milvus_cdc_spark.partitioning import widen_small_scan
+
     emb = _t(spark, sf_dir, "embeddings")
     i8 = lambda x: F.greatest(  # noqa: E731
         F.lit(-128),
@@ -1550,8 +1552,12 @@ def maxsim_multivector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
+    # The |queries|-way MaxSim expansion (sub² int8 dots per pair) is
+    # CPU-dense over a single-split fixture scan — widen the corpus side
+    # so the crossJoin scorer runs on every core (no-op at real scale).
     scored = (
-        codes.crossJoin(F.broadcast(queries))
+        widen_small_scan(codes, "vec_id")
+        .crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -2706,6 +2712,8 @@ def maxsim_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the all-pairs MaxSim top-3."""
     from pyspark.sql import Window as W
 
+    from milvus_cdc_spark.partitioning import widen_small_scan
+
     emb = _t(spark, sf_dir, "embeddings")
     i8 = lambda x: F.greatest(  # noqa: E731
         F.lit(-128),
@@ -2749,8 +2757,11 @@ def maxsim_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
+    # Same single-split trap as maxsim_multivector_topk: widen the
+    # corpus side ahead of the 10-query MaxSim expansion.
     scored = (
-        codes.crossJoin(F.broadcast(queries))
+        widen_small_scan(codes, "vec_id")
+        .crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",

@@ -1383,6 +1383,10 @@ _SQL_SIGNBITS = (
     "llm",
 )
 def hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE (r14, measured): widening the corpus side before this
+    # crossJoin was a wash-to-loss in two interleaved A/Bs (0.93 then
+    # 1.30) — one xor+popcount per pair is too cheap to repay the extra
+    # exchange, unlike the maxsim scorers. Left on the single scan.
     from milvus_cdc_spark.functions import vector as vecf
 
     emb = _t(spark, sf_dir, "embeddings")

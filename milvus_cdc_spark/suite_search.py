@@ -786,7 +786,11 @@ def hamming_multiword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     words (``array<bigint>``) — the general encoding for any dimension
     (Milvus BinaryVector is dim/8 bytes; the single-word `hamming_topk`
     caps at 63). Distance = Σ bit_count(xor) over words, one popcount per
-    word per pair, still a pure projection before the ranking window."""
+    word per pair, still a pure projection before the ranking window.
+
+    r14 note (measured): corpus-side scan-widening was a wash here
+    (interleaved A/B 0.99) — per-word popcounts are too cheap to repay
+    the exchange; only the maxsim scorers keep the widening."""
     from milvus_cdc_spark.functions import vector as vecf
     from pyspark.sql import Window
 
@@ -855,7 +859,11 @@ def jaccard_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Milvus JACCARD distance top-k over packed BinaryVectors:
     1 - |a AND b| / |a OR b| via per-word popcounts. Exact-integer counts
     divided once — bit-identical IEEE across engines — then 6dp rounding
-    for rank stability."""
+    for rank stability.
+
+    r14 note (measured): corpus-side scan-widening was a wash here
+    (interleaved A/B 1.02 then 0.96) — popcount pairs are too cheap to
+    repay the exchange; only the maxsim scorers keep the widening."""
     from milvus_cdc_spark.functions import vector as vecf
     from pyspark.sql import Window
 
@@ -1835,7 +1843,11 @@ def superstructure_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SUPERSTRUCTURE top-k (vector.superstructure_words): queries are
     alternating-bit fragments (mask 0x55555555) of three stored
     fingerprints; each original contains its fragment and ranks first
-    at distance 0. Broadcast query side, popcount word math JVM-side."""
+    at distance 0. Broadcast query side, popcount word math JVM-side.
+
+    r14 note (measured): corpus-side scan-widening was inside noise here
+    (interleaved A/B 0.87 then 0.96) — per the keep-only-clear-winners
+    rule it stays on the single scan; only the maxsim scorers widen."""
     from pyspark.sql import Window
 
     from milvus_cdc_spark.functions import vector as vecf

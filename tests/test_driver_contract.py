@@ -66,7 +66,13 @@ def test_bench_prints_single_json_line(tmp_path):
         [sys.executable, "/root/repo/bench.py"],
         capture_output=True,
         text=True,
-        timeout=600,
+        # The full bench spawns 5 JVMs (suite + 4 isolated segments);
+        # at sf0.001 it completes in ~8 min on a quiet VM but the r14
+        # sessions measured 479-630+ s under shared-host weather — the
+        # 600 s cap made this test flaky-by-VM. The contract under test
+        # is the OUTPUT (one parsable line), not speed; 1500 s keeps a
+        # genuine hang detectable without tripping on weather.
+        timeout=1500,
         env=env,
         cwd="/root/repo",
     )
