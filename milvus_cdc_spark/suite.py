@@ -1849,8 +1849,9 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus (stand-in for offline kMeans) so the operator stays
     deterministic and exactly oracle-checkable."""
     from milvus_cdc_spark.analytics import similarity
+    from milvus_cdc_spark.partitioning import widen_small_scan
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = widen_small_scan(_t(spark, sf_dir, "embeddings"), "vec_id")
     queries = emb.filter(F.col("vec_id") < 10)
     centroids = emb.filter(F.col("vec_id").between(100, 115))
     return similarity.ivf_topk(emb, queries, centroids, k=3, n_probe=2).orderBy(
@@ -1978,7 +1979,13 @@ def _write_oplog_files(spark: SparkSession, sf_dir: str, out_dir: str | None = N
         if cached and os.path.isdir(cached):
             return cached
         out_dir = _tempfile.mkdtemp(prefix="oplog_stage_") + "/files"
-    ops = oplog.derive_oplog(catalog.load_table(spark, sf_dir, "lineitem"))
+    # widen=True: the md5/concat/timestamp derivation otherwise runs
+    # inside the single-split lineitem scan stage before the round-robin
+    # exchange (r14 A/B: staging write 1.8-5.0 s plain vs 1.1-2.1 s
+    # widened at sf0.1, alternating trials)
+    ops = oplog.derive_oplog(
+        catalog.load_table(spark, sf_dir, "lineitem"), widen=True
+    )
     ops.repartition(n_files).write.mode("overwrite").parquet(out_dir)
     if owned:
         # memoize ONLY the helper-owned mkdtemp path (ADVICE r13): a
@@ -3103,7 +3110,12 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup.semdedup): deterministic Lloyd k-means (k=8, 2 iterations),
     within-cluster farthest-first keep order, cosine >= 0.98 prune.
     Per-cluster summary: member count, pruned count, mean squared-L2 to
-    centroid (integer-micro averaged, so summation order can't drift)."""
+    centroid (integer-micro averaged, so summation order can't drift).
+
+    r14 note (measured): keyed scan-widening of the embeddings input was
+    a wash (interleaved A/B 0.92 then 1.06) — the union+perturbation
+    already re-shuffles before the heavy within-cluster stages. Left on
+    the single scan."""
     from milvus_cdc_spark.analytics import dedup
 
     emb = _t(spark, sf_dir, "embeddings")

@@ -1361,8 +1361,11 @@ def ivf_kmeans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     (similarity.ivf_train, k=8, 2 iterations): one broadcast join + one
     k-group aggregation per iteration."""
     from milvus_cdc_spark.analytics import similarity
+    from milvus_cdc_spark.partitioning import widen_small_scan
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # per-iteration k×dim L2 distance math otherwise runs inside the
+    # single-split scan stage (keyed widen — no-op at real scale)
+    emb = widen_small_scan(_t(spark, sf_dir, "embeddings"), "vec_id")
     cent = similarity.ivf_train(emb, k=_KM_K, iters=2, dim=_KM_DIM)
     return (
         cent.select(
@@ -1465,8 +1468,11 @@ def pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations): all four subspaces train in ONE broadcast join + one
     (m*k)-group map-side-combined aggregation per iteration."""
     from milvus_cdc_spark.analytics import similarity
+    from milvus_cdc_spark.partitioning import widen_small_scan
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # per-iteration m×k sub-distance math off a single-split scan —
+    # keyed widen (no-op at real scale)
+    emb = widen_small_scan(_t(spark, sf_dir, "embeddings"), "vec_id")
     cb = similarity.pq_train(emb, m=_PQ_M, k=_PQ_K, iters=2, dim=64)
     return (
         cb.select(
@@ -1540,7 +1546,12 @@ def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC search over PQ codes (similarity.pq_encode + pq_adc_topk):
     the scan side touches only the byte codes — the float corpus is
     read once at encode time, never at query time — and recall@10 is
-    measured against the exact squared-L2 top-k."""
+    measured against the exact squared-L2 top-k.
+
+    r14 note (measured): keyed scan-widening was a wash here
+    (interleaved A/B 1.03 then 0.96) — unlike pq_codebooks, this
+    query's dominant cost is the probe/recall join chain, not the
+    training scan. Left on the single scan."""
     from milvus_cdc_spark.analytics import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1756,7 +1767,14 @@ def _ivfpq_km_assign(cent_cte: str, out_id: str, src: str, rn_bound: int) -> str
 def ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite IVF_PQ (similarity.ivf_pq_build + ivf_pq_adc_topk,
     k_coarse=8, m=4, k_pq=16, n_probe=2): probe-pruned ADC over
-    residual byte codes, recall@10 vs exact squared-L2."""
+    residual byte codes, recall@10 vs exact squared-L2.
+
+    r14 note (measured): keyed scan-widening was a wash here
+    (interleaved A/B 0.97 then 0.99) — this plan is driver-planning-
+    bound (stage profile: ~1 s of stage wall in a 5.8-7.1 s run, the
+    rest Catalyst on the ~1046-operator composite plan), so widening
+    the scans moves nothing. Lineage truncation was separately measured
+    and rejected in r11 (see the checkpoint note below)."""
     from milvus_cdc_spark.analytics import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2730,8 +2748,12 @@ def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster simplified silhouette over the deterministic Lloyd
     build (similarity.ivf_train -> silhouette_stats)."""
     from milvus_cdc_spark.analytics import similarity
+    from milvus_cdc_spark.partitioning import widen_small_scan
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # r14 stage profile: 15 single-task CPU-bound stages (~1.9 s wall)
+    # — the Lloyd + silhouette distance math serialized in the
+    # single-split scan stage; keyed widen spreads it (no-op at scale)
+    emb = widen_small_scan(_t(spark, sf_dir, "embeddings"), "vec_id")
     cent = similarity.ivf_train(emb, k=_KM_K, iters=2, dim=_KM_DIM)
     return similarity.silhouette_stats(
         emb, cent.select("centroid_id", "centroid")
@@ -2830,7 +2852,12 @@ def _ivf_nprobe_oracle() -> str:
 )
 def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Macro recall@3 of IVF search at n_probe 1/2/4 against exact
-    brute force (similarity.ivf_topk) — one row per probe setting."""
+    brute force (similarity.ivf_topk) — one row per probe setting.
+
+    r14 note (measured): keyed scan-widening REGRESSED here
+    (interleaved A/B 1.18) — the three-probe sweep re-reads the widened
+    exchange from every consumer and the exact side already widens
+    inside brute_force_topk. Left on the single scan."""
     from milvus_cdc_spark.analytics import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
