@@ -63,9 +63,17 @@ def _run_to_memory(
     The conf is restored after the drain — suite queries run
     sequentially, and batch queries plan their own shuffle count at
     execution time anyway."""
+    import os as _os
+
     spark = df.sparkSession
     sink = f"mem_{_uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    # measurement override (A/B harness only): forces every caller's
+    # state-partition count without touching the documented per-query
+    # values below
+    env_parts = _os.environ.get("SPARK_GRAFT_STATE_PARTS")
+    if env_parts:
+        state_partitions = int(env_parts)
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
