@@ -2085,8 +2085,6 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     over events, watermark + window groupBy, complete-mode memory sink.
     Late-data tolerance: watermark of 1 day ≫ max disorder in the fixture,
     so nothing is dropped and the result equals the batch oracle."""
-    import uuid as _uuid
-
     # stage normalized events into a directory (file stream sources read
     # directories; also converts the nanos timestamps once) — via the
     # shared per-process memo (suite_streaming_ext._stage_events): the
@@ -2106,27 +2104,14 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
     )
-    sink = f"mem_{_uuid.uuid4().hex[:8]}"
-    # 8 state partitions for a one-file-per-trigger stream: the stateful
-    # window agg commits one state store per shuffle partition per
-    # microbatch, and the batch-tuned 32 is 4x more commit I/O than this
-    # stream's volume warrants (measured on the stream-stream join,
-    # SCALE.md §5t; same rationale as suite_streaming_ext._run_to_memory)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        query = (
-            agg.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # drain via the shared memory-sink helper (state partitions sized per
+    # stream, not the batch-tuned 32 — see _run_to_memory; r14 A/B 8 -> 4
+    # below)
+    from milvus_cdc_spark.suite_streaming_ext import _run_to_memory
+
+    out = _run_to_memory(agg, "complete", state_partitions=4)
     return (
-        spark.table(sink)
+        out
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
         .orderBy("window_start", "event_type")
     )

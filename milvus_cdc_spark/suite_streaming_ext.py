@@ -130,11 +130,14 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = interval_attribution_join(
         clicks, buys, key="user_id", max_gap="1 hour", watermark="31 days"
     )
-    # 8 state partitions for a one-file-per-trigger stream (see
-    # _run_to_memory): 4x fewer state-store commits per batch; the r13
-    # interleaved A/B measured 12.3-15.8 s at 32 partitions vs 5.1-5.6 s
-    # at 8, identical 371 output rows (SCALE.md §5t)
-    out = _run_to_memory(pairs, "append", state_partitions=8)
+    # 2 state partitions for a one-file-per-trigger stream (see
+    # _run_to_memory): a stream-stream join commits 4 state stores per
+    # partition per batch, so the store count — not join compute — is
+    # the measured cost at this input rate. r13 interleaved A/B: 32
+    # partitions 12.3-15.8 s vs 8 at 5.1-5.6 s; r14: 8 -> 4 ratio
+    # 0.658, 4 -> 2 ratio 0.711/0.766 across two independent A/Bs,
+    # identical output. Production sizes this to stream throughput.
+    out = _run_to_memory(pairs, "append", state_partitions=2)
     return (
         out.groupBy(F.to_date(F.date_trunc("day", "l_ts")).alias("click_day"))
         .agg(
@@ -171,8 +174,9 @@ def streaming_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(stage)
     )
     uniq = dedupe(stream, ["user_id", "event_type"], watermark="31 days")
+    # r14 A/B 8 -> 4: ratio 0.867 (store-commit bound, same as the join)
     out = _run_to_memory(
-        uniq.select("user_id", "event_type"), "append", state_partitions=8
+        uniq.select("user_id", "event_type"), "append", state_partitions=4
     )
     return (
         out.groupBy("event_type")
@@ -216,7 +220,9 @@ def streaming_state_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(OPLOG_SCHEMA).option("maxFilesPerTrigger", 2).parquet(src)
     )
     tracked = channel_ts_tracker(stream)
-    out = _run_to_memory(tracked, "update", state_partitions=8)
+    # r14 A/B 8 -> 4: ratio 0.953 (4 vchannels — 4 groups is the
+    # operator's full parallelism; fewer stores, same group spread)
+    out = _run_to_memory(tracked, "update", state_partitions=4)
     # the tracker's max_ts and n_packs are monotonic across emissions, so
     # the converged state per channel is simply the per-key max
     return (
@@ -316,7 +322,9 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
-    out = _run_to_memory(agg, "complete", state_partitions=8)
+    # r14 A/B 8 -> 4: ratio 0.899 (and 4 -> 2 REGRESSED 1.123 — the
+    # complete-mode session store rewrite wants the parallelism)
+    out = _run_to_memory(agg, "complete", state_partitions=4)
     return (
         out.select(
             "user_id",
@@ -734,7 +742,8 @@ def streaming_watermark_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
-    out = _run_to_memory(agg, "append", state_partitions=8)
+    # r14 A/B 8 -> 4: ratio 0.732
+    out = _run_to_memory(agg, "append", state_partitions=4)
     return out.select(
         F.col("w.start").cast("date").alias("day"), "n_events", "total_value"
     ).orderBy("day")
