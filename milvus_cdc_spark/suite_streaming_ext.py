@@ -46,7 +46,10 @@ def _stage_events(spark: SparkSession, sf_dir: str, n_files: int = 4) -> tuple[s
 
 
 def _run_to_memory(
-    df: DataFrame, mode: str, state_partitions: int | None = None
+    df: DataFrame,
+    mode: str,
+    state_partitions: int | None = None,
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """Drain a streaming frame into a memory sink and return the table.
 
@@ -74,8 +77,22 @@ def _run_to_memory(
     env_parts = _os.environ.get("SPARK_GRAFT_STATE_PARTS")
     if env_parts:
         state_partitions = int(env_parts)
+    # ``no_data_batches=False`` skips the trailing empty microbatch Spark
+    # schedules to advance the watermark and evict state. ONLY valid for
+    # queries whose OUTPUT does not depend on watermark finalization —
+    # inner stream-stream joins and within-watermark dedupe emit rows as
+    # they arrive; append-mode aggregations (watermark_finalize) REQUIRE
+    # the no-data batch to emit their final windows, so they keep the
+    # default. State eviction is irrelevant for an availableNow drain
+    # into a memory sink (the state dies with the query).
+    prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    env_ndb = _os.environ.get("SPARK_GRAFT_NO_DATA_BATCHES")
+    if env_ndb is not None:
+        no_data_batches = env_ndb != "0"
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if not no_data_batches:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         query = (
             df.writeStream.format("memory")
@@ -88,6 +105,10 @@ def _run_to_memory(
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if not no_data_batches:
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
+            )
     return spark.table(sink)
 
 
@@ -137,7 +158,11 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitions 12.3-15.8 s vs 8 at 5.1-5.6 s; r14: 8 -> 4 ratio
     # 0.658, 4 -> 2 ratio 0.711/0.766 across two independent A/Bs,
     # identical output. Production sizes this to stream throughput.
-    out = _run_to_memory(pairs, "append", state_partitions=2)
+    # no_data_batches=False: an inner join emits matches as they arrive;
+    # the trailing empty batch only evicts state this drain discards
+    # anyway (r14 A/B: ratio 0.736; streaming_dedupe measured 1.296 on
+    # the same toggle and keeps the default)
+    out = _run_to_memory(pairs, "append", state_partitions=2, no_data_batches=False)
     return (
         out.groupBy(F.to_date(F.date_trunc("day", "l_ts")).alias("click_day"))
         .agg(
