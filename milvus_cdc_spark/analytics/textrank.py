@@ -101,6 +101,7 @@ def bm25_index(
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
     analyzer: str | None = None,
+    widen: bool = False,
 ) -> DataFrame:
     """Milvus 2.5 full-text-search BM25 *function* analog (milvus.io Full
     Text Search: a BM25 Function maps a VARCHAR field to a
@@ -121,6 +122,19 @@ def bm25_index(
     re-run the whole tokenize + aggregate build.
     """
     release_text_caches()  # prior query's index is consumed by now
+    if widen:
+        # keyed widen before tokenization (same contract as
+        # dedup.shingle_rows): the tokenize + explode otherwise runs
+        # inside the single-split documents scan stage; no-op on
+        # well-split inputs. OPT-IN per call site — r14 interleaved A/B
+        # kept it only where the index build dominates the query
+        # (fulltext_drop_ratio 0.806, maxscore_pruned_search 0.753,
+        # fulltext_sparse_search 0.842) and left the light consumers
+        # alone (bm25_topk 1.02-1.12, more_like_this 0.95-1.10,
+        # hybrid_dense_fulltext_rrf 0.93-1.02 — washes).
+        from milvus_cdc_spark.partitioning import widen_small_scan
+
+        docs = widen_small_scan(docs, id_col)
     if analyzer is None:
         tok_expr = textf.tokens(F.lower(F.col(text_col)))
     else:
@@ -353,6 +367,10 @@ def tfidf_keywords(
     Returns (id, rank, term, tf, score) with rank in [1, k], ordered
     within each doc by score desc, term asc.
     """
+    # r14 note (measured): keyed scan-widening before the tokenize was
+    # inside noise here (interleaved A/B 2.30 stall-contaminated, then
+    # 0.90 with overlapping spreads) — left on the single scan per the
+    # keep-only-clear-winners rule.
     n_docs = docs.agg(F.count("*").alias("_n"))
     toks = docs.select(
         F.col(id_col),

@@ -867,7 +867,8 @@ def fulltext_sparse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from milvus_cdc_spark.analytics.textrank import bm25_index, fulltext_search
 
     docs = _t(spark, sf_dir, "documents")
-    index = bm25_index(docs)
+    # r14: widen the index build (interleaved A/B winner here)
+    index = bm25_index(docs, widen=True)
     scored = fulltext_search(index, ["batch", "data", "query"])
     return (
         scored.select("doc_id", F.round("bm25", 4).alias("bm25"))
@@ -2557,7 +2558,8 @@ def fulltext_drop_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from milvus_cdc_spark.analytics.textrank import bm25_index, fulltext_search
 
     docs = _t(spark, sf_dir, "documents")
-    index = bm25_index(docs)
+    # r14: widen the index build (interleaved A/B winner here)
+    index = bm25_index(docs, widen=True)
     scored = fulltext_search(
         index, ["batch", "data", "query", "merge"], drop_ratio_search=0.3
     )
@@ -4122,7 +4124,8 @@ def maxscore_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    index = bm25_index(docs)
+    # r14: widen the index build (interleaved A/B winner here)
+    index = bm25_index(docs, widen=True)
     terms = ["join", "batch", "filter"]
     pruned = maxscore_search(index, terms, k=10, candidate_factor=3)
     full = (

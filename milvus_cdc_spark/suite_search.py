@@ -2347,7 +2347,12 @@ def hashed_embedding_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from milvus_cdc_spark.analytics import similarity
     from milvus_cdc_spark.functions import vector as vecf
 
-    docs = _t(spark, sf_dir, "documents")
+    from milvus_cdc_spark.partitioning import widen_small_scan
+
+    # the tokenize + per-token md5 hashing of every document otherwise
+    # runs inside the single-split documents scan stage (keyed widen —
+    # no-op at real scale)
+    docs = widen_small_scan(_t(spark, sf_dir, "documents"), "doc_id")
     emb = similarity.hashed_embedding(docs, dim=_HE_DIM)
     n2 = F.aggregate(
         F.col("vec"), F.lit(0).cast("bigint"), lambda a, x: a + x * x
