@@ -670,14 +670,20 @@ def test_pipeline_alive_drop_cutoffs_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_maxsim_rerank_single_scoring_pass(spark, sf_dir):
+def test_maxsim_rerank_single_scoring_pass(spark, sf_dir, monkeypatch):
     """Two-phase MaxSim rerank (r7 reshape): the expensive all-pairs
     scoring frame must be consumed by ONE window pass — the exact-top3
     recall flag and the candidate rank ride the same sort — so the plan
     carries no join between ranked frames and exactly one window
-    exchange over the scored data."""
+    exchange over the scored data.
+
+    Pinned with the r14 corpus scan-widening OFF: the widen adds one
+    orthogonal hashpartitioning(vec_id) exchange above the scan (its own
+    contract lives in tests/test_partitioning.py) and this test guards
+    the scoring/window shape, not the input layout."""
     import re
 
+    monkeypatch.setenv("SPARK_GRAFT_WIDEN_SCAN", "off")
     df = suite.QUERIES["maxsim_ann_rerank"].fn(spark, sf_dir)
     plan = audit.formatted_plan(df)
     assert "SortMergeJoin" not in plan
