@@ -300,7 +300,10 @@ class CdcApplyPipeline:
             self._start_pos_df = local_frame(
                 spark, rows, "collection string, vchannel string, start_ts bigint"
             )
-        self.n_buckets = n_buckets
+        # measurement override (A/B harness only — production callers
+        # size n_buckets to state volume explicitly)
+        env_buckets = os.environ.get("SPARK_GRAFT_CDC_BUCKETS")
+        self.n_buckets = int(env_buckets) if env_buckets else n_buckets
         self.compact_every = compact_every
         self.history_keep = history_keep
         # P1 whitelist for this task (reference task-level msg-type config,
