@@ -517,6 +517,7 @@ class CdcApplyPipeline:
         # partial-aggregates map-side. Within-JVM interleaved A/B at
         # sf0.1: streaming_cdc_apply 12.51 -> 9.48 s, streaming_positions
         # 15.59 -> 12.11 s (ratios 0.758 / 0.777), identical oracle rows.
+        pos_thread = pos_err = None
         try:
             # ONE driver job covers both control reads: the touched-bucket
             # list (which state partitions the merge rewrites) and the
@@ -570,7 +571,6 @@ class CdcApplyPipeline:
             # single-level): streaming_cdc_apply 12.82 -> 10.03 s,
             # streaming_positions 10.92 -> 9.29 s (0.783 / 0.851).
             # SPARK_GRAFT_CDC_OVERLAP=0 is the serial-path kill switch.
-            pos_thread = pos_err = None
             overlap = os.environ.get("SPARK_GRAFT_CDC_OVERLAP", "1") != "0"
             if overlap:
                 from pyspark import InheritableThread
@@ -649,6 +649,12 @@ class CdcApplyPipeline:
                 )
             t_positions = time.time()
         finally:
+            # a state-write failure must not leave the positions thread
+            # running against an unpersisted frame (its write is
+            # batch-id-keyed and idempotent either way — the replay
+            # overwrites it — but the join keeps teardown orderly)
+            if pos_thread is not None and pos_thread.is_alive():
+                pos_thread.join()
             ops.unpersist()
         # commit point: everything above is keyed by batch_id and re-runnable
         for r in drop_rows:
