@@ -312,6 +312,52 @@ ISOLATED_SEGMENTS: list[tuple[str, list[str]]] = [
 # COVERAGE, not cross-round anchors (the window moves every round).
 # ---------------------------------------------------------------------------
 
+#: Weather reference chain (r15 verdict #2): the r13 seal is the last
+#: calm ground-truth draw (BENCH_r13.json: canary_sec 0.357, canary2_sec
+#: 0.793, total 123.4 s). Every bench line now carries (a)
+#: ``canary_flagged`` — true when either canary of the suite JVM runs
+#: >30% over this reference, the r13-established contamination gate —
+#: and (b) ``value_canary_norm`` — the total divided by the canary2
+#: ratio, i.e. what the same run would read at reference VM speed.
+#: BOTH are advisory: ``value`` stays the raw honest account; the
+#: normalized number exists so a judge comparing rounds across different
+#: weather has a machine-readable correction instead of re-deriving it
+#: from the canaries by hand (BENCH_NORMALIZED.md has the method and its
+#: calibration limits).
+CANARY_REF = 0.357
+CANARY2_REF = 0.793
+#: Contamination gate: canary ratio above this flags the draw.
+CANARY_FLAG_RATIO = 1.3
+
+#: Absolute stall-redraw floor (r15 verdict #2): the ref-based redraw
+#: rule (3x prior seal) cannot cover the bcov segment — its window moves
+#: every round, so first-ever timings have no reference — and r14's
+#: driver draw shipped an unredrawed 81 s streaming_positions stall.
+#: No query in any sealed round exceeds ~7.5 s at sf0.1, so a draw past
+#: 15 s in ANY segment is redrawn once regardless of reference; the
+#: first draw stays in the totals (honest account), both land in
+#: ``redraws``.
+REDRAW_ABS_SEC = 15.0
+
+
+def _canary_flagged(canary: float | None, canary2: float | None) -> bool:
+    """True when this JVM's weather canaries exceed the contamination
+    gate vs the r13 reference chain (either canary >30% slow)."""
+    return bool(
+        (canary and canary / CANARY_REF > CANARY_FLAG_RATIO)
+        or (canary2 and canary2 / CANARY2_REF > CANARY_FLAG_RATIO)
+    )
+
+
+def _canary_norm(value: float, canary2: float | None) -> float | None:
+    """``value`` corrected to reference VM speed via the canary2 ratio
+    (canary2 is the parallel-stage probe — the one that tracks segment
+    bodies; see BENCH_NORMALIZED.md). None when the canary is missing."""
+    if not canary2:
+        return None
+    return round(value * CANARY2_REF / canary2, 3)
+
+
 #: Window size: a full pass over a FIXED untimed set takes
 #: ceil(116/39) = 3 rounds; the contract test derives the round count
 #: and fails if the registry outgrows 3 x BCOV_WINDOW. Mid-cycle
@@ -401,12 +447,13 @@ def run_queries(
         _ = n
         spark.catalog.clearCache()
         ref_t = (ref or {}).get(name)
-        if (
-            redraws is not None
-            and ref_t
-            and t > 3 * ref_t
-            and t - ref_t > 1.0
-        ):
+        stalled = bool(ref_t and t > 3 * ref_t and t - ref_t > 1.0)
+        # absolute rule (r15): no sealed query exceeds ~7.5 s at sf0.1,
+        # so a 15 s+ draw is a stall even without a reference — this is
+        # what lets the moving bcov window (first-ever timings, no ref)
+        # catch its own mega-stalls
+        stalled = stalled or t > REDRAW_ABS_SEC
+        if redraws is not None and stalled:
             # The redraw is an auxiliary measurement: mirror the
             # count/collect fallback of the primary path and never let
             # a transient redraw error kill the whole bench session —
@@ -552,18 +599,28 @@ def run_segment_mode(
     spark.range(1000).selectExpr("sum(id)").collect()
     canary = _canary_sec(spark, sf_dir)
     canary2 = _canary2_sec(spark, sf_dir)
+    redraws: dict[str, list[float]] = {}
     timings = run_queries(
-        spark, names if names is not None else _segment_names(segment), sf_dir
+        spark,
+        names if names is not None else _segment_names(segment),
+        sf_dir,
+        redraws=redraws,
     )
-    print(json.dumps({
+    value = round(sum(timings.values()), 3)
+    payload = {
         "metric": f"segment_{segment}_runtime",
-        "value": round(sum(timings.values()), 3),
+        "value": value,
         "unit": "sec",
         "sf": sf,
         "canary_sec": canary,
         "canary2_sec": canary2,
+        "canary_flagged": _canary_flagged(canary, canary2),
+        "value_canary_norm": _canary_norm(value, canary2),
         "queries": timings,
-    }, separators=(",", ":")))
+    }
+    if redraws:
+        payload["redraws"] = redraws
+    print(json.dumps(payload, separators=(",", ":")))
     spark.stop()
 
 
@@ -705,7 +762,10 @@ def main() -> None:
         "bcov_offset": BCOV_ROUND_OFFSET,
         "bcov_total": bcov_iso.get("value"),
         "bcov_queries": bcov_iso.get("queries", {}),
+        "bcov_redraws": bcov_iso.get("redraws", {}),
         "redraws": redraws,
+        "canary_flagged": _canary_flagged(canary, canary2),
+        "value_canary_norm": _canary_norm(total, canary2),
     }
     # SPARK_GRAFT_DETAIL_PATH redirects the side file: the contract
     # test runs bench.py as a subprocess at sf0.001, and without the
@@ -744,6 +804,12 @@ def main() -> None:
         "canary2_sec_r1_jvm": isolated.get("canary2_sec"),
         "canary2_sec_heavy_jvm": heavy_iso.get("canary2_sec"),
         "canary2_sec_noisy_jvm": noisy_iso.get("canary2_sec"),
+        # weather verdict for THIS draw (r15 verdict #2): flagged when a
+        # suite-JVM canary runs >30% over the r13 reference chain
+        # (0.357/0.793); value_canary_norm is the total corrected by the
+        # canary2 ratio — advisory, the raw value above stays the record
+        "canary_flagged": _canary_flagged(canary, canary2),
+        "value_canary_norm": _canary_norm(total, canary2),
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
         **subtotals,
         # anchor segments in fresh JVMs before anything else ran — the
@@ -767,8 +833,13 @@ def main() -> None:
         # 5 worst (by first draw) HERE so a pathological round cannot
         # push the machine line past the driver's ~4 KB tail capture
         # (the r5 lesson); BENCH_DETAIL.json carries the full map.
+        # bcov-JVM stall redraws (absolute 15 s rule) merged in so a
+        # stalled first-ever timing is visible without the side file
         "redraws": dict(
-            sorted(redraws.items(), key=lambda kv: -kv[1][0])[:5]
+            sorted(
+                {**bcov_iso.get("redraws", {}), **redraws}.items(),
+                key=lambda kv: -kv[1][0],
+            )[:5]
         ),
         "slowest": slowest,
         "detail": "BENCH_DETAIL.json",

@@ -358,12 +358,30 @@ class CdcApplyPipeline:
                 # backfill); the stamp persists at the next commit
                 m["format_version"] = STATE_FORMAT_VERSION
                 m.setdefault("history", [])
+                # bucket-count pin (ADVICE r14): state rows are placed by
+                # pmod(xxhash64(pk), n_buckets), so resuming an existing
+                # work_dir under a DIFFERENT bucket count (constructor
+                # change or the SPARK_GRAFT_CDC_BUCKETS measurement
+                # override) silently misroutes every subsequent probe and
+                # merge. Legacy manifests without the key adopt the
+                # current count (their state was written by this
+                # process's ancestors under the same default); a recorded
+                # mismatch is a hard refuse.
+                recorded = m.setdefault("n_buckets", self.n_buckets)
+                if recorded != self.n_buckets:
+                    raise StateFormatError(
+                        f"state dir {self.state_dir} was written with "
+                        f"n_buckets={recorded}; this pipeline is configured "
+                        f"with n_buckets={self.n_buckets} — resume with the "
+                        "recorded bucket count (check SPARK_GRAFT_CDC_BUCKETS)"
+                    )
                 return m
         return {
             "buckets": {},
             "last_batch_id": -1,
             "history": [],
             "format_version": STATE_FORMAT_VERSION,
+            "n_buckets": self.n_buckets,
         }
 
     def _commit_manifest(self) -> None:
@@ -804,9 +822,11 @@ class CdcApplyPipeline:
         checkpoint surface is never lost (round-2/3 defect: rmtree-then-
         rename had a window that dropped every position)."""
         self._recover_positions()
-        try:
-            pos = self.spark.read.parquet(self.positions_dir)
-        except Exception:
+        # committed batches only: folding an uncommitted orphan
+        # (crash/failure between positions write and manifest commit)
+        # into the summary would promote it past the read-time filter
+        pos = self._committed_positions()
+        if pos is None:
             return
         latest = pos.groupBy("vchannel").agg(
             F.max("position_ts").alias("position_ts"),
@@ -870,11 +890,28 @@ class CdcApplyPipeline:
             .orderBy("vchannel")
         )
 
-    def positions(self) -> DataFrame:
-        """Latest position per vchannel (K6 checkpoint semantics)."""
+    def _committed_positions(self) -> DataFrame | None:
+        """The positions table restricted to COMMITTED batches.
+
+        Visibility is directory-level: the overlapped positions thread
+        (or a crash between the positions write and the manifest commit)
+        can leave ``batch_id=N`` on disk while the manifest still says
+        N-1 — a position for a batch whose state was never applied
+        (ADVICE r14). ``batch_id`` is a partition column of
+        positions_dir, so filtering to ``batch_id <= last_batch_id``
+        restores the old serial path's state-before-positions ordering
+        at read time; replay later overwrites the orphan dir in place.
+        Returns None when the directory does not exist yet."""
         try:
             pos = self.spark.read.parquet(self.positions_dir)
         except Exception:
+            return None
+        return pos.filter(F.col("batch_id") <= self._manifest["last_batch_id"])
+
+    def positions(self) -> DataFrame:
+        """Latest position per vchannel (K6 checkpoint semantics)."""
+        pos = self._committed_positions()
+        if pos is None:
             from milvus_cdc_spark.catalog import local_frame
 
             return local_frame(

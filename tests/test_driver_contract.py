@@ -55,6 +55,14 @@ def test_entry_runs_and_returns_rows(spark):
 
 
 def test_bench_prints_single_json_line(tmp_path):
+    """One-parsable-machine-line contract, exercised through ``--segment
+    r1`` — ONE JVM over the 22 anchors (~2 min at sf0.001) instead of the
+    full 5-JVM bench. r14 raised the full-run subprocess cap to 1500 s
+    and the driver's pytest window stopped completing (VERIFY_r14
+    tests_ok:false, tail cut at ~77% with zero failures): one test was
+    eating up to 25 of the window's ~25 minutes. The segment path goes
+    through the same run_queries/JSON-emit code as the full run; the full
+    run's own line shape is pinned by the opt-in test below."""
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
@@ -63,15 +71,44 @@ def test_bench_prints_single_json_line(tmp_path):
         SPARK_GRAFT_DETAIL_PATH=str(tmp_path / "BENCH_DETAIL.json"),
     )
     out = subprocess.run(
+        [sys.executable, "/root/repo/bench.py", "--segment", "r1"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [line for line in out.stdout.splitlines() if line.strip()]
+    assert len(lines) == 1, f"expected ONE json line, got: {lines}"
+    assert len(lines[0]) < 4096, "machine line must fit the driver's tail capture"
+    payload = json.loads(lines[0])
+    assert payload["unit"] == "sec" and payload["queries"]
+    assert payload["value"] > 0
+    assert len(payload["queries"]) == 22
+    # weather instrumentation (r15): every bench line carries the
+    # contamination flag and the canary-normalized total
+    assert "canary_flagged" in payload and "value_canary_norm" in payload
+
+
+def test_full_bench_prints_single_json_line(tmp_path):
+    """The FULL bench's machine line (suite JVM + 4 isolated segments,
+    ~8 min quiet / 25+ min under weather at sf0.001). Opt-in via
+    SPARK_GRAFT_FULL_BENCH_TEST=1 — run before sealing a round; too slow
+    for the driver's pytest window (r15 verdict #1)."""
+    import pytest
+
+    if not os.environ.get("SPARK_GRAFT_FULL_BENCH_TEST"):
+        pytest.skip("set SPARK_GRAFT_FULL_BENCH_TEST=1 to run the full bench")
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_DETAIL_PATH=str(tmp_path / "BENCH_DETAIL.json"),
+    )
+    out = subprocess.run(
         [sys.executable, "/root/repo/bench.py"],
         capture_output=True,
         text=True,
-        # The full bench spawns 5 JVMs (suite + 4 isolated segments);
-        # at sf0.001 it completes in ~8 min on a quiet VM but the r14
-        # sessions measured 479-630+ s under shared-host weather — the
-        # 600 s cap made this test flaky-by-VM. The contract under test
-        # is the OUTPUT (one parsable line), not speed; 1500 s keeps a
-        # genuine hang detectable without tripping on weather.
         timeout=1500,
         env=env,
         cwd="/root/repo",
@@ -84,6 +121,7 @@ def test_bench_prints_single_json_line(tmp_path):
     assert payload["unit"] == "sec" and payload["queries"]
     assert payload["value"] > 0
     assert "r1_subtotal" in payload and "slowest" in payload
+    assert "canary_flagged" in payload and "value_canary_norm" in payload
 
 
 def test_bench_final_line_fits_tail_capture():

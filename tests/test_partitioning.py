@@ -12,8 +12,6 @@ Contract under test (partitioning.py):
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import functions as F
 
 from milvus_cdc_spark.partitioning import widen_small_scan
@@ -42,14 +40,44 @@ def test_keyed_widening_is_hash_not_roundrobin(spark):
     assert "roundrobinpartitioning" not in plan
 
 
-def test_off_switch_disables(spark):
+def test_off_switch_disables(spark, monkeypatch):
     narrow = spark.range(0, 100).coalesce(1)
-    os.environ["SPARK_GRAFT_WIDEN_SCAN"] = "off"
-    try:
-        out = widen_small_scan(narrow, "id")
-        assert out is narrow
-    finally:
-        os.environ.pop("SPARK_GRAFT_WIDEN_SCAN", None)
+    # monkeypatch restores any pre-existing value after the test
+    # (a bare os.environ.pop clobbered it for the session — ADVICE r14)
+    monkeypatch.setenv("SPARK_GRAFT_WIDEN_SCAN", "off")
+    out = widen_small_scan(narrow, "id")
+    assert out is narrow
+
+
+def test_probe_memoized_per_file_set(spark, tmp_path, monkeypatch):
+    """r15: the plan→RDD partition probe is paid once per (session,
+    input-file-set) — a second widen over the same scanned files must
+    reuse the memo (no second physical-planning pass), and the memoized
+    decision must match the direct probe's."""
+    from milvus_cdc_spark import partitioning
+
+    path = str(tmp_path / "narrow.parquet")
+    spark.range(0, 200).coalesce(1).write.parquet(path)
+    calls = {"n": 0}
+    real_probe = partitioning._plan_partitions
+
+    def counting_probe(df):
+        calls["n"] += 1
+        return real_probe(df)
+
+    monkeypatch.setattr(partitioning, "_plan_partitions", counting_probe)
+    monkeypatch.setattr(partitioning, "_PROBE_CACHE", {})
+    target = spark.sparkContext.defaultParallelism
+    first = widen_small_scan(spark.read.parquet(path), "id")
+    assert calls["n"] == 1
+    assert first.rdd.getNumPartitions() == target
+    # fresh frame, same files: memo hit, same widening decision
+    second = widen_small_scan(spark.read.parquet(path), "id")
+    assert calls["n"] == 1
+    assert second.rdd.getNumPartitions() == target
+    # frames with no input files still probe directly (no stale reuse)
+    widen_small_scan(spark.range(0, 10).coalesce(1), "id")
+    assert calls["n"] == 2
 
 
 def test_rows_unchanged_by_widening(spark):

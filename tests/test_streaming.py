@@ -1661,6 +1661,69 @@ def test_resume_over_legacy_state_format(spark):
     assert got == {("c0", 1), ("c0", 3)}  # pk2: delete@200 > insert@50
 
 
+def test_positions_hide_uncommitted_batch(spark, monkeypatch):
+    """ADVICE r14 (medium): the overlapped positions thread can land
+    positions/batch_id=N on disk before the state merge for batch N
+    fails; visibility is directory-level, so positions()/channel_lag()
+    reported a position for a never-applied batch. The read path now
+    filters to batch_id <= last_batch_id, and compact_positions() must
+    not fold the orphan into the summary (which would promote it)."""
+    import pyspark.errors
+
+    from milvus_cdc_spark.streaming import pipeline as pipeline_mod
+
+    tmp = tempfile.mkdtemp(prefix="test_orphan_pos_")
+    rows = [
+        (100, "insert", "default", "c0", "p0", "ch0", 1, 1, 1),
+        (200, "insert", "default", "c0", "p0", "ch0", 2, 1, 2),
+    ]
+    spark.createDataFrame(
+        rows, pipeline_mod.OPLOG_SCHEMA
+    ).coalesce(1).write.parquet(tmp + "/src")
+    pipe = CdcApplyPipeline(spark, tmp + "/src", tmp + "/work", n_buckets=2)
+
+    def boom(existing, update):
+        raise RuntimeError("injected state-write failure")
+
+    monkeypatch.setattr(pipeline_mod, "merge_state", boom)
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException):
+        pipe.run_available_now()
+    assert pipe._manifest["last_batch_id"] == -1
+    # an orphan positions dir may exist on disk — it must be invisible
+    assert pipe.positions().count() == 0
+    assert pipe.channel_lag().count() == 0
+    pipe.compact_positions()
+    assert pipe.positions().count() == 0
+    # replay over the same source applies the batch and the positions
+    # become visible exactly once
+    monkeypatch.undo()
+    pipe2 = CdcApplyPipeline(spark, tmp + "/src", tmp + "/work", n_buckets=2)
+    pipe2.run_available_now()
+    got = {(r.vchannel, r.position_ts) for r in pipe2.positions().collect()}
+    assert got == {("ch0", 200)}
+
+
+def test_resume_refuses_bucket_count_change(spark):
+    """ADVICE r14: state rows are placed by pmod(xxhash64, n_buckets) —
+    resuming a work_dir under a different bucket count (constructor or
+    SPARK_GRAFT_CDC_BUCKETS) would silently misroute every probe/merge
+    against the existing state. The manifest records n_buckets; a
+    mismatch on resume is a hard refuse."""
+    from milvus_cdc_spark.streaming import pipeline as pipeline_mod
+
+    tmp = tempfile.mkdtemp(prefix="test_bucket_pin_")
+    spark.createDataFrame(
+        [(100, "insert", "default", "c0", "p0", "ch0", 1, 1, 1)],
+        pipeline_mod.OPLOG_SCHEMA,
+    ).coalesce(1).write.parquet(tmp + "/src")
+    pipe = CdcApplyPipeline(spark, tmp + "/src", tmp + "/work", n_buckets=4)
+    pipe.run_available_now()
+    # same count resumes fine
+    CdcApplyPipeline(spark, tmp + "/src", tmp + "/work", n_buckets=4)
+    with pytest.raises(pipeline_mod.StateFormatError, match="n_buckets=4"):
+        CdcApplyPipeline(spark, tmp + "/src", tmp + "/work", n_buckets=8)
+
+
 def test_drop_cutoffs_buffered_until_commit(spark, monkeypatch):
     """ADVICE r6: a batch whose state write FAILS must leave no trace of
     its bulk-drop cutoffs in the live manifest — drops merge only at the
