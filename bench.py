@@ -369,8 +369,13 @@ def _canary_norm(value: float, canary2: float | None) -> float | None:
 #: r14). gcd(39, ring length) has been 1 so far, so every name IS
 #: eventually drawn — later than the 3-round pass, never never.
 BCOV_WINDOW = 39
-#: r12 starts the rotation at the alphabetical front; r13 -> 39, r14 -> 78.
-BCOV_ROUND_OFFSET = 78
+#: r12 starts the rotation at the alphabetical front; r13 -> 39,
+#: r14 -> 78, r15 -> 117. The ring has 116 untimed names, so the
+#: first full pass completed with r14 (offsets 0/39/78 cover indices
+#: 0..115 plus the wrap) and 117 ≡ 1 begins the second pass — every
+#: window from here on is a RE-timing, giving the moving-window
+#: coverage its first same-name cross-cycle comparisons.
+BCOV_ROUND_OFFSET = 117
 
 
 def _bcov_names() -> list[str]:

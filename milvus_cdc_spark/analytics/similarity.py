@@ -336,10 +336,18 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 1,
+    with_rank: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroids by cosine
     (ties → lower centroid id). The corpus uses n_probe=1 (the IVF list a
     vector lives in); queries probe several lists.
+
+    ``with_rank=True`` (n_probe>1 only) keeps the probe position as a
+    ``probe_rank`` column (1 = nearest list). Because the top-n lists are
+    a PREFIX of the same (csim desc, centroid_id asc) ranking for every
+    n, one max-setting assignment with ranks serves a whole n_probe
+    sweep: filter ``probe_rank <= n`` reproduces the n-probe assignment
+    exactly (the r15 single-pass rewrite of ivf_nprobe_recall_curve).
 
     Plan: broadcast the (tiny) centroid set, one pass over the corpus.
     The corpus path (``n_probe=1``) is a min-of-struct aggregate (the
@@ -393,11 +401,16 @@ def ivf_assign(
             )
         )
     w = Window.partitionBy("_vid").orderBy(F.col("_csim").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= n_probe)
-        .select(F.col("_vid").alias(id_col), "centroid_id")
+    ranked = scored.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= n_probe
     )
+    if with_rank:
+        return ranked.select(
+            F.col("_vid").alias(id_col),
+            "centroid_id",
+            F.col("_r").alias("probe_rank"),
+        )
+    return ranked.select(F.col("_vid").alias(id_col), "centroid_id")
 
 
 def ivf_topk(

@@ -264,7 +264,8 @@ class CdcApplyPipeline:
                  n_buckets: int = 16,
                  compact_every: int = 64,
                  history_keep: int = 8,
-                 msg_types: tuple[str, ...] | None = None):
+                 msg_types: tuple[str, ...] | None = None,
+                 files_per_trigger: int = 4):
         self.spark = spark
         self.source_dir = source_dir
         self.state_dir = os.path.join(work_dir, "state")
@@ -304,6 +305,22 @@ class CdcApplyPipeline:
         # size n_buckets to state volume explicitly)
         env_buckets = os.environ.get("SPARK_GRAFT_CDC_BUCKETS")
         self.n_buckets = int(env_buckets) if env_buckets else n_buckets
+        # Microbatch granularity (r15 verdict #7): how many source files
+        # each trigger admits. Results are granularity-independent (the
+        # state fold is associative and the oracle pins convergence; the
+        # reference's own Packer flushes at count/size/time, so batch
+        # sizing is a throughput parameter, not semantics — T5). Bigger
+        # batches amortize the per-batch machinery floor (source listing,
+        # WAL writes, control collect, state rewrite: ~2.3 s/batch
+        # measured r14) over more rows. Interleaved A/B at sf0.1 over the
+        # 8-file suite staging: 2→4 files/trigger 0.50/0.51 (cdc_apply/
+        # positions), 4→8 a further 0.57/0.56 — NOT taken: one batch
+        # would stop exercising the incremental merge/resume path the
+        # oracle contract exists to pin; 4 keeps ≥2 microbatches.
+        # Production sizes this to source arrival rate.
+        # SPARK_GRAFT_CDC_FPT is the measurement override.
+        env_fpt = os.environ.get("SPARK_GRAFT_CDC_FPT")
+        self.files_per_trigger = int(env_fpt) if env_fpt else files_per_trigger
         self.compact_every = compact_every
         self.history_keep = history_keep
         # P1 whitelist for this task (reference task-level msg-type config,
@@ -719,7 +736,7 @@ class CdcApplyPipeline:
     def run_available_now(self) -> None:
         stream = (
             self.spark.readStream.schema(OPLOG_SCHEMA)
-            .option("maxFilesPerTrigger", 2)
+            .option("maxFilesPerTrigger", self.files_per_trigger)
             .parquet(self.source_dir)
             # Spark-native counters (reference metrics.go replicate_data_cnt
             # / _size): observed per microbatch, surfaced in progress events

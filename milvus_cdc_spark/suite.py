@@ -1967,7 +1967,7 @@ _OPLOG_STAGE_CACHE: dict[tuple[str, int], str] = {}
 
 def _write_oplog_files(spark: SparkSession, sf_dir: str, out_dir: str | None = None, n_files: int = 8) -> str:
     """Materialize the derived op-log as n parquet files so the file source
-    produces multiple microbatches (maxFilesPerTrigger=2 → ≥4 batches).
+    produces multiple microbatches (files_per_trigger=4 → 2 batches).
     Returns the staged directory; with ``out_dir=None`` the staging is
     memoized per (sf_dir, n_files) for the life of the process."""
     import tempfile as _tempfile
@@ -2020,7 +2020,7 @@ def _write_oplog_files(spark: SparkSession, sf_dir: str, out_dir: str | None = N
 )
 def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the actual streaming pipeline (file source → foreachBatch
-    merge-apply over ≥4 microbatches) and report the converged state."""
+    merge-apply over ≥2 microbatches) and report the converged state."""
     import tempfile
 
     from milvus_cdc_spark.streaming.pipeline import CdcApplyPipeline
@@ -3444,74 +3444,75 @@ from milvus_cdc_spark import suite_eval  # noqa: E402,F401  (import-for-effect)
 # can lead registration.
 # ---------------------------------------------------------------------------
 
-# r15 ROTATION PROPOSAL (pre-staged; deterministic continuation of the
-# freshness sweep by the same (latest driver round, name) ascending rule
-# — scripts/rotation_check.py --next prints it from the ledger): anchors
-# + any never-driver-checked r15 registrations (sort as round 0; none at
-# staging time) + the 14 r9-remainder rows — simhash_fingerprints,
-# sole_late_supplier, sparse_topk, sq8_quantized_recall,
-# stratified_mixing, streaming_dedupe, streaming_positions,
-# streaming_stream_join, streaming_tumbling_window, text_quality,
-# tpch_q16_supplier_parts, tpch_q3_shipping, tpch_q9_product_profit,
-# watermark_ts — then the 34 oldest r10-cohort rows (alphabetical
-# analyzer_token_stats through promo_revenue_ratio; recompute at swap
-# time in case r15's builder registers more queries, which sort as
-# round 0 and lead the window).
+# Round 15 executes the rotation pre-staged in round 14 (deterministic
+# freshness sweep by (latest green driver round, name) ascending over
+# the cumulative CORRECTNESS_r01-r14 ledger; scripts/rotation_check.py
+# recomputes and gates it): 2 anchors + the 14 r9-remainder rows + the
+# 34 oldest r10-cohort rows (alphabetical analyzer_token_stats ..
+# promo_revenue_ratio). No never-driver-checked registrations exist
+# this round (r15 is an optimization round; nothing new registered).
+#
+# r16 ROTATION PROPOSAL (pre-staged; same rule — rotation_check.py
+# --next prints it from the ledger once CORRECTNESS_r15 lands): anchors
+# + any never-driver-checked r16 registrations (round 0; none at
+# staging time) + the remaining 14 r10-cohort rows — promo_share_by_
+# quarter onward per the ledger — then the oldest r11-cohort rows to
+# fill 50. Recompute at swap time; new registrations sort as round 0
+# and lead the window.
 PRIORITY: tuple[str, ...] = (
-    # -- 2 regression anchors (driver-green r1-r13) --
+    # -- 2 regression anchors (driver-green r1-r14) --
     "q1_pricing_summary",        # flagship; TPC-H Q1 agg
     "cdc_replay_summary",        # A7/K1 replay
-    # -- never-driver-checked (round 0): the r14 registration --
-    "paragraph_near_dup",
-    # -- 13 r8-cohort remainder rows (latest driver check CORRECTNESS_r08) --
-    "metrics_counters",
-    "milvus_expr_filter",
-    "name_remap",
-    "pack_sort_order",
-    "partition_skew_report",
-    "pipeline_stage_accounting",
-    "preference_pair_builder",
-    "rank_zip_join",
-    "rbac_routing",
-    "ready_set_equality",
-    "rollup_region_nation",
-    "semi_join_active_customers",
-    "string_key_parsing",
-    # -- 34 oldest r9-cohort rows, (round, name) ascending --
-    "ann_bucketed_topk",
-    "approx_distinct_parts",
-    "array_field_filters",
-    "barrier_ready",
-    "bi_nation_volume",
-    "consistency_levels_read",
-    "cube_order_status",
-    "db_scoped_remap",
-    "ddl_op_routing",
-    "doc_chunking",
-    "filtered_ann_topk",
-    "grouping_search_labels",
-    "grouping_sets_revenue",
-    "growing_sealed_read",
-    "hamming_multiword_topk",
-    "hybrid_search_rrf",
-    "hybrid_search_weighted",
-    "ip_search_topk",
-    "jaccard_binary_topk",
-    "keyset_pagination",
-    "l2_search_topk",
-    "market_share",
-    "minhash_bands",
-    "monotonic_rebase",
-    "multimodal_features",
-    "ntile_quartiles",
-    "phrase_match_retrieval",
-    "pivot_priority_status",
-    "range_search_radius",
-    "salted_skew_join",
-    "scalar_funcs",
-    "schema_hydration",
-    "search_pagination",
-    "set_ops_nations",
+    # -- 14 r9-cohort remainder rows (latest driver check CORRECTNESS_r09) --
+    "simhash_fingerprints",
+    "sole_late_supplier",
+    "sparse_topk",
+    "sq8_quantized_recall",
+    "stratified_mixing",
+    "streaming_dedupe",
+    "streaming_positions",
+    "streaming_stream_join",
+    "streaming_tumbling_window",
+    "text_quality",
+    "tpch_q16_supplier_parts",
+    "tpch_q3_shipping",
+    "tpch_q9_product_profit",
+    "watermark_ts",
+    # -- 34 oldest r10-cohort rows, (round, name) ascending --
+    "analyzer_token_stats",
+    "anti_exists_idle_customers",
+    "bag_set_ops",
+    "banded_cosine_near_dup",
+    "binary_quantized_recall",
+    "channel_msg_counts",
+    "conditional_priority_counts",
+    "corpus_pipeline",
+    "cust_order_distribution",
+    "disjunctive_filter_revenue",
+    "error_spike_detection",
+    "exists_late_orders",
+    "expr_text_match_filter",
+    "forecast_revenue_change",
+    "frame_sample",
+    "fulltext_sparse_search",
+    "grouping_search_group_size",
+    "having_in_large_orders",
+    "hybrid_dense_fulltext_rrf",
+    "ivf_kmeans_build",
+    "ivf_pq_recall",
+    "map_kv_extract",
+    "min_cost_supplier",
+    "nation_balance_share",
+    "near_dup_clusters",
+    "near_dup_pairs",
+    "nested_semi_promo_suppliers",
+    "ngram_decontamination",
+    "partition_drop_replay",
+    "partition_key_routing",
+    "percentile_acctbal",
+    "phrase_match_slop",
+    "pq_adc_recall",
+    "promo_revenue_ratio",
 )
 
 

@@ -2857,54 +2857,119 @@ def _ivf_nprobe_oracle() -> str:
 )
 def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Macro recall@3 of IVF search at n_probe 1/2/4 against exact
-    brute force (similarity.ivf_topk) — one row per probe setting.
+    brute force — one row per probe setting, computed from ONE scored
+    candidate frame.
+
+    r15 rewrite (verdict #4): the old shape ran ivf_topk once per probe
+    setting — three near-identical probe/score/rank subtrees plus a
+    union, i.e. Catalyst re-planned the same pipeline three times. The
+    probe assignments for every n are a PREFIX of one (csim desc,
+    centroid_id asc) ranking, so one max-setting assignment carrying
+    ``probe_rank`` (similarity.ivf_assign with_rank=True) scores the
+    corpus ONCE; exploding the (1,2,4) settings over the candidates and
+    filtering ``probe_rank <= n_probe`` reproduces each setting's
+    candidate set exactly (a corpus vector lives in exactly one list).
+    One ranking window partitioned by (n_probe, query_id) — the same
+    (sim desc, neighbor_id asc) order as _ranked_topk — then one grouped
+    aggregation replaces the three global aggregates + union. Measured:
+    plan 34 → 18 exchanges (plans/r15), interleaved A/B 0.719 at sf0.1
+    (4.35 → 3.13 s median); oracle-green at sf0.001/0.01/0.1.
 
     r14 note (measured): keyed scan-widening REGRESSED here
-    (interleaved A/B 1.18) — the three-probe sweep re-reads the widened
+    (interleaved A/B 1.18) — the probe sweep re-reads the widened
     exchange from every consumer and the exact side already widens
     inside brute_force_topk. Left on the single scan."""
+    from pyspark.sql import Window
+
     from milvus_cdc_spark.analytics import similarity
+    from milvus_cdc_spark.functions import vector as vecf
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     centroids = emb.filter(F.col("vec_id").between(100, 115))
-    # exact is re-referenced per probe setting and the corpus list
-    # assignment is IDENTICAL across the sweep — compute each once
-    # (the scan audit counted 24 parquet scans in the unpersisted plan)
+    # exact and the corpus list assignment are re-referenced across the
+    # sweep — compute each once (the scan audit counted 24 parquet scans
+    # in the unpersisted plan)
     similarity.release_similarity_caches()
     exact = similarity.brute_force_topk(emb, queries, k=3).select(
         "query_id", "neighbor_id"
     ).persist()
     corpus_lists = similarity.ivf_assign(emb, centroids, n_probe=1).persist()
     similarity._SIM_CACHES.extend([exact, corpus_lists])
-    outs = []
-    for n in (1, 2, 4):
-        approx = similarity.ivf_topk(
-            emb, queries, centroids, k=3, n_probe=n,
-            corpus_lists=corpus_lists,
-        ).select("query_id", F.col("neighbor_id").alias("_aid"))
-        rec = (
-            exact.join(
-                approx,
-                (exact["query_id"] == approx["query_id"])
-                & (exact["neighbor_id"] == approx["_aid"]),
-                "left",
-            )
-            .agg(
-                F.lit(n).cast("int").alias("n_probe"),
-                F.count("_aid").cast("bigint").alias("matched"),
-                F.count("*").cast("bigint").alias("possible"),
-            )
-            .withColumn(
-                "recall_ppm",
-                F.expr("matched * 1000000 DIV possible").cast("bigint"),
-            )
+
+    probes = similarity.ivf_assign(
+        queries, centroids, n_probe=4, with_rank=True
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        vecf.norm(F.col("embedding")).alias("cnorm"),
+    ).join(
+        corpus_lists.select(
+            F.col("vec_id").alias("neighbor_id"), "centroid_id"
+        ),
+        "neighbor_id",
+    )
+    qside = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        vecf.norm(F.col("embedding")).alias("qnorm"),
+    ).join(
+        probes.select(
+            F.col("vec_id").alias("query_id"), "centroid_id", "probe_rank"
+        ),
+        "query_id",
+    )
+    scored = (
+        c.join(F.broadcast(qside), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "probe_rank",
+            F.round(
+                vecf.dot(F.col("cvec"), F.col("qvec"))
+                / (F.col("cnorm") * F.col("qnorm")),
+                6,
+            ).alias("sim"),
         )
-        outs.append(rec)
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out.orderBy("n_probe")
+    )
+    settings = F.explode(F.array(F.lit(1), F.lit(2), F.lit(4)))
+    cand = scored.withColumn("n_probe", settings).filter(
+        F.col("probe_rank") <= F.col("n_probe")
+    )
+    w = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    approx = (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 3)
+        .select(
+            F.col("n_probe").alias("_np"),
+            F.col("query_id").alias("_qid"),
+            F.col("neighbor_id").alias("_aid"),
+        )
+    )
+    base = exact.withColumn("n_probe", settings)
+    return (
+        base.join(
+            approx,
+            (base["n_probe"] == approx["_np"])
+            & (base["query_id"] == approx["_qid"])
+            & (base["neighbor_id"] == approx["_aid"]),
+            "left",
+        )
+        .groupBy(F.col("n_probe").cast("int").alias("n_probe"))
+        .agg(
+            F.count("_aid").cast("bigint").alias("matched"),
+            F.count("*").cast("bigint").alias("possible"),
+        )
+        .withColumn(
+            "recall_ppm",
+            F.expr("matched * 1000000 DIV possible").cast("bigint"),
+        )
+        .orderBy("n_probe")
+    )
 
 
 # ---------------------------------------------------------------------------

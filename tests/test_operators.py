@@ -776,6 +776,38 @@ def test_ivf_train_lloyd_invariants(spark, sf_dir):
     _ = math
 
 
+def test_ivf_assign_with_rank_prefix_property(spark):
+    """r15: ``with_rank=True`` exposes the probe position, and filtering
+    ``probe_rank <= n`` must reproduce ``ivf_assign(n_probe=n)`` exactly
+    for every n — the contract the single-pass nprobe-sweep rewrite of
+    ivf_nprobe_recall_curve rests on (n=1 additionally crosses over to
+    the aggregate path)."""
+    from milvus_cdc_spark.analytics.similarity import ivf_assign
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.7, 0.7]), (3, [-1.0, 0.2])],
+        "vec_id int, embedding array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [(10, [2.0, 0.1]), (11, [0.1, 3.0]), (12, [-0.5, 0.5])],
+        "vec_id int, embedding array<double>",
+    )
+    ranked = ivf_assign(vecs, cents, n_probe=4, with_rank=True).collect()
+    per_vec = {}
+    for r in ranked:
+        per_vec.setdefault(r.vec_id, []).append(r.probe_rank)
+    assert all(sorted(v) == [1, 2, 3, 4] for v in per_vec.values()), per_vec
+    for n in (1, 2, 4):
+        via_rank = {
+            (r.vec_id, r.centroid_id) for r in ranked if r.probe_rank <= n
+        }
+        direct = {
+            (r.vec_id, r.centroid_id)
+            for r in ivf_assign(vecs, cents, n_probe=n).collect()
+        }
+        assert via_rank == direct, (n, via_rank, direct)
+
+
 def test_ivf_assign_degenerate_vectors_rank_last_in_both_paths(spark):
     """Round-9 ADVICE: the n_probe=1 aggregate path and the n_probe>1
     window path must rank identically on degenerate inputs. A zero-norm

@@ -796,7 +796,7 @@ SCAN_NODE_BUDGETS = {
     "ivf_pq_recall": 13,        # was 82 unpersisted
     "mmr_diversified_search": 2,  # was 50 before the pick checkpoints
     "semdedup_prune": 9,        # was 24
-    "ivf_nprobe_recall_curve": 17,  # was 24
+    "ivf_nprobe_recall_curve": 9,  # was 24; r15 single-pass sweep: 8
     "pipeline_stage_accounting": 4,  # was 9
     "domain_mixture_weights": 1,     # was 12
     "preference_pair_builder": 5,    # was 8

@@ -43,6 +43,38 @@ def test_streaming_apply_converges_to_batch_replay(spark, sf_dir, oplog_dir):
     assert got == want
 
 
+def test_files_per_trigger_sets_granularity_not_results(spark, oplog_dir):
+    """r15 verdict #7: microbatch granularity (files_per_trigger, env
+    override SPARK_GRAFT_CDC_FPT) changes how many batches a drain takes,
+    never the converged state."""
+    import os
+
+    work1 = tempfile.mkdtemp(prefix="fpt_a_")
+    pipe = CdcApplyPipeline(spark, oplog_dir, work1, files_per_trigger=3)
+    pipe.run_available_now()
+    assert pipe.last_batch_id == 1  # 6 staged files / 3 per trigger
+
+    work2 = tempfile.mkdtemp(prefix="fpt_b_")
+    os.environ["SPARK_GRAFT_CDC_FPT"] = "6"
+    try:
+        pipe2 = CdcApplyPipeline(spark, oplog_dir, work2, files_per_trigger=3)
+    finally:
+        del os.environ["SPARK_GRAFT_CDC_FPT"]
+    assert pipe2.files_per_trigger == 6  # env override wins
+    pipe2.run_available_now()
+    assert pipe2.last_batch_id == 0
+
+    a = sorted(
+        (r.collection, r.pk, r.last_insert_ts, r.n_inserts)
+        for r in pipe.alive().collect()
+    )
+    b = sorted(
+        (r.collection, r.pk, r.last_insert_ts, r.n_inserts)
+        for r in pipe2.alive().collect()
+    )
+    assert a == b
+
+
 def test_streaming_apply_resume_is_idempotent(spark, oplog_dir):
     """Re-running with the same checkpoint must be a no-op (T6/T7)."""
     work = tempfile.mkdtemp(prefix="test_resume_")
@@ -750,8 +782,9 @@ def test_mirror_emits_monotonic_repaired_ops(spark):
         "ts bigint, op_type string, db string, collection string, partition string, "
         "vchannel string, pk bigint, num_rows bigint, seq bigint",
     )
-    # the pipeline reads 2 files per trigger: f1+f2 form batch 0 (max 550),
-    # f3 forms batch 1 and regresses to ts=100
+    # pinned at 2 files per trigger below: f1+f2 form batch 0 (max 550),
+    # f3 forms batch 1 and regresses to ts=100 (the scenario is about
+    # CROSS-BATCH repair, so the batch split is part of the fixture)
     variants = [(500, 1, "f1"), (550, 2, "f2"), (100, 3, "f3")]
     for ts, pk, sub in variants:
         base.withColumn("ts", F.lit(ts).cast("bigint")).withColumn(
@@ -765,7 +798,9 @@ def test_mirror_emits_monotonic_repaired_ops(spark):
         for fn in os.listdir(d):
             os.utime(os.path.join(d, fn), (now - 90 + i * 30,) * 2)
 
-    pipe = CdcApplyPipeline(spark, tmp + "/src/*", tmp + "/work", mirror=True)
+    pipe = CdcApplyPipeline(
+        spark, tmp + "/src/*", tmp + "/work", mirror=True, files_per_trigger=2
+    )
     pipe.run_available_now()
     mirror = spark.read.parquet(tmp + "/work/mirror").collect()
     assert len(mirror) == 3
