@@ -22,6 +22,8 @@ analytics engine for the same data.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -971,6 +973,15 @@ def pq_train(
         )
         .select("sub_id", "centroid_id", F.col("sv").alias("centroid"))
     )
+    # NOTE (measured r15, do not "optimize"): an ivf_train-style
+    # mid-iteration eager localCheckpoint of the m*k-row centroid frame
+    # was tried and REGRESSED ivf_pq_recall 1.57x (interleaved A/B at
+    # sf0.1, 4 pairs, 4.01 -> 6.30 s) — the eager job runs the
+    # iteration-0 corpus pass as a separate sequential action, losing
+    # the scan/exchange sharing the one-action composite gets, and that
+    # costs more than the saved re-planning. Unlike ivf_train (whose
+    # mid-train checkpoint WAS a measured win on its k-row centroids),
+    # pq_train's consumers all sit behind persisted outputs already.
     for _ in range(iters):
         assigned = _pq_assign(subv, cent)
         cent = assigned.groupBy("sub_id", "centroid_id").agg(
@@ -1156,6 +1167,16 @@ def ivf_pq_build(
         # the index build/probe boundary.
         return df.localCheckpoint() if checkpoint else df.persist()
 
+    # NOTE (measured r15, do not re-try): eagerly localCheckpoint-ing
+    # ONLY the catalog-sized outputs (coarse, codebooks) — the surgical
+    # variant of the r11-rejected checkpoint=True, with explicit
+    # broadcast hints at every consumer so no join could degrade — was
+    # A/B'd and REGRESSED ivf_pq_recall 1.67x (3.96 -> 6.60 s median,
+    # 4 interleaved pairs at sf0.1). Same failure mode as the pq_train
+    # mid-iteration checkpoint (see its note): the construction-time
+    # eager jobs serialize the training chain into separate actions and
+    # forfeit the one-action composite's scan/exchange/cache sharing,
+    # costing ~2.5 s against the ~1 s of saved Catalyst re-planning.
     coarse = _pin(ivf_train(
         vectors, k=k_coarse, iters=coarse_iters, dim=dim,
         id_col=id_col, vec_col=vec_col,
@@ -1183,6 +1204,10 @@ def ivf_pq_build(
             ),
         )
     )
+    # NOTE (measured r15): persisting resid (it is referenced ~5x across
+    # pq_train's iterations and pq_encode) was a wash — interleaved A/B
+    # 1.02 at sf0.1; behind the persisted `assigned` its recompute is one
+    # cheap join and Catalyst already reuses the exchange.
     codebooks = _pin(pq_train(
         resid, m=m, k=k_pq, iters=pq_iters, dim=dim,
         id_col=id_col, vec_col=vec_col,
@@ -1250,8 +1275,15 @@ def ivf_pq_adc_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # explicit broadcast: codebooks is m*k_pq rows; the hint pins the
+    # strategy independent of how the caller pinned the frame (a
+    # stats-less leaf would otherwise be free to degrade to sort-merge)
     lut = lut_base.join(
-        codebooks.select("sub_id", F.col("centroid_id").alias("code"), "centroid"),
+        F.broadcast(
+            codebooks.select(
+                "sub_id", F.col("centroid_id").alias("code"), "centroid"
+            )
+        ),
         "sub_id",
     ).select("query_id", "coarse_id", "sub_id", "code", d.alias("d"))
     cc = codes.join(assigned, id_col)

@@ -58,6 +58,13 @@ def derive_oplog(lineitem: DataFrame, widen: bool = False) -> DataFrame:
     stage) but the light projection-only consumers (argmax, envelope
     serde, remap routing) at +0.2-0.5 s — the extra exchange plus the
     plan→RDD partition probe costs more than their derivation work.
+
+    r15 re-decided the four closest losers AFTER the partition probe was
+    memoized (r14 verdict #6 suggested the probe cost might flip them):
+    ignore_growing_read 1.45, dispatcher_routing 1.35,
+    filtered_oplog_counts 1.09, begin_ts_repair 1.49 (interleaved A/B,
+    4 pairs each at sf0.1) — the exchange itself, not the probe, is the
+    cost; all 13 losers stay unwidened.
     """
     if widen:
         lineitem = widen_small_scan(lineitem, "l_orderkey", "l_linenumber")

@@ -3100,7 +3100,9 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     r14 note (measured): keyed scan-widening of the embeddings input was
     a wash (interleaved A/B 0.92 then 1.06) — the union+perturbation
     already re-shuffles before the heavy within-cluster stages. Left on
-    the single scan."""
+    the single scan. r15 re-ran the A/B on two calmer blocks per the
+    verdict (0.98 then 0.95, widened at the post-union frame): wash
+    reproduced — the leave stands."""
     from milvus_cdc_spark.analytics import dedup
 
     emb = _t(spark, sf_dir, "embeddings")

@@ -962,7 +962,11 @@ def fulltext_sparse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def hybrid_dense_fulltext_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense ANN branch + sparse BM25 branch → RRF fusion
-    (similarity.rrf_fuse): the Milvus 2.5 hybrid retrieval shape."""
+    (similarity.rrf_fuse): the Milvus 2.5 hybrid retrieval shape.
+
+    Measured leave (r14: 1.02/0.93; r15 re-run on two calmer blocks:
+    1.05/1.12): bm25_index(widen=True) stays off — the 500-doc filtered
+    index build is too light to repay the exchange."""
     from pyspark.sql import Window
 
     from milvus_cdc_spark.analytics import similarity
@@ -4260,7 +4264,11 @@ def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLT for doc 0: its top-5 tf-idf terms queried through the BM25
     posting index (textrank.tfidf_keywords + bm25_index), source doc
-    excluded, top-10."""
+    excluded, top-10.
+
+    Measured leave (r14: 1.10/0.95; r15 re-run on two calmer blocks:
+    1.20/0.96): bm25_index(widen=True) stays off here — the tfidf
+    branch dominates and re-reads the exchange."""
     from milvus_cdc_spark.analytics.textrank import bm25_index, tfidf_keywords
 
     docs = _t(spark, sf_dir, "documents")

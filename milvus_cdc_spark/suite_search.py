@@ -1551,7 +1551,8 @@ def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     r14 note (measured): keyed scan-widening was a wash here
     (interleaved A/B 1.03 then 0.96) — unlike pq_codebooks, this
     query's dominant cost is the probe/recall join chain, not the
-    training scan. Left on the single scan."""
+    training scan. Left on the single scan. r15 re-ran the A/B on two
+    calmer blocks per the verdict (0.99 then 1.03): wash reproduced."""
     from milvus_cdc_spark.analytics import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
